@@ -1,0 +1,183 @@
+package graft
+
+import graft.schema.JsonSchemaInference
+import graft.transform.ExpandJson
+import org.apache.spark.SparkException
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** DataFrame-level port of the reference's 10 unit tests
+  * (ExpandJsonTest.java) plus the coverage gaps listed in SURVEY.md §5. */
+class ExpandJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val SIMPLE_JSON =
+    """{"stringValue": "String value", "numberValue": 42, "booleanValue": true}"""
+
+  // wholeRecordValueSchemaless (ExpandJsonTest.java:91-103)
+  test("whole-value: JSON object -> typed struct, int32 numbers") {
+    val df = Seq(SIMPLE_JSON).toDF("value")
+    val out = df.transform(ExpandJson.whole("value"))
+    val f = out.schema("value")
+    assert(f.dataType === StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("numberValue", IntegerType),
+      StructField("booleanValue", BooleanType))))
+    assert(out.collect().head.getStruct(0) === Row("String value", 42, true))
+  }
+
+  // wholeRecordKeySchemaless analog: key column of a Kafka-shaped frame
+  test("whole-value on key column; value side untouched") {
+    val df = Seq((SIMPLE_JSON, "untouched")).toDF("key", "value")
+    val out = df.transform(ExpandJson.key())
+    assert(out.columns.toSeq === Seq("key", "value"))
+    assert(out.schema("key").dataType.isInstanceOf[StructType])
+    assert(out.schema("value").dataType === StringType)
+    assert(out.collect().head.getString(1) === "untouched")
+  }
+
+  // primitiveStringKey/ValueSchemaless (ExpandJsonTest.java:105-129)
+  test("whole-value: bare JSON string -> unquoted string") {
+    val out = Seq("\"key\"").toDF("value").transform(ExpandJson.whole("value"))
+    assert(out.schema("value").dataType === StringType)
+    assert(out.collect().head.getString(0) === "key")
+  }
+
+  // primitiveIntKey/ValueSchemaless (ExpandJsonTest.java:131-155)
+  test("whole-value: bare JSON int -> int32") {
+    val out = Seq("42", "24").toDF("value").transform(ExpandJson.whole("value"))
+    assert(out.schema("value").dataType === IntegerType)
+    assert(out.collect().map(_.getInt(0)).sorted.toSeq === Seq(24, 42))
+  }
+
+  // wholeRecordKeySchemalessFailsFieldsConfig (ExpandJsonTest.java:157-163)
+  test("whole-value + fields config -> error at build") {
+    val df = Seq(SIMPLE_JSON).toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      ExpandJson(fields = Seq("foo"), wholeColumn = Some("value"))(df)
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  // applyWithSchema empty-fields guard (ExpandJson.java:107-110)
+  test("per-field mode with empty fields -> error at build") {
+    val df = Seq(SIMPLE_JSON).toDF("value")
+    intercept[IllegalArgumentException] { ExpandJson()(df) }
+  }
+
+  // keySchemaField / valueSchemaField (ExpandJsonTest.java:165-190)
+  test("per-field: target replaced in place, siblings and order preserved") {
+    val df = Seq((SIMPLE_JSON, 42, true)).toDF("jsonValue", "numberValue", "booleanValue")
+    val out = df.transform(ExpandJson.onFields(Seq("jsonValue")))
+    assert(out.columns.toSeq === Seq("jsonValue", "numberValue", "booleanValue"))
+    assert(out.schema("jsonValue").dataType === StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("numberValue", IntegerType),
+      StructField("booleanValue", BooleanType))))
+    assert(out.schema("numberValue").dataType === IntegerType)
+    val r = out.collect().head
+    assert(r.getStruct(0) === Row("String value", 42, true))
+    assert(r.getInt(1) === 42)
+    assert(r.getBoolean(2) === true)
+  }
+
+  test("per-field: missing target -> error") {
+    val df = Seq(SIMPLE_JSON).toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      df.transform(ExpandJson.onFields(Seq("nope")))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  // testSchemaNamePrefix — the reference stub (ExpandJsonTest.java:192-200),
+  // completed here per FIXTURES.md A4.
+  test("schema.name.prefix carried as field metadata, bottom-up numbering") {
+    val nested =
+      """{"numberValue": 42, "level1": {"level2": {"level3Number": 24, "level3String": "foo"}}}"""
+    val df = Seq(nested).toDF("value")
+    val out = df.transform(ExpandJson.whole("value", schemaNamePrefix = Some("my.prefix.Rec")))
+    val root = out.schema("value")
+    assert(root.metadata.getString(JsonSchemaInference.SchemaNameKey) === "my.prefix.Rec3")
+    val level1 = root.dataType.asInstanceOf[StructType]("level1")
+    assert(level1.metadata.getString(JsonSchemaInference.SchemaNameKey) === "my.prefix.Rec2")
+    val level2 = level1.dataType.asInstanceOf[StructType]("level2")
+    assert(level2.metadata.getString(JsonSchemaInference.SchemaNameKey) === "my.prefix.Rec")
+  }
+
+  // ---- coverage gaps beyond the reference tests (SURVEY.md §5) ----
+
+  test("merge mode widens across rows; missing fields null") {
+    val df = Seq("""{"a": 1}""", """{"a": 99999999999, "b": "x"}""").toDF("value")
+    val out = df.transform(ExpandJson.whole("value"))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st("a").dataType === LongType)
+    assert(st("b").dataType === StringType)
+    val rows = out.collect().map(_.getStruct(0))
+    assert(rows.exists(r => r.getLong(0) == 1L && r.isNullAt(1)))
+  }
+
+  test("FirstRow mode replicates first-record-wins cache semantics") {
+    val df = Seq("""{"a": 1}""", """{"a": 2, "b": "x"}""").toDF("value")
+    val out = df.transform(
+      ExpandJson.whole("value", inferenceMode = JsonSchemaInference.FirstRow))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq === Seq("a"))
+  }
+
+  test("empty array -> array<string>; heterogeneous array first-element") {
+    val out = Seq("""{"e": [], "h": [1, 2]}""").toDF("value")
+      .transform(ExpandJson.whole("value"))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st("e").dataType === ArrayType(StringType, true))
+    assert(st("h").dataType === ArrayType(IntegerType, true))
+  }
+
+  test("null target value -> null passthrough (divergence from reference NPE)") {
+    val df = Seq(Some(SIMPLE_JSON), None).toDF("value")
+    val out = df.transform(ExpandJson.whole("value"))
+    val rows = out.collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+  }
+
+  test("malformed JSON: FAILFAST throws, permissive yields null") {
+    val df = Seq(SIMPLE_JSON, """{"broken": """).toDF("value")
+    intercept[SparkException] {
+      // Sample sees valid row first so inference succeeds; parse then fails.
+      df.transform(ExpandJson.whole("value", sampleSize = 1)).collect()
+    }
+    // PERMISSIVE from_json yields a struct of all-null fields (not a null
+    // struct) for a corrupt record.
+    val ok = df.transform(ExpandJson.whole("value", sampleSize = 1, permissive = true))
+    val corrupt = ok.collect().count { r =>
+      r.isNullAt(0) || { val s = r.getStruct(0); (0 until s.length).forall(s.isNullAt) }
+    }
+    assert(corrupt === 1)
+  }
+
+  test("schema override skips inference (streaming/production path)") {
+    val schema = StructType(Seq(StructField("numberValue", LongType)))
+    val out = Seq(SIMPLE_JSON).toDF("value")
+      .transform(ExpandJson.whole("value", schemaOverride = Some(schema)))
+    assert(out.schema("value").dataType === schema)
+    assert(out.collect().head.getStruct(0).getLong(0) === 42L)
+  }
+
+  test("JSON null field -> string-typed null (ExpandJson.java:193-194)") {
+    val out = Seq("""{"n": null, "x": 1}""").toDF("value")
+      .transform(ExpandJson.whole("value"))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st("n").dataType === StringType)
+    assert(out.collect().head.getStruct(0).isNullAt(0))
+  }
+
+  test("BigInteger and long values round-trip per the number ladder") {
+    val out = Seq("""{"big": 9223372036854775808, "lng": 9999999999}""").toDF("value")
+      .transform(ExpandJson.whole("value"))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st("big").dataType === StringType)
+    assert(st("lng").dataType === LongType)
+    val r = out.collect().head.getStruct(0)
+    assert(r.getString(0) === "9223372036854775808")
+    assert(r.getLong(1) === 9999999999L)
+  }
+}
