@@ -1,5 +1,8 @@
 package graft
 
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.multimodal.Multimodal
+import graft.streaming.Sessionize
 import graft.transform.ExpandJson
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -176,6 +179,77 @@ object SparkEntry {
         .select(col("bucket_s"), col("event_type"), col("n"), col("total_value"))
     }),
 
+    // More relational coverage: set ops, cube, scalar subquery, expression
+    // sampler, pivot, and a TPC-H Q5-shaped multi-join.
+
+    // UNION ALL + re-aggregate (one shuffle on the union key).
+    "q12_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sup).groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    // CUBE over two dims (Expand + single agg shuffle).
+    "q13_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    }),
+
+    // Scalar subquery: orders within 10% of the global max price. The max
+    // is a 1-row broadcast — no driver collect, no second scan shuffle.
+    "q14_subq" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.crossJoin(broadcast(o.agg(max(col("o_totalprice")).as("mx"))))
+        .filter(col("o_totalprice") > col("mx") * lit(0.9))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Scalar-function sampler: date parts, conditional count, string min.
+    "q15_expr" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          min(concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))).as("min_tag"))
+    }),
+
+    // Pivot: event counts per user cohort (explicit value list keeps the
+    // plan a single agg — no distinct-values pre-pass).
+    "q16_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast so the
+    // fact side shuffles only for orders<->customer and lineitem<->orders.
+    "q17_tpch5" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ------------------------------------------------------------------
     // LLM-data-pipeline operators (north star, SURVEY.md §2.2)
     // ------------------------------------------------------------------
@@ -188,6 +262,86 @@ object SparkEntry {
         .select(col("keep_id"), col("n_dups"))
     }),
 
+    // MinHash+LSH near-dup: banded signature join generates candidates,
+    // exact Jaccard verifies (see Dedup scaladoc for the recall math).
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8)),
+
+    // Exact n-gram Jaccard with prefix filtering (AllPairs-style): exact
+    // result, near-linear candidate join.
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, threshold = 0.7)),
+
+    // SimHash near-dup at Hamming<=3 via pigeonhole band join (exact recall).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, maxHamming = 3)),
+
+    // Embedding near-dup: all pairs with cosine >= 0.4 (exact; LSH variant
+    // is ann_lsh below).
+    "emb_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // Brute-force exact ANN: top-5 neighbors for every 50th vector; one
+    // corpus scan, queries broadcast, map-side partial top-k Aggregator.
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // LSH-bucketed approximate ANN (rows-only check: recall is
+    // probabilistic by design; see Similarity scaladoc).
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshCosineTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
+    // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), TF.langId(col("text")).as("pred_lang"))),
+
+    // Quality scoring: integer counts, single-division ratios.
+    "quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id") +: TF.qualityColumns(col("text")): _*)),
+
+    // BPE-ish token counting (letter runs / digit runs / single symbols).
+    "token_count" -> ((s, dir) => {
+      val toks = TF.bpeTokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"))
+    }),
+
+    // Document fingerprint: 4 smallest distinct 8-gram hashes (k-min sketch).
+    "fingerprint" -> ((s, dir) => {
+      val fp = TF.kMinFingerprint(col("text"), 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        element_at(fp, 1).as("fp1"), element_at(fp, 2).as("fp2"),
+        element_at(fp, 3).as("fp3"), element_at(fp, 4).as("fp4"))
+    }),
+
+    // Gap-based sessionization (30 min) — the batch twin of the
+    // flatMapGroupsWithState streaming operator (graft.streaming.Sessionize).
+    "sessionize" -> ((s, dir) =>
+      Sessionize.batchSessions(t(s, dir, "events"), "user_id", "ts",
+        gapNanos = 30L * 60 * 1000000000L)),
+
+    // Multimodal metadata extraction: binary payload -> typed meta through
+    // the mapPartitions decode boundary (stub codec, real plumbing).
+    "mm_meta" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      Multimodal.withImageMeta(bin, "doc_id", "data")
+    }),
+
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -198,6 +352,38 @@ object SparkEntry {
         size(array_distinct(toks)).as("n_uniq"))
     })
   )
+
+  // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
+
+  /** Distinct char-4-gram shingles — mirrors TF.charShingles(c, 4):
+    * Spark sequence(1, greatest(len-3, 1)) == DuckDB range(1, greatest(len-2, 2)). */
+  private val shingles4 =
+    "SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), i -> substr(text, i, 4))) AS sh FROM documents"
+
+  /** Exact Jaccard between two distinct-shingle lists (one int/int division). */
+  private val jacExpr =
+    "len(list_distinct(list_intersect(a.sh, b.sh)))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))"
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH s AS ($shingles4)
+       |SELECT a.doc_id AS i, b.doc_id AS j, $jacExpr AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jacExpr >= $threshold""".stripMargin
+
+  /** 32-bit simhash per doc — mirrors TF.simhash32 over TF.shingleHashes. */
+  private val simhashSql: String = {
+    val bitCols = (0 until 32)
+      .map(b => s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) >= 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, $bitCols AS sim FROM (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM ($shingles4)))
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Sequential-fold cosine pieces — mirrors Similarity.dotSeq/norm2. */
+  private val embCast =
+    "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, sqrt(list_sum(list_transform(list_transform(embedding, x -> x::DOUBLE), x -> x * x))) AS nrm FROM embeddings"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -258,9 +444,133 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
+    "q13_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q14_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * CAST(0.9 AS DOUBLE)""".stripMargin,
+    "q15_expr" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  min(o_orderstatus || '-' || o_orderpriority) AS min_tag
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q16_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q17_tpch5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_minhash" -> jaccardPairsSql(0.8),
+    "dedup_ngram" -> jaccardPairsSql(0.7),
+    "dedup_simhash" ->
+      s"""WITH sim AS ($simhashSql)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  bit_count(xor(a.sim, b.sim)) AS hamming_dist
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    "emb_pairs" ->
+      s"""WITH e AS ($embCast)
+         |SELECT a.vec_id AS i, b.vec_id AS j,
+         |  list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "ann_topk" ->
+      s"""WITH e AS ($embCast),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |s AS (SELECT query_id, e.vec_id,
+         |        list_sum(list_transform(list_zip(qv, e.v), p -> p[1] * p[2])) / (nq * e.nrm) AS score
+         |      FROM q JOIN e ON e.vec_id <> query_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5""".stripMargin,
+    "lang_id" -> {
+      val hitCols = TF.Stopwords
+        .map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+        }
+        .mkString(",\n  ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN cjk * 10 >= n * 3 THEN 'zh'
+         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM (SELECT doc_id, lang, length(text) AS n,
+         |  len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         |  $hitCols
+         |FROM documents)""".stripMargin
+    },
+    "quality_score" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text) AS alpha_ratio,
+        |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) AS digit_ratio,
+        |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text) AS punct_ratio,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS quality_score
+        |FROM documents""".stripMargin,
+    // DuckDB standard strings keep backslashes literally, so TokenPattern
+    // drops in verbatim.
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TF.TokenPattern}')) AS n_tokens,
+         |  len(list_distinct(regexp_extract_all(text, '${TF.TokenPattern}'))) AS n_uniq_tokens
+         |FROM documents""".stripMargin,
+    "fingerprint" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_transform(
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 6, 2)), i -> substr(text, i, 8))),
+        |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS hs
+        |FROM documents)
+        |SELECT doc_id, hs[1] AS fp1, hs[2] AS fp2, hs[3] AS fp3, hs[4] AS fp4 FROM h""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+        |w AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM w)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        |  64 + octet_length(encode(text)) % 576 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 1016 AS height,
+        |  3 AS channels,
+        |  'fmt' || (octet_length(encode(text)) % 4)::VARCHAR AS format
+        |FROM documents""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_actual,
         |  len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextFunctions._
+
+/**
+ * Near-duplicate detection over a corpus `(id, text)` — the dedup family a
+ * training-data pipeline needs, each designed around its shuffle profile at
+ * 100 TB:
+ *
+ *  - '''exact''':   one hash-shuffle on the content (or content hash).
+ *  - '''MinHash+LSH''': narrow signature computation, then a shuffle on
+ *    (band, bandKey) whose buckets are tiny; candidate pairs are verified
+ *    with exact Jaccard, so the output is exact over the candidate set and
+ *    the only approximation is LSH recall (≈1 for J ≥ threshold with
+ *    128 hashes / 32 bands — miss prob < 1e-15 at J=0.9).
+ *  - '''prefix-filtered exact Jaccard''' (AllPairs/PPJoin-style): an exact
+ *    algorithm whose join explodes only on the `|set|-⌈t|set|⌉+1` globally
+ *    rarest shingles of each doc, not on every shingle — the inverted index
+ *    stays near-linear instead of quadratic on common shingles.
+ *  - '''SimHash''': 32-bit signature; pairs at Hamming ≤ d found by the
+ *    pigeonhole band join (d+1 chunks — equal in at least one), verified
+ *    exactly. With d=3 and 4 byte-chunks the candidate join is exact-recall.
+ *
+ * All signatures derive from the cross-engine `xhash32`, so every operator
+ * here has a value-exact DuckDB oracle.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content: one shuffle on `text`. At scale,
+    * group on `xhash32(text)` first and verify within groups to shrink
+    * shuffle width from full documents to 8 bytes. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+
+  /** Exact Jaccard over distinct-shingle sets, evaluated only for the given
+    * candidate pairs (i < j). `candidates` must have columns (i, j). */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = shingled.select(col("id").as("i"), col("sh").as("sh_i"))
+    val b = shingled.select(col("id").as("j"), col("sh").as("sh_j"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(
+        col("i"),
+        col("j"),
+        (size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType) /
+          size(array_union(col("sh_i"), col("sh_j")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"), charShingles(col(textCol), k).as("sh"))
+
+  /** MinHash + LSH banding: near-dup pairs with Jaccard >= threshold.
+    * numHashes must be divisible by bands. Output: (i, j, jaccard). */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val shingled = shingledDf(df, idCol, textCol, shingleK)
+    val sig = shingled.select(
+      col("id"),
+      minhashSignature(transform(col("sh"), xhash32 _), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key")))
+    val candidates = banded
+      .as("l")
+      .join(banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Exact Jaccard self-join with prefix filtering: a pair with
+    * J >= t must share one of the first |sh|-⌈t·|sh|⌉+1 shingles when both
+    * docs order their shingles by ascending global frequency (rarest
+    * first). The inverted-index join therefore only fans out on rare
+    * shingles. Output: (i, j, jaccard), exact. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val shingled = shingledDf(df, idCol, textCol, shingleK)
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    // Global document frequency per shingle — one agg shuffle, reused by the
+    // ordering. Ties broken by the shingle text for determinism.
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = exploded
+      .join(freq, "s")
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val withLen = ordered.join(
+      shingled.select(col("id"), size(col("sh")).as("len")), "id")
+    // Prefix length = len - ceil(t*len) + 1.
+    val prefix = withLen.filter(
+      col("pos") <= col("len") - ceil(col("len") * threshold) + 1)
+    val candidates = prefix
+      .as("l")
+      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming (exact recall
+    * via the pigeonhole band join). Output: (i, j, hamming_dist). */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1 // Hamming<=d over c=d+1 chunks => >=1 chunk equal
+    val bitsPerChunk = 32 / chunks
+    val sigs = df.select(
+      col(idCol).cast(LongType).as("id"),
+      simhash32(shingleHashes(col(textCol), shingleK)).as("sim"))
+    val banded = sigs.select(
+      col("id"),
+      col("sim"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftright", col("sim"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
+    banded
+      .as("l")
+      .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"),
+        hamming(col("l.sim"), col("r.sim")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= maxHamming)
+  }
+}

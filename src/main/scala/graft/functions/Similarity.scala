@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Scale design: the brute-force top-k path is the exact baseline — a single
+ * corpus scan with the (small) query set broadcast, partial top-k folded
+ * map-side by an `Aggregator`, so the shuffle carries only
+ * `numQueries × k` rows, never the corpus. That is the plan shape that
+ * survives a 100 TB corpus (the alternative — rank via a window over all
+ * scored rows — shuffles the full cross product). The LSH path cuts the
+ * scan×query cost by bucketing both sides with random-hyperplane signs.
+ *
+ * Dot products fold left sequentially in double precision (`aggregate` over
+ * `zip_with`), which any engine that folds lists left reproduces bitwise —
+ * the basis of the DuckDB oracle for `ann_topk`.
+ */
+object Similarity {
+
+  /** Sequential left-fold dot product in double — bit-reproducible. */
+  def dotSeq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dotSeq(a, a))
+
+  def cosineSeq(a: Column, b: Column): Column = dotSeq(a, b) / (norm2(a) * norm2(b))
+
+  /** Top-k by (score desc, id asc) with map-side partial combine. The buffer
+    * never exceeds k entries, so partial aggregates are tiny regardless of
+    * corpus size. */
+  class TopKByScore(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    private val ord: Ordering[(Long, Double)] = Ordering.by(t => (-t._2, t._1))
+    override def zero: Seq[(Long, Double)] = Nil
+    override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+      merge(buf, Seq(x))
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  }
+
+  /**
+   * Exact brute-force ANN baseline: for each query vector, the k nearest
+   * corpus vectors by cosine (self excluded). One corpus scan; queries
+   * broadcast; shuffle = numQueries×k rows.
+   * Output: (query_id, rank, vec_id, score).
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    // Norms are computed once per side, not once per pair — O(n·d), and the
+    // query-side norm is evaluated inside the broadcast relation.
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("nq")))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("nv"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).as("rank"),
+        col("hit._1").as("vec_id"),
+        col("hit._2").as("score"))
+  }
+
+  /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
+    * O(n²) shape is only for oracle-scale corpora — at scale use
+    * `lshCosineTopK`-style bucketing as the candidate generator. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed): tables×planes×dim. */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bucket signature per table: bit p = sign of <v, plane_p>. */
+  private def lshBuckets(v: Column, hp: Seq[Seq[Seq[Double]]]): Column = {
+    val tables = hp.map { planes =>
+      planes.zipWithIndex
+        .map { case (plane, p) =>
+          when(dotSeq(v, typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    }
+    array(tables: _*)
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: corpus and queries are bucketed by
+   * random-hyperplane sign signatures in `tables` independent tables; only
+   * same-bucket pairs are scored. Recall is probabilistic (rows-only
+   * correctness check) but the scan×query cost drops by ~2^planes per table.
+   * Output: (query_id, rank, vec_id, score) — rank within found candidates.
+   */
+  def lshCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      tables: Int = 8,
+      planes: Int = 8): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim)
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(
+          col(idCol).as(id),
+          col(vecCol).as(vec),
+          posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
+    val c = bucketed(corpus, "vec_id", "v")
+    val q = bucketed(queries, "query_id", "qv")
+    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    c.join(q, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineSeq(col("qv"), col("v")).as("score"))
+      .distinct() // a pair can collide in several tables
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).as("rank"),
+        col("hit._1").as("vec_id"),
+        col("hit._2").as("score"))
+  }
+}

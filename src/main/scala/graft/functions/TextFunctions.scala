@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Column-level text-analysis primitives for large-scale training-data
+ * pipelines. Everything here is built from codegen'd built-in functions
+ * (`org.apache.spark.sql.functions`) — no UDFs — so the whole layer stays
+ * inside whole-stage codegen and is a narrow (shuffle-free) transformation.
+ *
+ * Determinism contract: every function is bit-reproducible and expressible
+ * in ANSI-ish SQL, so each has a DuckDB oracle (SparkEntry.oracleSql). The
+ * shared 32-bit hash is the first 8 hex digits of md5 — identical in any
+ * engine that has `md5` — rather than Spark's Murmur3 `hash()`, whose seed
+ * and variant are engine-private.
+ */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1 — modulus for all derived hash families. */
+  val P: Long = 2147483647L
+
+  /** Cross-engine 32-bit hash: unsigned value of the first 8 hex chars of
+    * md5. Range [0, 2^32). */
+  def xhash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Distinct character k-grams ("shingles") of a string, in first-seen
+    * order. `sequence` is guarded to stay ascending on short inputs. */
+  def charShingles(c: Column, k: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+        i => c.substr(i, lit(k))))
+
+  /** Distinct hashed character k-grams — the set representation used by all
+    * dedup operators (MinHash, SimHash, exact Jaccard). */
+  def shingleHashes(c: Column, k: Int): Column =
+    array_distinct(transform(charShingles(c, k), xhash32 _))
+
+  // -------------------------------------------------------------------
+  // MinHash
+  // -------------------------------------------------------------------
+
+  /** Deterministic universal-hash coefficients h_i(x) = (a_i*x + b_i) mod P. */
+  private[functions] def coefA(i: Int): Long = ((i * 2654435761L + 1) % (P - 1)) + 1
+  private[functions] def coefB(i: Int): Long = (i * 40503L + 12345L) % P
+
+  /** MinHash signature: k permutation-minima over a set of 32-bit shingle
+    * hashes. Pure array expression — evaluated per row inside codegen. */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val as = typedLit((0 until k).map(coefA))
+    val bs = typedLit((0 until k).map(coefB))
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(
+          transform(hashes, h => ((h % P) * element_at(as, i + 1) + element_at(bs, i + 1)) % P)))
+  }
+
+  /** LSH band keys for a signature: `bands` buckets, each hashing
+    * `len(sig)/bands` consecutive signature values. Docs agreeing on any
+    * band are join candidates. Band hashing uses Spark's `hash` — the keys
+    * never leave the engine, so cross-engine stability is not needed. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => hash(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 32-bit SimHash over a set of 32-bit shingle hashes: bit b of the result
+    * is set iff the sum over shingles of (bit b of hash ? +1 : -1) is >= 0. */
+  def simhash32(hashes: Column): Column =
+    (0 until 32)
+      .map { b =>
+        val bitSum = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // -------------------------------------------------------------------
+  // Tokenization / language ID / quality
+  // -------------------------------------------------------------------
+
+  /** BPE-ish tokenizer: letter runs, digit runs, and single non-alnum
+    * non-space chars (so CJK text yields one token per char). Case is NOT
+    * folded — keeps the regex engine-portable. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(TokenPattern), lit(0))
+
+  /** Whitespace tokens (the cheap path). */
+  def wsTokens(c: Column): Column = split(c, " ")
+
+  /** Stopword lists for the n-gram language heuristic. ASCII-only so that
+    * no case-folding of accented chars is involved. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "del", "por", "con", "para")
+  )
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Heuristic language ID: CJK-ratio gate for zh, then argmax of stopword
+    * hits with a fixed tie-break order (en > de > fr > es). Integer-only
+    * comparisons — no float thresholds. */
+  def langId(c: Column): Column = {
+    val cjk = size(regexp_extract_all(c, lit("[一-鿿]"), lit(0)))
+    val toks = split(lower(c), " ")
+    val hits = Stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }.toMap
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    when(cjk * 10 >= length(c) * 3, lit("zh"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Quality-score components. All counts are integers; every ratio is a
+    * single int/int division (one correctly-rounded double op) and the
+    * score has an all-integer numerator — bit-reproducible anywhere. */
+  def qualityColumns(c: Column): Seq[Column] = {
+    val n = length(c)
+    val letters = size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
+    val digits = size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+    val puncts = size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
+    val spaces = size(regexp_extract_all(c, lit(" "), lit(0)))
+    Seq(
+      n.as("n_chars"),
+      (letters.cast(DoubleType) / n).as("alpha_ratio"),
+      (digits.cast(DoubleType) / n).as("digit_ratio"),
+      (puncts.cast(DoubleType) / n).as("punct_ratio"),
+      ((letters * 2 + spaces - digits * 3 - puncts * 5).cast(DoubleType) / n).as("quality_score")
+    )
+  }
+
+  // -------------------------------------------------------------------
+  // Fingerprinting
+  // -------------------------------------------------------------------
+
+  /** Document fingerprint: the `k` smallest distinct 8-gram hashes (a k-min
+    * sketch — the winnowing idea with a global window). Two docs sharing
+    * most 8-grams share most fingerprint slots. */
+  def kMinFingerprint(c: Column, k: Int): Column =
+    slice(array_sort(shingleHashes(c, 8)), 1, k)
+}
