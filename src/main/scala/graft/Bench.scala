@@ -1,23 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import scala.util.Try
+
+/**
+ * Benchmark harness. Prints ONE JSON line:
+ * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+ *
+ * Measurement contract:
+ *  - every query is fully evaluated via a `noop`-format write (the V2 sink
+ *    that consumes every row and discards it) — a bare `.count()` lets
+ *    Catalyst prune deterministic projections, so narrow queries would
+ *    measure a parquet row-count instead of their operators;
+ *  - each query runs `SPARK_GRAFT_ITERS` times (default 3) and reports the
+ *    median, so a one-off JIT/IO hiccup doesn't skew a number;
+ *  - optional CLI args restrict the run to the named queries (dev loop).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt)
+    val only = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = Try(fn(spark, sfDir).write.format("noop").mode("overwrite").save()).isSuccess
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else median(times))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,95 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Codegen'd Catalyst expressions for the dedup-family hot path. Each emits a
+ * single static call to a [[TextKernels]] primitive loop, so the work stays
+ * inside whole-stage codegen instead of falling back to interpreted
+ * higher-order-function evaluation (a boxed closure call per array element —
+ * the round-1 bench killer).
+ *
+ * Column-level reference implementations with identical semantics live in
+ * [[graft.functions.TextFunctions]]; FastKernelSpec asserts equality.
+ */
+private[graft] trait KernelCall { self: Expression =>
+  final override def nullable: Boolean = self.children.exists(_.nullable)
+}
+
+/** sortedShingles(text, k): distinct char k-grams, sorted. */
+case class SortedShingles(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  require(k > 0, "shingle length must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.sortedShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.sortedShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): SortedShingles =
+    copy(child = newChild)
+}
+
+/** xhash32 of each string element, deduplicated, sorted. */
+case class XHash32Array(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.xhash32Array(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.xhash32Array($c)")
+  override protected def withNewChildInternal(newChild: Expression): XHash32Array =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a hashed-shingle array. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  require(k > 0, "signature length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** LSH band keys of a MinHash signature. */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with KernelCall {
+  require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.bandKeys($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+/** 32-bit SimHash of a hashed-shingle array. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Jaccard coefficient of two sorted distinct string arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,157 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TextFunctions.{coefA, coefB, P}
+
+/**
+ * JVM kernels behind the dedup-family Catalyst expressions
+ * ([[TextHashExpressions]]). Each is a tight primitive loop invoked once per
+ * row from generated code — replacing interpreted higher-order-function
+ * evaluation (HOFs are CodegenFallback in Spark), which costs a boxed
+ * closure call per array element.
+ *
+ * Semantics contract: every kernel is bit-equivalent to its Column-level
+ * reference implementation in [[graft.functions.TextFunctions]] (asserted by
+ * FastKernelSpec), which in turn mirrors the DuckDB oracle SQL.
+ */
+object TextKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Cross-engine 32-bit hash: unsigned value of the first 8 hex chars of
+    * md5 == first 4 digest bytes, big-endian. Mirrors TextFunctions.xhash32. */
+  def xhash32(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** Distinct character k-grams, sorted ascending (binary UTF8 order).
+    * Same SET as TextFunctions.charShingles (which keeps first-seen order);
+    * every consumer — MinHash, SimHash, Jaccard, frequency ordering — is
+    * order-insensitive, and sorted output lets jaccardSorted merge. */
+  def sortedShingles(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numChars()
+    val m = math.max(n - k + 1, 1)
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 1
+    while (i <= m) {
+      set.add(s.substringSQL(i, k))
+      i += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** xhash32 of every element, deduplicated (mirrors
+    * `array_distinct(transform(sh, xhash32))`: distinct applied AFTER
+    * hashing, so an md5-level collision collapses like the reference).
+    * Output sorted ascending — all consumers are order-insensitive. */
+  def xhash32Array(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = xhash32(a.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+      j += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** Per-k coefficient cache for the MinHash permutation family. */
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, k => ((0 until k).map(coefA).toArray, (0 until k).map(coefB).toArray))
+
+  /** MinHash signature — mirrors TextFunctions.minhashSignature. */
+  def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coefs(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, P)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i) % P
+      var j = 0
+      while (j < k) {
+        val v = (x * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** LSH band keys — mirrors TextFunctions.bandKeys (rolling mod-P hash). */
+  def bandKeys(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 17L
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = (acc * 1000003L + sig.getLong(b * rowsPerBand + r)) % P
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    ArrayData.toArrayData(keys)
+  }
+
+  /** 32-bit SimHash — mirrors TextFunctions.simhash32. */
+  def simhash32(hashes: ArrayData): Long = {
+    val sums = new Array[Int](32)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 32) {
+        sums(b) += (((h >> b) & 1L).toInt * 2 - 1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (sums(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Jaccard of two SORTED distinct string arrays by linear merge —
+    * value-identical to size(array_intersect)/size(array_union) on the same
+    * sets. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}

@@ -40,7 +40,9 @@ object Dedup {
       .select(col("keep_id"), col("n_dups"))
 
   /** Exact Jaccard over distinct-shingle sets, evaluated only for the given
-    * candidate pairs (i < j). `candidates` must have columns (i, j). */
+    * candidate pairs (i < j). `candidates` must have columns (i, j).
+    * `shingled.sh` is sorted (see shingledDf), so the codegen'd merge kernel
+    * applies; value-identical to size(array_intersect)/size(array_union). */
   private def verifyJaccard(
       candidates: DataFrame,
       shingled: DataFrame,
@@ -53,13 +55,12 @@ object Dedup {
       .select(
         col("i"),
         col("j"),
-        (size(array_intersect(col("sh_i"), col("sh_j"))).cast(DoubleType) /
-          size(array_union(col("sh_i"), col("sh_j")))).as("jaccard"))
+        FastText.jaccardSorted(col("sh_i"), col("sh_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).cast(LongType).as("id"), charShingles(col(textCol), k).as("sh"))
+    df.select(col(idCol).cast(LongType).as("id"), FastText.sortedShingles(col(textCol), k).as("sh"))
 
   /** MinHash + LSH banding: near-dup pairs with Jaccard >= threshold.
     * numHashes must be divisible by bands. Output: (i, j, jaccard). */
@@ -75,10 +76,10 @@ object Dedup {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
     val sig = shingled.select(
       col("id"),
-      minhashSignature(transform(col("sh"), xhash32 _), numHashes).as("sig"))
+      FastText.minhashSig(FastText.xhash32Array(col("sh")), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
-      posexplode(bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key")))
+      posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key")))
     val candidates = banded
       .as("l")
       .join(banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -100,7 +101,10 @@ object Dedup {
       shingleK: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    // Carry |sh| through the explode so no second join back to `shingled`
+    // is needed for the prefix-length bound.
+    val exploded = shingled.select(
+      col("id"), size(col("sh")).as("len"), explode(col("sh")).as("s"))
     // Global document frequency per shingle — one agg shuffle, reused by the
     // ordering. Ties broken by the shingle text for determinism.
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -109,14 +113,21 @@ object Dedup {
       .withColumn(
         "pos",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-    val withLen = ordered.join(
-      shingled.select(col("id"), size(col("sh")).as("len")), "id")
     // Prefix length = len - ceil(t*len) + 1.
-    val prefix = withLen.filter(
+    val prefix = ordered.filter(
       col("pos") <= col("len") - ceil(col("len") * threshold) + 1)
+    // Positional filter (PPJoin): at the FIRST shared prefix element nothing
+    // common precedes it (both lists share one global order), so overlap <=
+    // 1 + min(la - pl, lb - pr); J >= t additionally needs overlap >=
+    // t/(1+t) * (la + lb). A pair failing the bound on its first shared
+    // element fails it on every later one, so filtering each row keeps
+    // exactly the pairs that can still qualify — exact, no recall loss.
+    val posBound =
+      least(col("l.len") - col("l.pos"), col("r.len") - col("r.pos")) + 1 >=
+        (col("l.len") + col("r.len")) * lit(threshold / (1 + threshold))
     val candidates = prefix
       .as("l")
-      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id") && posBound)
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
     verifyJaccard(candidates, shingled, threshold)
@@ -134,7 +145,7 @@ object Dedup {
     val bitsPerChunk = 32 / chunks
     val sigs = df.select(
       col(idCol).cast(LongType).as("id"),
-      simhash32(shingleHashes(col(textCol), shingleK)).as("sim"))
+      FastText.simhash32(FastText.xhash32Array(FastText.sortedShingles(col(textCol), shingleK))).as("sim"))
     val banded = sigs.select(
       col("id"),
       col("sim"),

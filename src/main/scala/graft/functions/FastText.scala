@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+
+import graft.expressions.{BandKeys, JaccardSorted, MinHashSig, SimHash32, SortedShingles, XHash32Array}
+
+/**
+ * Column API over the codegen'd dedup kernels
+ * ([[graft.expressions.TextHashExpressions]]). Drop-in replacements for the
+ * equivalent [[TextFunctions]] compositions on the dedup hot path — same
+ * values (FastKernelSpec asserts it), ~100x faster per row because the
+ * per-element work runs as a primitive JVM loop inside whole-stage codegen
+ * instead of interpreted higher-order-function evaluation.
+ */
+object FastText {
+
+  /** Distinct char k-grams, sorted — set-equal to TextFunctions.charShingles. */
+  def sortedShingles(c: Column, k: Int): Column = B.column(SortedShingles(B.expression(c), k))
+
+  /** Sorted distinct xhash32 per element — set-equal to TextFunctions.shingleHashes
+    * given shingle input. */
+  def xhash32Array(c: Column): Column = B.column(XHash32Array(B.expression(c)))
+
+  /** MinHash signature — value-equal to TextFunctions.minhashSignature. */
+  def minhashSig(hashes: Column, k: Int): Column = B.column(MinHashSig(B.expression(hashes), k))
+
+  /** LSH band keys — value-equal to TextFunctions.bandKeys. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    B.column(BandKeys(B.expression(sig), bands, rowsPerBand))
+
+  /** 32-bit SimHash — value-equal to TextFunctions.simhash32. */
+  def simhash32(hashes: Column): Column = B.column(SimHash32(B.expression(hashes)))
+
+  /** Jaccard of two sorted distinct string arrays — value-equal to
+    * size(array_intersect)/size(array_union). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    B.column(JaccardSorted(B.expression(a), B.expression(b)))
+}

@@ -44,46 +44,75 @@ object TextFunctions {
   // -------------------------------------------------------------------
 
   /** Deterministic universal-hash coefficients h_i(x) = (a_i*x + b_i) mod P. */
-  private[functions] def coefA(i: Int): Long = ((i * 2654435761L + 1) % (P - 1)) + 1
-  private[functions] def coefB(i: Int): Long = (i * 40503L + 12345L) % P
+  private[graft] def coefA(i: Int): Long = ((i * 2654435761L + 1) % (P - 1)) + 1
+  private[graft] def coefB(i: Int): Long = (i * 40503L + 12345L) % P
 
   /** MinHash signature: k permutation-minima over a set of 32-bit shingle
-    * hashes. Pure array expression — evaluated per row inside codegen. */
+    * hashes.
+    *
+    * Expression shape matters here: a Catalyst lambda re-evaluates every
+    * captured subtree once per element it iterates, so the naive
+    * `transform(0..k-1, i => array_min(transform(hashes, ...)))` evaluates
+    * the (md5-bearing) `hashes` input k times per row. This single
+    * `aggregate` fold consumes `hashes` exactly once — each element updates
+    * all k running minima — making the cost |hashes| md5 + k·|hashes|
+    * integer ops per row no matter how Catalyst collapses projections. */
   def minhashSignature(hashes: Column, k: Int): Column = {
     val as = typedLit((0 until k).map(coefA))
     val bs = typedLit((0 until k).map(coefB))
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(
-          transform(hashes, h => ((h % P) * element_at(as, i + 1) + element_at(bs, i + 1)) % P)))
+    // lit(P) is an identity for min: every (a*x+b) mod P is < P.
+    aggregate(
+      hashes,
+      array_repeat(lit(P), k),
+      (mins, h) =>
+        transform(mins, (m, i) => least(m, ((h % P) * element_at(as, i + 1) + element_at(bs, i + 1)) % P)))
   }
 
-  /** LSH band keys for a signature: `bands` buckets, each hashing
-    * `len(sig)/bands` consecutive signature values. Docs agreeing on any
-    * band are join candidates. Band hashing uses Spark's `hash` — the keys
-    * never leave the engine, so cross-engine stability is not needed. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => hash(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+  /** LSH band keys for a signature: `bands` buckets, each combining
+    * `len(sig)/bands` consecutive signature values into one 64-bit rolling
+    * polynomial key. Docs agreeing on any band are join candidates.
+    *
+    * Single-pass fold for the same reason as [[minhashSignature]]: `sig` is
+    * consumed once, so an upstream signature projection can be collapsed
+    * into this expression without re-evaluating it per band. Keys never
+    * leave the engine (a mod-P collision only adds a candidate pair that
+    * exact verification discards), so cross-engine stability is not needed.
+    * The mod-P reduction keeps `acc * K + v` under 2^63 (ANSI-safe). */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val bandOf = typedLit((0 until bands * rowsPerBand).map(i => (i / rowsPerBand).toLong))
+    aggregate(
+      zip_with(sig, bandOf, (v, b) => struct(v.as("v"), b.as("b"))),
+      array_repeat(lit(17L), bands),
+      (acc, x) =>
+        transform(acc, (a, i) =>
+          when(x.getField("b") === i, (a * lit(1000003L) + x.getField("v")) % P).otherwise(a)))
+  }
 
   // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
 
   /** 32-bit SimHash over a set of 32-bit shingle hashes: bit b of the result
-    * is set iff the sum over shingles of (bit b of hash ? +1 : -1) is >= 0. */
-  def simhash32(hashes: Column): Column =
-    (0 until 32)
-      .map { b =>
-        val bitSum = aggregate(
-          hashes,
-          lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    * is set iff the sum over shingles of (bit b of hash ? +1 : -1) is >= 0.
+    *
+    * One `aggregate` fold keeps 32 running bit-sums in an array accumulator,
+    * so `hashes` (md5-bearing) is evaluated once per row — the naive
+    * 32-separate-aggregates form re-evaluates it 32 times (see
+    * [[minhashSignature]]). The final reduction folds the sums array into
+    * the signature value, again consuming it exactly once. */
+  def simhash32(hashes: Column): Column = {
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), 32),
+      (acc, h) =>
+        transform(acc, (s, b) =>
+          s + (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1)))
+    aggregate(
+      transform(bitSums, (s, b) =>
+        when(s >= 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{FastText, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The codegen'd kernels (graft.expressions via FastText) must be
+ * value-equal to their Column-level reference implementations in
+ * TextFunctions on real corpus data — the reference forms mirror the DuckDB
+ * oracle SQL, so this equality is what keeps the fast path oracle-exact.
+ */
+class FastKernelSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(col("doc_id"), col("text"))
+
+  test("sortedShingles == sort_array(charShingles) on the documents corpus") {
+    val diff = docs.select(
+      FastText.sortedShingles(col("text"), 4).as("fast"),
+      sort_array(TF.charShingles(col("text"), 4)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("xhash32Array == sort_array(shingleHashes) on the documents corpus") {
+    val diff = docs.select(
+      FastText.xhash32Array(TF.charShingles(col("text"), 4)).as("fast"),
+      sort_array(TF.shingleHashes(col("text"), 4)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("minhashSig == minhashSignature (order-insensitive input)") {
+    val diff = docs.select(
+      FastText.minhashSig(FastText.xhash32Array(TF.charShingles(col("text"), 4)), 32).as("fast"),
+      TF.minhashSignature(TF.shingleHashes(col("text"), 4), 32).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("bandKeys == reference bandKeys") {
+    val sig = FastText.minhashSig(FastText.xhash32Array(TF.charShingles(col("text"), 4)), 32)
+    val diff = docs.select(
+      FastText.bandKeys(sig, 8, 4).as("fast"),
+      TF.bandKeys(sig, 8, 4).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("simhash32 == reference simhash32") {
+    val diff = docs.select(
+      FastText.simhash32(FastText.xhash32Array(TF.charShingles(col("text"), 4))).as("fast"),
+      TF.simhash32(TF.shingleHashes(col("text"), 4)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("jaccardSorted == size(intersect)/size(union) on cross-doc pairs") {
+    val a = docs.limit(40).select(col("doc_id").as("i"), FastText.sortedShingles(col("text"), 4).as("sa"))
+    val b = docs.limit(40).select(col("doc_id").as("j"), FastText.sortedShingles(col("text"), 4).as("sb"))
+    val diff = a.crossJoin(b).select(
+      FastText.jaccardSorted(col("sa"), col("sb")).as("fast"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("kernels handle edge strings: empty, shorter than k, multi-byte") {
+    import spark.implicits._
+    val edge = Seq("", "ab", "日本語のテキスト", "aaaa", "日日日日日").toDF("text")
+    val diff = edge.select(
+      FastText.sortedShingles(col("text"), 4).as("fast"),
+      sort_array(TF.charShingles(col("text"), 4)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+    val hdiff = edge.select(
+      FastText.xhash32Array(TF.charShingles(col("text"), 4)).as("fast"),
+      sort_array(TF.shingleHashes(col("text"), 4)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(hdiff.count() === 0)
+  }
+}
