@@ -330,9 +330,14 @@ object SparkEntry {
 
     // Gap-based sessionization (30 min) — the batch twin of the
     // flatMapGroupsWithState streaming operator (graft.streaming.Sessionize).
+    // ts is truncated to microseconds BEFORE sessionizing: the parquet
+    // column is TIMESTAMP(NANOS) but DuckDB reads it at us precision, so
+    // both engines must see identical values or borderline gap comparisons
+    // (and min/max outputs) drift in the last three digits.
     "sessionize" -> ((s, dir) =>
-      Sessionize.batchSessions(t(s, dir, "events"), "user_id", "ts",
-        gapNanos = 30L * 60 * 1000000000L)),
+      Sessionize.batchSessions(
+        t(s, dir, "events").withColumn("ts", expr("(ts div 1000) * 1000")),
+        "user_id", "ts", gapNanos = 30L * 60 * 1000000000L)),
 
     // Multimodal metadata extraction: binary payload -> typed meta through
     // the mapPartitions decode boundary (stub codec, real plumbing).

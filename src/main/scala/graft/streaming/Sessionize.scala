@@ -39,7 +39,10 @@ object Sessionize {
 
   /** Batch sessionization. Input needs (userCol: long, tsCol: long nanos).
     * Output: user_id, session_id (1-based per user), n_events, start_ts,
-    * end_ts. Deterministic: events ordered by (ts, tie-break rowId). */
+    * end_ts. Deterministic without a tie-break: equal-ts events of a user
+    * have gap 0 <= gapNanos, so they land in the same session whatever
+    * order the window visits them, and every output aggregate
+    * (count/min/max) is order-insensitive. */
   def batchSessions(
       df: DataFrame,
       userCol: String,
