@@ -515,6 +515,37 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5""".stripMargin,
+    // Replicates the xhash32-derived hyperplanes (Similarity.planeComponent),
+    // the per-table sign-bucket assignment, and the candidate top-5 ranking.
+    // Plane components, dots, and norms are all sequential double folds in
+    // both engines, so the compare is value-exact.
+    "ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |hp AS (
+         |  SELECT t, p, list_transform(range(0, 64), d ->
+         |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
+         |  FROM range(0, 8) tt(t) CROSS JOIN range(0, 8) pp(p)),
+         |b AS (
+         |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, hp.t, hp.p,
+         |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
+         |    FROM e CROSS JOIN hp)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT query_id, cand.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2]))
+         |      / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) * sqrt(list_sum(list_transform(ce.v, x -> x * x)))) AS score
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin,
     "lang_id" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>

@@ -93,11 +93,18 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed): tables×planes×dim. */
-  private def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(tables)(Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian())))
-  }
+  /** Deterministic hyperplanes derived from the cross-engine xhash32 family:
+    * component (t, p, d) = xhash32("t_p_d") / 2^31 - 1 ∈ [-1, 1). Uniform
+    * components suffice for sign-LSH, and — unlike a JVM PRNG — any engine
+    * with md5 reproduces them bit-for-bit (division by a power of two and
+    * the subtraction are exact in IEEE double), which is what makes the
+    * DuckDB oracle for `ann_lsh` possible. */
+  private[graft] def planeComponent(t: Int, p: Int, d: Int): Double =
+    graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"${t}_${p}_${d}")) / 2147483648.0 - 1.0
+
+  private def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(tables)(t => Seq.tabulate(planes)(p => Seq.tabulate(dim)(d => planeComponent(t, p, d))))
 
   /** Sign-bucket signature per table: bit p = sign of <v, plane_p>. */
   private def lshBuckets(v: Column, hp: Seq[Seq[Seq[Double]]]): Column = {

@@ -1,6 +1,7 @@
 package graft.tmp
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -8,8 +9,17 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries("sessionize")(spark, "/root/testdata/sf0.01")
-      .coalesce(1).write.mode("overwrite").parquet("/tmp/verify_out/sessionize")
+    SparkEntry.queries("ann_lsh")(spark, "/root/testdata/sf0.01")
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/verify_out/ann_lsh")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get("/tmp/verify_out/oracle_sql.json"), json)
     spark.stop()
   }
 }
