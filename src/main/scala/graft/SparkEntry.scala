@@ -284,6 +284,14 @@ object SparkEntry {
     "emb_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
+    // Scale-safe embedding near-dup: sign-LSH bucketed candidate equi-join
+    // + exact cosine verify — no nested-loop over n²/2 pairs anywhere in
+    // the plan (the brute-force emb_pairs above stays as the oracle-scale
+    // cross-check). 16 tables x 2 planes: recall ~0.9997 at cosine 0.4.
+    "emb_pairs_lsh" -> ((s, dir) =>
+      Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dim = 64)),
+
     // Brute-force exact ANN: top-5 neighbors for every 50th vector; one
     // corpus scan, queries broadcast, map-side partial top-k Aggregator.
     "ann_topk" -> ((s, dir) => {
@@ -515,6 +523,30 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5""".stripMargin,
+    // Same bucket-replication idea as ann_lsh below: 16 tables x 2 planes,
+    // candidates from shared (table, bucket), exact cosine verify at 0.4.
+    "emb_pairs_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |hp AS (
+         |  SELECT t, p, list_transform(range(0, 64), d ->
+         |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
+         |  FROM range(0, 16) tt(t) CROSS JOIN range(0, 2) pp(p)),
+         |b AS (
+         |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, hp.t, hp.p,
+         |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
+         |    FROM e CROSS JOIN hp)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT l.vec_id AS i, r.vec_id AS j
+         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+         |SELECT * FROM (
+         |  SELECT i, j,
+         |    list_sum(list_transform(list_zip(a.v, b2.v), pr -> pr[1] * pr[2])) / (a.nrm * b2.nrm) AS cosine
+         |  FROM cand JOIN n a ON a.vec_id = i JOIN n b2 ON b2.vec_id = j)
+         |WHERE cosine >= 0.4""".stripMargin,
     // Replicates the xhash32-derived hyperplanes (Similarity.planeComponent),
     // the per-table sign-bucket assignment, and the candidate top-5 ranking.
     // Plane components, dots, and norms are all sequential double folds in

@@ -82,6 +82,23 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** Sequential left-fold dot product of two numeric arrays (float or double
+  * elements), widened to double. Fold order matches the HOF reference form
+  * and DuckDB's list_sum — bitwise cross-engine. */
+case class DotSeq(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.dotSeq($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotSeq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard coefficient of two sorted distinct string arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {

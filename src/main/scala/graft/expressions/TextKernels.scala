@@ -137,6 +137,23 @@ object TextKernels {
     out
   }
 
+  /** Sequential left-fold dot product in double — the same fold order as
+    * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` and DuckDB's
+    * `list_sum(list_transform(list_zip(...)))`, so results stay bitwise
+    * cross-engine. Float elements widen to double exactly. */
+  def dotSeq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
   /** Jaccard of two SORTED distinct string arrays by linear merge —
     * value-identical to size(array_intersect)/size(array_union) on the same
     * sets. */

@@ -23,8 +23,19 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Sequential left-fold dot product in double — bit-reproducible. */
+  /** Sequential left-fold dot product in double — bit-reproducible.
+    * Kernel-backed (graft.expressions.DotSeq): same fold order as the HOF
+    * reference form below and DuckDB's list_sum, but a primitive JVM loop
+    * inside whole-stage codegen instead of interpreted HOF evaluation. */
   def dotSeq(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DotSeq(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** HOF reference implementation of [[dotSeq]] (FastKernelSpec asserts
+    * value-equality). */
+  private[graft] def dotSeqRef(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0),
@@ -116,6 +127,50 @@ object Similarity {
         .reduce(_ + _)
     }
     array(tables: _*)
+  }
+
+  /**
+   * LSH-bucketed near-dup pairs: all (i<j) with cosine >= threshold among
+   * pairs sharing a sign-LSH bucket in any of `tables` tables — the
+   * scale-safe form of [[cosinePairs]]: the candidate generator is an
+   * equi-join on (table, bucket), never a nested loop over n²/2 pairs, and
+   * survivors are verified with the exact cosine.
+   *
+   * Recall is the sign-LSH collision probability (1 - θ/π per plane): with
+   * the default 16 tables × 2 planes it is ~0.9997 at cosine 0.4 and ~1 at
+   * higher thresholds. The pruning/recall trade moves with the threshold —
+   * near-dup workloads (t >= 0.8) can afford many more planes per table
+   * (e.g. 8), which is where the bucket join prunes hardest. The
+   * hyperplanes are md5-derived ([[planeComponent]]), so a DuckDB oracle
+   * replicates buckets, candidates, and verdicts exactly.
+   * Output: (i, j, cosine).
+   */
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      tables: Int = 16,
+      planes: Int = 2): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim)
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
+    val candidates = bucketed
+      .as("l")
+      .join(bucketed.as("r"), col("l.table") === col("r.table") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(col("i"), col("j"),
+        (dotSeq(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /**

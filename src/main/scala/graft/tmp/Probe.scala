@@ -9,8 +9,9 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries("ann_lsh")(spark, "/root/testdata/sf0.01")
-      .coalesce(1).write.mode("overwrite").parquet("/tmp/verify_out/ann_lsh")
+    for (q <- Seq("emb_pairs_lsh", "emb_pairs", "ann_topk", "ann_lsh"))
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        .coalesce(1).write.mode("overwrite").parquet(s"/tmp/verify_out/$q")
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -67,6 +67,19 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("kernel dotSeq == HOF fold on the embeddings corpus (float arrays)") {
+    import graft.functions.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("i") < col("j")).limit(2000)
+    val diff = pairs.select(
+      Similarity.dotSeq(col("va"), col("vb")).as("fast"),
+      Similarity.dotSeqRef(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
   test("kernels handle edge strings: empty, shorter than k, multi-byte") {
     import spark.implicits._
     val edge = Seq("", "ab", "日本語のテキスト", "aaaa", "日日日日日").toDF("text")
