@@ -1,0 +1,147 @@
+package graft
+
+import graft.streaming.{ExpandJsonStreaming, Sessionize, SessionEvent, StreamDedup, UserSession}
+import graft.transform.ExpandJson
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Streaming-layer execution tests over MemoryStream — the same DataFrame
+ * surface the Kafka source presents (KafkaJson), driven through real
+ * micro-batches so flatMapGroupsWithState, watermarks, and
+ * dropDuplicatesWithinWatermark actually run.
+ */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private val Min = 60L * 1000000000L // one minute in nanos
+  private val T0 = 1700000000L * 1000000000L
+
+  private def runToCompletion(q: StreamingQuery, feeds: () => Unit*): Unit = {
+    feeds.foreach { f => f(); q.processAllAvailable() }
+    q.stop()
+  }
+
+  test("streamingSessions emits the same sessions as batchSessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      SessionEvent(1L, T0), SessionEvent(1L, T0 + 10 * Min), SessionEvent(1L, T0 + 45 * Min),
+      SessionEvent(2L, T0 + 5 * Min))
+    val in = MemoryStream[SessionEvent]
+    val out = Sessionize.streamingSessions(in.toDS(), gapNanos = 30 * Min)
+    val q = out.writeStream.format("memory").queryName("sessions_eq").outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData(events),
+      () => in.addData(SessionEvent(99L, T0 + 24 * 60 * Min)),
+      () => in.addData(SessionEvent(98L, T0 + 48 * 60 * Min)))
+
+    val streamed = spark.table("sessions_eq").as[UserSession].collect()
+      .filter(s => s.user_id != 98L && s.user_id != 99L)
+      .map(s => (s.user_id, s.session_id, s.n_events, s.start_ts, s.end_ts)).toSet
+    val batch = Sessionize.batchSessions(events.toDF(), "user_id", "ts", gapNanos = 30 * Min)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3) // user1: two sessions; user2: one
+  }
+
+  test("streamingSessions holds open sessions until the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = Sessionize.streamingSessions(in.toDS(), gapNanos = 30 * Min)
+    val q = out.writeStream.format("memory").queryName("sessions_open").outputMode("append").start()
+    in.addData(SessionEvent(1L, T0)); q.processAllAvailable()
+    // Watermark has not moved past T0+gap: nothing may be emitted yet.
+    assert(spark.table("sessions_open").count() === 0)
+    in.addData(SessionEvent(99L, T0 + 120 * Min)); q.processAllAvailable()
+    in.addData(SessionEvent(98L, T0 + 240 * Min)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_open").as[UserSession].collect().filter(_.user_id == 1L)
+    assert(rows.toSeq === Seq(UserSession(1L, 1L, 1L, T0, T0)))
+  }
+
+  test("exactWithinWatermark drops duplicate keys arriving inside the delay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("k", "ts")
+    val out = StreamDedup.exactWithinWatermark(stream, Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_wm").outputMode("append").start()
+    val t = (m: Long) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    runToCompletion(q,
+      () => in.addData((1L, t(0)), (2L, t(1)), (1L, t(2)), (1L, t(3)), (2L, t(4))))
+    val ks = spark.table("dedup_wm").select("k").as[Long].collect().sorted
+    assert(ks.toSeq === Seq(1L, 2L))
+  }
+
+  test("byContentHash dedups identical payloads with different event times") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("text", "ts")
+    val out = StreamDedup.byContentHash(stream, "text", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_hash").outputMode("append").start()
+    val t = (m: Long) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    runToCompletion(q,
+      () => in.addData(("same doc", t(0)), ("same doc", t(1)), ("other doc", t(2))))
+    val texts = spark.table("dedup_hash").select("text").as[String].collect().sorted
+    assert(texts.toSeq === Seq("other doc", "same doc"))
+    assert(!spark.table("dedup_hash").columns.contains("__content_hash"))
+  }
+
+  test("expandWhole parses a JSON value stream against a fixed schema") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val schema = JsonTestSchemas.kv
+    val in = MemoryStream[String]
+    val out = ExpandJsonStreaming.expandWhole(in.toDF().toDF("value"), "value", schema)
+    val q = out.writeStream.format("memory").queryName("expand_fixed").outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData("""{"k": 7, "tag": "a"}""", """{"k": -2, "tag": "b"}"""))
+    val rows = spark.table("expand_fixed").select("value.k", "value.tag")
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((-2, "b"), (7, "a")))
+  }
+
+  test("foreachBatchExpand re-infers per micro-batch (schema drift across batches)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val writer = ExpandJsonStreaming.foreachBatchExpand(
+      in.toDF().toDF("value"),
+      ExpandJson.whole("value"),
+      (df, id) => seen.synchronized { seen += ((id, df.schema.catalogString)) })
+    val q = writer.queryName("expand_drift").start()
+    runToCompletion(q,
+      () => in.addData("""{"a": 1}"""),
+      () => in.addData("""{"a": 1, "b": "x"}"""))
+    val schemas = seen.sortBy(_._1).map(_._2)
+    assert(schemas.size === 2)
+    assert(schemas(0).contains("a:int") && !schemas(0).contains("b:string"), schemas(0))
+    assert(schemas(1).contains("a:int") && schemas(1).contains("b:string"), schemas(1))
+  }
+
+  test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val staticSample = Seq("""{"k": 87}""", """{"k": 3}""").toDF("value")
+    val in = MemoryStream[String]
+    val out = ExpandJsonStreaming.inferThenExpand(staticSample, in.toDF().toDF("value"), "value")
+    assert(out.schema("value").dataType.catalogString === "struct<k:int>")
+    val q = out.writeStream.format("memory").queryName("expand_infer").outputMode("append").start()
+    runToCompletion(q, () => in.addData("""{"k": 42}"""))
+    val rows = spark.table("expand_infer").select("value.k").as[Int].collect()
+    assert(rows.toSeq === Seq(42))
+  }
+}
+
+/** Shared fixed schemas for streaming tests. */
+object JsonTestSchemas {
+  import org.apache.spark.sql.types._
+  val kv: StructType = StructType(Seq(
+    StructField("k", IntegerType), StructField("tag", StringType)))
+}
