@@ -68,6 +68,15 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Per-record dynamic schema (variant mode): the reference's cache-free
+    // schemaless path — each row self-describes its type; extraction via
+    // variant_get.
+    "ej_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .transform(ExpandJson.wholeVariant("props"))
+        .select(col("event_id"), variant_get(col("props"), "$.k", "int").as("k"))
+    }),
+
     // ------------------------------------------------------------------
     // Relational operator coverage (engine capability, SURVEY.md §2.2)
     // ------------------------------------------------------------------
@@ -418,6 +427,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "ej_variant" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

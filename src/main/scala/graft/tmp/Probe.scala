@@ -9,7 +9,7 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q17_tpch5", "q18_intersect"))
+    for (q <- Seq("ej_variant"))
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
         .coalesce(1).write.mode("overwrite").parquet(s"/tmp/verify_out/$q")
     def q(s: String): String = "\"" + s.flatMap {

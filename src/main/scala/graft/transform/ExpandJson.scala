@@ -21,6 +21,13 @@ import org.apache.spark.sql.types._
  *  - '''per-field''' (with-schema path, ExpandJson.java:106-129): each listed
  *    root-level column is replaced by its parsed struct; all sibling columns
  *    pass through untouched, column order preserved.
+ *  - '''whole-value variant''' (`variantMode`): the faithful analogue of the
+ *    reference's per-record inference — the schemaless path has NO schema
+ *    cache, every record is inferred independently (ExpandJson.java:100-101).
+ *    Spark 4's `VariantType` carries a self-describing typed value per row
+ *    (`parse_json`), so heterogeneous records coexist in one column; fields
+ *    are extracted with `variant_get`. Use when row shapes genuinely drift;
+ *    the plan-time-schema modes stay the fast path for uniform data.
  *
  * Schema determination: Spark needs one schema per column per plan, which is
  * already the reference's de-facto semantics — its 16-entry schema cache
@@ -50,10 +57,13 @@ final case class ExpandJson(
     inferenceMode: Mode = Merge,
     sampleSize: Int = 1024,
     permissive: Boolean = false,
-    schemaOverrides: Map[String, DataType] = Map.empty
+    schemaOverrides: Map[String, DataType] = Map.empty,
+    variantMode: Boolean = false
 ) extends (DataFrame => DataFrame) {
 
   require(sampleSize > 0, "sampleSize must be positive")
+  require(!variantMode || fields.isEmpty,
+    "variantMode is a whole-value mode (the reference's per-record schemaless path)")
 
   private def jsonOptions: Map[String, String] =
     Map("mode" -> (if (permissive) "PERMISSIVE" else "FAILFAST"))
@@ -65,7 +75,13 @@ final case class ExpandJson(
         throw new IllegalArgumentException(
           "Expanding specific fields is not supported in whole-value mode. " +
             "Transform the entire value, or use per-field mode on a schematized frame.")
-      expand(df, Seq(colName), allowScalar = true)
+      if (variantMode) {
+        // Per-record inference with no cache: parse_json gives each row its
+        // own self-describing typed value. FAILFAST <-> parse_json throwing
+        // on malformed input; permissive <-> try_parse_json yielding null.
+        val c = col(colName).cast(StringType)
+        df.withColumn(colName, if (permissive) try_parse_json(c) else parse_json(c))
+      } else expand(df, Seq(colName), allowScalar = true)
     case None =>
       // With-schema path guard (ExpandJson.java:107-110)
       if (fields.isEmpty)
@@ -171,6 +187,12 @@ object ExpandJson {
                schemaOverrides: Map[String, DataType] = Map.empty): ExpandJson =
     ExpandJson(fields, None, schemaNamePrefix, inferenceMode, sampleSize, permissive,
       schemaOverrides)
+
+  /** Whole-value expansion into a per-record `VariantType` — the reference's
+    * cache-free per-record inference (ExpandJson.java:100-101) made exact:
+    * heterogeneous row shapes each carry their own type. */
+  def wholeVariant(column: String, permissive: Boolean = false): ExpandJson =
+    ExpandJson(Nil, Some(column), permissive = permissive, variantMode = true)
 
   /** Kafka-shaped frames: expand the `key` / `value` binary column
     * (reference Key/Value variants, ExpandJson.java:277-319). */
