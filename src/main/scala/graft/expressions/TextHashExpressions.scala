@@ -82,6 +82,32 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** hashedShingles(text, k): distinct char k-grams hashed to 64-bit longs
+  * (XXH64), sorted — the narrow set representation for dedup pipelines. */
+case class HashedShingles(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  require(k > 0, "shingle length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashedShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.hashedShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+/** Jaccard coefficient of two sorted distinct long arrays. */
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.TextKernels.jaccardSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSortedLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential left-fold dot product of two numeric arrays (float or double
   * elements), widened to double. Fold order matches the HOF reference form
   * and DuckDB's list_sum — bitwise cross-engine. */

@@ -77,7 +77,10 @@ object TextKernels {
   private def coefs(k: Int): (Array[Long], Array[Long]) =
     coefCache.computeIfAbsent(k, k => ((0 until k).map(coefA).toArray, (0 until k).map(coefB).toArray))
 
-  /** MinHash signature — mirrors TextFunctions.minhashSignature. */
+  /** MinHash signature — mirrors TextFunctions.minhashSignature for 32-bit
+    * inputs (the sign-bit mask is an identity there); 64-bit inputs are
+    * folded to a positive value first so the mod-P permutation stays in
+    * range. */
   def minhashSig(hashes: ArrayData, k: Int): ArrayData = {
     val (as, bs) = coefs(k)
     val mins = new Array[Long](k)
@@ -85,7 +88,7 @@ object TextKernels {
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val x = hashes.getLong(i) % P
+      val x = (hashes.getLong(i) & 0x7fffffffffffffffL) % P
       var j = 0
       while (j < k) {
         val v = (x * as(j) + bs(j)) % P
@@ -135,6 +138,60 @@ object TextKernels {
       b += 1
     }
     out
+  }
+
+  /** Distinct char k-grams hashed to 64 bits (XXH64 over the UTF8 bytes),
+    * sorted ascending. The hashed-set representation used INSIDE dedup
+    * pipelines: inverted-index keys, candidate joins, and Jaccard
+    * verification all run on 8-byte longs instead of string arrays —
+    * halving shuffle width. Values never leave the engine; the only
+    * externally visible effect is via set cardinalities, which equal the
+    * string-set cardinalities absent an XXH64 collision inside one doc
+    * (probability ~|sh|²/2^64 ≈ 1e-14, and FastKernelSpec asserts the
+    * corpus-wide equality with string-set Jaccard). */
+  def hashedShingles(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numChars()
+    val m = math.max(n - k + 1, 1)
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 1
+    while (i <= m) {
+      set.add(s.substringSQL(i, k))
+      i += 1
+    }
+    val hs = new Array[Long](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) {
+      val u = it.next()
+      hs(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    var t = 0
+    while (t < hs.length) {
+      if (t == 0 || hs(t) != hs(t - 1)) { hs(uniq) = hs(t); uniq += 1 }
+      t += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** Jaccard of two SORTED distinct long arrays by linear merge. */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
   }
 
   /** Sequential left-fold dot product in double — the same fold order as

@@ -41,8 +41,12 @@ object Dedup {
 
   /** Exact Jaccard over distinct-shingle sets, evaluated only for the given
     * candidate pairs (i < j). `candidates` must have columns (i, j).
-    * `shingled.sh` is sorted (see shingledDf), so the codegen'd merge kernel
-    * applies; value-identical to size(array_intersect)/size(array_union). */
+    * `shingled.sh` holds sorted 64-bit hashed shingles (see shingledDf), so
+    * the verify join carries 8 B/element and the codegen'd long-merge
+    * kernel applies; the value equals string-set
+    * size(array_intersect)/size(array_union) absent an XXH64 collision
+    * inside a pair's union (~1e-14 per pair; FastKernelSpec asserts
+    * corpus-wide equality). */
   private def verifyJaccard(
       candidates: DataFrame,
       shingled: DataFrame,
@@ -55,12 +59,12 @@ object Dedup {
       .select(
         col("i"),
         col("j"),
-        FastText.jaccardSorted(col("sh_i"), col("sh_j")).as("jaccard"))
+        FastText.jaccardSortedLong(col("sh_i"), col("sh_j")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).cast(LongType).as("id"), FastText.sortedShingles(col(textCol), k).as("sh"))
+    df.select(col(idCol).cast(LongType).as("id"), FastText.hashedShingles(col(textCol), k).as("sh"))
 
   /** MinHash + LSH banding: near-dup pairs with Jaccard >= threshold.
     * numHashes must be divisible by bands. Output: (i, j, jaccard). */
@@ -76,7 +80,7 @@ object Dedup {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
     val sig = shingled.select(
       col("id"),
-      FastText.minhashSig(FastText.xhash32Array(col("sh")), numHashes).as("sig"))
+      FastText.minhashSig(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key")))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, JaccardSorted, MinHashSig, SimHash32, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, MinHashSig, SimHash32, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -35,4 +35,12 @@ object FastText {
     * size(array_intersect)/size(array_union). */
   def jaccardSorted(a: Column, b: Column): Column =
     B.column(JaccardSorted(B.expression(a), B.expression(b)))
+
+  /** Distinct char k-grams as sorted 64-bit XXH64 hashes — the narrow
+    * (8 B/element) set representation for dedup joins and verification. */
+  def hashedShingles(c: Column, k: Int): Column = B.column(HashedShingles(B.expression(c), k))
+
+  /** Jaccard of two sorted distinct long arrays. */
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    B.column(JaccardSortedLong(B.expression(a), B.expression(b)))
 }

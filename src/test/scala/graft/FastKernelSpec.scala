@@ -67,6 +67,21 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("hashed-shingle Jaccard == string-set Jaccard across corpus pairs") {
+    val a = docs.limit(60).select(col("doc_id").as("i"),
+      FastText.sortedShingles(col("text"), 4).as("sa"),
+      FastText.hashedShingles(col("text"), 4).as("ha"))
+    val b = docs.limit(60).select(col("doc_id").as("j"),
+      FastText.sortedShingles(col("text"), 4).as("sb"),
+      FastText.hashedShingles(col("text"), 4).as("hb"))
+    val diff = a.crossJoin(b).select(
+      FastText.jaccardSortedLong(col("ha"), col("hb")).as("fast"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
   test("kernel dotSeq == HOF fold on the embeddings corpus (float arrays)") {
     import graft.functions.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
