@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, FastText => TFast, Similarity, TextFunctions => TF}
 import graft.multimodal.Multimodal
 import graft.streaming.Sessionize
 import graft.transform.ExpandJson
@@ -345,9 +345,11 @@ object SparkEntry {
         size(array_distinct(toks)).as("n_uniq_tokens"))
     }),
 
-    // Document fingerprint: 4 smallest distinct 8-gram hashes (k-min sketch).
+    // Document fingerprint: 4 smallest distinct 8-gram hashes (k-min
+    // sketch). xhash32Array returns sorted distinct hashes, so the k-min
+    // is its prefix — one codegen'd kernel call per row.
     "fingerprint" -> ((s, dir) => {
-      val fp = TF.kMinFingerprint(col("text"), 4)
+      val fp = TFast.xhash32Array(TFast.sortedShingles(col("text"), 8))
       t(s, dir, "documents").select(
         col("doc_id"),
         element_at(fp, 1).as("fp1"), element_at(fp, 2).as("fp2"),

@@ -158,13 +158,15 @@ object Dedup {
           sequence(lit(0), lit(chunks - 1)),
           c => call_function("shiftright", col("sim"), c * bitsPerChunk)
             .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
+    // Hamming filter BEFORE the dedup shuffle: the distinct then only
+    // carries surviving near-pairs, not every chunk collision.
     banded
       .as("l")
       .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"),
         hamming(col("l.sim"), col("r.sim")).as("hamming_dist"))
-      .distinct()
       .filter(col("hamming_dist") <= maxHamming)
+      .distinct()
   }
 }
