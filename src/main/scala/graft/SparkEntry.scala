@@ -375,6 +375,37 @@ object SparkEntry {
       Multimodal.withImageMeta(bin, "doc_id", "data")
     }),
 
+    // Multimodal frame sampling (video-style fan-out: one row per sampled
+    // frame through the mapPartitions codec boundary).
+    "mm_frames" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      Multimodal.sampledFrames(bin, "doc_id", "data", count = 3)
+    }),
+
+    // Multimodal resize: binary in, binary out, then metadata of the
+    // resized payload — composition across two codec stages.
+    "mm_resize" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("id"), encode(col("text"), "UTF-8").as("data"))
+        .as[graft.multimodal.MediaRecord]
+      Multimodal.resized(bin, maxBytes = 128).toDF()
+        .select(col("id"), length(col("data")).as("n_bytes_out"))
+    }),
+
+    // Multimodal feature extraction ("embed every image"): content-derived
+    // vector per payload; first 4 components surfaced for the oracle.
+    "mm_features" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      val f = Multimodal.withFeatures(bin, "doc_id", "data", dim = 8)
+      f.select(col("id"),
+        element_at(col("features"), 1).as("f0"), element_at(col("features"), 2).as("f1"),
+        element_at(col("features"), 3).as("f2"), element_at(col("features"), 4).as("f3"))
+    }),
+
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -664,6 +695,22 @@ object SparkEntry {
         |  64 + (octet_length(encode(text)) * 7) % 1016 AS height,
         |  3 AS channels,
         |  'fmt' || (octet_length(encode(text)) % 4)::VARCHAR AS format
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+        |  ((octet_length(encode(text))::BIGINT * 2654435761 + i * 40503) & 4294967295) AS frame_hash
+        |FROM documents CROSS JOIN range(0, 3) r(i)""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |  least(octet_length(encode(text)), 128) AS n_bytes_out
+        |FROM documents""".stripMargin,
+    // md5(text) hashes the UTF8 bytes — identical to md5 of encode(text).
+    "mm_features" ->
+      """SELECT doc_id AS id,
+        |  (('0x' || substr(md5(md5(text) || '_0'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f0,
+        |  (('0x' || substr(md5(md5(text) || '_1'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f1,
+        |  (('0x' || substr(md5(md5(text) || '_2'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f2,
+        |  (('0x' || substr(md5(md5(text) || '_3'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f3
         |FROM documents""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_actual,

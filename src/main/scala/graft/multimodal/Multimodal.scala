@@ -48,6 +48,23 @@ object MediaCodec {
     * (keeps the byte-level contract: binary in, binary out). */
   def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
     bytes.take(maxBytes)
+
+  /** STUB feature extraction ("embed the image"): `dim` floats in [0, 1),
+    * deterministically derived from the payload CONTENT (not just its
+    * length): f_d = xhash32(md5hex(bytes) + "_" + d) / 2^32. A real
+    * implementation replaces this with a vision/audio model invocation and
+    * keeps the signature; content-dependence means tests exercise the
+    * actual byte path, and the md5 construction keeps a DuckDB oracle
+    * possible. */
+  def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    Array.tabulate(dim) { d =>
+      val h = graft.expressions.TextKernels.xhash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(hex + "_" + d))
+      (h / 4294967296.0).toFloat
+    }
+  }
 }
 
 /**
@@ -95,5 +112,20 @@ object Multimodal {
   def resized(ds: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(r => MediaRecord(r.id, MediaCodec.resize(r.data, maxBytes))))
+  }
+
+  /** Extract a feature vector per record (the "embed every image" stage of
+    * a multimodal pipeline). Output: (id, features: array<float>) — feeds
+    * directly into the Similarity operators (ann_topk / emb_pairs_lsh). */
+  def withFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // A real model would be loaded HERE, once per partition.
+        it.map(r => (r.id, MediaCodec.extractFeatures(r.data, dim)))
+      }
+      .toDF("id", "features")
   }
 }
