@@ -261,6 +261,20 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // KMV distinct-count sketch (graft.functions.Sketches): bounded k-min
+    // buffer per group with map-side combine — the approx-distinct shape
+    // that, unlike HLL, a DuckDB oracle reproduces exactly (the estimate
+    // is a pure function of the xhash32 family). Exact count alongside.
+    "q19_kmv" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val h = TF.xhash32(concat(lit("u"), col("user_id")))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          Sketches.kmvDistinct(h, 64).as("est_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+    }),
+
     // Set operation: INTERSECT (completes the union/except/intersect trio).
     "q18_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -552,6 +566,20 @@ object SparkEntry {
     "q18_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q19_kmv" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    ('0x' || substr(md5('u' || user_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, list_sort(list_distinct(list(h))) AS hs,
+        |    count(DISTINCT user_id) AS exact_users
+        |  FROM hashes GROUP BY event_type)
+        |SELECT event_type,
+        |  CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+        |       ELSE 63 * 4294967296.0 / hs[64] END AS est_users,
+        |  exact_users
+        |FROM agg""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
