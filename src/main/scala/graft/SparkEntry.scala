@@ -275,6 +275,21 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
     }),
 
+    // As-of join (graft.operators.AsOfJoin): each event enriched with the
+    // most recent prior purchase of the same user — one shuffle on the key
+    // via the union+window composition; DuckDB's native ASOF JOIN is the
+    // oracle. ts truncated to us (see sessionize).
+    "q20_asof" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = t(s, dir, "events").withColumn("ts", expr("(ts div 1000) * 1000"))
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(dsum(col("value")).as("pv"))
+      AsOfJoin.asofJoin(left, right, "user_id", "ts", "ts",
+        Map("ts" -> "last_purchase_ts", "pv" -> "last_purchase_value"))
+    }),
+
     // Set operation: INTERSECT (completes the union/except/intersect trio).
     "q18_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -566,6 +581,12 @@ object SparkEntry {
     "q18_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q20_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, "value" FROM events),
+        |p AS (SELECT user_id, ts, CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS pv
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id, p.ts AS last_purchase_ts, p.pv AS last_purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "q19_kmv" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type, user_id,
