@@ -290,6 +290,21 @@ object SparkEntry {
         Map("ts" -> "last_purchase_ts", "pv" -> "last_purchase_value"))
     }),
 
+    // Keyed range join (graft.operators.RangeJoin): each event located in
+    // its session's [start_ts, end_ts] interval — bucketed equi-join plus
+    // exact range post-filter, never a nested-loop inequality join.
+    "q21_range" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = t(s, dir, "events").withColumn("ts", expr("(ts div 1000) * 1000"))
+      val gap = 30L * 60 * 1000000000L
+      val sessions = Sessionize.batchSessions(ev, "user_id", "ts", gap)
+        .select(col("user_id"), col("session_id"), col("start_ts"), col("end_ts"))
+      val points = ev.select(
+        col("event_id"), col("user_id").cast(LongType).as("user_id"), col("ts").cast(LongType).as("ts"))
+      RangeJoin.pointInInterval(points, sessions, "user_id", "ts", "start_ts", "end_ts", gap)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+    }),
+
     // Set operation: INTERSECT (completes the union/except/intersect trio).
     "q18_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -581,6 +596,20 @@ object SparkEntry {
     "q18_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q21_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
+        |w AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |n AS (SELECT event_id, user_id, ts,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM w),
+        |s AS (SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM n GROUP BY user_id, session_id)
+        |SELECT e.event_id, e.user_id, e.ts, s.session_id
+        |FROM e JOIN s ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts""".stripMargin,
     "q20_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, "value" FROM events),
         |p AS (SELECT user_id, ts, CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS pv
