@@ -305,6 +305,24 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
     }),
 
+    // Salted fact-fact join (graft.operators.Skew): lineitem->orders on a
+    // salted key so a pathologically hot orderkey would spread over 4
+    // buckets; deterministic salt from l_linenumber. Result identical to
+    // the plain join (the oracle).
+    "q22_salted" -> ((s, dir) => {
+      import graft.operators.Skew
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, "l_orderkey", col("l_linenumber"), saltBuckets = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Set operation: INTERSECT (completes the union/except/intersect trio).
     "q18_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -596,6 +614,12 @@ object SparkEntry {
     "q18_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q22_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q21_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events),
         |w AS (SELECT event_id, user_id, ts,
