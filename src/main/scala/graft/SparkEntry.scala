@@ -323,6 +323,22 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // Spark's built-in session_window over the same 30-min gap as the
+    // custom Sessionize operator — window.start = min ts, window.end =
+    // last ts + gap. Emitted as epoch-nano longs for the oracle.
+    "q23_session_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("evt"))
+      ev.groupBy(col("user_id"), session_window(col("evt"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          (unix_micros(col("w.start")) * 1000).as("start_ts"),
+          (unix_micros(col("w.end")) * 1000).as("end_ts"),
+          col("n_events"))
+    }),
+
     // Set operation: INTERSECT (completes the union/except/intersect trio).
     "q18_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -614,6 +630,19 @@ object SparkEntry {
     "q18_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q23_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+        |w AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |s AS (SELECT user_id, ts,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) + 1800000000000 AS end_ts,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q22_salted" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,

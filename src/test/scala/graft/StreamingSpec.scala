@@ -92,6 +92,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(!spark.table("dedup_hash").columns.contains("__content_hash"))
   }
 
+  test("tumbling-window aggregation finalizes windows as the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = in.toDF().toDF("v", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("w.start").as("start"), col("n"), col("total"))
+    val q = out.writeStream.format("memory").queryName("win_agg").outputMode("append").start()
+    val t = (m: Long) => new java.sql.Timestamp(1700000000000L / 3600000L * 3600000L + m * 60000L)
+    in.addData((1L, t(5)), (2L, t(20)), (3L, t(59))); q.processAllAvailable()
+    // Window still open: nothing finalized yet.
+    assert(spark.table("win_agg").count() === 0)
+    in.addData((9L, t(300))); q.processAllAvailable()
+    in.addData((9L, t(600))); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_agg").select("n", "total").as[(Long, Long)].collect()
+    assert(rows.contains((3L, 6L)), rows.mkString(","))
+  }
+
   test("expandWhole parses a JSON value stream against a fixed schema") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
