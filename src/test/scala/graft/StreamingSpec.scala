@@ -146,6 +146,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(schemas(1).contains("a:int") && schemas(1).contains("b:string"), schemas(1))
   }
 
+  test("end-to-end pipeline: JSON value stream -> expand -> sessionize") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
+    val in = MemoryStream[String]
+    val expanded = ExpandJsonStreaming.expandWhole(in.toDF().toDF("value"), "value", schema)
+      .select(col("value.user").as("user_id"), col("value.ts").as("ts"))
+      .as[SessionEvent]
+    val out = Sessionize.streamingSessions(expanded, gapNanos = 30 * Min)
+    val q = out.writeStream.format("memory").queryName("pipeline_e2e").outputMode("append").start()
+    def ev(u: Long, ts: Long) = s"""{"user": $u, "ts": $ts}"""
+    runToCompletion(q,
+      () => in.addData(ev(1, T0), ev(1, T0 + 5 * Min), ev(1, T0 + 90 * Min)),
+      () => in.addData(ev(99, T0 + 24 * 60 * Min)),
+      () => in.addData(ev(98, T0 + 48 * 60 * Min)))
+    val sessions = spark.table("pipeline_e2e").as[UserSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_id)
+    assert(sessions.map(s => (s.session_id, s.n_events, s.start_ts, s.end_ts)).toSeq ===
+      Seq((1L, 2L, T0, T0 + 5 * Min), (2L, 1L, T0 + 90 * Min, T0 + 90 * Min)))
+  }
+
   test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
