@@ -35,6 +35,8 @@ object Bench {
       s(s.size / 2)
     }
 
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"Unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
     val results = names.map { name =>
@@ -48,8 +50,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failures stay visible as -1 per query but must not subtract from
+    // (and thereby flatter) the headline total.
+    val failed = results.collect { case (k, v) if v == -1.0 => "\"" + k + "\"" }
+    val total = results.collect { case (_, v) if v != -1.0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

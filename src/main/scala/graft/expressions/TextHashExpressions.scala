@@ -113,8 +113,13 @@ case class JaccardSortedLong(left: Expression, right: Expression)
   * and DuckDB's list_sum — bitwise cross-engine. */
 case class DotSeq(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      // Fail at plan time: getDouble over an int array would read garbage.
+      s"DotSeq requires array<float> or array<double> input, got $other")
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))

@@ -197,9 +197,14 @@ object TextKernels {
   /** Sequential left-fold dot product in double — the same fold order as
     * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` and DuckDB's
     * `list_sum(list_transform(list_zip(...)))`, so results stay bitwise
-    * cross-engine. Float elements widen to double exactly. */
+    * cross-engine. Float elements widen to double exactly. Length
+    * mismatches fail loud (the HOF form silently yields null via zip_with
+    * padding — silent truncation here would corrupt cosines instead). */
   def dotSeq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dotSeq: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -209,6 +214,23 @@ object TextKernels {
       i += 1
     }
     acc
+  }
+
+  /** Lowercase hex of the md5 digest of `bytes` — table-driven, reusing the
+    * thread-local digest (no per-call Formatter/MessageDigest churn). */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](h.length * 2)
+    var i = 0
+    while (i < h.length) {
+      out(2 * i) = hex((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Jaccard of two SORTED distinct string arrays by linear merge —

@@ -26,8 +26,13 @@ import TextFunctions._
  *    pigeonhole band join (d+1 chunks — equal in at least one), verified
  *    exactly. With d=3 and 4 byte-chunks the candidate join is exact-recall.
  *
- * All signatures derive from the cross-engine `xhash32`, so every operator
- * here has a value-exact DuckDB oracle.
+ * Hash families: SimHash signatures derive from the cross-engine md5-based
+ * `xhash32` because the signature VALUE is oracle-visible (the oracle
+ * replicates it). MinHash/ngram run on engine-internal XXH64 hashed-shingle
+ * sets (half the shuffle width) — sound because their oracles check the
+ * exact verified pair set (i, j, jaccard), never the signatures, and
+ * hashed-set Jaccard equals string-set Jaccard absent an XXH64 collision
+ * inside a pair's union (~1e-14; FastKernelSpec asserts corpus equality).
  */
 object Dedup {
 

@@ -27,8 +27,27 @@ object Sketches {
     * sorted ascending, distinct, size <= k. */
   class KMVDistinct(k: Int) extends Aggregator[Long, Seq[Long], Double] {
     require(k >= 2, "KMV needs k >= 2")
-    override def zero: Seq[Long] = Nil
-    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = merge(buf, Seq(h))
+    override def zero: Seq[Long] = Vector.empty
+    // Per-row path: O(log k) membership/insert against the sorted buffer —
+    // this runs once per input row, so no full re-sort here.
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      if (buf.size == k && h >= buf.last) return buf
+      val v = buf.toVector
+      val i = lowerBound(v, h)
+      if (i < v.size && v(i) == h) v
+      else {
+        val inserted = (v.take(i) :+ h) ++ v.drop(i)
+        if (inserted.size > k) inserted.dropRight(1) else inserted
+      }
+    }
+    private def lowerBound(v: Vector[Long], h: Long): Int = {
+      var lo = 0; var hi = v.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       (a ++ b).distinct.sorted.take(k)
     override def finish(mins: Seq[Long]): Double =

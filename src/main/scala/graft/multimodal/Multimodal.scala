@@ -57,8 +57,7 @@ object MediaCodec {
     * actual byte path, and the md5 construction keeps a DuckDB oracle
     * possible. */
   def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    val hex = graft.expressions.TextKernels.md5Hex(bytes)
     Array.tabulate(dim) { d =>
       val h = graft.expressions.TextKernels.xhash32(
         org.apache.spark.unsafe.types.UTF8String.fromString(hex + "_" + d))

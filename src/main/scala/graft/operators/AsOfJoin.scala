@@ -42,8 +42,9 @@ object AsOfJoin {
       attrs: Map[String, String]): DataFrame = {
     val outAttrs = attrs.toSeq
     val passthrough = left.columns.toSeq.filterNot(c => c == key || c == leftTs)
-    require(!outAttrs.map(_._2).exists(passthrough.contains),
-      "output attr names collide with left columns")
+    val collisions = outAttrs.map(_._2).filter(o => o == key || o == leftTs || passthrough.contains(o))
+    require(collisions.isEmpty,
+      s"output attr name(s) collide with left columns: ${collisions.mkString(", ")}")
 
     val r = right.select(
       col(key), col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),

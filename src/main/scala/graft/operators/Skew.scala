@@ -30,7 +30,10 @@ object Skew {
       probeSalt: Column,
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    val salted = probe.withColumn("__salt", pmod(probeSalt, lit(saltBuckets)).cast("int"))
+    // A null salt would silently drop the row from the inner join; route
+    // null salt expressions deterministically to bucket 0 instead.
+    val salted = probe.withColumn(
+      "__salt", coalesce(pmod(probeSalt, lit(saltBuckets)).cast("int"), lit(0)))
     val replicated = build.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -82,6 +82,22 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("kMinFingerprint reference == kernel prefix path (fingerprint query)") {
+    val diff = docs.select(
+      TF.kMinFingerprint(col("text"), 4).as("ref"),
+      slice(FastText.xhash32Array(FastText.sortedShingles(col("text"), 8)), 1, 4).as("fast"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
+  test("minhashSig on 64-bit XXH64 inputs stays in [0, P) (production path)") {
+    import graft.functions.TextFunctions.P
+    val sigs = docs.select(
+      FastText.minhashSig(FastText.hashedShingles(col("text"), 4), 32).as("sig"))
+    val bad = sigs.filter(exists(col("sig"), v => v < 0 || v >= P))
+    assert(bad.count() === 0)
+  }
+
   test("kernel dotSeq == HOF fold on the embeddings corpus (float arrays)") {
     import graft.functions.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
