@@ -396,6 +396,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // IVF approximate ANN: Voronoi-cell partition around deterministic
+    // sample centroids, nProbe=2 cells probed per query; cell assignment
+    // is a map-side literal-centroid argmax (no corpus shuffle).
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+    }),
+
     // LSH-bucketed approximate ANN (rows-only check: recall is
     // probabilistic by design; see Similarity scaladoc).
     "ann_lsh" -> ((s, dir) => {
@@ -735,6 +744,34 @@ object SparkEntry {
          |    list_sum(list_transform(list_zip(a.v, b2.v), pr -> pr[1] * pr[2])) / (a.nrm * b2.nrm) AS cosine
          |  FROM cand JOIN n a ON a.vec_id = i JOIN n b2 ON b2.vec_id = j)
          |WHERE cosine >= 0.4""".stripMargin,
+    // Replicates IVF cells: same centroid sample, affinity ranking with
+    // (a DESC, cid) tie-break, nProbe=2, scoring identical to ann_topk.
+    "ann_ivf" ->
+      s"""WITH e AS ($embCast),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e WHERE vec_id % 97 = 3),
+         |aff AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
+         |  FROM e CROSS JOIN cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT probe.query_id, assign.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
+         |  JOIN e qe ON qe.vec_id = probe.query_id
+         |  JOIN e ce ON ce.vec_id = assign.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin,
     // Replicates the xhash32-derived hyperplanes (Similarity.planeComponent),
     // the per-table sign-bucket assignment, and the candidate top-5 ranking.
     // Plane components, dots, and norms are all sequential double folds in

@@ -174,6 +174,76 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: the corpus is partitioned into
+   * Voronoi cells around a centroid set (each vector assigned to its
+   * nearest centroid by cosine); each query probes only the `nProbe`
+   * nearest cells. The centroid table is tiny and broadcast, assignment is
+   * a map-side argmax (corpus scan x |C| kernel dot products, no shuffle),
+   * and the candidate join is an equi-join on centroid id — the classic
+   * IVF scale shape: scan cost drops by ~|C|/nProbe.
+   *
+   * Centroids here are deterministic corpus samples (`vec_id % modulo ==
+   * residue`) rather than k-means iterates, so the DuckDB oracle replicates
+   * cells, probes, and ranking exactly; swapping in trained centroids
+   * changes recall, not the plan. Ties break toward the lower centroid id.
+   * Output: (query_id, rank, vec_id, score) — rank within probed cells.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidModulo: Long = 97L,
+      centroidResidue: Long = 3L,
+      nProbe: Int = 2): DataFrame = {
+    // Centroids are metadata-scale: collect to the driver and inline them
+    // as literals, so cell assignment is a pure map-side projection (|C|
+    // kernel dot products per row, NO shuffle of the corpus). At storage
+    // scale the corpus would additionally be bucketed by cell so probing
+    // prunes file scans, not just scoring.
+    val centRows = corpus.filter(col(idCol) % centroidModulo === centroidResidue)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "no centroids selected — adjust modulo/residue")
+    def cnorm(v: Vector[Double]): Double = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    // Sorted struct array (-affinity, cid): ascending sort = affinity
+    // descending, ties toward the lower centroid id.
+    def probeCells(vec: Column, nv: Column, keep: Int): Column = {
+      val entries = centRows.map { case (cid, cv) =>
+        struct(
+          (lit(-1.0) * (dotSeq(vec, typedLit(cv)) / (nv * lit(cnorm(cv))))).as("na"),
+          lit(cid).as("cid"))
+      }
+      slice(sort_array(array(entries.toIndexedSeq: _*)), 1, keep)
+    }
+    val c = corpus.select(
+        col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .withColumn("cell", element_at(probeCells(col("v"), col("n_v"), 1), 1).getField("cid"))
+    val q = queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+      .select(col("query_id"), col("qv"), col("n_qv"),
+        explode(probeCells(col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
+    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    // Queries broadcast: the corpus is never shuffled; each vector is
+    // scored only against queries probing its cell. A (query, vector) pair
+    // meets at most once (a vector lives in exactly one cell).
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).as("rank"),
+        col("hit._1").as("vec_id"),
+        col("hit._2").as("score"))
+  }
+
+  /**
    * LSH-bucketed approximate top-k: corpus and queries are bucketed by
    * random-hyperplane sign signatures in `tables` independent tables; only
    * same-bucket pairs are scored. Recall is probabilistic (rows-only
