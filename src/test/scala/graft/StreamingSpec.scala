@@ -169,6 +169,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 2L, T0, T0 + 5 * Min), (2L, 1L, T0 + 90 * Min, T0 + 90 * Min)))
   }
 
+  test("Kafka sink serialization: expanded frame round-trips through to_json") {
+    import spark.implicits._
+    // KafkaJson.writeStream serializes every row as to_json(struct(*));
+    // feeding that JSON back through the whole-value expand must
+    // reconstruct the typed frame — the sink/source fidelity contract.
+    val df = Seq((1L, """{"k": 7, "tag": "a"}"""), (2L, """{"k": -2, "tag": "b"}"""))
+      .toDF("id", "value")
+      .transform(ExpandJson.whole("value"))
+    val wire = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val back = wire.transform(ExpandJson.whole("value"))
+      .select(col("value.id"), col("value.value.k"), col("value.value.tag"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(back === Set((1L, 7, "a"), (2L, -2, "b")))
+  }
+
   test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
