@@ -33,6 +33,13 @@ object ExpandJsonStreaming {
   def expandFields(stream: DataFrame, schemas: Map[String, DataType]): DataFrame =
     ExpandJson.onFields(schemas.keys.toSeq, schemaOverrides = schemas)(stream)
 
+  /** Per-record dynamic schema on a stream: variant mode needs no
+    * plan-time schema at all, so it is watermark-transparent and drift-proof
+    * — the closest streaming analogue of the reference's cache-free
+    * schemaless path. */
+  def expandVariant(stream: DataFrame, column: String, permissive: Boolean = false): DataFrame =
+    ExpandJson.wholeVariant(column, permissive)(stream)
+
   /** Per-microbatch inference: each batch is sampled, inferred with the
     * KIP-301-faithful rules, expanded, and handed to `sink`. */
   def foreachBatchExpand(

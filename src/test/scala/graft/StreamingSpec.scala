@@ -169,6 +169,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 2L, T0, T0 + 5 * Min), (2L, 1L, T0 + 90 * Min, T0 + 90 * Min)))
   }
 
+  test("variant mode works on a stream: per-record types with variant_get extraction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = ExpandJsonStreaming.expandVariant(in.toDF().toDF("value"), "value")
+      .select(variant_get(col("value"), "$.k", "int").as("k"))
+    val q = out.writeStream.format("memory").queryName("variant_stream").outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData("""{"k": 1}""", """{"k": 2, "extra": [1, 2]}""", """{"other": true}"""))
+    val ks = spark.table("variant_stream").as[Option[Int]].collect().toSet
+    assert(ks === Set(Some(1), Some(2), None))
+  }
+
   test("Kafka sink serialization: expanded frame round-trips through to_json") {
     import spark.implicits._
     // KafkaJson.writeStream serializes every row as to_json(struct(*));
