@@ -493,6 +493,25 @@ object SparkEntry {
         element_at(col("features"), 3).as("f2"), element_at(col("features"), 4).as("f3"))
     }),
 
+    // Deterministic Bernoulli 30% sample (graft.functions.Sampling):
+    // selection is a pure function of the key hash — reproducible across
+    // partitioning, retries, and engines, unlike df.sample()'s RNG.
+    "sample_bernoulli" -> ((s, dir) => {
+      import graft.functions.Sampling
+      t(s, dir, "documents")
+        .filter(Sampling.bernoulli(col("doc_id").cast(StringType), 0.3, "s1"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Deterministic per-language quota sample (50 docs per lang by hash
+    // order) — the language-balancing stage of a corpus pipeline.
+    "sample_stratified" -> ((s, dir) => {
+      import graft.functions.Sampling
+      Sampling.stratifiedQuota(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id").cast(StringType), quota = 50, salt = "q1")
+    }),
+
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -864,6 +883,16 @@ object SparkEntry {
         |  3 AS channels,
         |  'fmt' || (octet_length(encode(text)) % 4)::VARCHAR AS format
         |FROM documents""".stripMargin,
+    "sample_bernoulli" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 8))::BIGINT < CAST(floor(0.3 * 4294967296.0) AS BIGINT)""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5('q1' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
         |  ((octet_length(encode(text))::BIGINT * 2654435761 + i * 40503) & 4294967295) AS frame_hash

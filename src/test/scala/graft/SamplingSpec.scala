@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def ids = (1 to 2000).map(_.toString).toDF("k")
+
+  test("bernoulli: deterministic under repartitioning, rate approximately honored") {
+    val picked = ids.filter(Sampling.bernoulli(col("k"), 0.3, "t")).as[String].collect().toSet
+    val repicked = ids.repartition(13)
+      .filter(Sampling.bernoulli(col("k"), 0.3, "t")).as[String].collect().toSet
+    assert(picked === repicked)
+    assert(math.abs(picked.size / 2000.0 - 0.3) < 0.05)
+    // A different salt draws an (almost surely) different sample.
+    val other = ids.filter(Sampling.bernoulli(col("k"), 0.3, "u")).as[String].collect().toSet
+    assert(other !== picked)
+  }
+
+  test("hashRange: disjoint ranges give provably disjoint, exhaustive splits") {
+    val train = ids.filter(Sampling.hashRange(col("k"), 0.0, 0.8, "sp")).as[String].collect().toSet
+    val valid = ids.filter(Sampling.hashRange(col("k"), 0.8, 0.9, "sp")).as[String].collect().toSet
+    val test_ = ids.filter(Sampling.hashRange(col("k"), 0.9, 1.0, "sp")).as[String].collect().toSet
+    assert((train & valid).isEmpty && (train & test_).isEmpty && (valid & test_).isEmpty)
+    assert(train.size + valid.size + test_.size === 2000)
+  }
+
+  test("stratifiedQuota: exactly quota per stratum (or all, when smaller)") {
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toString)).toDF("g", "k")
+      .union(Seq(("tiny", "x")).toDF("g", "k"))
+    val out = Sampling.stratifiedQuota(df, col("g"), col("k"), quota = 10, salt = "q")
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") === 10 && counts("s1") === 10 && counts("s2") === 10)
+    assert(counts("tiny") === 1)
+    // Deterministic under repartitioning.
+    val again = Sampling.stratifiedQuota(df.repartition(7), col("g"), col("k"), 10, "q")
+    assert(out.collect().toSet === again.collect().toSet)
+  }
+}
