@@ -512,6 +512,24 @@ object SparkEntry {
         col("lang"), col("doc_id").cast(StringType), quota = 50, salt = "q1")
     }),
 
+    // The canonical corpus-cleaning composition: keep each text's lowest
+    // doc_id (exact-dedup canonical), require positive quality and
+    // classifier/label language agreement, emit the doc with its token
+    // count — the "what survives into training" query.
+    "pipeline_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val q = TF.qualityColumns(col("text"))
+      docs
+        .join(canonical, "doc_id", "left_semi")
+        .withColumn("quality_score", q.last)
+        .withColumn("pred_lang", TF.langId(col("text")))
+        .filter(col("quality_score") >= 1.0 && col("pred_lang") === col("lang"))
+        .select(col("doc_id"), col("lang"),
+          size(TF.bpeTokens(col("text"))).as("n_tokens"))
+    }),
+
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -883,6 +901,31 @@ object SparkEntry {
         |  3 AS channels,
         |  'fmt' || (octet_length(encode(text)) % 4)::VARCHAR AS format
         |FROM documents""".stripMargin,
+    "pipeline_clean" -> {
+      val hitCols = TF.Stopwords
+        .map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+        }
+        .mkString(",\n  ")
+      s"""WITH canonical AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |feat AS (
+         |  SELECT doc_id, lang, text, length(text) AS n,
+         |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         |    $hitCols,
+         |    (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+         |     - len(regexp_extract_all(text, '[0-9]')) * 3
+         |     - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS quality_score
+         |  FROM documents JOIN canonical USING (doc_id))
+         |SELECT doc_id, lang, len(regexp_extract_all(text, '${TF.TokenPattern}')) AS n_tokens
+         |FROM feat
+         |WHERE quality_score >= 1.0 AND
+         |  (CASE WHEN cjk * 10 >= n * 3 THEN 'zh'
+         |        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |        WHEN de >= fr AND de >= es THEN 'de'
+         |        WHEN fr >= es THEN 'fr'
+         |        ELSE 'es' END) = lang""".stripMargin
+    },
     "sample_bernoulli" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 8))::BIGINT < CAST(floor(0.3 * 4294967296.0) AS BIGINT)""".stripMargin,
