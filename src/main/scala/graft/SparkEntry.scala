@@ -520,10 +520,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val q = TF.qualityColumns(col("text"))
       docs
         .join(canonical, "doc_id", "left_semi")
-        .withColumn("quality_score", q.last)
+        .withColumn("quality_score", TF.qualityScore(col("text")))
         .withColumn("pred_lang", TF.langId(col("text")))
         .filter(col("quality_score") >= 1.0 && col("pred_lang") === col("lang"))
         .select(col("doc_id"), col("lang"),

@@ -23,10 +23,9 @@ import TextFunctions.xhash32
 object Sampling {
 
   /** Keep a row iff xhash32(salt || key) < rate * 2^32 — a deterministic
-    * Bernoulli(rate) draw. Different `salt`s give independent samples
-    * (e.g. train/validation splits that provably never overlap when rates
-    * sum <= 1 is NOT implied — use disjoint hash ranges for that; see
-    * `hashRange`). */
+    * Bernoulli(rate) draw. NOTE: two Bernoulli samples under different
+    * salts are independent, NOT disjoint (they overlap at ~rate1·rate2);
+    * for provably disjoint train/val/test splits use [[hashRange]]. */
   def bernoulli(keyCol: Column, rate: Double, salt: String): Column = {
     require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
     xhash32(concat(lit(salt), keyCol)) < (rate * 4294967296.0).toLong
@@ -50,6 +49,8 @@ object Sampling {
       quota: Int,
       salt: String): DataFrame = {
     require(quota > 0, "quota must be positive")
+    require(!df.columns.contains("__rk"),
+      "input already has a __rk column; rename it before stratifiedQuota")
     val w = Window.partitionBy(stratumCol)
       .orderBy(xhash32(concat(lit(salt), keyCol)), keyCol)
     df.withColumn("__rk", row_number().over(w))

@@ -60,6 +60,22 @@ object Similarity {
     override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
   }
 
+  /** Shared output tail of every top-k search: per-query partial top-k
+    * aggregation (bounded buffer, map-side combine) exploded to
+    * (query_id, rank, vec_id, score). Input needs (query_id, vec_id, score). */
+  private def rankTopK(k: Int)(scored: DataFrame): DataFrame = {
+    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).as("rank"),
+        col("hit._1").as("vec_id"),
+        col("hit._2").as("score"))
+  }
+
   /**
    * Exact brute-force ANN baseline: for each query vector, the k nearest
    * corpus vectors by cosine (self excluded). One corpus scan; queries
@@ -72,7 +88,6 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     // Norms are computed once per side, not once per pair — O(n·d), and the
     // query-side norm is evaluated inside the broadcast relation.
     val q = broadcast(
@@ -82,14 +97,7 @@ object Similarity {
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dotSeq(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("vec_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
-      .select(
-        col("query_id"),
-        (col("r") + 1).as("rank"),
-        col("hit._1").as("vec_id"),
-        col("hit._2").as("score"))
+      .transform(rankTopK(k))
   }
 
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
@@ -225,7 +233,6 @@ object Similarity {
         col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
       .select(col("query_id"), col("qv"), col("n_qv"),
         explode(probeCells(col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
-    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     // Queries broadcast: the corpus is never shuffled; each vector is
     // scored only against queries probing its cell. A (query, vector) pair
     // meets at most once (a vector lives in exactly one cell).
@@ -233,14 +240,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("vec_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
-      .select(
-        col("query_id"),
-        (col("r") + 1).as("rank"),
-        col("hit._1").as("vec_id"),
-        col("hit._2").as("score"))
+      .transform(rankTopK(k))
   }
 
   /**
@@ -267,18 +267,10 @@ object Similarity {
           posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
     val c = bucketed(corpus, "vec_id", "v")
     val q = bucketed(queries, "query_id", "qv")
-    val topk = udaf(new TopKByScore(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     c.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosineSeq(col("qv"), col("v")).as("score"))
       .distinct() // a pair can collide in several tables
-      .groupBy(col("query_id"))
-      .agg(topk(col("vec_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "hit")))
-      .select(
-        col("query_id"),
-        (col("r") + 1).as("rank"),
-        col("hit._1").as("vec_id"),
-        col("hit._2").as("score"))
+      .transform(rankTopK(k))
   }
 }

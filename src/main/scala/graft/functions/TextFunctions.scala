@@ -175,6 +175,10 @@ object TextFunctions {
     )
   }
 
+  /** The composite quality score alone (the last of [[qualityColumns]]) —
+    * named accessor so consumers don't couple to positional ordering. */
+  def qualityScore(c: Column): Column = qualityColumns(c).last
+
   // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
