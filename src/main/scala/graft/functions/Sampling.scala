@@ -41,20 +41,35 @@ object Sampling {
 
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (hash, key) — a deterministic "random" quota per group
-    * (language balancing, source balancing). One shuffle on the stratum. */
+    * (language balancing, source balancing).
+    *
+    * Two-phase for scale: a single window per stratum would funnel every
+    * row of a stratum through ONE partition (a handful of languages over a
+    * 100 TB corpus = a handful of active tasks). Phase 1 pre-selects the
+    * quota per (stratum, hash-bucket) across `preBuckets` parallel
+    * partitions; phase 2 takes the true quota from the surviving
+    * quota×preBuckets rows per stratum. Identical output to the single
+    * window: every globally-selected row is also top-quota within its own
+    * bucket, so phase 1 never discards a winner. */
   def stratifiedQuota(
       df: DataFrame,
       stratumCol: Column,
       keyCol: Column,
       quota: Int,
-      salt: String): DataFrame = {
+      salt: String,
+      preBuckets: Int = 32): DataFrame = {
     require(quota > 0, "quota must be positive")
-    require(!df.columns.contains("__rk"),
-      "input already has a __rk column; rename it before stratifiedQuota")
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(xhash32(concat(lit(salt), keyCol)), keyCol)
-    df.withColumn("__rk", row_number().over(w))
+    require(preBuckets > 0, "preBuckets must be positive")
+    require(!df.columns.exists(c => c == "__rk" || c == "__h"),
+      "input already has a __rk/__h column; rename it before stratifiedQuota")
+    val pre = Window.partitionBy(stratumCol, pmod(col("__h"), lit(preBuckets)))
+      .orderBy(col("__h"), keyCol)
+    val fin = Window.partitionBy(stratumCol).orderBy(col("__h"), keyCol)
+    df.withColumn("__h", xhash32(concat(lit(salt), keyCol)))
+      .withColumn("__rk", row_number().over(pre))
       .filter(col("__rk") <= quota)
-      .drop("__rk")
+      .withColumn("__rk", row_number().over(fin))
+      .filter(col("__rk") <= quota)
+      .drop("__rk", "__h")
   }
 }
