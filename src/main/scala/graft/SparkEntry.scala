@@ -375,6 +375,15 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, maxHamming = 3)),
 
+    // Duplicate clusters: connected components over the MinHash near-dup
+    // pairs — iterative hash-to-min label propagation (one join+agg per
+    // round, no driver-side data). Output: (id, cluster_id = min doc in
+    // the component).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))),
+
     // Embedding near-dup: all pairs with cosine >= 0.4 (exact; LSH variant
     // is ann_lsh below).
     "emb_pairs" -> ((s, dir) =>
@@ -732,6 +741,20 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql(0.8),
+    // Transitive closure over the same pair list via a recursive CTE:
+    // min reachable id == the component minimum (edges are undirected).
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE s AS ($shingles4),
+         |p AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE $jacExpr >= 0.8),
+         |e AS (SELECT i AS src, j AS dst FROM p UNION ALL SELECT j, i FROM p),
+         |cc(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)
+         |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql(0.7),
     "dedup_simhash" ->
       s"""WITH sim AS ($simhashSql)

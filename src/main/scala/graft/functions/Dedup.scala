@@ -142,6 +142,43 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise output into "keep one document per duplicate cluster".
+    * Iterative hash-to-min label propagation: every node adopts the
+    * minimum label among itself and its neighbors until fixpoint — each
+    * iteration is one distributed join + aggregation (no driver-side data),
+    * converging in O(component diameter) rounds, which is tiny for dup
+    * clusters. Convergence is detected by the (monotonically decreasing)
+    * global label sum. Output: (id, cluster_id = min id in component),
+    * deterministic, for every id appearing in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.as("l")
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
+        .persist()
+      val newSum = updated.agg(sum(col("lbl"))).head().getLong(0)
+      labels.unpersist()
+      labels = updated
+      converged = newSum == prevSum
+      prevSum = newSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (exact recall
     * via the pigeonhole band join). Output: (i, j, hamming_dist). */
   def simhashPairs(

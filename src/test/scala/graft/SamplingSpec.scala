@@ -41,3 +41,23 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.collect().toSet === again.collect().toSet)
   }
 }
+
+class ClustersSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("duplicateClusters: multi-hop chains collapse to one component") {
+    // 1-2, 2-3, 3-4 chain + isolated pair 10-11: two components.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val out = graft.functions.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters: ring needs propagation in both directions") {
+    val ring = Seq((5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L)).toDF("i", "j")
+    val out = graft.functions.Dedup.duplicateClusters(ring)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet === Set(5L))
+    assert(out.keySet === Set(5L, 6L, 7L, 8L))
+  }
+}
