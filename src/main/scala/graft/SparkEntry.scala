@@ -375,6 +375,17 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, maxHamming = 3)),
 
+    // Incremental dedup: near-dup pairs between a "new batch" (odd doc_ids)
+    // and the "existing corpus" (even doc_ids) — the daily-increment shape
+    // where corpus-side signatures would be precomputed.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashPairsBetween(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.8)
+    }),
+
     // Duplicate clusters: connected components over the MinHash near-dup
     // pairs — iterative hash-to-min label propagation (one join+agg per
     // round, no driver-side data). Output: (id, cluster_id = min doc in
@@ -741,6 +752,11 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql(0.8),
+    "dedup_incremental" ->
+      s"""WITH s AS ($shingles4)
+         |SELECT a.doc_id AS i, b.doc_id AS j, $jacExpr AS jaccard
+         |FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |WHERE $jacExpr >= 0.8""".stripMargin,
     // Transitive closure over the same pair list via a recursive CTE:
     // min reachable id == the component minimum (edges are undirected).
     "dedup_clusters" ->

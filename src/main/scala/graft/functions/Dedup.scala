@@ -142,6 +142,46 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** Incremental MinHash dedup: near-dup pairs BETWEEN a new batch and an
+    * existing corpus (never within either side) — the production shape for
+    * daily increments, where the corpus side's signatures/bands would be
+    * precomputed and stored. Same banding and exact verification as
+    * [[minhashPairs]]; output (new_id, corpus_id, jaccard). */
+  def minhashPairsBetween(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def banded(df: DataFrame) = {
+      val shingled = shingledDf(df, idCol, textCol, shingleK)
+      val sig = shingled.select(
+        col("id"), FastText.minhashSig(col("sh"), numHashes).as("sig"))
+      (shingled, sig.select(
+        col("id"),
+        posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key"))))
+    }
+    val (newShingled, newBanded) = banded(newDf)
+    val (corpusShingled, corpusBanded) = banded(corpusDf)
+    val candidates = newBanded.as("l")
+      .join(corpusBanded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = newShingled.select(col("id").as("i"), col("sh").as("sh_i"))
+    val b = corpusShingled.select(col("id").as("j"), col("sh").as("sh_j"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(col("i"), col("j"),
+        FastText.jaccardSortedLong(col("sh_i"), col("sh_j")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise output into "keep one document per duplicate cluster".
     * Iterative hash-to-min label propagation: every node adopts the
