@@ -197,7 +197,10 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).persist()
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // coalesce: sum over an empty frame is null (no pairs -> no clusters).
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -208,7 +211,7 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
         .persist()
-      val newSum = updated.agg(sum(col("lbl"))).head().getLong(0)
+      val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
       converged = newSum == prevSum

@@ -61,3 +61,11 @@ class ClustersSpec extends AnyFunSuite with SparkSpec {
     assert(out.keySet === Set(5L, 6L, 7L, 8L))
   }
 }
+
+class ClustersEdgeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+  test("duplicateClusters: empty pair input yields an empty result, no error") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(graft.functions.Dedup.duplicateClusters(empty).count() === 0)
+  }
+}
