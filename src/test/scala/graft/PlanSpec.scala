@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles.size == 1, planString("sessionize"))
   }
 
+  test("ann_ivf: corpus is never hash-shuffled (map-side cells, broadcast probes)") {
+    val plan = planString("ann_ivf")
+    // The only hash exchange allowed is the partial top-k groupBy on
+    // query_id; cell assignment is a projection and the probe side is a
+    // broadcast.
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
   test("ann_topk: queries side is broadcast; corpus is never shuffled pre-aggregation") {
     val p = plan("ann_topk")
     val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
