@@ -182,6 +182,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ks === Set(Some(1), Some(2), None))
   }
 
+  test("stream-stream interval join: clicks attributed to impressions within 10 minutes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val impressions = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val imp = impressions.toDF().toDF("ad", "imp_time").withWatermark("imp_time", "10 minutes")
+    val clk = clicks.toDF().toDF("ad_c", "click_time").withWatermark("click_time", "10 minutes")
+    val joined = imp.join(clk,
+      col("ad") === col("ad_c") &&
+        col("click_time") >= col("imp_time") &&
+        col("click_time") <= col("imp_time") + expr("INTERVAL 10 MINUTES"))
+      .select(col("ad"), col("imp_time"), col("click_time"))
+    val q = joined.writeStream.format("memory").queryName("attribution").outputMode("append").start()
+    val t = (m: Long) => new java.sql.Timestamp(1700000000000L + m * 60000L)
+    runToCompletion(q,
+      () => { impressions.addData((1L, t(0)), (2L, t(0))); clicks.addData((1L, t(5)), (2L, t(30))) },
+      () => { impressions.addData((9L, t(300))); clicks.addData((9L, t(300))) })
+    val rows = spark.table("attribution").filter(col("ad") < 9)
+      .select("ad").as[Long].collect().toSeq
+    // ad 1 clicked within the window; ad 2's click came 30 min later.
+    assert(rows === Seq(1L))
+  }
+
   test("Kafka sink serialization: expanded frame round-trips through to_json") {
     import spark.implicits._
     // KafkaJson.writeStream serializes every row as to_json(struct(*));
