@@ -395,16 +395,13 @@ object SparkEntry {
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))),
 
-    // Embedding near-dup: all pairs with cosine >= 0.4 (exact; LSH variant
-    // is ann_lsh below).
+    // Embedding near-dup, canonical scale-safe form: sign-LSH bucketed
+    // candidate equi-join + exact cosine verify — no nested-loop over
+    // n²/2 pairs anywhere in the plan. 16 tables x 2 planes: recall
+    // ~0.9997 at cosine 0.4. The O(n²) brute-force `cosinePairs` is NOT a
+    // production entry; it survives as the recall cross-check in
+    // SimilaritySpec (and as the scoring oracle inside the verify step).
     "emb_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
-
-    // Scale-safe embedding near-dup: sign-LSH bucketed candidate equi-join
-    // + exact cosine verify — no nested-loop over n²/2 pairs anywhere in
-    // the plan (the brute-force emb_pairs above stays as the oracle-scale
-    // cross-check). 16 tables x 2 planes: recall ~0.9997 at cosine 0.4.
-    "emb_pairs_lsh" -> ((s, dir) =>
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
 
@@ -530,6 +527,23 @@ object SparkEntry {
       Sampling.stratifiedQuota(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         col("lang"), col("doc_id").cast(StringType), quota = 50, salt = "q1")
+    }),
+
+    // Deterministic train/val/test split: disjoint hash ranges of the unit
+    // interval (hashRange) — a pure function of doc_id, so the split is
+    // stable under repartitioning, retries, and engine replacement, and the
+    // three sets provably partition the corpus (disjoint CASE arms over the
+    // same hash). Narrow: a projection, no shuffle.
+    "sample_split" -> ((s, dir) => {
+      import graft.functions.Sampling
+      val key = col("doc_id").cast(StringType)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(Sampling.hashRange(key, 0.0, 0.8, "sp1"), lit("train"))
+            .when(Sampling.hashRange(key, 0.8, 0.9, "sp1"), lit("val"))
+            .otherwise(lit("test"))
+            .as("split"))
     }),
 
     // The canonical corpus-cleaning composition: keep each text's lowest
@@ -726,7 +740,7 @@ object SparkEntry {
         |  FROM w),
         |s AS (SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
         |  FROM n GROUP BY user_id, session_id)
-        |SELECT e.event_id, e.user_id, e.ts, s.session_id
+        |SELECT e.event_id, e.user_id, e.ts, CAST(s.session_id AS BIGINT) AS session_id
         |FROM e JOIN s ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts""".stripMargin,
     "q20_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, "value" FROM events),
@@ -778,12 +792,6 @@ object SparkEntry {
          |  bit_count(xor(a.sim, b.sim)) AS hamming_dist
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
-    "emb_pairs" ->
-      s"""WITH e AS ($embCast)
-         |SELECT a.vec_id AS i, b.vec_id AS j,
-         |  list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cosine
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
     "ann_topk" ->
       s"""WITH e AS ($embCast),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
@@ -797,7 +805,7 @@ object SparkEntry {
          |WHERE rnk <= 5""".stripMargin,
     // Same bucket-replication idea as ann_lsh below: 16 tables x 2 planes,
     // candidates from shared (table, bucket), exact cosine verify at 0.4.
-    "emb_pairs_lsh" ->
+    "emb_pairs" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |hp AS (
          |  SELECT t, p, list_transform(range(0, 64), d ->
@@ -929,7 +937,7 @@ object SparkEntry {
         |s AS (SELECT user_id, ts,
         |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM w)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(ts) AS start_ts, max(ts) AS end_ts
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "mm_meta" ->
@@ -974,6 +982,14 @@ object SparkEntry {
         |    ORDER BY ('0x' || substr(md5('q1' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) AS rk
         |  FROM documents)
         |WHERE rk <= 50""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN h < CAST(floor(0.8 * 4294967296.0) AS BIGINT) THEN 'train'
+        |       WHEN h < CAST(floor(0.9 * 4294967296.0) AS BIGINT) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5('sp1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |      FROM documents)""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
         |  ((octet_length(encode(text))::BIGINT * 2654435761 + i * 40503) & 4294967295) AS frame_hash

@@ -191,7 +191,14 @@ object Dedup {
     * clusters. Convergence is detected by the (monotonically decreasing)
     * global label sum. Output: (id, cluster_id = min id in component),
     * deterministic, for every id appearing in `pairs`. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClusters]] plus the number of propagation rounds executed —
+    * exposed so tests can pin the convergence behavior (a chain of length L
+    * needs L-1 rounds plus one to detect the fixpoint). */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       .persist()
@@ -206,11 +213,19 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.as("l")
+      val next = labels.as("l")
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-        .persist()
+      // The logical plan doubles in depth every round (labels feeds back
+      // into itself); persist() caches data but NOT lineage, so planning
+      // cost still grows exponentially. localCheckpoint() every other
+      // round truncates the plan at materialized partitions. (On a real
+      // cluster with executor churn, reliable checkpoint() to the
+      // checkpoint dir is the drop-in hardening.)
+      val updated =
+        if (iter % 2 == 1) next.localCheckpoint(eager = true)
+        else next.persist()
       val newSum = labelSum(updated)
       labels.unpersist()
       labels = updated
@@ -219,7 +234,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id"), col("lbl").as("cluster_id")), iter)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (exact recall

@@ -115,7 +115,7 @@ object Multimodal {
 
   /** Extract a feature vector per record (the "embed every image" stage of
     * a multimodal pipeline). Output: (id, features: array<float>) — feeds
-    * directly into the Similarity operators (ann_topk / emb_pairs_lsh). */
+    * directly into the Similarity operators (ann_topk / emb_pairs). */
   def withFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
