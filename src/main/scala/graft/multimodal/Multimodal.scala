@@ -21,19 +21,53 @@ final case class MediaWithMeta(
 final case class FrameSample(id: Long, frame_idx: Int, frame_hash: Long)
 
 /**
- * STUB codec. The container has no image/audio libraries, so decode is a
- * deterministic fake derived only from the payload size — but everything
- * around it (binary column handling, partition-batch iteration, typed
- * schema, the mapPartitions boundary where an Arrow/JNI decoder would sit)
- * is the real Spark plumbing a multimodal pipeline needs.
+ * Image codec: real PNG/JPEG/GIF/BMP decode via `javax.imageio` (JDK
+ * built-in — zero extra dependencies), with a deterministic
+ * payload-length-derived fallback for undecodable bytes. The fallback is
+ * load-bearing twice over: a 100 TB corpus always contains corrupt
+ * payloads (a decode that throws would kill the task, not skip the row),
+ * and the synthetic test corpus carries non-image payloads whose oracle
+ * replicates exactly the fallback arithmetic.
  *
- * A production implementation replaces `decodeImageMeta`'s body with e.g.
- * `javax.imageio.ImageIO` / ffmpeg-over-JNI and keeps every signature.
+ * Video/audio stay stubbed (`sampleFrames`) — the JDK ships no codecs for
+ * them; a production build sits ffmpeg-over-JNI at the same mapPartitions
+ * boundary.
  */
 object MediaCodec {
-  def decodeImageMeta(bytes: Array[Byte]): MediaMeta = {
+  // ImageIO's default scratch cache is a temp FILE per decode — measurable
+  // per-row I/O inside an executor loop. Decode from memory instead.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode to (image, formatName): Some for any format the JDK reads
+    * (png/jpeg/gif/bmp/wbmp), None for anything else. Never throws. */
+  def decodeImage(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          if (img == null) None else Some((img, fmt))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeImageMeta(bytes: Array[Byte]): MediaMeta =
+    decodeImage(bytes) match {
+      case Some((img, fmt)) =>
+        MediaMeta(img.getWidth, img.getHeight, img.getColorModel.getNumComponents, fmt)
+      case None => fallbackMeta(bytes)
+    }
+
+  /** Deterministic meta for undecodable payloads: dims derived from the
+    * payload size (the shape the DuckDB oracle replicates). */
+  private[graft] def fallbackMeta(bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
-    // STUB: dims derived deterministically from payload size.
     MediaMeta(64 + n % 576, 64 + (n * 7) % 1016, 3, s"fmt${n % 4}")
   }
 
@@ -44,10 +78,46 @@ object MediaCodec {
     (0 until count).map(i => (n * 2654435761L + i * 40503L) & 0xffffffffL)
   }
 
-  /** STUB resize: a real codec returns re-encoded bytes; the fake truncates
-    * (keeps the byte-level contract: binary in, binary out). */
+  /** Scale an image to fit in (maxW, maxH) preserving aspect ratio and
+    * re-encode as PNG. Images already inside the box are re-encoded
+    * unchanged in dimensions. Returns None for undecodable payloads. */
+  def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { case (img, _) =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Byte-budget resize: real decode-scale-reencode when the payload is a
+    * readable image (halving dimensions until the encoded size fits or a
+    * floor is hit), deterministic truncation for opaque payloads (keeps
+    * the byte-level contract: binary in, binary out — the arithmetic the
+    * oracle replicates for the synthetic corpus). */
   def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte] =
-    bytes.take(maxBytes)
+    decodeImage(bytes) match {
+      case Some((img, _)) =>
+        var (w, h) = (img.getWidth, img.getHeight)
+        var encoded = resizeImage(bytes, w, h).get
+        while (encoded.length > maxBytes && math.max(w, h) > 8) {
+          w = math.max(1, w / 2); h = math.max(1, h / 2)
+          encoded = resizeImage(bytes, w, h).get
+        }
+        encoded
+      case None => bytes.take(maxBytes)
+    }
 
   /** STUB feature extraction ("embed the image"): `dim` floats in [0, 1),
     * deterministically derived from the payload CONTENT (not just its

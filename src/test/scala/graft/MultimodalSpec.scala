@@ -59,4 +59,68 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       feats, feats.filter(col("id") === 1L), "id", "embedding", k = 2)
     assert(top.count() === 2) // two neighbors for the one query
   }
+
+  // ---- real-decode path (javax.imageio; fixtures generated in-test) ----
+
+  /** Encode a w×h gradient image as `fmt` ("png"/"jpg"/"bmp"/"gif"). */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImageMeta reads real PNG/JPEG/BMP pixels, not the fallback") {
+    for ((fmt, expected) <- Seq("png" -> "png", "jpg" -> "jpeg", "bmp" -> "bmp")) {
+      val m = MediaCodec.decodeImageMeta(imageBytes(37, 21, fmt))
+      assert(m.width == 37 && m.height == 21, s"$fmt: $m")
+      assert(m.channels == 3, s"$fmt: $m")
+      assert(m.format == expected, s"$fmt: $m")
+    }
+  }
+
+  test("decodeImageMeta falls back deterministically on non-image payloads") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(MediaCodec.decodeImageMeta(junk) == MediaCodec.fallbackMeta(junk))
+    // Corrupt header: starts like PNG but truncated mid-stream.
+    val corrupt = imageBytes(16, 16, "png").take(20)
+    assert(MediaCodec.decodeImageMeta(corrupt) == MediaCodec.fallbackMeta(corrupt))
+  }
+
+  test("resizeImage scales to fit preserving aspect ratio and re-encodes decodably") {
+    val out = MediaCodec.resizeImage(imageBytes(100, 50, "png"), 40, 40).get
+    val m = MediaCodec.decodeImageMeta(out)
+    assert(m.width == 40 && m.height == 20, m.toString) // aspect 2:1 kept
+    assert(m.format == "png")
+    // No upscaling: an image already inside the box keeps its dims.
+    val same = MediaCodec.resizeImage(imageBytes(10, 8, "png"), 40, 40).get
+    val ms = MediaCodec.decodeImageMeta(same)
+    assert(ms.width == 10 && ms.height == 8)
+  }
+
+  test("byte-budget resize shrinks real images under the cap, truncates junk") {
+    val big = imageBytes(300, 300, "png")
+    val cap = big.length / 2
+    val shrunk = MediaCodec.resize(big, cap)
+    assert(shrunk.length <= cap, s"${shrunk.length} > $cap")
+    assert(MediaCodec.decodeImage(shrunk).isDefined, "output must stay a valid image")
+    val junk = Array.fill[Byte](100)(7)
+    assert(MediaCodec.resize(junk, 10).toSeq == junk.take(10).toSeq)
+  }
+
+  test("withImageMeta over a mixed corpus: real rows decode, opaque rows fall back") {
+    val mixed = Seq(
+      (1L, imageBytes(40, 30, "png")),
+      (2L, imageBytes(25, 25, "jpg")),
+      (3L, "opaque payload".getBytes("UTF-8"))).toDF("id", "data")
+    val out = Multimodal.withImageMeta(mixed, "id", "data")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 40 && out(1L).getInt(3) == 30)
+    assert(out(2L).getString(5) == "jpeg")
+    val fb = MediaCodec.fallbackMeta("opaque payload".getBytes("UTF-8"))
+    assert(out(3L).getInt(2) == fb.width && out(3L).getInt(3) == fb.height)
+  }
 }
