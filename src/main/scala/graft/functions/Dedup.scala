@@ -81,21 +81,14 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val shingled = shingledDf(df, idCol, textCol, shingleK)
-    val sig = shingled.select(
-      col("id"),
-      FastText.minhashSig(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
-      col("id"),
-      posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key")))
-    val candidates = banded
+    val idx = buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands)
+    val candidates = idx.banded
       .as("l")
-      .join(banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+      .join(idx.banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
-    verifyJaccard(candidates, shingled, threshold)
+    verifyJaccard(candidates, idx.shingled, threshold)
   }
 
   /** Exact Jaccard self-join with prefix filtering: a pair with
@@ -142,11 +135,75 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** The persistable per-corpus dedup index: `shingled` (id, sh:
+    * array<long> sorted hashed shingles — what exact verification needs)
+    * and `banded` (id, band, key — what candidate generation needs).
+    * Computing it is the expensive part of MinHash dedup; storing it is
+    * what makes daily increments cheap (the corpus side is never
+    * re-shingled). */
+  final case class MinhashIndex(shingled: DataFrame, banded: DataFrame)
+
+  /** Build the [[MinhashIndex]] for a corpus — one narrow pass. */
+  def buildMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32): MinhashIndex = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val shingled = shingledDf(df, idCol, textCol, shingleK)
+    val sig = shingled.select(
+      col("id"), FastText.minhashSig(col("sh"), numHashes).as("sig"))
+    MinhashIndex(shingled, sig.select(
+      col("id"),
+      posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key"))))
+  }
+
+  /** Persist an index as two parquet tables, `<path>/shingles` and
+    * `<path>/bands`. At warehouse scale, partition `bands` by `band` and
+    * bucket both tables by their join key (`key` / `id`) so the daily
+    * candidate join and the verify joins co-locate without a shuffle of
+    * the stored side; a daily increment then appends its own index here. */
+  def writeMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.shingled.write.mode("overwrite").parquet(s"$path/shingles")
+    index.banded.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
+    MinhashIndex(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"))
+
+  /** Near-dup pairs BETWEEN two indexed corpora (never within either side):
+    * banded equi-join candidates, exact hashed-shingle Jaccard verify.
+    * Output (i = left id, j = right id, jaccard). */
+  def minhashPairsAcross(
+      left: MinhashIndex,
+      right: MinhashIndex,
+      threshold: Double): DataFrame = {
+    val candidates = left.banded.as("l")
+      .join(right.banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = left.shingled.select(col("id").as("i"), col("sh").as("sh_i"))
+    val b = right.shingled.select(col("id").as("j"), col("sh").as("sh_j"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(col("i"), col("j"),
+        FastText.jaccardSortedLong(col("sh_i"), col("sh_j")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Incremental MinHash dedup: near-dup pairs BETWEEN a new batch and an
     * existing corpus (never within either side) — the production shape for
-    * daily increments, where the corpus side's signatures/bands would be
-    * precomputed and stored. Same banding and exact verification as
-    * [[minhashPairs]]; output (new_id, corpus_id, jaccard). */
+    * daily increments. The corpus side's index would be read from storage
+    * via [[readMinhashIndex]] rather than recomputed (DedupSpec asserts
+    * the persisted-index path is pair-identical); same banding and exact
+    * verification as [[minhashPairs]]. Output (new_id, corpus_id,
+    * jaccard). */
   def minhashPairsBetween(
       newDf: DataFrame,
       corpusDf: DataFrame,
@@ -155,32 +212,11 @@ object Dedup {
       shingleK: Int = 4,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    def banded(df: DataFrame) = {
-      val shingled = shingledDf(df, idCol, textCol, shingleK)
-      val sig = shingled.select(
-        col("id"), FastText.minhashSig(col("sh"), numHashes).as("sig"))
-      (shingled, sig.select(
-        col("id"),
-        posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key"))))
-    }
-    val (newShingled, newBanded) = banded(newDf)
-    val (corpusShingled, corpusBanded) = banded(corpusDf)
-    val candidates = newBanded.as("l")
-      .join(corpusBanded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
-      .select(col("l.id").as("i"), col("r.id").as("j"))
-      .distinct()
-    val a = newShingled.select(col("id").as("i"), col("sh").as("sh_i"))
-    val b = corpusShingled.select(col("id").as("j"), col("sh").as("sh_j"))
-    candidates
-      .join(a, "i")
-      .join(b, "j")
-      .select(col("i"), col("j"),
-        FastText.jaccardSortedLong(col("sh_i"), col("sh_j")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      threshold: Double = 0.8): DataFrame =
+    minhashPairsAcross(
+      buildMinhashIndex(newDf, idCol, textCol, shingleK, numHashes, bands),
+      buildMinhashIndex(corpusDf, idCol, textCol, shingleK, numHashes, bands),
+      threshold)
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise output into "keep one document per duplicate cluster".

@@ -31,4 +31,31 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("i", "j")
     assert(Dedup.duplicateClusters(empty).count() == 0)
   }
+
+  test("incremental dedup against a persisted index equals recomputation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // "Corpus" = docs 0..399, "new day" = docs 400..499 (overlapping dups
+    // exist across the boundary in the synthetic corpus).
+    val corpus = docs.filter(col("doc_id") < 400)
+    val newDay = docs.filter(col("doc_id") >= 400)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-index").toString
+    try {
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+      val persisted = Dedup.minhashPairsAcross(
+        Dedup.buildMinhashIndex(newDay, "doc_id", "text"),
+        Dedup.readMinhashIndex(spark, dir),
+        threshold = 0.8)
+      val recomputed = Dedup.minhashPairsBetween(
+        newDay, corpus, "doc_id", "text", threshold = 0.8)
+      val p = persisted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val r = recomputed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(p.nonEmpty, "expected cross-boundary duplicates in the synthetic corpus")
+      assert(p == r, s"persisted-index pairs differ: only-persisted=${p -- r} only-recomputed=${r -- p}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
