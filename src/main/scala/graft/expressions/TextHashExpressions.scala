@@ -108,6 +108,22 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[JaccardSortedLong]] with threshold-aware early exit (see
+  * TextKernels.jaccardSortedLongBounded): emits -1.0 for pairs provably
+  * below `threshold`, the exact value otherwise. */
+case class JaccardSortedLongBounded(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSortedLongBounded(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.jaccardSortedLongBounded($a, $b, $threshold)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSortedLongBounded =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential left-fold dot product of two numeric arrays (float or double
   * elements), widened to double. Fold order matches the HOF reference form
   * and DuckDB's list_sum — bitwise cross-engine. */

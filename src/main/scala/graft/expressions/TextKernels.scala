@@ -194,6 +194,35 @@ object TextKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** [[jaccardSortedLong]] with threshold-aware early exits — the PPJoin
+    * suffix-filter role, applied where the token arrays are in hand:
+    * (a) length filter up front (J <= min/max), (b) during the merge, bail
+    * once the best-still-achievable intersection `inter + min(remaining)`
+    * cannot reach `t·(na+nb)/(1+t)` (J >= t ⇔ inter >= that). Returns
+    * -1.0 on bail; since every bailed pair provably has J < t and callers
+    * filter `>= t`, the output pair set is EXACTLY that of the unbounded
+    * kernel. Survivors return the identical double. */
+  def jaccardSortedLongBounded(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (math.min(na, nb) < t * math.max(na, nb)) return -1.0
+    // inter >= minNeeded ⇔ J >= t (J is increasing in inter). Strict-<
+    // bail keeps exactness at the boundary.
+    val minNeeded = t * (na + nb) / (1.0 + t)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < minNeeded) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Sequential left-fold dot product in double — the same fold order as
     * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` and DuckDB's
     * `list_sum(list_transform(list_zip(...)))`, so results stay bitwise

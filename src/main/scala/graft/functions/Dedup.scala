@@ -64,7 +64,10 @@ object Dedup {
       .select(
         col("i"),
         col("j"),
-        FastText.jaccardSortedLong(col("sh_i"), col("sh_j")).as("jaccard"))
+        // Bounded kernel = verify-time suffix filter: early-exits (-1.0)
+        // once a pair provably can't reach the threshold; identical
+        // surviving pair set and values.
+        FastText.jaccardSortedLongBounded(col("sh_i"), col("sh_j"), threshold).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -103,8 +106,9 @@ object Dedup {
       shingleK: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
-    // Carry |sh| through the explode so no second join back to `shingled`
-    // is needed for the prefix-length bound.
+    // Prefix positions are computed narrow (id, len, s only); the shingle
+    // arrays join in afterwards, once per PREFIX row — never onto the
+    // quadratic candidate-pair stream.
     val exploded = shingled.select(
       col("id"), size(col("sh")).as("len"), explode(col("sh")).as("s"))
     // Global document frequency per shingle — one agg shuffle, reused by the
@@ -115,7 +119,16 @@ object Dedup {
       .withColumn(
         "pos",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-    // Prefix length = len - ceil(t*len) + 1.
+    // Prefix length = len - ceil(t*len) + 1 (~(1-t)·|sh| rarest-first rows
+    // per doc). NOTE on the rejected alternative: carrying each doc's full
+    // shingle set on its prefix rows (the Vernica MapReduce layout, so
+    // verification runs inside the prefix join) loses badly on dense
+    // shingle distributions — this synthetic corpus shares ~1000 distinct
+    // shingles across all docs, so the prefix join emits ~10 collision
+    // rows per candidate pair and array-carrying rows materialize ~100 GB
+    // of joined-row traffic. Narrow collision rows + a distinct + two
+    // array-attach joins on the ~10x-smaller pair set wins here and ties
+    // on sparse (Zipfian, real-corpus) distributions.
     val prefix = ordered.filter(
       col("pos") <= col("len") - ceil(col("len") * threshold) + 1)
     // Positional filter (PPJoin): at the FIRST shared prefix element nothing
@@ -127,9 +140,15 @@ object Dedup {
     val posBound =
       least(col("l.len") - col("l.pos"), col("r.len") - col("r.pos")) + 1 >=
         (col("l.len") + col("r.len")) * lit(threshold / (1 + threshold))
+    // Length filter: J = I/U <= min(|A|,|B|)/max(|A|,|B|), so J >= t needs
+    // min >= t·max — prunes size-mismatched pairs before the distinct and
+    // the array-attaching verify joins.
+    val lenBound =
+      least(col("l.len"), col("r.len")) >= greatest(col("l.len"), col("r.len")) * lit(threshold)
     val candidates = prefix
       .as("l")
-      .join(prefix.as("r"), col("l.s") === col("r.s") && col("l.id") < col("r.id") && posBound)
+      .join(prefix.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id") && posBound && lenBound)
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
     verifyJaccard(candidates, shingled, threshold)

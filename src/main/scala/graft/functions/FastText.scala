@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, MinHashSig, SimHash32, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -43,4 +43,10 @@ object FastText {
   /** Jaccard of two sorted distinct long arrays. */
   def jaccardSortedLong(a: Column, b: Column): Column =
     B.column(JaccardSortedLong(B.expression(a), B.expression(b)))
+
+  /** Threshold-aware Jaccard: -1.0 for pairs provably below `t` (early
+    * exit — the verify-time suffix filter), exact value otherwise. Only
+    * for call sites that filter `>= t` afterwards. */
+  def jaccardSortedLongBounded(a: Column, b: Column, t: Double): Column =
+    B.column(JaccardSortedLongBounded(B.expression(a), B.expression(b), t))
 }

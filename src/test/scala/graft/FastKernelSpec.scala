@@ -111,6 +111,21 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("bounded Jaccard kernel: exact value above threshold, only sub-threshold pairs bailed") {
+    // All-pairs over a doc sample: every pair the unbounded kernel puts at
+    // >= t must get the identical value from the bounded kernel; every
+    // bailed (-1) pair must truly be < t.
+    val sh = docs.limit(120).select(
+      col("doc_id").as("id"), FastText.hashedShingles(col("text"), 4).as("sh"))
+    val pairs = sh.as("l").join(sh.as("r"), col("l.id") < col("r.id"))
+      .select(
+        FastText.jaccardSortedLong(col("l.sh"), col("r.sh")).as("ref"),
+        FastText.jaccardSortedLongBounded(col("l.sh"), col("r.sh"), 0.7).as("bounded"))
+    assert(pairs.filter(col("ref") >= 0.7 && col("bounded") =!= col("ref")).count() === 0)
+    assert(pairs.filter(col("bounded") === -1.0 && col("ref") >= 0.7).count() === 0)
+    assert(pairs.filter(col("ref") >= 0.7).count() > 0, "sample has no above-threshold pair")
+  }
+
   test("kernels handle edge strings: empty, shorter than k, multi-byte") {
     import spark.implicits._
     val edge = Seq("", "ab", "日本語のテキスト", "aaaa", "日日日日日").toDF("text")
