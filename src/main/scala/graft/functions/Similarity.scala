@@ -196,6 +196,95 @@ object Similarity {
    * changes recall, not the plan. Ties break toward the lower centroid id.
    * Output: (query_id, rank, vec_id, score) — rank within probed cells.
    */
+  /** Deterministic sample centroids for IVF: corpus vectors with
+    * `id % modulo == residue`, sorted by id. Metadata-scale collect. */
+  def sampledIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidModulo: Long = 97L,
+      centroidResidue: Long = 3L): Array[(Long, Vector[Double])] =
+    corpus.filter(col(idCol) % centroidModulo === centroidResidue)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
+      .sortBy(_._1)
+
+  /** Train IVF centroids with `iters` distributed Lloyd (k-means)
+    * iterations over cosine affinity, seeded from the deterministic
+    * sample. Each iteration is one map-side literal-centroid argmax (no
+    * corpus shuffle) plus one aggregation shuffle of (cell, dim) partial
+    * sums; only the |C|·dim per-cell means ever reach the driver — the
+    * same metadata-scale collect the query path already does. Same plan
+    * shape at query time as sampled centroids, better cell balance /
+    * recall; empty cells keep their previous centroid. */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidModulo: Long = 97L,
+      centroidResidue: Long = 3L,
+      iters: Int = 3): Array[(Long, Vector[Double])] = {
+    var cents = sampledIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue)
+    require(cents.nonEmpty, "no seed centroids selected — adjust modulo/residue")
+    val base = corpus.select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+    for (_ <- 0 until iters) {
+      val assigned = base.withColumn(
+        "cell", element_at(probeCells(cents, col("v"), col("n_v"), 1), 1).getField("cid"))
+      // Per-(cell, dim) partial sums combine map-side; the collect is
+      // |C|·dim rows — centroid metadata, not corpus data.
+      val stats = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x").cast(DoubleType)).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        stats.get(cid) match {
+          case Some(rows) =>
+            val mean = old.indices.map { d =>
+              val r = rows.find(_.getInt(1) == d).get
+              r.getDouble(2) / r.getLong(3)
+            }.toVector
+            (cid, mean)
+          case None => (cid, old) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Sorted struct array (-affinity, cid) over literal centroids:
+    * ascending sort = affinity descending, ties toward the lower centroid
+    * id. Map-side only — the corpus is never shuffled for assignment. */
+  private def probeCells(
+      centRows: Array[(Long, Vector[Double])],
+      vec: Column, nv: Column, keep: Int): Column = {
+    def cnorm(v: Vector[Double]): Double = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val entries = centRows.map { case (cid, cv) =>
+      struct(
+        (lit(-1.0) * (dotSeq(vec, typedLit(cv)) / (nv * lit(cnorm(cv))))).as("na"),
+        lit(cid).as("cid"))
+    }
+    slice(sort_array(array(entries.toIndexedSeq: _*)), 1, keep)
+  }
+
+  /** [[ivfTopK]] with trained (k-means) centroids — identical query-time
+    * plan, only the centroid literals differ. */
+  def ivfTopKTrained(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidModulo: Long = 97L,
+      centroidResidue: Long = 3L,
+      nProbe: Int = 2,
+      trainIters: Int = 3): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
+      trainIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue, trainIters),
+      nProbe)
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -210,29 +299,26 @@ object Similarity {
     // kernel dot products per row, NO shuffle of the corpus). At storage
     // scale the corpus would additionally be bucketed by cell so probing
     // prunes file scans, not just scoring.
-    val centRows = corpus.filter(col(idCol) % centroidModulo === centroidResidue)
-      .select(col(idCol).cast(LongType), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
-      .sortBy(_._1)
+    val centRows = sampledIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue)
     require(centRows.nonEmpty, "no centroids selected — adjust modulo/residue")
-    def cnorm(v: Vector[Double]): Double = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-    // Sorted struct array (-affinity, cid): ascending sort = affinity
-    // descending, ties toward the lower centroid id.
-    def probeCells(vec: Column, nv: Column, keep: Int): Column = {
-      val entries = centRows.map { case (cid, cv) =>
-        struct(
-          (lit(-1.0) * (dotSeq(vec, typedLit(cv)) / (nv * lit(cnorm(cv))))).as("na"),
-          lit(cid).as("cid"))
-      }
-      slice(sort_array(array(entries.toIndexedSeq: _*)), 1, keep)
-    }
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centRows, nProbe)
+  }
+
+  private def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbe: Int): DataFrame = {
     val c = corpus.select(
         col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
-      .withColumn("cell", element_at(probeCells(col("v"), col("n_v"), 1), 1).getField("cid"))
+      .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
     val q = queries.select(
         col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
       .select(col("query_id"), col("qv"), col("n_qv"),
-        explode(probeCells(col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
+        explode(probeCells(centRows, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
     // Queries broadcast: the corpus is never shuffled; each vector is
     // scored only against queries probing its cell. A (query, vector) pair
     // meets at most once (a vector lives in exactly one cell).

@@ -27,6 +27,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall == 1.0, s"recall $recall < 1.0: missed ${exact -- lsh}")
   }
 
+  test("trained IVF centroids: recall vs brute force >= sampled centroids") {
+    def recall(ann: org.apache.spark.sql.DataFrame, exact: org.apache.spark.sql.DataFrame): Double = {
+      val a = ann.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = exact.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (a & e).size.toDouble / e.size
+    }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val sampled = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val trained = Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", k = 5)
+    val (rs, rt) = (recall(sampled, exact), recall(trained, exact))
+    assert(rt >= rs, s"trained recall $rt < sampled recall $rs")
+    assert(rt > 0.0)
+  }
+
+  test("k-means training preserves centroid count and dimension, ids stay stable") {
+    val seeds = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", iters = 2)
+    assert(trained.map(_._1).toSeq == seeds.map(_._1).toSeq)
+    assert(trained.forall(_._2.size == 64))
+    // Training moved at least one centroid off its seed.
+    assert(trained.zip(seeds).exists { case ((_, t), (_, s)) => t != s })
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
