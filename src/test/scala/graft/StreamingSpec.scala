@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(schemas(1).contains("a:int") && schemas(1).contains("b:string"), schemas(1))
   }
 
+  test("foreachBatchExpand drift: int -> long -> extra field, one schema per batch") {
+    // The reference caches the first record's inferred schema per cache
+    // entry (SURVEY §1.4); our micro-batch granularity means each batch
+    // independently re-infers — an int batch types int32, a long batch
+    // int64, and a new field appears the batch it arrives, never
+    // retroactively.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val writer = ExpandJsonStreaming.foreachBatchExpand(
+      in.toDF().toDF("value"),
+      ExpandJson.whole("value"),
+      (df, id) => seen.synchronized { seen += ((id, df.schema.catalogString)) })
+    val q = writer.queryName("expand_drift_ladder").start()
+    runToCompletion(q,
+      () => in.addData("""{"n": 7}"""),
+      () => in.addData("""{"n": 9999999999}"""),
+      () => in.addData("""{"n": 7, "extra": true}"""))
+    val schemas = seen.sortBy(_._1).map(_._2)
+    assert(schemas.size === 3)
+    assert(schemas(0).contains("n:int") && !schemas(0).contains("extra"), schemas(0))
+    assert(schemas(1).contains("n:bigint"), schemas(1))
+    assert(schemas(2).contains("n:int") && schemas(2).contains("extra:boolean"), schemas(2))
+  }
+
   test("end-to-end pipeline: JSON value stream -> expand -> sessionize") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
