@@ -460,6 +460,39 @@ object SparkEntry {
         element_at(fp, 3).as("fp3"), element_at(fp, 4).as("fp4"))
     }),
 
+    // Word-repetition ratio: the Gopher-style boilerplate/spam gate.
+    "quality_repeat" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.wordRepetitionRatio(col("text")).as("repeat_ratio"))),
+
+    // Corpus vocabulary, top 20 by occurrence (tie-break on the word): the
+    // "build the tokenizer vocab" stage. One explode + agg shuffle, then a
+    // bounded TakeOrderedAndProject — never a global sort of the vocab.
+    "vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occur").desc, col("word"))
+        .limit(20)),
+
+    // Per-language exact length quantiles (linear interpolation — the
+    // definition both Spark's percentile and DuckDB's quantile_cont use).
+    "q24_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.5D)").as("p50"),
+          expr("percentile(n_chars, 0.95D)").as("p95"),
+          count(lit(1)).as("n"))),
+
+    // PII scrub: emails, phone-like digit runs, IPv4 — a narrow codegen'd
+    // regexp_replace chain (RE2-compatible patterns, so the oracle applies
+    // them identically; PiiSpec covers fixtures with real PII shapes).
+    "redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.redactPii(col("text")).as("clean_text"))),
+
     // Gap-based sessionization (30 min) — the batch twin of the
     // flatMapGroupsWithState streaming operator (graft.streaming.Sessionize).
     // ts is truncated to microseconds BEFORE sessionizing: the parquet
@@ -927,6 +960,27 @@ object SparkEntry {
         |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS hs
         |FROM documents)
         |SELECT doc_id, hs[1] AS fp1, hs[2] AS fp2, hs[3] AS fp3, hs[4] AS fp4 FROM h""".stripMargin,
+    "quality_repeat" ->
+      """SELECT doc_id,
+        |  1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' ')) AS repeat_ratio
+        |FROM documents""".stripMargin,
+    "vocab_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY word ORDER BY n_occur DESC, word LIMIT 20""".stripMargin,
+    "q24_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.95) AS p95, count(*) AS n
+        |FROM documents GROUP BY lang""".stripMargin,
+    // Triple-quoted Scala and DuckDB standard strings both keep backslashes
+    // literally, so the PiiPatterns regexes drop in verbatim.
+    "redact_pii" ->
+      s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |  '${TF.PiiPatterns(0)._1}', '<EMAIL>', 'g'),
+         |  '${TF.PiiPatterns(1)._1}', '<PHONE>', 'g'),
+         |  '${TF.PiiPatterns(2)._1}', '<IP>', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
         |w AS (SELECT user_id, ts,

@@ -179,6 +179,35 @@ object TextFunctions {
     * named accessor so consumers don't couple to positional ordering. */
   def qualityScore(c: Column): Column = qualityColumns(c).last
 
+  /** Word-repetition ratio (a Gopher-style quality gate): the fraction of
+    * word occurrences that repeat an earlier word, `1 - distinct/total`
+    * over whitespace tokens. High values flag boilerplate/spam. One
+    * int/int division — bit-reproducible cross-engine. */
+  def wordRepetitionRatio(c: Column): Column = {
+    val toks = wsTokens(c)
+    lit(1.0) - size(array_distinct(toks)).cast(DoubleType) / size(toks)
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** (pattern, replacement) pairs for the standard scrub pass. Patterns are
+    * deliberately RE2-compatible (no backrefs/lookaround) so any engine's
+    * regex implementation — and the DuckDB oracle — applies them
+    * identically. Order matters: emails before phones (an email's digits
+    * must not be half-eaten by the phone pattern). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Redact emails, phone-like digit runs, and IPv4 addresses — the
+    * standard pre-training scrub stage. A narrow chain of codegen'd
+    * regexp_replace calls: no shuffle, pushes through any partitioning. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
   // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
