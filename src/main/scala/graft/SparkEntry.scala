@@ -512,6 +512,16 @@ object SparkEntry {
       Multimodal.withImageMeta(bin, "doc_id", "data")
     }),
 
+    // Audio metadata through the same codec boundary (real WAV/AIFF header
+    // decode for decodable payloads — MultimodalSpec; this corpus is
+    // opaque bytes, so rows take the deterministic fallback the oracle
+    // replicates).
+    "mm_audio" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      Multimodal.withAudioMeta(bin, "doc_id", "data")
+    }),
+
     // Multimodal frame sampling (video-style fan-out: one row per sampled
     // frame through the mapPartitions codec boundary).
     "mm_frames" -> ((s, dir) => {
@@ -1000,6 +1010,13 @@ object SparkEntry {
         |  64 + (octet_length(encode(text)) * 7) % 1016 AS height,
         |  3 AS channels,
         |  'fmt' || (octet_length(encode(text)) % 4)::VARCHAR AS format
+        |FROM documents""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id AS id,
+        |  CAST(8000 + octet_length(encode(text)) % 40000 AS INT) AS sample_rate,
+        |  CAST(1 + octet_length(encode(text)) % 2 AS INT) AS channels,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+        |  'enc' || (octet_length(encode(text)) % 3)::VARCHAR AS format
         |FROM documents""".stripMargin,
     "pipeline_clean" -> {
       val hitCols = TF.Stopwords

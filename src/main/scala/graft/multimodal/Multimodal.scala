@@ -134,6 +134,59 @@ object MediaCodec {
       (h / 4294967296.0).toFloat
     }
   }
+
+  /** Pixel-true image features for decodable payloads: bilinear-downsample
+    * to a √dim × √dim luminance grid, row-major, scaled to [0, 1] — the
+    * classic "tiny thumbnail embedding" that makes near-identical images
+    * near in cosine space (what dedup/ANN over mm features needs). `dim`
+    * must be a perfect square. Falls back to [[extractFeatures]] for
+    * undecodable payloads so mixed corpora embed every row. */
+  def extractImageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val side = math.sqrt(dim).toInt
+    require(side * side == dim, s"dim must be a perfect square, got $dim")
+    decodeImage(bytes) match {
+      case Some((img, _)) =>
+        val out = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, side, side, null)
+        } finally g.dispose()
+        val f = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val rgb = out.getRGB(i % side, i / side)
+          // ITU-R BT.601 luma, integer weights, scaled to [0, 1].
+          val luma = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114)
+          f(i) = luma / 255000.0f
+          i += 1
+        }
+        f
+      case None => extractFeatures(bytes, dim)
+    }
+  }
+
+  /** Audio metadata: real WAV/AIFF/AU header decode via
+    * `javax.sound.sampled` (JDK built-in), deterministic length-derived
+    * fallback for anything else (compressed formats need external codecs).
+    * Returns (sample_rate_hz, channels, n_frames, format). */
+  def decodeAudioMeta(bytes: Array[Byte]): (Int, Int, Long, String) =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+          fmt.getEncoding.toString.toLowerCase)
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val n = bytes.length
+        (8000 + n % 40000, 1 + n % 2, n.toLong, s"enc${n % 3}")
+    }
 }
 
 /**
@@ -196,5 +249,30 @@ object Multimodal {
         it.map(r => (r.id, MediaCodec.extractFeatures(r.data, dim)))
       }
       .toDF("id", "features")
+  }
+
+  /** [[withFeatures]] with pixel-true luminance-grid features for
+    * decodable images (stub fallback per row otherwise). */
+  def withImageFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => (r.id, MediaCodec.extractImageFeatures(r.data, dim))))
+      .toDF("id", "features")
+  }
+
+  /** Audio metadata per record (real WAV/AIFF/AU header decode, fallback
+    * otherwise). Output: (id, sample_rate, channels, n_frames, format). */
+  def withAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (rate, ch, frames, fmt) = MediaCodec.decodeAudioMeta(r.data)
+        (r.id, rate, ch, frames, fmt)
+      })
+      .toDF("id", "sample_rate", "channels", "n_frames", "format")
   }
 }

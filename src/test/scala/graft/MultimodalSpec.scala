@@ -111,6 +111,71 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(MediaCodec.resize(junk, 10).toSeq == junk.take(10).toSeq)
   }
 
+  /** Encode `n` PCM16 mono frames of a 440 Hz tone at `rate` Hz as WAV. */
+  private def wavBytes(rate: Int, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudioMeta reads real WAV headers, falls back on opaque bytes") {
+    val (rate, ch, frames, fmt) = MediaCodec.decodeAudioMeta(wavBytes(16000, 800))
+    assert(rate == 16000 && ch == 1 && frames == 800L, s"$rate $ch $frames")
+    assert(fmt.contains("pcm"), fmt)
+    val junk = "not audio".getBytes("UTF-8")
+    val (fr, fc, ff, _) = MediaCodec.decodeAudioMeta(junk)
+    assert(fr == 8000 + junk.length % 40000 && fc == 1 + junk.length % 2 && ff == junk.length.toLong)
+  }
+
+  test("withAudioMeta over a mixed corpus decodes WAV rows and falls back elsewhere") {
+    val mixed = Seq(
+      (1L, wavBytes(22050, 441)),
+      (2L, "opaque".getBytes("UTF-8"))).toDF("id", "data")
+    val out = Multimodal.withAudioMeta(mixed, "id", "data")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 22050 && out(1L).getLong(3) == 441L)
+    assert(out(2L).getInt(1) == 8000 + "opaque".length % 40000)
+  }
+
+  test("pixel-true image features: identical images at cosine 1, inverted images lower") {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val img = imageBytes(64, 64, "png")
+    // Same pixels, different encoding → identical features (a content
+    // embedding, unlike the byte-hash stub).
+    val png = MediaCodec.extractImageFeatures(img, 64)
+    val bmp = MediaCodec.extractImageFeatures(imageBytes(64, 64, "bmp"), 64)
+    assert(cosine(png, bmp) > 0.9999, cosine(png, bmp).toString)
+    // A vertically flipped gradient is a different image: similar but
+    // clearly farther than the re-encoded identical one.
+    val flipped = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+      val out = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) out.setRGB(x, 63 - y, src.getRGB(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    val flf = MediaCodec.extractImageFeatures(flipped, 64)
+    assert(cosine(png, flf) < cosine(png, bmp))
+    // Undecodable payloads fall back to the content-hash stub.
+    val junk = "junk".getBytes("UTF-8")
+    assert(MediaCodec.extractImageFeatures(junk, 64).toSeq ==
+      MediaCodec.extractFeatures(junk, 64).toSeq)
+  }
+
   test("withImageMeta over a mixed corpus: real rows decode, opaque rows fall back") {
     val mixed = Seq(
       (1L, imageBytes(40, 30, "png")),
