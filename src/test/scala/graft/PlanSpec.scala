@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vocab_topk: bounded TakeOrderedAndProject, never a global sort of the vocab") {
+    assert(planString("vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("narrow pipeline stages plan zero shuffles") {
+    // Pure per-row stages (split assignment, PII scrub, repetition ratio,
+    // codec metadata) must stay narrow: a shuffle here would cost a full
+    // corpus pass at 100 TB for no semantic reason.
+    for (q <- Seq("sample_split", "redact_pii", "quality_repeat", "mm_audio", "mm_meta")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"$q shuffles:\n${planString(q)}")
+    }
+  }
+
   test("sessionize: exactly one shuffle (window partitioning reused by the groupBy)") {
     val shuffles = collectAll(plan("sessionize")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size == 1, planString("sessionize"))

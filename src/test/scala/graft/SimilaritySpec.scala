@@ -53,6 +53,52 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.zip(seeds).exists { case ((_, t), (_, s)) => t != s })
   }
 
+  test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    // One query, nProbe=2: of the ~6 cells on disk only 2 may be opened.
+    val queries = emb.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bucketed").toString
+    try {
+      Similarity.writeIvfBucketed(emb, "vec_id", "embedding", cents, dir)
+      val bucketed = Similarity.ivfTopKFromBucketed(
+        spark, dir, queries, "vec_id", "embedding", k = 5, cents)
+      val plain = Similarity.ivfTopKWithCentroids(
+        emb, queries, "vec_id", "embedding", k = 5, cents, nProbe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(bucketed) == rows(plain))
+      // The probe filter must reach the scan as a PARTITION filter (files
+      // of unprobed cells never open), and it must actually prune: fewer
+      // partition dirs scanned than cells on disk.
+      val planStr = bucketed.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: [cell"), planStr)
+      val allCells = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell="))
+      // After execution AQE wraps stages in leaf QueryStageExec nodes;
+      // unwrap them (and the adaptive root) to reach the actual scan.
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allNodes(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(s.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+          case _ => Nil
+        }
+        (p +: p.children.flatMap(allNodes)) ++ inner
+      }
+      // Only the cell-partitioned layout scan counts (the query side also
+      // scans plain parquet, which has no partition columns).
+      val probed = allNodes(bucketed.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.partitionSchema.nonEmpty =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(probed > 0 && probed < allCells, s"probed $probed of $allCells cells")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
