@@ -195,6 +195,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Seq((1L, 2L, T0, T0 + 5 * Min), (2L, 1L, T0 + 90 * Min, T0 + 90 * Min)))
   }
 
+  test("streaming corpus-cleaning pipeline: expand -> quality gate -> PII scrub -> dedup") {
+    // The full pre-training ingest composition on one unbounded stream:
+    // JSON docs are expanded against a fixed schema, low-quality rows
+    // (high word-repetition) are gated out, PII is scrubbed, and exact
+    // duplicates within the watermark are dropped — every stage narrow
+    // except the dedup state shuffle.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val in = MemoryStream[String]
+    val cleaned = ExpandJsonStreaming.expandWhole(in.toDF().toDF("value"), "value", schema)
+      .select(
+        col("value.id").as("id"),
+        timestamp_micros((col("value.ts") / 1000L).cast("long")).as("ts"),
+        col("value.text").as("text"))
+      .filter(graft.functions.TextFunctions.wordRepetitionRatio(col("text")) < 0.5)
+      .withColumn("text", graft.functions.TextFunctions.redactPii(col("text")))
+    val deduped = StreamDedup.byContentHash(cleaned, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("clean_e2e").outputMode("append").start()
+    def doc(id: Long, ts: Long, text: String) =
+      s"""{"id": $id, "ts": $ts, "text": "$text"}"""
+    runToCompletion(q,
+      () => in.addData(
+        doc(1, T0, "contact me at bob@example.com for the data"),
+        doc(2, T0 + Min, "spam spam spam spam spam spam"), // repetition-gated
+        doc(3, T0 + 2 * Min, "contact me at bob@example.com for the data"), // dup of 1
+        doc(4, T0 + 3 * Min, "a genuinely different document entirely")))
+    val rows = spark.table("clean_e2e").select("id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 4L), rows.mkString(", "))
+    assert(rows(0)._2 == "contact me at <EMAIL> for the data", rows(0)._2)
+  }
+
   test("variant mode works on a stream: per-record types with variant_get extraction") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
