@@ -200,4 +200,21 @@ object ExpandJson {
     whole("key", schemaOverride = schemaOverride)
   def value(schemaOverride: Option[DataType] = None): ExpandJson =
     whole("value", schemaOverride = schemaOverride)
+
+  /** Build the transform from the reference SMT's own property surface
+    * (ExpandJson.java:47-58: `fields` — a comma-separated list of
+    * root-level field names, absent/empty meaning whole-value mode — and
+    * `schema.name.prefix`), so a connector config migrates verbatim.
+    * `target` plays the Key/Value subclass role: in whole-value mode it
+    * names the column to expand; in fields mode the listed names are the
+    * frame's root-level columns, exactly the reference's root-level-only
+    * contract (its nested-field support is an open TODO,
+    * ExpandJson.java:42-44). */
+  def fromConfig(props: Map[String, String], target: String = "value"): ExpandJson = {
+    val fields = props.get("fields").toSeq
+      .flatMap(_.split(",", -1)).map(_.trim).filter(_.nonEmpty)
+    val prefix = props.get("schema.name.prefix").map(_.trim).filter(_.nonEmpty)
+    if (fields.isEmpty) whole(target, schemaNamePrefix = prefix)
+    else onFields(fields, schemaNamePrefix = prefix)
+  }
 }

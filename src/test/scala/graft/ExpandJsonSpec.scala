@@ -180,4 +180,24 @@ class ExpandJsonSpec extends SparkSpec {
     assert(r.getString(0) === "9223372036854775808")
     assert(r.getLong(1) === 9999999999L)
   }
+
+  test("fromConfig: the reference SMT's property map migrates verbatim") {
+    // Absent/empty `fields` -> whole-value mode on the target column.
+    val whole = Seq(SIMPLE_JSON).toDF("value")
+      .transform(ExpandJson.fromConfig(Map.empty))
+    assert(whole.schema("value").dataType.isInstanceOf[StructType])
+    // Comma-separated `fields` (with the whitespace a connector config
+    // tolerates) -> per-field mode; siblings pass through untouched.
+    val df = Seq(("""{"a": 1}""", """{"b": "x"}""", 7)).toDF("f1", "f2", "keep")
+      .transform(ExpandJson.fromConfig(Map("fields" -> " f1, f2 ")))
+    assert(df.schema("f1").dataType.isInstanceOf[StructType])
+    assert(df.schema("f2").dataType.isInstanceOf[StructType])
+    assert(df.schema("keep").dataType === IntegerType)
+    // schema.name.prefix flows into the generated struct names.
+    val named = Seq("""{"o": {"x": 1}}""").toDF("value")
+      .transform(ExpandJson.fromConfig(Map("schema.name.prefix" -> "com.acme.Doc")))
+    val meta = named.schema("value").dataType.asInstanceOf[StructType]
+    assert(meta("o").metadata.getString(
+      graft.schema.JsonSchemaInference.SchemaNameKey).startsWith("com.acme.Doc"))
+  }
 }
