@@ -71,8 +71,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // `coalesce(kernel, empty)` marks the column non-nullable, so join-key
+  // constraint propagation can't infer an `isnotnull(<kernel chain>)`
+  // filter and push it into the parquet scan — which would re-evaluate
+  // the full md5 shingle kernel once in the filter and again in the
+  // projection, doubling the dominant cost of every dedup query.
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).cast(LongType).as("id"), FastText.hashedShingles(col(textCol), k).as("sh"))
+    df.filter(col(textCol).isNotNull) // cheap, pushes to the scan as a plain IsNotNull
+      .select(
+        col(idCol).cast(LongType).as("id"),
+        coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long])).as("sh"))
 
   /** MinHash + LSH banding: near-dup pairs with Jaccard >= threshold.
     * numHashes must be divisible by bands. Output: (i, j, jaccard). */
@@ -109,8 +117,11 @@ object Dedup {
     // Prefix positions are computed narrow (id, len, s only); the shingle
     // arrays join in afterwards, once per PREFIX row — never onto the
     // quadratic candidate-pair stream.
-    val exploded = shingled.select(
-      col("id"), size(col("sh")).as("len"), explode(col("sh")).as("s"))
+    // explode_outer for the same reason as buildMinhashIndex: the non-outer
+    // form pushes an inferred `size(<shingle kernel>) > 0` into the scan.
+    val exploded = shingled
+      .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     // Global document frequency per shingle — one agg shuffle, reused by the
     // ordering. Ties broken by the shingle text for determinism.
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -174,9 +185,14 @@ object Dedup {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
     val sig = shingled.select(
       col("id"), FastText.minhashSig(col("sh"), numHashes).as("sig"))
+    // posexplode_outer: the non-outer form makes Catalyst infer a
+    // `size(<band-key kernel chain>) > 0` filter and push it into the
+    // scan, re-evaluating the signature kernels there. Outer explode
+    // infers nothing; the (never-occurring) null row dies in the
+    // candidate equi-join.
     MinhashIndex(shingled, sig.select(
       col("id"),
-      posexplode(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key"))))
+      posexplode_outer(FastText.bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "key"))))
   }
 
   /** Persist an index as two parquet tables, `<path>/shingles` and
@@ -302,9 +318,15 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1 // Hamming<=d over c=d+1 chunks => >=1 chunk equal
     val bitsPerChunk = 32 / chunks
-    val sigs = df.select(
-      col(idCol).cast(LongType).as("id"),
-      FastText.simhash32(FastText.xhash32Array(FastText.sortedShingles(col(textCol), shingleK))).as("sim"))
+    // coalesce → non-nullable: otherwise the banded join's key constraints
+    // push `isnotnull(simhash32(xhash32array(sortedshingles(text))))` into
+    // the scan, running the whole signature chain twice per row.
+    val sigs = df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).cast(LongType).as("id"),
+        coalesce(
+          FastText.simhash32(FastText.xhash32Array(FastText.sortedShingles(col(textCol), shingleK))),
+          lit(0L)).as("sim"))
     val banded = sigs.select(
       col("id"),
       col("sim"),
