@@ -41,7 +41,12 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
-  def norm2(a: Column): Column = sqrt(dotSeq(a, a))
+  /** coalesce → non-nullable: otherwise a downstream score/threshold
+    * predicate's inferred `isnotnull(sqrt(dotseq(v, v)))` constraint is
+    * pushed into the parquet scan, re-evaluating the dot-product kernel in
+    * the filter on top of the projection (null vectors don't occur; rows
+    * with one would score 0 and fail any positive threshold). */
+  def norm2(a: Column): Column = coalesce(sqrt(dotSeq(a, a)), lit(0.0))
 
   def cosineSeq(a: Column, b: Column): Column = dotSeq(a, b) / (norm2(a) * norm2(b))
 
