@@ -209,6 +209,20 @@ object SparkEntry {
           col("n"), col("total"))
     }),
 
+    // Explicit GROUPING SETS (the general form cube/rollup specialize):
+    // per-status, per-priority, and grand-total groups in one pass —
+    // Spark expands to a single Expand + one aggregation shuffle.
+    "q25_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(1) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // Scalar subquery: orders within 10% of the global max price. The max
     // is a 1-row broadcast — no driver collect, no second scan shuffle.
     "q14_subq" -> ((s, dir) => {
@@ -721,6 +735,10 @@ object SparkEntry {
         |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q25_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q14_subq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * CAST(0.9 AS DOUBLE)""".stripMargin,
