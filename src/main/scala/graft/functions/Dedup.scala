@@ -114,9 +114,8 @@ object Dedup {
       shingleK: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     val shingled = shingledDf(df, idCol, textCol, shingleK)
-    // Prefix positions are computed narrow (id, len, s only); the shingle
-    // arrays join in afterwards, once per PREFIX row — never onto the
-    // quadratic candidate-pair stream.
+    // Prefix positions are computed narrow (id, len, s only); arrays only
+    // reappear in the final verify join on the deduped candidate pairs.
     // explode_outer for the same reason as buildMinhashIndex: the non-outer
     // form pushes an inferred `size(<shingle kernel>) > 0` into the scan.
     val exploded = shingled
