@@ -93,8 +93,13 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val idx = buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands)
+    // hint("merge"): with both self-join sides shuffled on the same keys,
+    // the signature pipeline is planned ONCE and reused (ReusedExchange)
+    // instead of recomputed per side — ~2× on the md5-bound sig cost. At
+    // corpus scale the banded frame is far past broadcast size anyway, so
+    // the sort-merge shape is also the honest 100 TB plan.
     val candidates = idx.banded
-      .as("l")
+      .as("l").hint("merge")
       .join(idx.banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
@@ -155,8 +160,11 @@ object Dedup {
     // the array-attaching verify joins.
     val lenBound =
       least(col("l.len"), col("r.len")) >= greatest(col("l.len"), col("r.len")) * lit(threshold)
+    // hint("merge"): one shared Exchange for both sides (ReusedExchange) —
+    // the freq-join + window prefix pipeline is planned once. See
+    // minhashPairs for the scale rationale.
     val candidates = prefix
-      .as("l")
+      .as("l").hint("merge")
       .join(prefix.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id") && posBound && lenBound)
       .select(col("l.id").as("i"), col("r.id").as("j"))
@@ -336,8 +344,10 @@ object Dedup {
             .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
     // Hamming filter BEFORE the dedup shuffle: the distinct then only
     // carries surviving near-pairs, not every chunk collision.
+    // hint("merge"): shared Exchange → the simhash signature chain runs
+    // once, not once per join side (see minhashPairs).
     banded
-      .as("l")
+      .as("l").hint("merge")
       .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"),

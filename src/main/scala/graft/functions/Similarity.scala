@@ -170,6 +170,9 @@ object Similarity {
     val bucketed = df.select(
       col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
+    // No merge hint here (unlike the Dedup self-joins): the sign-LSH
+    // bucket computation is cheap relative to sorting the bucketed rows,
+    // so letting the planner broadcast measures faster at bench scale.
     val candidates = bucketed
       .as("l")
       .join(bucketed.as("r"), col("l.table") === col("r.table") &&
