@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -262,57 +262,99 @@ object Dedup {
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise output into "keep one document per duplicate cluster".
-    * Iterative hash-to-min label propagation: every node adopts the
-    * minimum label among itself and its neighbors until fixpoint — each
-    * iteration is one distributed join + aggregation (no driver-side data),
-    * converging in O(component diameter) rounds, which is tiny for dup
-    * clusters. Convergence is detected by the (monotonically decreasing)
-    * global label sum. Output: (id, cluster_id = min id in component),
-    * deterministic, for every id appearing in `pairs`. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIter)._1
+    *
+    * Fixed-depth two-phase contraction, no driver-side loop and no
+    * blocking action anywhere (the whole computation is one lazy plan):
+    *
+    *  1. '''Partition-local union-find''' over the edge partitions as they
+    *     arrive (narrow `mapPartitions`, no shuffle): each partition emits
+    *     `(node, label)` where `label` is the minimum node id of the
+    *     node's component '''within that partition's subgraph'''. Each
+    *     partition's edge set is exactly represented by this star forest,
+    *     so global connectivity is preserved.
+    *  2. '''Per-node contraction''' (one `groupBy(node)` shuffle): a node
+    *     seen by several partitions has several labels — all provably in
+    *     one component. Emit `(node, minLabel)` as the node's resolved
+    *     row, plus boundary edges `(label, minLabel)` linking the node's
+    *     other labels to it. Only nodes split across partitions produce
+    *     boundary edges, so the boundary graph is tiny — O(cut nodes),
+    *     not O(nodes).
+    *  3. '''Single-task union-find''' over the boundary-label graph
+    *     (`repartition(1)`, its own stage so the wide upstream keeps its
+    *     parallelism), then a broadcast join maps every resolved label to
+    *     its global component minimum.
+    *
+    * Exactness: labels are themselves node ids, and the global minimum m
+    * of a component is a local minimum in every partition it appears in,
+    * so m survives phase 1 as its own label; every other label of the
+    * component chains to m through shared nodes, so phase 3's union-find
+    * roots the whole component at m. Output: (id, cluster_id = min id in
+    * component) for every id appearing in `pairs` — deterministic
+    * regardless of input partitioning.
+    *
+    * At 100 TB: phases 1-2 are one narrow pass + one shuffle of O(nodes)
+    * rows; only the boundary graph — inter-partition cut labels, orders
+    * of magnitude smaller than the corpus — funnels through the single
+    * fan-in task. If dup components ever chain across so many partitions
+    * that the cut itself is huge, insert another node-partitioned
+    * contraction of the boundary graph before the fan-in (same two
+    * operators, one more level); dup clusters in practice are near-cliques
+    * where the boundary graph is a few rows per cluster. The previous
+    * formulation (iterative hash-to-min label propagation) converged in
+    * O(diameter) rounds but paid 2+ blocking driver actions per round —
+    * on a latency-loaded cluster the round-trips, not the data, dominated.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val edges = pairs
+      .select(col("i").cast(LongType), col("j").cast(LongType))
+      .as[(Long, Long)](tup)
+    val local = edges.mapPartitions(it => UnionFind.components(it))(tup)
+      .toDF("node", "lbl")
+    val byNode = local.groupBy(col("node"))
+      .agg(min(col("lbl")).as("minl"), collect_set(col("lbl")).as("ls"))
+    val resolved = byNode.select(col("node"), col("minl"))
+    val boundary = byNode
+      .select(col("minl"), explode(col("ls")).as("l"))
+      .filter(col("l") =!= col("minl"))
+      .select(col("l"), col("minl"))
+      .as[(Long, Long)](tup)
+    val roots = boundary.repartition(1)
+      .mapPartitions(it => UnionFind.components(it))(tup)
+      .toDF("lbl", "root")
+    resolved
+      .join(broadcast(roots), resolved("minl") === roots("lbl"), "left")
+      .select(
+        col("node").as("id"),
+        coalesce(col("root"), col("minl")).as("cluster_id"))
+  }
 
-  /** [[duplicateClusters]] plus the number of propagation rounds executed —
-    * exposed so tests can pin the convergence behavior (a chain of length L
-    * needs L-1 rounds plus one to detect the fixpoint). */
-  private[graft] def duplicateClustersWithRounds(
-      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    // coalesce: sum over an empty frame is null (no pairs -> no clusters).
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.as("l")
-        .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("nlbl"), col("l.lbl"))).as("lbl"))
-      // The logical plan doubles in depth every round (labels feeds back
-      // into itself); persist() caches data but NOT lineage, so planning
-      // cost still grows exponentially. localCheckpoint() every other
-      // round truncates the plan at materialized partitions. (On a real
-      // cluster with executor churn, reliable checkpoint() to the
-      // checkpoint dir is the drop-in hardening.)
-      val updated =
-        if (iter % 2 == 1) next.localCheckpoint(eager = true)
-        else next.persist()
-      val newSum = labelSum(updated)
-      labels.unpersist()
-      labels = updated
-      converged = newSum == prevSum
-      prevSum = newSum
-      iter += 1
+  /** In-memory union-find with union-by-min: the parent pointer always
+    * points toward the smaller id, so `find` yields the minimum element of
+    * the set. Used per-partition inside [[duplicateClusters]]. */
+  private[graft] object UnionFind {
+    /** Consume an edge iterator, return (element, min-of-component) for
+      * every distinct element seen — the component star forest. */
+    def components(edges: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.map(k => (k, find(k)))
     }
-    edges.unpersist()
-    (labels.select(col("id"), col("lbl").as("cluster_id")), iter)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming (exact recall

@@ -7,15 +7,28 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("duplicateClusters labels a chain graph in diameter rounds (+1 to detect fixpoint)") {
-    // Chain 0-1-2-...-7: worst case for hash-to-min (min propagates one hop
-    // per round) — diameter 7, so 7 propagation rounds + 1 no-change round.
-    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("i", "j")
-    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain, maxIter = 20)
-    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  test("duplicateClusters labels a chain graph scattered one edge per partition") {
+    // Chain 0-1-2-...-7 with every edge in its own partition: worst case
+    // for partition-local contraction — no partition sees two adjacent
+    // edges, so EVERY label must be stitched through the boundary graph.
+    val chain = (0L until 7L).map(i => (i, i + 1)).toDF("i", "j").repartition(7)
+    val out = Dedup.duplicateClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out.size == 8)
     assert(out.values.forall(_ == 0L), out.toString)
-    assert(rounds == 8, s"expected 8 rounds (7 diameter + 1 detect), got $rounds")
+  }
+
+  test("duplicateClusters is invariant to input partitioning") {
+    // Two components whose edges straddle partition boundaries differently
+    // in each layout — labels must come out identical.
+    val pairs = Seq((5L, 3L), (9L, 5L), (1L, 9L), (20L, 22L), (21L, 22L))
+    val expected = Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 9L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    for (p <- Seq(1, 2, 5)) {
+      val out = Dedup.duplicateClusters(pairs.toDF("i", "j").repartition(p))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == expected, s"partitions=$p")
+    }
   }
 
   test("duplicateClusters separates disjoint components deterministically") {
