@@ -393,11 +393,12 @@ object SparkEntry {
     // and the "existing corpus" (even doc_ids) — the daily-increment shape
     // where corpus-side signatures would be precomputed.
     "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.minhashPairsBetween(
-        docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", threshold = 0.8)
+      // Both sides come from ONE table, so the split-index form applies:
+      // one scan + one signature pipeline, side predicates pushed into the
+      // merge self-join (vs indexing each half separately — two scans).
+      Dedup.minhashPairsSplit(
+        t(s, dir, "documents"), "doc_id", "text",
+        id => id % 2 === 1, threshold = 0.8)
     }),
 
     // Duplicate clusters: connected components over the MinHash near-dup

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -259,6 +259,36 @@ object Dedup {
       buildMinhashIndex(newDf, idCol, textCol, shingleK, numHashes, bands),
       buildMinhashIndex(corpusDf, idCol, textCol, shingleK, numHashes, bands),
       threshold)
+
+  /** [[minhashPairsBetween]] for the case where both sides are slices of
+    * ONE table, split by a predicate on the id: pairs between the
+    * `isNew(id)` slice and its complement, never within either. Instead of
+    * building two indexes (two scans + two signature pipelines over the
+    * same table), this indexes the table once and pushes the side
+    * predicates into a merge self-join — both sides shuffle identically,
+    * so the scan, the signature kernels, and the band exchange all run
+    * once (ReusedExchange) and the split happens post-shuffle. At corpus
+    * scale that halves the dominant cost (the text scan + md5 signature
+    * pass). Output (i = new id, j = corpus id, jaccard). */
+  def minhashPairsSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isNew: Column => Column,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val idx = buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands)
+    val candidates = idx.banded
+      .as("l").hint("merge")
+      .join(idx.banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          isNew(col("l.id")) && !isNew(col("r.id")))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, idx.shingled, threshold)
+  }
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise output into "keep one document per duplicate cluster".

@@ -45,6 +45,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(empty).count() == 0)
   }
 
+  test("split-index incremental dedup equals the two-index form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12)))
+      .toSet
+    val twoIndex = Dedup.minhashPairsBetween(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", threshold = 0.8)
+    val split = Dedup.minhashPairsSplit(
+      docs, "doc_id", "text", id => id % 2 === 1, threshold = 0.8)
+    val k = key(split)
+    assert(k == key(twoIndex))
+    assert(k.nonEmpty)
+    // never within a side: i always odd, j always even
+    assert(k.forall { case (i, j, _) => i % 2 == 1 && j % 2 == 0 })
+  }
+
   test("incremental dedup against a persisted index equals recomputation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // "Corpus" = docs 0..399, "new day" = docs 400..499 (overlapping dups
