@@ -410,6 +410,22 @@ object SparkEntry {
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))),
 
+    // End-to-end near-dup removal: the corpus with every non-canonical
+    // cluster member dropped (keep = the min doc_id of each MinHash
+    // cluster, plus every unduplicated doc). The drop list is tiny relative
+    // to the corpus, so the anti-join broadcasts it — the full corpus never
+    // reshuffles.
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))
+      val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      docs
+        .join(broadcast(drop), docs("doc_id") === drop("id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // Embedding near-dup, canonical scale-safe form: sign-LSH bucketed
     // candidate equi-join + exact cosine verify — no nested-loop over
     // n²/2 pairs anywhere in the plan. 16 tables x 2 planes: recall
@@ -490,6 +506,78 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occur").desc, col("word"))
         .limit(20)),
+
+    // Sequence packing: concatenate the corpus's token stream in doc_id
+    // order and cut it every 512 tokens; each doc is tagged with the pack
+    // it starts in and its offset there — the "pack documents into
+    // fixed-length training contexts" stage. The global running total is a
+    // two-level distributed prefix sum: an in-bucket cumulative window
+    // (partitioned, parallel) plus a prefix over per-bucket totals (one
+    // row per bucket — metadata-scale), broadcast back. No global-order
+    // window over the corpus ever exists in the plan.
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val packLen = 512
+      val tk = t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tokens"),
+        floor(col("doc_id") / 64).as("bucket"))
+      val inBucket = tk.withColumn(
+        "cum",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      // One row per bucket: the unpartitioned window is over a frame the
+      // size of the bucket count, not the corpus.
+      val bucketBefore = tk.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("btok"))
+        .withColumn(
+          "bucket_before",
+          coalesce(
+            sum(col("btok")).over(
+              Window.orderBy(col("bucket"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("bucket"), col("bucket_before"))
+      inBucket
+        .join(broadcast(bucketBefore), "bucket")
+        .withColumn("before", col("bucket_before") + col("cum") - col("n_tokens"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          floor(col("before") / packLen).as("pack_id"),
+          (col("before") % packLen).as("pack_offset"))
+    }),
+
+    // Top-3 TF-IDF terms per document (the keyword-extraction stage).
+    // Score = tf * N / df — the same ranking as tf*log(N/df) for fixed tf
+    // (monotone in N/df) but exactly representable: one integer product
+    // and one IEEE division, bitwise-identical across engines, where a
+    // log() would drift in the last ulp. Partitioned window top-k — no
+    // global sort.
+    "tfidf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TF.wsTokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf
+        .join(dfreq, "word")
+        .crossJoin(broadcast(total))
+        .withColumn("score", (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+        .withColumn(
+          "rnk",
+          row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("word"))))
+        .filter(col("rnk") <= 3)
+        // long, matching the oracle's BIGINT row_number — the driver's
+        // hash is type-sensitive (the sessionize/HUGEINT lesson).
+        .select(col("doc_id"), col("word"), col("score"),
+          col("rnk").cast(LongType).as("rnk"))
+    }),
 
     // Per-language exact length quantiles (linear interpolation — the
     // definition both Spark's percentile and DuckDB's quantile_cont use).
@@ -648,6 +736,22 @@ object SparkEntry {
        |SELECT a.doc_id AS i, b.doc_id AS j, $jacExpr AS jaccard
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE $jacExpr >= $threshold""".stripMargin
+
+  /** Connected components over the J>=0.8 pair list (recursive CTE),
+    * shared by the dedup_clusters / dedup_keep oracles: `cc(id, lbl)`
+    * holds every (node, reachable id); min(lbl) per id = the component
+    * minimum (edges are undirected). */
+  private val clustersCte =
+    s"""WITH RECURSIVE s AS ($shingles4),
+       |p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE $jacExpr >= 0.8),
+       |e AS (SELECT i AS src, j AS dst FROM p UNION ALL SELECT j, i FROM p),
+       |cc(id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)""".stripMargin
 
   /** 32-bit simhash per doc — mirrors TF.simhash32 over TF.shingleHashes. */
   private val simhashSql: String = {
@@ -836,17 +940,15 @@ object SparkEntry {
     // Transitive closure over the same pair list via a recursive CTE:
     // min reachable id == the component minimum (edges are undirected).
     "dedup_clusters" ->
-      s"""WITH RECURSIVE s AS ($shingles4),
-         |p AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE $jacExpr >= 0.8),
-         |e AS (SELECT i AS src, j AS dst FROM p UNION ALL SELECT j, i FROM p),
-         |cc(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM e
-         |  UNION
-         |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)
+      s"""$clustersCte
          |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // Same closure, then the corpus minus every non-canonical member.
+    "dedup_keep" ->
+      s"""$clustersCte
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (
+         |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
+         |  WHERE id != cluster_id)""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql(0.7),
     "dedup_simhash" ->
       s"""WITH sim AS ($simhashSql)
@@ -998,6 +1100,26 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY word ORDER BY n_occur DESC, word LIMIT 20""".stripMargin,
+    // The oracle may use the global-order window Spark avoids — DuckDB is
+    // single-node; only the VALUES must match.
+    "pack_sequences" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TF.TokenPattern}'))::BIGINT AS n_tokens
+         |FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS bef FROM tk)
+         |SELECT doc_id, n_tokens, bef // 512 AS pack_id, bef % 512 AS pack_offset
+         |FROM c""".stripMargin,
+    "tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.word AS word, (tf * n_docs)::DOUBLE / df AS score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY (tf * n_docs)::DOUBLE / df DESC, tf.word) AS rnk
+        |FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
+        |SELECT doc_id, word, score, rnk FROM sc WHERE rnk <= 3""".stripMargin,
     "q24_quantiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
         |  quantile_cont(n_chars, 0.95) AS p95, count(*) AS n

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-4 pipeline operators (pack_sequences,
+  * tfidf_topk, dedup_keep) on the sf0.001 corpus — value-level checks the
+  * DuckDB oracle can't express (invariants rather than row equality). */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pack_sequences: offsets stay in [0, 512) and packs tile the token stream") {
+    val rows = SparkEntry.queries("pack_sequences")(spark, dir)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, off) => off >= 0 && off < 512 })
+    // Reconstruct the running total: each doc's (pack_id, pack_offset)
+    // must equal the cumulative token count before it, in doc_id order.
+    var before = 0L
+    for ((_, nTokens, packId, off) <- rows) {
+      assert(packId == before / 512 && off == before % 512)
+      before += nTokens
+    }
+    // pack ids are nondecreasing and start at 0
+    assert(rows.head._3 == 0L)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 <= b._3; case _ => true })
+  }
+
+  test("tfidf_topk: exactly 3 ranked terms per doc, scores nonincreasing") {
+    val rows = SparkEntry.queries("tfidf_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    for ((_, terms) <- byDoc) {
+      assert(terms.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+      val byRank = terms.sortBy(_._4)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      })
+    }
+  }
+
+  test("dedup_keep: keeps exactly the canonical member of every cluster") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = SparkEntry.queries("dedup_keep")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val nonCanonical = clusters.collect { case (id, c) if id != c => id }.toSet
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(nonCanonical.nonEmpty)
+    assert(kept == all -- nonCanonical)
+  }
+}

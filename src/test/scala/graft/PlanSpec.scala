@@ -56,7 +56,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //  - q14_subq: uncorrelated scalar subquery modeled as a cross join
   //    against a broadcast 1-row aggregate — the build side is exactly one
   //    row at any corpus scale.
-  private val nljWhitelist = Set("ann_topk", "q14_subq")
+  //  - tfidf_topk: same 1-row broadcast shape (the corpus-size aggregate
+  //    joined onto every (doc, word) row).
+  private val nljWhitelist = Set("ann_topk", "q14_subq", "tfidf_topk")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
