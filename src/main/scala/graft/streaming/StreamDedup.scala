@@ -1,13 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.functions.Dedup
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /**
  * Streaming deduplication wrappers. State size is the scale concern:
  *  - `exactForever` keeps every key seen — only for bounded key domains.
  *  - `exactWithinWatermark` bounds state by event time — the 100 TB-safe
  *    default: state holds only keys younger than the watermark.
+ *  - `nearDupFilterAgainstIndex` is near-dup (not exact) streaming dedup:
+ *    state lives in the persisted corpus index, not in the streaming
+ *    engine, so it is unbounded-corpus-safe.
  */
 object StreamDedup {
 
@@ -24,6 +29,39 @@ object StreamDedup {
     stream
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Per-micro-batch NEAR-dup filter against a persisted corpus
+    * [[graft.functions.Dedup.MinhashIndex]] — the streaming face of
+    * incremental dedup: each batch is indexed (a narrow, batch-sized
+    * pass), banded-joined against the stored corpus bands, exact-verified,
+    * and only documents with no corpus near-dup at `threshold` reach
+    * `sink`. The corpus index is loaded once per query, not per batch;
+    * at warehouse scale the stored bands are bucketed by join key so the
+    * per-batch candidate join shuffles only the (small) batch side — see
+    * [[graft.functions.Dedup.writeMinhashIndex]]. The surviving batch
+    * would typically also be indexed and appended to the store so later
+    * batches dedup against it. */
+  def nearDupFilterAgainstIndex(
+      stream: DataFrame,
+      index: Dedup.MinhashIndex,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val pairs = Dedup.minhashPairsAcross(
+          Dedup.buildMinhashIndex(batch, idCol, textCol, shingleK, numHashes, bands),
+          index, threshold)
+        val dupIds = pairs.select(col("i").as("__dup_id")).distinct()
+        sink(
+          batch.join(broadcast(dupIds), batch(idCol) === col("__dup_id"), "left_anti"),
+          id)
+      }
+    }
 
   /** Content-hash dedup: dedup on a 32-bit content hash instead of the full
     * payload — shrinks both shuffle width and state size; use for

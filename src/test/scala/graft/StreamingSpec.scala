@@ -267,6 +267,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows === Seq(1L))
   }
 
+  test("streaming near-dup filter against a persisted MinHash index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val newDay = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-mh").toString
+    try {
+      graft.functions.Dedup.writeMinhashIndex(
+        graft.functions.Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+      val index = graft.functions.Dedup.readMinhashIndex(spark, dir)
+
+      // Batch-side expectation: ids with a corpus near-dup at 0.8.
+      val dupIds = graft.functions.Dedup.minhashPairsBetween(
+        docs.filter(col("doc_id") >= 400), corpus, "doc_id", "text", threshold = 0.8)
+        .select(col("i")).collect().map(_.getLong(0)).toSet
+      assert(dupIds.nonEmpty) // the synthetic corpus has cross-boundary dups
+
+      val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val in = MemoryStream[(Long, String)]
+      val writer = StreamDedup.nearDupFilterAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), index, "doc_id", "text") {
+        (batch, _) =>
+          survived.synchronized {
+            survived ++= batch.select(col("doc_id")).collect().map(_.getLong(0))
+          }
+      }
+      val q = writer.queryName("near_dup_filter").start()
+      val (b1, b2) = newDay.splitAt(newDay.length / 2)
+      runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq))
+
+      val expected = newDay.map(_._1).toSet -- dupIds
+      assert(survived.toSet == expected)
+      assert(survived.size < newDay.length) // something was actually filtered
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Kafka sink serialization: expanded frame round-trips through to_json") {
     import spark.implicits._
     // KafkaJson.writeStream serializes every row as to_json(struct(*));
