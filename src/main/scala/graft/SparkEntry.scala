@@ -223,6 +223,25 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
+    // Event-time RANGE window frame: per event, how many events (and how
+    // much value) the same user produced in the trailing 10 minutes —
+    // value-based frame bounds, not row counts. Partitioned by user: each
+    // user's stream sorts independently inside its shuffle partition; no
+    // global sort exists at any scale.
+    "q26_rolling_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> µs grid (oracle precision)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-600L * 1000000000L, 0L)
+      ev.select(
+        col("user_id"),
+        col("ts"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("v_10m"))
+    }),
+
     // Scalar subquery: orders within 10% of the global max price. The max
     // is a 1-row broadcast — no driver collect, no second scan shuffle.
     "q14_subq" -> ((s, dir) => {
@@ -435,6 +454,21 @@ object SparkEntry {
     "emb_pairs" -> ((s, dir) =>
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
+
+    // Embedding near-dup removal: the CC + broadcast-anti-join keep
+    // composition from the text side, reused over the embedding modality
+    // (sign-LSH pairs instead of MinHash bands feed the same
+    // duplicateClusters operator).
+    "emb_dedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val clusters = Dedup.duplicateClusters(
+        Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+          threshold = 0.4, dim = 64))
+      val drop = clusters.filter(col("id") =!= col("cluster_id"))
+      emb
+        .join(broadcast(drop), emb("vec_id") === drop("id"), "left_anti")
+        .select(col("vec_id"))
+    }),
 
     // Brute-force exact ANN: top-5 neighbors for every 50th vector; one
     // corpus scan, queries broadcast, map-side partial top-k Aggregator.
@@ -764,6 +798,33 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Sign-LSH near-dup pairs over embeddings — mirrors
+    * Similarity.cosinePairsLsh (md5-derived hyperplanes, 16 tables x 2
+    * planes, cosine >= 0.4). Ends in CTE `ep(i, j, cosine)`; shared by the
+    * emb_pairs / emb_dedup_keep oracles. */
+  private val embPairsCtes =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |hp AS (
+      |  SELECT t, p, list_transform(range(0, 64), d ->
+      |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
+      |  FROM range(0, 16) tt(t) CROSS JOIN range(0, 2) pp(p)),
+      |b AS (
+      |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+      |  FROM (
+      |    SELECT e.vec_id, hp.t, hp.p,
+      |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
+      |    FROM e CROSS JOIN hp)
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS i, r.vec_id AS j
+      |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |ep AS (SELECT * FROM (
+      |  SELECT i, j,
+      |    list_sum(list_transform(list_zip(a.v, b2.v), pr -> pr[1] * pr[2])) / (a.nrm * b2.nrm) AS cosine
+      |  FROM cand JOIN n a ON a.vec_id = i JOIN n b2 ON b2.vec_id = j)
+      |WHERE cosine >= 0.4)""".stripMargin
+
   /** Sequential-fold cosine pieces — mirrors Similarity.dotSeq/norm2. */
   private val embCast =
     "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, sqrt(list_sum(list_transform(list_transform(embedding, x -> x::DOUBLE), x -> x * x))) AS nrm FROM embeddings"
@@ -844,6 +905,13 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q26_rolling_range" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, "value" FROM events)
+        |SELECT user_id, ts, count(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q14_subq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * CAST(0.9 AS DOUBLE)""".stripMargin,
@@ -970,27 +1038,21 @@ object SparkEntry {
     // Same bucket-replication idea as ann_lsh below: 16 tables x 2 planes,
     // candidates from shared (table, bucket), exact cosine verify at 0.4.
     "emb_pairs" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |hp AS (
-         |  SELECT t, p, list_transform(range(0, 64), d ->
-         |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
-         |  FROM range(0, 16) tt(t) CROSS JOIN range(0, 2) pp(p)),
-         |b AS (
-         |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
-         |  FROM (
-         |    SELECT e.vec_id, hp.t, hp.p,
-         |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
-         |    FROM e CROSS JOIN hp)
-         |  GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT l.vec_id AS i, r.vec_id AS j
-         |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
-         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
-         |SELECT * FROM (
-         |  SELECT i, j,
-         |    list_sum(list_transform(list_zip(a.v, b2.v), pr -> pr[1] * pr[2])) / (a.nrm * b2.nrm) AS cosine
-         |  FROM cand JOIN n a ON a.vec_id = i JOIN n b2 ON b2.vec_id = j)
-         |WHERE cosine >= 0.4""".stripMargin,
+      s"""WITH $embPairsCtes
+         |SELECT i, j, cosine FROM ep""".stripMargin,
+    // Sign-LSH pair closure, then the embedding corpus minus every
+    // non-canonical member (mirrors dedup_keep on the text side).
+    "emb_dedup_keep" ->
+      s"""WITH RECURSIVE $embPairsCtes,
+         |ee AS (SELECT i AS src, j AS dst FROM ep UNION ALL SELECT j, i FROM ep),
+         |cc(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM ee
+         |  UNION
+         |  SELECT ee.dst, cc.lbl FROM cc JOIN ee ON ee.src = cc.id)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (
+         |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
+         |  WHERE id != cluster_id)""".stripMargin,
     // Replicates IVF cells: same centroid sample, affinity ranking with
     // (a DESC, cid) tie-break, nProbe=2, scoring identical to ann_topk.
     "ann_ivf" ->

@@ -11,7 +11,7 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.01"
     val out = "/tmp/out"
-    val names = Seq("dedup_keep", "pack_sequences", "tfidf_topk")
+    val names = Seq("q26_rolling_range")
     names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, dir).write.mode("overwrite").parquet(s"$out/$n")
     }
