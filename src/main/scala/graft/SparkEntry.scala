@@ -519,7 +519,9 @@ object SparkEntry {
     // is its prefix — one codegen'd kernel call per row.
     "fingerprint" -> ((s, dir) => {
       val fp = TFast.xhash32Array(TFast.sortedShingles(col("text"), 8))
-      t(s, dir, "documents").select(
+      // md5 over every 8-gram is the most kernel-heavy per-row stage in
+      // the text family — parallelize the scan if it can't (KernelInput).
+      graft.functions.KernelInput.ensureParallelism(t(s, dir, "documents")).select(
         col("doc_id"),
         element_at(fp, 1).as("fp1"), element_at(fp, 2).as("fp2"),
         element_at(fp, 3).as("fp3"), element_at(fp, 4).as("fp4"))

@@ -77,7 +77,8 @@ object Dedup {
   // the full md5 shingle kernel once in the filter and again in the
   // projection, doubling the dominant cost of every dedup query.
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.filter(col(textCol).isNotNull) // cheap, pushes to the scan as a plain IsNotNull
+    KernelInput.ensureParallelism(
+      df.filter(col(textCol).isNotNull)) // cheap, pushes to the scan as a plain IsNotNull
       .select(
         col(idCol).cast(LongType).as("id"),
         coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long])).as("sh"))
@@ -400,7 +401,7 @@ object Dedup {
     // coalesce → non-nullable: otherwise the banded join's key constraints
     // push `isnotnull(simhash32(xhash32array(sortedshingles(text))))` into
     // the scan, running the whole signature chain twice per row.
-    val sigs = df.filter(col(textCol).isNotNull)
+    val sigs = KernelInput.ensureParallelism(df.filter(col(textCol).isNotNull))
       .select(
         col(idCol).cast(LongType).as("id"),
         coalesce(

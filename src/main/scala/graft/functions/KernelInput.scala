@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Parallelism guard for expensive per-row kernel stages.
+ *
+ * A parquet row group is the unit of scan parallelism — Spark assigns each
+ * row group to the file split holding its midpoint, so a compressed
+ * single-row-group file scans as ONE task no matter how many splits or
+ * executor threads exist. Any expensive narrow stage fused onto such a scan
+ * (md5/XXH64 shingle signatures, dot products, image decode) then runs
+ * single-threaded while the rest of the machine idles.
+ *
+ * [[ensureParallelism]] redistributes the (cheap, raw) input across the
+ * session's default parallelism BEFORE the kernel stage — the shuffle
+ * carries the raw rows, which for these pipelines are far smaller than the
+ * kernel outputs they fan out into. When the scan already provides enough
+ * partitions (the 100 TB case: thousands of files × row groups), it is a
+ * no-op and the plan keeps its shuffle-free shape.
+ */
+object KernelInput {
+
+  /** Repartition `df` to the session default parallelism iff its current
+    * partitioning can't keep the machine busy (fewer than half the default
+    * parallelism). Call on the RAW input of an expensive kernel stage, not
+    * on kernel output. */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions triggers file listing, never a job.
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+}

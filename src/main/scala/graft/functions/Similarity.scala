@@ -167,7 +167,11 @@ object Similarity {
       tables: Int = 16,
       planes: Int = 2): DataFrame = {
     val hp = hyperplanes(tables, planes, dim)
-    val bucketed = df.select(
+    // Cheap raw input, expensive per-row kernels (tables×planes dot
+    // products + verify dot per candidate) — redistribute before the
+    // kernel stage if the scan can't parallelize it (see KernelInput).
+    val src = KernelInput.ensureParallelism(df)
+    val bucketed = src.select(
       col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
     // No merge hint here (unlike the Dedup self-joins): the sign-LSH
@@ -179,8 +183,8 @@ object Similarity {
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
+    val a = src.select(col(idCol).as("i"), col(vecCol).as("va"), norm2(col(vecCol)).as("na"))
+    val b = src.select(col(idCol).as("j"), col(vecCol).as("vb"), norm2(col(vecCol)).as("nb"))
     candidates
       .join(a, "i")
       .join(b, "j")

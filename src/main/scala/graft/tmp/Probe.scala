@@ -1,27 +1,22 @@
 package graft.tmp
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val out = "/tmp/out"
-    val names = Seq("q26_rolling_range")
-    names.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, dir).write.mode("overwrite").parquet(s"$out/$n")
-    }
-    val sqls = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-    val json = sqls.map { case (k, v) =>
-      "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-      json.getBytes("UTF-8"))
-    println("DBG wrote " + names.mkString(","))
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    println("DBG docs partitions=" + docs.rdd.getNumPartitions)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    println("DBG emb partitions=" + emb.rdd.getNumPartitions)
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    println("DBG lineitem partitions=" + li.rdd.getNumPartitions)
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    println("DBG events partitions=" + ev.rdd.getNumPartitions)
     spark.stop()
   }
 }
