@@ -40,6 +40,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
     val results = names.map { name =>
+      // Broadcast variables from the previous query are reclaimed by the
+      // ContextCleaner only once their driver references are GC'd; nudge the
+      // collector between queries so a broadcast-heavy predecessor (the dedup
+      // family's drop-lists) can't inflate a successor's number via executor
+      // memory pressure. Outside the timed region.
+      System.gc()
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -70,9 +70,11 @@ object SparkEntry {
 
     // Per-record dynamic schema (variant mode): the reference's cache-free
     // schemaless path — each row self-describes its type; extraction via
-    // variant_get.
+    // variant_get. parse_json is the expensive per-row stage here, so the
+    // raw scan goes through the kernel parallelism guard: a single-row-group
+    // file would otherwise parse serially on one task (no-op at scale).
     "ej_variant" -> ((s, dir) => {
-      t(s, dir, "events")
+      graft.functions.KernelInput.ensureParallelism(t(s, dir, "events"))
         .transform(ExpandJson.wholeVariant("props"))
         .select(col("event_id"), variant_get(col("props"), "$.k", "int").as("k"))
     }),
@@ -383,13 +385,10 @@ object SparkEntry {
     // LLM-data-pipeline operators (north star, SURVEY.md §2.2)
     // ------------------------------------------------------------------
 
-    // Exact dedup: hash-groupBy on content; keeps lowest doc_id per text.
-    "dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .select(col("keep_id"), col("n_dups"))
-    }),
+    // Exact dedup, hash-first: groups on a map-side content digest so the
+    // shuffle carries ~32 B/row, never document text (Dedup.exactGroups).
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
     // MinHash+LSH near-dup: banded signature join generates candidates,
     // exact Jaccard verifies (see Dedup scaladoc for the recall math).
@@ -431,17 +430,16 @@ object SparkEntry {
 
     // End-to-end near-dup removal: the corpus with every non-canonical
     // cluster member dropped (keep = the min doc_id of each MinHash
-    // cluster, plus every unduplicated doc). The drop list is tiny relative
-    // to the corpus, so the anti-join broadcasts it — the full corpus never
-    // reshuffles.
+    // cluster, plus every unduplicated doc). The anti-join is deliberately
+    // UN-hinted: at real-world dup rates (20-50% of a training corpus) the
+    // drop list is O(corpus) and must shuffle, while at low dup rates AQE
+    // sees the small runtime size and picks broadcast itself — a hard
+    // broadcast() here would be a driver OOM at scale.
     "dedup_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val clusters = Dedup.duplicateClusters(
-        Dedup.minhashPairs(docs, "doc_id", "text",
-          shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))
-      val drop = clusters.filter(col("id") =!= col("cluster_id"))
-      docs
-        .join(broadcast(drop), docs("doc_id") === drop("id"), "left_anti")
+      Dedup.keepCanonical(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text",
+            shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
@@ -455,18 +453,16 @@ object SparkEntry {
       Similarity.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
 
-    // Embedding near-dup removal: the CC + broadcast-anti-join keep
-    // composition from the text side, reused over the embedding modality
-    // (sign-LSH pairs instead of MinHash bands feed the same
-    // duplicateClusters operator).
+    // Embedding near-dup removal: the CC + anti-join keep composition from
+    // the text side, reused over the embedding modality (sign-LSH pairs
+    // instead of MinHash bands feed the same duplicateClusters operator).
+    // Un-hinted anti-join for the same reason as dedup_keep: AQE broadcasts
+    // small drop lists at runtime; large ones shuffle instead of OOMing.
     "emb_dedup_keep" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val clusters = Dedup.duplicateClusters(
-        Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
-          threshold = 0.4, dim = 64))
-      val drop = clusters.filter(col("id") =!= col("cluster_id"))
-      emb
-        .join(broadcast(drop), emb("vec_id") === drop("id"), "left_anti")
+      Dedup.keepCanonical(emb, "vec_id",
+          Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+            threshold = 0.4, dim = 64))
         .select(col("vec_id"))
     }),
 
@@ -547,41 +543,53 @@ object SparkEntry {
     // order and cut it every 512 tokens; each doc is tagged with the pack
     // it starts in and its offset there — the "pack documents into
     // fixed-length training contexts" stage. The global running total is a
-    // two-level distributed prefix sum: an in-bucket cumulative window
-    // (partitioned, parallel) plus a prefix over per-bucket totals (one
-    // row per bucket — metadata-scale), broadcast back. No global-order
-    // window over the corpus ever exists in the plan.
+    // THREE-level distributed prefix sum in which every level is either
+    // partitioned or metadata-scale:
+    //   1. in-bucket cumulative window (partitionBy bucket, <=64-row frames);
+    //   2. in-superbucket cumulative window over bucket totals
+    //      (partitionBy sb, <=16384-row frames);
+    //   3. superbucket prefix via a broadcast non-equi join over the
+    //      n/2^20-row superbucket totals (~10k rows even at 10^10 docs) —
+    //      map-side aggregated, so no single-task window ever exists in the
+    //      plan (PlanSpec gates the whole query map on this).
+    // Divisions are integer `div`, exact past 2^53 cumulative tokens where
+    // floor(x/y)'s double round-trip would drift off the BIGINT oracle.
     "pack_sequences" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val packLen = 512
-      val tk = t(s, dir, "documents").select(
-        col("doc_id"),
-        size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tokens"),
-        floor(col("doc_id") / 64).as("bucket"))
+      val tk = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("bucket", expr("doc_id div 64"))
+        .withColumn("sb", expr("doc_id div 1048576")) // 64 docs * 16384 buckets
       val inBucket = tk.withColumn(
         "cum",
         sum(col("n_tokens")).over(
           Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-      // One row per bucket: the unpartitioned window is over a frame the
-      // size of the bucket count, not the corpus.
-      val bucketBefore = tk.groupBy(col("bucket"))
+      val bucketTot = tk.groupBy(col("sb"), col("bucket"))
         .agg(sum(col("n_tokens")).as("btok"))
-        .withColumn(
-          "bucket_before",
-          coalesce(
-            sum(col("btok")).over(
-              Window.orderBy(col("bucket"))
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select(col("bucket"), col("bucket_before"))
+      val inSb = bucketTot.withColumn(
+        "cum_b",
+        sum(col("btok")).over(
+          Window.partitionBy(col("sb")).orderBy(col("bucket"))))
+      val sbTot = bucketTot.groupBy(col("sb")).agg(sum(col("btok")).as("stok"))
+      val sbBefore = sbTot
+        .join(broadcast(sbTot.select(col("sb").as("sb2"), col("stok").as("stok2"))),
+          col("sb2") < col("sb"), "left")
+        .groupBy(col("sb"))
+        .agg(coalesce(sum(col("stok2")), lit(0L)).as("sb_before"))
+      val bucketBefore = inSb
+        .join(sbBefore, "sb")
+        .select(col("bucket"),
+          (col("sb_before") + col("cum_b") - col("btok")).as("bucket_before"))
       inBucket
-        .join(broadcast(bucketBefore), "bucket")
+        .join(bucketBefore, "bucket")
         .withColumn("before", col("bucket_before") + col("cum") - col("n_tokens"))
         .select(
           col("doc_id"),
           col("n_tokens"),
-          floor(col("before") / packLen).as("pack_id"),
-          (col("before") % packLen).as("pack_offset"))
+          expr("before div 512").as("pack_id"),
+          (col("before") % 512).as("pack_offset"))
     }),
 
     // Top-3 TF-IDF terms per document (the keyword-extraction stage).

@@ -36,11 +36,19 @@ import TextFunctions._
  */
 object Dedup {
 
-  /** Exact duplicate groups by content: one shuffle on `text`. At scale,
-    * group on `xhash32(text)` first and verify within groups to shrink
-    * shuffle width from full documents to 8 bytes. */
+  /** Exact duplicate groups by content, hash-first: the aggregation groups
+    * on a (xxhash64, md5, length) content digest computed map-side, so the
+    * shuffle carries ~32 bytes per row — never the document text. Digest
+    * equality is taken as content equality: two DIFFERENT texts group
+    * together only if a 64-bit and an independent 128-bit hash AND the byte
+    * length all collide (< 1e-50 per pair) — the identity-by-digest
+    * convention of content-addressable storage. Null texts group together,
+    * as with a direct `groupBy(text)`. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(
+        xxhash64(col(textCol)).as("h64"),
+        md5(col(textCol)).as("h128"),
+        length(col(textCol)).as("len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(col("keep_id"), col("n_dups"))
 
@@ -358,6 +366,18 @@ object Dedup {
       .select(
         col("node").as("id"),
         coalesce(col("root"), col("minl")).as("cluster_id"))
+  }
+
+  /** Keep one document per duplicate cluster: drops every row of `df` whose
+    * id appears in `pairs`' connected components as a non-canonical member
+    * (canonical = min id of the cluster). The anti-join is deliberately
+    * UN-hinted: at real-world dup rates (20-50% of a training corpus) the
+    * drop list is O(corpus) and must shuffle; at low dup rates AQE sees the
+    * small runtime size and broadcasts it. A hard `broadcast(drop)` would
+    * be a driver OOM on a high-dup corpus. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs).filter(col("id") =!= col("cluster_id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
   /** In-memory union-find with union-by-min: the parent pointer always

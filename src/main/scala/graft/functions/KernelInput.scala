@@ -24,10 +24,27 @@ object KernelInput {
   /** Repartition `df` to the session default parallelism iff its current
     * partitioning can't keep the machine busy (fewer than half the default
     * parallelism). Call on the RAW input of an expensive kernel stage, not
-    * on kernel output. */
+    * on kernel output.
+    *
+    * Precondition (enforced): `df` must be a batch scan-only plan —
+    * scans/filters/projections, nothing shuffle-introducing. For such plans
+    * `df.rdd.getNumPartitions` only triggers file listing; with a shuffle in
+    * the plan, materializing the RDD under AQE would eagerly run every
+    * upstream query stage (real jobs), and on a streaming frame it throws. */
   def ensureParallelism(df: DataFrame): DataFrame = {
+    require(!df.isStreaming,
+      "ensureParallelism reads the batch scan's partition count; on a stream " +
+        "the source governs parallelism — call it on the batch side instead.")
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.logical.foreach {
+      case p @ (_: Aggregate | _: Join | _: Distinct | _: Deduplicate |
+                _: Window | _: Sort | _: RepartitionOperation) =>
+        throw new IllegalArgumentException(
+          s"ensureParallelism requires a scan-only input plan (its partition " +
+            s"probe would otherwise run real jobs under AQE); found ${p.nodeName}")
+      case _ => ()
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions triggers file listing, never a job.
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
   }

@@ -63,6 +63,40 @@ class DedupSpec extends SparkSpec {
     assert(k.forall { case (i, j, _) => i % 2 == 1 && j % 2 == 0 })
   }
 
+  test("keepCanonical: high-dup-rate corpus works with broadcast disabled (no pinned hint)") {
+    // 60% duplicates — the real-world training-corpus shape where the drop
+    // list is O(corpus) and a hard broadcast(drop) would OOM the driver.
+    // doc i >= 400 duplicates canonical i % 400.
+    val pairs = (400L until 1000L).map(i => (i % 400, i)).toDF("i", "j")
+    val docs = (0L until 1000L).toDF("doc_id")
+    val expected = (0L until 400L).toSet
+
+    // Default config: AQE/statistics pick the strategy (broadcast is fine
+    // at this size).
+    assert(Dedup.keepCanonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet == expected)
+
+    // Broadcast forbidden: the anti-join must still run (shuffled). An
+    // explicit broadcast() hint would override the threshold — this pins
+    // the un-hinted shape.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.keepCanonical(docs, "doc_id", pairs)
+      assert(df.collect().map(_.getLong(0)).toSet == expected)
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val p = df.queryExecution.executedPlan
+      val plans = p +: p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      val broadcastAnti = plans.flatMap(_.collect {
+        case b: BroadcastHashJoinExec if b.joinType == LeftAnti => b
+      })
+      assert(broadcastAnti.isEmpty,
+        s"drop-list anti-join broadcast despite threshold=-1 (pinned hint?):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("incremental dedup against a persisted index equals recomputation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // "Corpus" = docs 0..399, "new day" = docs 400..499 (overlapping dups

@@ -58,7 +58,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    row at any corpus scale.
   //  - tfidf_topk: same 1-row broadcast shape (the corpus-size aggregate
   //    joined onto every (doc, word) row).
-  private val nljWhitelist = Set("ann_topk", "q14_subq", "tfidf_topk")
+  //  - pack_sequences: top prefix-sum level is a broadcast non-equi join
+  //    over SUPERBUCKET totals — n/2^20 rows (~10k at 10^10 docs), the
+  //    metadata-scale terminator that keeps every window partitioned.
+  private val nljWhitelist = Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -72,6 +75,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("vocab_topk: bounded TakeOrderedAndProject, never a global sort of the vocab") {
     assert(planString("vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no unpartitioned window anywhere in the production query map") {
+    // An unpartitioned window funnels the whole frame through ONE task —
+    // linear in the corpus at scale (WindowExec's own "No Partition
+    // Defined" warning). Prefix-style computations must contract through
+    // partitioned levels instead (see pack_sequences).
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+      val bad = collectAll(plan(q)) { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q has an unpartitioned window:\n${planString(q)}")
+    }
+  }
+
+  test("dedup_exact: no exchange carries document text (hash-first shuffle)") {
+    val shuffles = collectAll(plan("dedup_exact")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("dedup_exact"))
+    for (e <- shuffles)
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange carries document text:\n$e")
   }
 
   test("narrow pipeline stages plan zero shuffles") {
