@@ -332,22 +332,54 @@ object Dedup {
     * regardless of input partitioning.
     *
     * At 100 TB: phases 1-2 are one narrow pass + one shuffle of O(nodes)
-    * rows; only the boundary graph — inter-partition cut labels, orders
-    * of magnitude smaller than the corpus — funnels through the single
-    * fan-in task. If dup components ever chain across so many partitions
-    * that the cut itself is huge, insert another node-partitioned
-    * contraction of the boundary graph before the fan-in (same two
-    * operators, one more level); dup clusters in practice are near-cliques
-    * where the boundary graph is a few rows per cluster. The previous
-    * formulation (iterative hash-to-min label propagation) converged in
-    * O(diameter) rounds but paid 2+ blocking driver actions per round —
-    * on a latency-loaded cluster the round-trips, not the data, dominated.
+    * rows; the contraction is then applied a SECOND time to the boundary
+    * graph itself, so the single fan-in task sees the boundary of the
+    * boundary — on a pathological corpus whose dup components chain across
+    * most partitions (cut = O(nodes)), the second level collapses each
+    * task's chunk of the label graph before the fan-in; dup clusters in
+    * practice are near-cliques where even the first boundary is a few rows
+    * per cluster. The previous formulation (iterative hash-to-min label
+    * propagation) converged in O(diameter) rounds but paid 2+ blocking
+    * driver actions per round — on a latency-loaded cluster the
+    * round-trips, not the data, dominated.
     */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val edges = pairs
       .select(col("i").cast(LongType), col("j").cast(LongType))
       .as[(Long, Long)](tup)
+    val (r1, b1) = contractOnce(edges)
+    // Second contraction level over the label graph: the fan-in input
+    // shrinks from O(cut nodes) to O(cut of the cut).
+    val (r2, b2) = contractOnce(b1)
+    val roots = b2.repartition(1)
+      .mapPartitions(it => UnionFind.components(it))(tup)
+      .toDF("lbl", "root")
+    // Resolution chain: node -(L1)-> minl -(L2)-> minl2 -(fan-in)-> root.
+    // A label absent from a later level was never a cut node there and
+    // already holds its final value — hence the coalesces. The L2 map is
+    // un-hinted: AQE broadcasts it in the typical near-clique case.
+    val lblMap = r2.select(col("node").as("l2"), col("minl").as("minl2"))
+    r1
+      .join(lblMap, r1("minl") === lblMap("l2"), "left")
+      .withColumn("m2", coalesce(col("minl2"), col("minl")))
+      .join(broadcast(roots), col("m2") === roots("lbl"), "left")
+      .select(
+        col("node").as("id"),
+        coalesce(col("root"), col("m2")).as("cluster_id"))
+  }
+
+  /** One union-find contraction level (phases 1-2 of [[duplicateClusters]]):
+    * partition-local components, then a per-node merge. Returns
+    * `(resolved, boundary)`: `resolved(node, minl)` gives each node its
+    * minimum label across partitions; `boundary` holds the label-graph
+    * edges `(label, minLabel)` produced by nodes seen in more than one
+    * partition — O(cut nodes), empty when no component crosses a
+    * partition. */
+  private[graft] def contractOnce(
+      edges: org.apache.spark.sql.Dataset[(Long, Long)])
+      : (DataFrame, org.apache.spark.sql.Dataset[(Long, Long)]) = {
+    val tup = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val local = edges.mapPartitions(it => UnionFind.components(it))(tup)
       .toDF("node", "lbl")
     val byNode = local.groupBy(col("node"))
@@ -358,14 +390,7 @@ object Dedup {
       .filter(col("l") =!= col("minl"))
       .select(col("l"), col("minl"))
       .as[(Long, Long)](tup)
-    val roots = boundary.repartition(1)
-      .mapPartitions(it => UnionFind.components(it))(tup)
-      .toDF("lbl", "root")
-    resolved
-      .join(broadcast(roots), resolved("minl") === roots("lbl"), "left")
-      .select(
-        col("node").as("id"),
-        coalesce(col("root"), col("minl")).as("cluster_id"))
+    (resolved, boundary)
   }
 
   /** Keep one document per duplicate cluster: drops every row of `df` whose

@@ -3,8 +3,9 @@ package graft.streaming
 import graft.schema.JsonSchemaInference
 import graft.transform.ExpandJson
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.Row
 
 /**
@@ -32,6 +33,63 @@ object ExpandJsonStreaming {
   /** Fixed-schema streaming per-field expand (with-schema path). */
   def expandFields(stream: DataFrame, schemas: Map[String, DataType]): DataFrame =
     ExpandJson.onFields(schemas.keys.toSeq, schemaOverrides = schemas)(stream)
+
+  /** Fixed-schema streaming expand with drift OBSERVABILITY — the
+    * production fast path made measurable. The parse runs PERMISSIVE (a
+    * drifted record must surface in a metric, not kill the query), and a
+    * `Dataset.observe` node reports three counters per micro-batch through
+    * `StreamingQueryProgress.observedMetrics(metricName)`:
+    *
+    *  - `malformed_rows`: raw value present but not a JSON object
+    *    (`json_object_keys` nulls out) — PERMISSIVE `from_json` degrades
+    *    such rows to an all-null row, so the parse output alone can't
+    *    distinguish them from `{}`;
+    *  - `drifted_field_rows`: rows where some schema field parsed null but
+    *    the raw JSON HAS that key non-null — the silent-null drift the
+    *    PERMISSIVE fast path otherwise hides (e.g. int field arriving as a
+    *    string);
+    *  - `new_field_rows`: rows whose JSON carries root keys the fixed
+    *    schema doesn't know — the "producer added a field" signal that says
+    *    re-infer;
+    * plus `rows`, the batch denominator.
+    *
+    * Scale: the checks are narrow per-row expressions (one shallow
+    * `json_object_keys` pass + one `get_json_object` per schema field) fused
+    * into the same projection stage — no shuffle, no extra pass, works under
+    * any trigger. Root keys must be plain identifiers (the reference's own
+    * root-level-only contract). */
+  def expandWholeObserved(
+      stream: DataFrame,
+      column: String,
+      schema: DataType,
+      metricName: String = "expand_json_drift"): DataFrame = {
+    val rawCol = "__graft_raw"
+    val withRaw = stream.withColumn(rawCol, col(column).cast(StringType))
+    val expanded = ExpandJson.whole(column, schemaOverride = Some(schema),
+      permissive = true)(withRaw)
+    val malformed = col(rawCol).isNotNull && json_object_keys(col(rawCol)).isNull
+    val drifted = schema match {
+      case st: StructType if st.fields.nonEmpty =>
+        col(column).isNotNull && st.fields.map { f =>
+          when(col(column).getField(f.name).isNull &&
+            get_json_object(col(rawCol), "$." + f.name).isNotNull, 1).otherwise(0)
+        }.reduce(_ + _) > 0
+      case _ => lit(false)
+    }
+    val newField = schema match {
+      case st: StructType =>
+        size(array_except(json_object_keys(col(rawCol)),
+          typedLit(st.fieldNames.toSeq))) > 0
+      case _ => lit(false)
+    }
+    expanded
+      .observe(metricName,
+        count(when(malformed, 1)).as("malformed_rows"),
+        count(when(drifted, 1)).as("drifted_field_rows"),
+        count(when(newField, 1)).as("new_field_rows"),
+        count(lit(1)).as("rows"))
+      .drop(rawCol)
+  }
 
   /** Per-record dynamic schema on a stream: variant mode needs no
     * plan-time schema at all, so it is watermark-transparent and drift-proof

@@ -18,6 +18,31 @@ class DedupSpec extends SparkSpec {
     assert(out.values.forall(_ == 0L), out.toString)
   }
 
+  test("duplicateClusters: adversarial shuffled path graph — worst-case cut, second level contracts it") {
+    // A 4096-node path with edges dealt randomly across 64 partitions:
+    // nearly every node is a cut node, so the first boundary graph is
+    // O(nodes) — the pathology where a single-level fan-in would funnel the
+    // whole corpus through one task. Correctness must hold AND the second
+    // contraction level must shrink what the fan-in task actually sees.
+    val n = 4096
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0 until n - 1).toList).map(i => (i.toLong, i + 1L))
+    val df = edges.toDF("i", "j").repartition(64)
+
+    val out = Dedup.duplicateClusters(df).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(5).mkString(","))
+
+    // Boundary accounting via the internal contraction step.
+    val typed = df.select(col("i").cast("long"), col("j").cast("long"))
+      .as[(Long, Long)]
+    val (_, b1) = Dedup.contractOnce(typed)
+    val (_, b2) = Dedup.contractOnce(b1)
+    val c1 = b1.count(); val c2 = b2.count()
+    assert(c1 <= 2L * n, s"first boundary exceeds O(n): $c1")
+    assert(c2 * 2 <= c1, s"second level failed to contract the cut: b1=$c1 b2=$c2")
+  }
+
   test("duplicateClusters is invariant to input partitioning") {
     // Two components whose edges straddle partition boundaries differently
     // in each layout — labels must come out identical.

@@ -127,6 +127,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq((-2, "b"), (7, "a")))
   }
 
+  test("expandWholeObserved counts malformed, drifted, and new-field rows per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val schema = JsonTestSchemas.kv // struct<k:int, tag:string>
+    val in = MemoryStream[String]
+    val out = ExpandJsonStreaming.expandWholeObserved(
+      in.toDF().toDF("value"), "value", schema)
+    val q = out.writeStream.format("memory").queryName("expand_observed")
+      .outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData(
+        """{"k": 7, "tag": "a"}""",          // clean
+        """{"k": "oops", "tag": "b"}""",     // drift: k arrives as string
+        """not json at all""",               // malformed
+        """{"k": 1, "tag": "c", "x": 9}""")) // new field: x
+    val ms = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("expand_json_drift")))
+    def total(f: String) = ms.map(_.getAs[Long](f)).sum
+    assert(total("rows") == 4, ms.mkString(";"))
+    assert(total("malformed_rows") == 1, ms.mkString(";"))
+    assert(total("drifted_field_rows") == 1, ms.mkString(";"))
+    assert(total("new_field_rows") == 1, ms.mkString(";"))
+    // The stream itself keeps flowing: PERMISSIVE means drift degrades to
+    // nulls instead of failing the query.
+    assert(spark.table("expand_observed").count() == 4)
+  }
+
   test("foreachBatchExpand re-infers per micro-batch (schema drift across batches)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
