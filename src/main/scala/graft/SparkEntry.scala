@@ -736,14 +736,47 @@ object SparkEntry {
             .as("split"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing >= 10 distinct
+    // 16-char shingles with the eval set (docs where doc_id % 100 = 0) —
+    // the "did training data leak the benchmark" scan. The eval shingle
+    // set is broadcast (benchmarks are small by construction); only the
+    // matched rows ever shuffle (Contamination scaladoc).
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Contamination.contaminatedDocs(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 16, minOverlap = 10)
+    }),
+
+    // Token-count histogram (64-token bins): the context-length profile a
+    // packing/batching stage plans against. Map-side partial aggregation;
+    // the shuffle carries one row per bin.
+    "token_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tokens"))
+        .groupBy(expr("n_tokens div 64").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))),
+
+    // Deterministic corpus shuffle into 8 training shards with a stable
+    // intra-shard order (Sampling.shards): reproducible example order
+    // under repartitioning/retries/engines; one partitioned window, no
+    // global sort.
+    "corpus_shard" -> ((s, dir) =>
+      graft.functions.Sampling.shards(
+        t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id").cast(StringType), nShards = 8, salt = "r5")
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+
     // The canonical corpus-cleaning composition: keep each text's lowest
-    // doc_id (exact-dedup canonical), require positive quality and
-    // classifier/label language agreement, emit the doc with its token
-    // count — the "what survives into training" query.
+    // doc_id (exact-dedup canonical, hash-first — no text ever shuffles),
+    // require positive quality and classifier/label language agreement,
+    // emit the doc with its token count — the "what survives into
+    // training" query.
     "pipeline_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val canonical = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
+      val canonical = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
       docs
         .join(canonical, "doc_id", "left_semi")
         .withColumn("quality_score", TF.qualityScore(col("text")))
@@ -1294,6 +1327,32 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars_actual,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |FROM documents""".stripMargin,
+    // 16-char shingles: range upper bound mirrors the k=4 fragment with
+    // k-2 = 14. The Spark side counts hashed shingles; counts equal the
+    // string-shingle counts absent an XXH64 collision (same argument as
+    // the Jaccard oracle family).
+    "decontaminate" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 14, 2)), i -> substr(text, i, 16))) AS sh
+        |FROM documents),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 100 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 100 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM c JOIN ev ON c.g = ev.g
+        |GROUP BY c.doc_id HAVING count(*) >= 10""".stripMargin,
+    "token_hist" ->
+      s"""WITH tk AS (SELECT len(regexp_extract_all(text, '${TF.TokenPattern}'))::BIGINT AS n_tokens
+         |FROM documents)
+         |SELECT n_tokens // 64 AS bin, count(*) AS n_docs,
+         |  sum(n_tokens)::BIGINT AS sum_tokens
+         |FROM tk GROUP BY 1""".stripMargin,
+    "corpus_shard" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+        |  row_number() OVER (
+        |    PARTITION BY ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+        |    ORDER BY ('0x' || substr(md5('r5_p' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) - 1 AS shard_pos
         |FROM documents""".stripMargin
   )
 }

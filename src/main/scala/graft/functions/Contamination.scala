@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Benchmark decontamination: find corpus documents that share long
+ * character n-grams with an evaluation set — the "did the training data
+ * leak the benchmark" scan every LLM pipeline runs before training.
+ *
+ * Shape at 100 TB: the eval side is small by construction (benchmarks are
+ * thousands of documents, not billions), so its distinct shingle set is
+ * BROADCAST; the corpus side is one narrow shingle-explode pass joined
+ * map-side against that set, and the only shuffle carries the matched
+ * (doc, shingle-hit) rows — a tiny fraction of the corpus — into the
+ * per-doc count. Nothing corpus-sized ever shuffles or sorts.
+ *
+ * Shingles are hashed (XXH64) on both sides, so the join carries 8-byte
+ * keys; the overlap count equals the string-shingle count absent an XXH64
+ * collision inside a doc's eval-intersection (~1e-14 per doc — the same
+ * argument as the MinHash/ngram oracle families, asserted corpus-wide by
+ * FastKernelSpec for the underlying kernel).
+ */
+object Contamination {
+
+  /** Corpus docs sharing at least `minOverlap` distinct k-char shingles
+    * with the union of the eval set's shingles.
+    * Output: (doc_id, n_overlap), one row per contaminated doc.
+    *
+    * `k` should be long enough that incidental prose overlap is rare
+    * (16-32 chars ≈ the classic 8-13 token window); `minOverlap` then
+    * separates quotation-level contamination from chance collisions. */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      minOverlap: Int = 10): DataFrame = {
+    // coalesce → non-nullable kernel output: constraint propagation can't
+    // infer an isnotnull(<kernel>) filter and re-run the shingle kernel in
+    // the scan (see Dedup.shingledDf); the cheap raw-column IsNotNull
+    // preserves null-row semantics and pushes to parquet.
+    def shingles(df: DataFrame) =
+      coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long]))
+    val ev = evalSet
+      .filter(col(textCol).isNotNull)
+      .select(explode_outer(shingles(evalSet)).as("sh"))
+      .distinct()
+    KernelInput.ensureParallelism(corpus.filter(col(textCol).isNotNull))
+      .select(col(idCol).cast(LongType).as("doc_id"), explode_outer(shingles(corpus)).as("sh"))
+      .join(broadcast(ev), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+}

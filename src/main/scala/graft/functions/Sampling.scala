@@ -39,6 +39,25 @@ object Sampling {
     h >= (lo * 4294967296.0).toLong && h < (hi * 4294967296.0).toLong
   }
 
+  /** Deterministic training-shard assignment + intra-shard order: shard by
+    * one key hash, position within the shard by an independent hash — a
+    * reproducible global shuffle of the corpus into `nShards` streams
+    * (the "randomize example order for training" stage, stable across
+    * partitioning, retries, and engines). One partitioned window keyed on
+    * the shard id; no global sort ever exists in the plan. At scale pick
+    * nShards >= cluster parallelism so each window partition holds
+    * ~corpus/nShards rows. Adds columns `shard` and `shard_pos`. */
+  def shards(df: DataFrame, keyCol: Column, nShards: Int, salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(!df.columns.exists(c => c == "shard" || c == "shard_pos"),
+      "input already has a shard/shard_pos column")
+    df.withColumn("shard", pmod(xhash32(concat(lit(salt + "_s"), keyCol)), lit(nShards)))
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(xhash32(concat(lit(salt + "_p"), keyCol)), keyCol)) - 1)
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (hash, key) — a deterministic "random" quota per group
     * (language balancing, source balancing).

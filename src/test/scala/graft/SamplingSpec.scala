@@ -29,6 +29,23 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(train.size + valid.size + test_.size === 2000)
   }
 
+  test("shards: complete, dense per-shard positions, deterministic under repartitioning") {
+    val out = Sampling.shards(ids, col("k"), nShards = 4, salt = "sh")
+      .select(col("k"), col("shard"), col("shard_pos"))
+      .as[(String, Long, Int)].collect()
+    assert(out.length === 2000)
+    assert(out.map(_._2).toSet === Set(0L, 1L, 2L, 3L))
+    // Positions are exactly 0..count-1 within every shard (a true
+    // permutation of each shard's rows).
+    for ((shard, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (0 until rows.length), s"shard $shard")
+    // Pure function of the data: identical under repartitioning.
+    val again = Sampling.shards(ids.repartition(13), col("k"), 4, "sh")
+      .select(col("k"), col("shard"), col("shard_pos"))
+      .as[(String, Long, Int)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("stratifiedQuota: exactly quota per stratum (or all, when smaller)") {
     val df = (1 to 300).map(i => (s"s${i % 3}", i.toString)).toDF("g", "k")
       .union(Seq(("tiny", "x")).toDF("g", "k"))
