@@ -749,6 +749,31 @@ object SparkEntry {
         "doc_id", "text", k = 16, minOverlap = 10)
     }),
 
+    // Deterministic random projection 64 -> 4 dims (Johnson-Lindenstrauss):
+    // the dimensionality-reduction stage before ANN indexing. Narrow — four
+    // dot-product kernels against literal md5-derived directions, no
+    // shuffle (Similarity.randomProjection).
+    "emb_project" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 4, dim = 64)),
+
+    // Per-language quality gate: keep docs at or above their language's
+    // median quality score — "keep the best half per language". The
+    // medians are metadata (one row per language, broadcast); the corpus
+    // itself never shuffles — two narrow scans, one tiny agg.
+    "quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      // coalesce → non-nullable: keeps the q >= med predicate's inferred
+      // isnotnull from re-running the quality kernel inside the scan.
+      val scored = docs.select(
+        col("doc_id"), col("lang"),
+        coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      val med = scored.groupBy(col("lang")).agg(expr("percentile(q, 0.5D)").as("med"))
+      scored.join(broadcast(med), "lang")
+        .filter(col("q") >= col("med"))
+        .select(col("doc_id"), col("lang"), col("q"))
+    }),
+
     // Token-count histogram (64-token bins): the context-length profile a
     // packing/batching stage plans against. Map-side partial aggregation;
     // the shuffle carries one row per bin.
@@ -1353,6 +1378,31 @@ object SparkEntry {
         |  row_number() OVER (
         |    PARTITION BY ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
         |    ORDER BY ('0x' || substr(md5('r5_p' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) - 1 AS shard_pos
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // list_sum over list_zip folds left sequentially — same order as the
+    // DotSeq kernel (the construction emb_pairs already proves bitwise).
+    "emb_project" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |d AS (SELECT j, list_transform(range(0, 64), dd ->
+        |    ('0x' || substr(md5('proj_' || j::VARCHAR || '_' || dd::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS dir
+        |  FROM range(0, 4) jj(j)),
+        |p AS (SELECT vec_id, j,
+        |    list_sum(list_transform(list_zip(v, dir), pr -> pr[1] * pr[2])) AS p
+        |  FROM e CROSS JOIN d)
+        |SELECT vec_id,
+        |  max(CASE WHEN j = 0 THEN p END) AS p0,
+        |  max(CASE WHEN j = 1 THEN p END) AS p1,
+        |  max(CASE WHEN j = 2 THEN p END) AS p2,
+        |  max(CASE WHEN j = 3 THEN p END) AS p3
+        |FROM p GROUP BY vec_id""".stripMargin,
+    "quality_gate" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
+        |FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM q GROUP BY lang)
+        |SELECT doc_id, q.lang AS lang, q.q AS q
+        |FROM q JOIN m ON q.lang = m.lang WHERE q.q >= m.med""".stripMargin
   )
 }

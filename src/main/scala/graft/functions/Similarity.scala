@@ -105,6 +105,37 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** Projection direction component (j, d) = xhash32("proj_j_d")/2^31 - 1 ∈
+    * [-1, 1) — the same cross-engine construction as [[planeComponent]]
+    * under a disjoint salt, so any engine with md5 rebuilds the projection
+    * matrix bit-for-bit. */
+  private[graft] def projComponent(j: Int, d: Int): Double =
+    graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"proj_${j}_${d}")) / 2147483648.0 - 1.0
+
+  /** Deterministic random projection (the Johnson-Lindenstrauss dimension
+    * reduction an ANN pipeline runs before indexing a 100 TB corpus): output
+    * component j is the sequential-fold dot `<v, r_j>` against the
+    * md5-derived direction r_j — a pure function of (j, d), reproducible
+    * across engines/retries (unlike a PRNG matrix), which is what makes the
+    * DuckDB oracle possible. Narrow: `outDim` codegen'd dot-product kernels
+    * against literal arrays, fused into the scan projection — no shuffle,
+    * no driver state. Output: (idCol, p0 .. p{outDim-1}). */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      dim: Int): DataFrame = {
+    require(outDim > 0 && dim > 0, "outDim and dim must be positive")
+    val dirs = Seq.tabulate(outDim)(j => Seq.tabulate(dim)(d => projComponent(j, d)))
+    df.select(
+      col(idCol) +:
+        dirs.zipWithIndex.map { case (dir, j) =>
+          dotSeq(col(vecCol), typedLit(dir)).as(s"p$j")
+        }: _*)
+  }
+
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
     * O(n²) shape is only for oracle-scale corpora — at scale use
     * `lshCosineTopK`-style bucketing as the candidate generator. */

@@ -14,6 +14,23 @@ class SimilaritySpec extends SparkSpec {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("randomProjection: sequential-fold values against literal directions, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, -2.5f, 3.25f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding", outDim = 2, dim = 3)
+    assert(out.columns.toSeq == Seq("vec_id", "p0", "p1"))
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // Reference: the same sequential double fold the DotSeq kernel and the
+    // oracle's list_sum use.
+    def expect(v: Seq[Float], j: Int): Double =
+      v.zipWithIndex.foldLeft(0.0) { case (acc, (x, d)) =>
+        acc + x.toDouble * Similarity.projComponent(j, d)
+      }
+    assert(rows(1L) == ((expect(Seq(1.0f, -2.5f, 3.25f), 0), expect(Seq(1.0f, -2.5f, 3.25f), 1))))
+    assert(rows(2L) == ((0.0, 0.0)))
+  }
+
   test("cosinePairsLsh finds every brute-force pair at cosine >= 0.4 (recall 1.0 here)") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
