@@ -88,6 +88,17 @@ class DedupSpec extends SparkSpec {
     assert(k.forall { case (i, j, _) => i % 2 == 1 && j % 2 == 0 })
   }
 
+  test("exactGroups: digest grouping matches text grouping, nulls group together") {
+    val df = Seq((3L, "a"), (1L, "a"), (4L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (5L, "b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactGroups(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (keep_id = min id of group, n_dups): "a" -> (1, 2); nulls -> (2, 2);
+    // "b" -> (5, 1) — identical to a direct groupBy(text).
+    assert(out == Set((1L, 2L), (2L, 2L), (5L, 1L)), out.toString)
+  }
+
   test("keepCanonical: high-dup-rate corpus works with broadcast disabled (no pinned hint)") {
     // 60% duplicates — the real-world training-corpus shape where the drop
     // list is O(corpus) and a hard broadcast(drop) would OOM the driver.
