@@ -24,6 +24,23 @@ import org.apache.spark.sql.types._
  */
 object Contamination {
 
+  // coalesce → non-nullable kernel output: constraint propagation can't
+  // infer an isnotnull(<kernel>) filter and re-run the shingle kernel in
+  // the scan (see Dedup.shingledDf); the cheap raw-column IsNotNull
+  // preserves null-row semantics and pushes to parquet.
+  private def shingles(textCol: String, k: Int) =
+    coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long]))
+
+  /** The persisted side of (streaming) decontamination: the eval set's
+    * distinct hashed k-char shingles, one `sh: long` column. Benchmarks
+    * change rarely — compute once, write to storage, reuse for every
+    * corpus pass and every micro-batch. */
+  def evalShingles(evalSet: DataFrame, textCol: String, k: Int = 16): DataFrame =
+    evalSet
+      .filter(col(textCol).isNotNull)
+      .select(explode_outer(shingles(textCol, k)).as("sh"))
+      .distinct()
+
   /** Corpus docs sharing at least `minOverlap` distinct k-char shingles
     * with the union of the eval set's shingles.
     * Output: (doc_id, n_overlap), one row per contaminated doc.
@@ -37,22 +54,51 @@ object Contamination {
       idCol: String,
       textCol: String,
       k: Int = 16,
-      minOverlap: Int = 10): DataFrame = {
-    // coalesce → non-nullable kernel output: constraint propagation can't
-    // infer an isnotnull(<kernel>) filter and re-run the shingle kernel in
-    // the scan (see Dedup.shingledDf); the cheap raw-column IsNotNull
-    // preserves null-row semantics and pushes to parquet.
-    def shingles(df: DataFrame) =
-      coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long]))
-    val ev = evalSet
+      minOverlap: Int = 10): DataFrame =
+    contaminatedAgainst(
+      KernelInput.ensureParallelism(corpus.filter(col(textCol).isNotNull)),
+      evalShingles(evalSet, textCol, k), idCol, textCol, k, minOverlap)
+
+  /** [[contaminatedDocs]] against a precomputed (typically persisted)
+    * shingle set. The corpus side is one narrow explode pass; the eval
+    * side broadcasts; only matched rows shuffle. */
+  def contaminatedAgainst(
+      corpus: DataFrame,
+      evShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOverlap: Int): DataFrame =
+    corpus
       .filter(col(textCol).isNotNull)
-      .select(explode_outer(shingles(evalSet)).as("sh"))
-      .distinct()
-    KernelInput.ensureParallelism(corpus.filter(col(textCol).isNotNull))
-      .select(col(idCol).cast(LongType).as("doc_id"), explode_outer(shingles(corpus)).as("sh"))
-      .join(broadcast(ev), "sh")
+      .select(col(idCol).cast(LongType).as("doc_id"), explode_outer(shingles(textCol, k)).as("sh"))
+      .join(broadcast(evShingles), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-  }
+
+  /** Per-micro-batch decontamination filter: only documents sharing fewer
+    * than `minOverlap` shingles with the eval set reach `sink` — the
+    * streaming face of the pre-training leak scan, mirroring
+    * [[graft.streaming.StreamDedup.nearDupFilterAgainstIndex]]: the
+    * "state" is the persisted eval shingle set, not the state store, so
+    * the stream is unbounded-corpus-safe and the eval set can be swapped
+    * without restarting state. */
+  def cleanStream(
+      stream: DataFrame,
+      evShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      minOverlap: Int = 10)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val dirty = contaminatedAgainst(batch, evShingles, idCol, textCol, k, minOverlap)
+          .select(col("doc_id").as("__dirty_id"))
+        sink(
+          batch.join(broadcast(dirty), batch(idCol).cast(LongType) === col("__dirty_id"), "left_anti"),
+          id)
+      }
+    }
 }

@@ -127,6 +127,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq((-2, "b"), (7, "a")))
   }
 
+  test("streaming decontamination filters quoting docs against a persisted eval shingle set") {
+    import graft.functions.Contamination
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evSh = Contamination.evalShingles(
+      Seq((1000L, "What is the capital of France? Paris is the capital of France."))
+        .toDF("doc_id", "text"),
+      "text", k = 16)
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = Contamination.cleanStream(
+      in.toDF().toDF("doc_id", "text"), evSh, "doc_id", "text", k = 16, minOverlap = 10) {
+      (df, _) => kept.synchronized { kept ++= df.select("doc_id").as[Long].collect() }
+    }
+    val q = writer.queryName("decon_stream").start()
+    runToCompletion(q,
+      () => in.addData(
+        (1L, "quote dump: What is the capital of France? Paris is the capital of France."),
+        (2L, "an original essay about rivers and bridges")),
+      () => in.addData(
+        (3L, "Paris is the capital of France. verbatim again, What is the capital of France?"),
+        (4L, "def main(): return 42")))
+    assert(kept.sorted.toSeq == Seq(2L, 4L), kept.toString)
+  }
+
   test("expandWholeObserved counts malformed, drifted, and new-field rows per micro-batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
