@@ -774,6 +774,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("q"))
     }),
 
+    // Fixed-stride character chunking: 256-char windows every 192 chars
+    // (64-char overlap) — the "split long documents into embedding/context
+    // windows" stage. Narrow explode, one row per chunk, no shuffle; chunk
+    // count arithmetic is integer-exact. Chunks are surfaced as
+    // (length, xhash32) so the oracle compares content without shipping
+    // every window's text through the comparator.
+    "chunk_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_chunks", expr("(greatest(length(text) - 256, 0) + 191) div 192 + 1"))
+        .select(col("doc_id"), col("text"),
+          posexplode(expr(
+            "transform(sequence(0, cast(n_chunks - 1 as int)), i -> substring(text, i * 192 + 1, 256))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          length(col("chunk")).as("chunk_chars"),
+          TF.xhash32(col("chunk")).as("chunk_hash"))),
+
     // Token-count histogram (64-token bins): the context-length profile a
     // packing/batching stage plans against. Map-side partial aggregation;
     // the shuffle carries one row per bin.
@@ -1395,6 +1414,14 @@ object SparkEntry {
         |  max(CASE WHEN j = 2 THEN p END) AS p2,
         |  max(CASE WHEN j = 3 THEN p END) AS p3
         |FROM p GROUP BY vec_id""".stripMargin,
+    "chunk_docs" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  (greatest(length(text) - 256, 0) + 191) // 192 + 1 AS n FROM documents),
+        |u AS (SELECT doc_id, text, unnest(range(0, n)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx,
+        |  length(substr(text, (i * 192 + 1)::INT, 256)) AS chunk_chars,
+        |  ('0x' || substr(md5(substr(text, (i * 192 + 1)::INT, 256)), 1, 8))::BIGINT AS chunk_hash
+        |FROM u""".stripMargin,
     "quality_gate" ->
       """WITH q AS (SELECT doc_id, lang,
         |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))

@@ -43,6 +43,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk_docs: 256-char windows every 192 chars tile every document") {
+    val rows = SparkEntry.queries("chunk_docs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet)
+    for ((id, chunks) <- byDoc) {
+      val L = lens(id)
+      val n = (math.max(0, L - 256) + 191) / 192 + 1
+      assert(chunks.length == n, s"doc $id: ${chunks.length} chunks, want $n")
+      assert(chunks.map(_._2).sorted.toSeq == (0 until n))
+      for ((_, idx, chars) <- chunks)
+        assert(chars == math.min(256, math.max(0, L - idx * 192)), s"doc $id chunk $idx")
+      // the final window reaches the end of the document
+      assert(192 * (n - 1) + chunks.maxBy(_._2)._3 >= L)
+    }
+  }
+
   test("dedup_keep: keeps exactly the canonical member of every cluster") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val clusters = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
