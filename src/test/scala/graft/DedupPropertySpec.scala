@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Dedup
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized property coverage for the union-find contraction behind
+ * `duplicateClusters`: on arbitrary random graphs under arbitrary
+ * partitioning, the output must equal an independent BFS reference
+ * (cluster_id = min node id of each connected component). The BFS is a
+ * deliberately different algorithm, so a shared systematic bug can't
+ * cancel out.
+ */
+class DedupPropertySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    for ((a, b) <- edges) {
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (start <- adj.keys) if (!label.contains(start)) {
+      // collect the whole component, then label with its minimum
+      val seen = scala.collection.mutable.Set(start)
+      var frontier = List(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj(_)).filterNot(seen)
+        seen ++= frontier
+      }
+      val m = seen.min
+      seen.foreach(n => label(n) = m)
+    }
+    label.toMap
+  }
+
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    nodes <- Gen.chooseNum(2, 60)
+    nEdges <- Gen.chooseNum(1, 90)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.chooseNum(0L, nodes.toLong - 1)
+      b <- Gen.chooseNum(0L, nodes.toLong - 1) if a != b
+    } yield (a, b))
+  } yield edges
+
+  test("duplicateClusters equals BFS min-labeling on random graphs under random partitioning") {
+    val graphs = Iterator.from(0)
+      .map(i => graphGen.apply(Gen.Parameters.default, rng.Seed(1234L + i)))
+      .flatten.take(25).toSeq
+    for ((edges, i) <- graphs.zipWithIndex) {
+      val parts = 1 + (i % 7)
+      val out = Dedup.duplicateClusters(edges.toDF("i", "j").repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out == bfsComponents(edges), s"graph $i (parts=$parts): $edges")
+    }
+  }
+}
