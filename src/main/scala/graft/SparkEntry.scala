@@ -762,7 +762,11 @@ object SparkEntry {
     // medians are metadata (one row per language, broadcast); the corpus
     // itself never shuffles — two narrow scans, one tiny agg.
     "quality_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      // length(text) > 0 guards the ratio denominators: under ANSI (the
+      // Spark 4 default) an empty document would otherwise abort the whole
+      // query with DIVIDE_BY_ZERO where the oracle happily emits rows.
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
       // coalesce → non-nullable: keeps the q >= med predicate's inferred
       // isnotnull from re-running the quality kernel inside the scan.
       val scored = docs.select(
@@ -1427,7 +1431,7 @@ object SparkEntry {
         |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
         |   - len(regexp_extract_all(text, '[0-9]')) * 3
         |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
-        |FROM documents WHERE text IS NOT NULL),
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0),
         |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM q GROUP BY lang)
         |SELECT doc_id, q.lang AS lang, q.q AS q
         |FROM q JOIN m ON q.lang = m.lang WHERE q.q >= m.med""".stripMargin

@@ -24,12 +24,8 @@ import org.apache.spark.sql.types._
  */
 object Contamination {
 
-  // coalesce → non-nullable kernel output: constraint propagation can't
-  // infer an isnotnull(<kernel>) filter and re-run the shingle kernel in
-  // the scan (see Dedup.shingledDf); the cheap raw-column IsNotNull
-  // preserves null-row semantics and pushes to parquet.
   private def shingles(textCol: String, k: Int) =
-    coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long]))
+    FastText.hashedShinglesNN(col(textCol), k)
 
   /** The persisted side of (streaming) decontamination: the eval set's
     * distinct hashed k-char shingles, one `sh: long` column. Benchmarks
@@ -71,7 +67,10 @@ object Contamination {
       minOverlap: Int): DataFrame =
     corpus
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast(LongType).as("doc_id"), explode_outer(shingles(textCol, k)).as("sh"))
+      // id passes through untyped: a UUID-keyed corpus must not hit a
+      // LongType cast (ANSI throws; legacy mode would null the id and
+      // silently disable the filter downstream).
+      .select(col(idCol).as("doc_id"), explode_outer(shingles(textCol, k)).as("sh"))
       .join(broadcast(evShingles), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -97,7 +96,7 @@ object Contamination {
         val dirty = contaminatedAgainst(batch, evShingles, idCol, textCol, k, minOverlap)
           .select(col("doc_id").as("__dirty_id"))
         sink(
-          batch.join(broadcast(dirty), batch(idCol).cast(LongType) === col("__dirty_id"), "left_anti"),
+          batch.join(broadcast(dirty), batch(idCol) === col("__dirty_id"), "left_anti"),
           id)
       }
     }

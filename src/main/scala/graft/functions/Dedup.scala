@@ -79,17 +79,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  // `coalesce(kernel, empty)` marks the column non-nullable, so join-key
-  // constraint propagation can't infer an `isnotnull(<kernel chain>)`
-  // filter and push it into the parquet scan — which would re-evaluate
-  // the full md5 shingle kernel once in the filter and again in the
-  // projection, doubling the dominant cost of every dedup query.
+  // Non-nullable kernel output (FastText.hashedShinglesNN) so constraint
+  // propagation can't re-run the shingle kernel inside the parquet scan;
+  // the raw-column IsNotNull pushes down as a plain filter.
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     KernelInput.ensureParallelism(
-      df.filter(col(textCol).isNotNull)) // cheap, pushes to the scan as a plain IsNotNull
+      df.filter(col(textCol).isNotNull))
       .select(
         col(idCol).cast(LongType).as("id"),
-        coalesce(FastText.hashedShingles(col(textCol), k), typedLit(Array.empty[Long])).as("sh"))
+        FastText.hashedShinglesNN(col(textCol), k).as("sh"))
 
   /** MinHash + LSH banding: near-dup pairs with Jaccard >= threshold.
     * numHashes must be divisible by bands. Output: (i, j, jaccard). */

@@ -40,6 +40,19 @@ object FastText {
     * (8 B/element) set representation for dedup joins and verification. */
   def hashedShingles(c: Column, k: Int): Column = B.column(HashedShingles(B.expression(c), k))
 
+  /** [[hashedShingles]] wrapped non-nullable (coalesce with an empty
+    * array): join-key constraint propagation can then not infer an
+    * `isnotnull(<kernel chain>)` filter and push it into the parquet scan,
+    * which would re-run the whole shingle kernel once in the filter and
+    * again in the projection. Pair with a cheap `col(raw).isNotNull`
+    * filter on the RAW column to preserve null-row semantics (pushes to
+    * parquet as a plain IsNotNull). The single shared home for this
+    * workaround — keep call sites on this, not on ad-hoc coalesces. */
+  def hashedShinglesNN(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{coalesce, typedLit}
+    coalesce(hashedShingles(c, k), typedLit(Array.empty[Long]))
+  }
+
   /** Jaccard of two sorted distinct long arrays. */
   def jaccardSortedLong(a: Column, b: Column): Column =
     B.column(JaccardSortedLong(B.expression(a), B.expression(b)))

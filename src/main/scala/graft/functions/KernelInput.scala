@@ -36,13 +36,16 @@ object KernelInput {
       "ensureParallelism reads the batch scan's partition count; on a stream " +
         "the source governs parallelism — call it on the batch side instead.")
     import org.apache.spark.sql.catalyst.plans.logical._
+    // WHITELIST, not a blacklist: anything outside the narrow scan shapes
+    // (leaf, filter, project, alias) is rejected — a blacklist of known
+    // shuffle operators would silently miss Except/Intersect/Limit/CTE
+    // nodes and re-introduce the eager-job failure the guard exists for.
     df.queryExecution.logical.foreach {
-      case p @ (_: Aggregate | _: Join | _: Distinct | _: Deduplicate |
-                _: Window | _: Sort | _: RepartitionOperation) =>
+      case _: LeafNode | _: Filter | _: Project | _: SubqueryAlias => ()
+      case p =>
         throw new IllegalArgumentException(
           s"ensureParallelism requires a scan-only input plan (its partition " +
             s"probe would otherwise run real jobs under AQE); found ${p.nodeName}")
-      case _ => ()
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df

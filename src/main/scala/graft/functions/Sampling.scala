@@ -46,7 +46,13 @@ object Sampling {
     * partitioning, retries, and engines). One partitioned window keyed on
     * the shard id; no global sort ever exists in the plan. At scale pick
     * nShards >= cluster parallelism so each window partition holds
-    * ~corpus/nShards rows. Adds columns `shard` and `shard_pos`. */
+    * ~corpus/nShards rows. Adds columns `shard` and `shard_pos`.
+    *
+    * `keyCol` must uniquely identify rows: rows sharing a key get
+    * identical (hash, key) ordering tuples, and row_number breaks that
+    * tie by arrival order — their relative `shard_pos` would then vary
+    * across runs, violating the determinism contract. Dedup first (or
+    * key by a content digest) if keys can repeat. */
   def shards(df: DataFrame, keyCol: Column, nShards: Int, salt: String): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     require(!df.columns.exists(c => c == "shard" || c == "shard_pos"),

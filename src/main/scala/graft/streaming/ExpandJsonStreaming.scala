@@ -53,11 +53,13 @@ object ExpandJsonStreaming {
     *    re-infer;
     * plus `rows`, the batch denominator.
     *
-    * Scale: the checks are narrow per-row expressions (one shallow
-    * `json_object_keys` pass + one `get_json_object` per schema field) fused
-    * into the same projection stage — no shuffle, no extra pass, works under
-    * any trigger. Root keys must be plain identifiers (the reference's own
-    * root-level-only contract). */
+    * Scale: the raw string is parsed at most twice beyond the `from_json`
+    * the operator exists for — one `json_tuple` extracts EVERY root field
+    * in a single pass (per-field `get_json_object` would re-scan the
+    * string once per schema field), one `json_object_keys` drives the
+    * malformed/new-field checks — all fused into the projection stage: no
+    * shuffle, no extra pass, works under any trigger. Root keys must be
+    * plain identifiers (the reference's own root-level-only contract). */
   def expandWholeObserved(
       stream: DataFrame,
       column: String,
@@ -67,28 +69,37 @@ object ExpandJsonStreaming {
     val withRaw = stream.withColumn(rawCol, col(column).cast(StringType))
     val expanded = ExpandJson.whole(column, schemaOverride = Some(schema),
       permissive = true)(withRaw)
+    val fields: Seq[String] = schema match {
+      case st: StructType => st.fieldNames.toSeq
+      case _              => Nil
+    }
+    val rawFieldCols = fields.map("__graft_rawf_" + _)
+    // json_tuple yields each root field's raw value (JSON null -> SQL null,
+    // matching get_json_object) from ONE parse of the string.
+    val withTuple =
+      if (fields.isEmpty) expanded
+      else expanded.select(
+        col("*"),
+        json_tuple(col(rawCol), fields: _*).as(rawFieldCols))
     val malformed = col(rawCol).isNotNull && json_object_keys(col(rawCol)).isNull
-    val drifted = schema match {
-      case st: StructType if st.fields.nonEmpty =>
-        col(column).isNotNull && st.fields.map { f =>
-          when(col(column).getField(f.name).isNull &&
-            get_json_object(col(rawCol), "$." + f.name).isNotNull, 1).otherwise(0)
-        }.reduce(_ + _) > 0
-      case _ => lit(false)
-    }
+    val drifted =
+      if (fields.isEmpty) lit(false)
+      else col(column).isNotNull && fields.zip(rawFieldCols).map { case (f, rf) =>
+        when(col(column).getField(f).isNull && col(rf).isNotNull, 1).otherwise(0)
+      }.reduce(_ + _) > 0
     val newField = schema match {
-      case st: StructType =>
-        size(array_except(json_object_keys(col(rawCol)),
-          typedLit(st.fieldNames.toSeq))) > 0
+      case _: StructType =>
+        size(array_except(json_object_keys(col(rawCol)), typedLit(fields))) > 0
       case _ => lit(false)
     }
-    expanded
+    withTuple
       .observe(metricName,
         count(when(malformed, 1)).as("malformed_rows"),
         count(when(drifted, 1)).as("drifted_field_rows"),
         count(when(newField, 1)).as("new_field_rows"),
         count(lit(1)).as("rows"))
       .drop(rawCol)
+      .drop(rawFieldCols: _*)
   }
 
   /** Per-record dynamic schema on a stream: variant mode needs no
