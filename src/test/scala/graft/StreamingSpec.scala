@@ -166,17 +166,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         """{"k": 7, "tag": "a"}""",          // clean
         """{"k": "oops", "tag": "b"}""",     // drift: k arrives as string
         """not json at all""",               // malformed
+        """{"k": null, "tag": "d"}""",       // explicit JSON null: NOT drift
         """{"k": 1, "tag": "c", "x": 9}""")) // new field: x
     val ms = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("expand_json_drift")))
     def total(f: String) = ms.map(_.getAs[Long](f)).sum
-    assert(total("rows") == 4, ms.mkString(";"))
+    assert(total("rows") == 5, ms.mkString(";"))
     assert(total("malformed_rows") == 1, ms.mkString(";"))
+    // the JSON-null row parses to a null field but carries no value — it
+    // must not count as drift
     assert(total("drifted_field_rows") == 1, ms.mkString(";"))
     assert(total("new_field_rows") == 1, ms.mkString(";"))
     // The stream itself keeps flowing: PERMISSIVE means drift degrades to
     // nulls instead of failing the query.
-    assert(spark.table("expand_observed").count() == 4)
+    assert(spark.table("expand_observed").count() == 5)
   }
 
   test("foreachBatchExpand re-infers per micro-batch (schema drift across batches)") {
