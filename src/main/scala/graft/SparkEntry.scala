@@ -539,58 +539,15 @@ object SparkEntry {
         .orderBy(col("n_occur").desc, col("word"))
         .limit(20)),
 
-    // Sequence packing: concatenate the corpus's token stream in doc_id
-    // order and cut it every 512 tokens; each doc is tagged with the pack
-    // it starts in and its offset there — the "pack documents into
-    // fixed-length training contexts" stage. The global running total is a
-    // THREE-level distributed prefix sum in which every level is either
-    // partitioned or metadata-scale:
-    //   1. in-bucket cumulative window (partitionBy bucket, <=64-row frames);
-    //   2. in-superbucket cumulative window over bucket totals
-    //      (partitionBy sb, <=16384-row frames);
-    //   3. superbucket prefix via a broadcast non-equi join over the
-    //      n/2^20-row superbucket totals (~10k rows even at 10^10 docs) —
-    //      map-side aggregated, so no single-task window ever exists in the
-    //      plan (PlanSpec gates the whole query map on this).
-    // Divisions are integer `div`, exact past 2^53 cumulative tokens where
-    // floor(x/y)'s double round-trip would drift off the BIGINT oracle.
-    "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val tk = t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tokens"))
-        .withColumn("bucket", expr("doc_id div 64"))
-        .withColumn("sb", expr("doc_id div 1048576")) // 64 docs * 16384 buckets
-      val inBucket = tk.withColumn(
-        "cum",
-        sum(col("n_tokens")).over(
-          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-      val bucketTot = tk.groupBy(col("sb"), col("bucket"))
-        .agg(sum(col("n_tokens")).as("btok"))
-      val inSb = bucketTot.withColumn(
-        "cum_b",
-        sum(col("btok")).over(
-          Window.partitionBy(col("sb")).orderBy(col("bucket"))))
-      val sbTot = bucketTot.groupBy(col("sb")).agg(sum(col("btok")).as("stok"))
-      val sbBefore = sbTot
-        .join(broadcast(sbTot.select(col("sb").as("sb2"), col("stok").as("stok2"))),
-          col("sb2") < col("sb"), "left")
-        .groupBy(col("sb"))
-        .agg(coalesce(sum(col("stok2")), lit(0L)).as("sb_before"))
-      val bucketBefore = inSb
-        .join(sbBefore, "sb")
-        .select(col("bucket"),
-          (col("sb_before") + col("cum_b") - col("btok")).as("bucket_before"))
-      inBucket
-        .join(bucketBefore, "bucket")
-        .withColumn("before", col("bucket_before") + col("cum") - col("n_tokens"))
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          expr("before div 512").as("pack_id"),
-          (col("before") % 512).as("pack_offset"))
-    }),
+    // Sequence packing into 512-token training contexts — the three-level
+    // distributed prefix sum (no unpartitioned window, integer-exact
+    // arithmetic; see graft.functions.Packing).
+    "pack_sequences" -> ((s, dir) =>
+      graft.functions.Packing.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tok")),
+        "doc_id", "n_tok", packLen = 512)),
 
     // Top-3 TF-IDF terms per document (the keyword-extraction stage).
     // Score = tf * N / df — the same ranking as tf*log(N/df) for fixed tf
@@ -832,6 +789,40 @@ object SparkEntry {
         .filter(col("quality_score") >= 1.0 && col("pred_lang") === col("lang"))
         .select(col("doc_id"), col("lang"),
           size(TF.bpeTokens(col("text"))).as("n_tokens"))
+    }),
+
+    // The capstone composition — the full "prepare a training corpus" run
+    // as ONE lazy plan: exact-dedup canonical survivors (hash-first, no
+    // text in any exchange) -> per-language quality-median gate (broadcast
+    // medians) -> benchmark decontamination (broadcast eval shingles) ->
+    // sequence packing of the survivors (three-level prefix sum). Every
+    // stage keeps its standalone query's scale shape; ids stay sparse into
+    // the packer, which tolerates gaps by construction.
+    "pipeline_train_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canonical = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val deduped = docs.join(canonical, "doc_id", "left_semi")
+        .filter(length(col("text")) > 0)
+      val scored = deduped.select(
+        col("doc_id"), col("lang"), col("text"),
+        coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      val med = scored.groupBy(col("lang")).agg(expr("percentile(q, 0.5D)").as("med"))
+      val gated = scored.join(broadcast(med), "lang")
+        .filter(col("q") >= col("med"))
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 100 =!= 0) // eval docs never train
+      val evSh = graft.functions.Contamination.evalShingles(
+        docs.filter(col("doc_id") % 100 === 0), "text", k = 16)
+      val dirty = graft.functions.Contamination
+        .contaminatedAgainst(gated, evSh, "doc_id", "text", k = 16, minOverlap = 10)
+        .select(col("doc_id").as("dirty_id"))
+      val survivors = gated
+        .join(dirty, gated("doc_id") === dirty("dirty_id"), "left_anti")
+      graft.functions.Packing.packSequences(
+        survivors.select(col("doc_id"),
+          size(TF.bpeTokens(col("text"))).cast(LongType).as("n_tok")),
+        "doc_id", "n_tok", packLen = 512)
     }),
 
     // Text analysis: token/char/uniq statistics, all-integer (exact).
@@ -1426,6 +1417,34 @@ object SparkEntry {
         |  length(substr(text, (i * 192 + 1)::INT, 256)) AS chunk_chars,
         |  ('0x' || substr(md5(substr(text, (i * 192 + 1)::INT, 256)), 1, 8))::BIGINT AS chunk_hash
         |FROM u""".stripMargin,
+    // Capstone composition: each stage reuses its standalone oracle's
+    // construction verbatim (digest dedup == GROUP BY text, quality
+    // median, 16-char shingle contamination, 512-token packing), so a
+    // divergence pinpoints the stage that drifted.
+    "pipeline_train_prep" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d AS (SELECT doc_id, lang, text FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM canon) AND length(text) > 0),
+         |q AS (SELECT doc_id, lang, text,
+         |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+         |   - len(regexp_extract_all(text, '[0-9]')) * 3
+         |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
+         |  FROM d),
+         |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM q GROUP BY lang),
+         |g AS (SELECT q.doc_id, q.text FROM q JOIN m ON q.lang = m.lang
+         |      WHERE q.q >= m.med AND q.doc_id % 100 <> 0),
+         |s16 AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, greatest(length(text) - 14, 2)), i -> substr(text, i, 16))) AS sh
+         |  FROM documents),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gm FROM s16 WHERE doc_id % 100 = 0),
+         |cg AS (SELECT g.doc_id, unnest(s16.sh) AS gm FROM g JOIN s16 ON g.doc_id = s16.doc_id),
+         |dirty AS (SELECT cg.doc_id FROM cg JOIN ev ON cg.gm = ev.gm
+         |          GROUP BY cg.doc_id HAVING count(*) >= 10),
+         |surv AS (SELECT doc_id, text FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |tk AS (SELECT doc_id, len(regexp_extract_all(text, '${TF.TokenPattern}'))::BIGINT AS n_tokens FROM surv),
+         |cum AS (SELECT doc_id, n_tokens,
+         |  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS bef FROM tk)
+         |SELECT doc_id, n_tokens, bef // 512 AS pack_id, bef % 512 AS pack_offset FROM cum""".stripMargin,
     "quality_gate" ->
       """WITH q AS (SELECT doc_id, lang,
         |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))

@@ -58,10 +58,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    row at any corpus scale.
   //  - tfidf_topk: same 1-row broadcast shape (the corpus-size aggregate
   //    joined onto every (doc, word) row).
-  //  - pack_sequences: top prefix-sum level is a broadcast non-equi join
-  //    over SUPERBUCKET totals — n/2^20 rows (~10k at 10^10 docs), the
-  //    metadata-scale terminator that keeps every window partitioned.
-  private val nljWhitelist = Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences")
+  //  - pack_sequences / pipeline_train_prep: the packer's top prefix-sum
+  //    level is a broadcast non-equi join over SUPERBUCKET totals —
+  //    n/2^20 rows (~10k at 10^10 docs), the metadata-scale terminator
+  //    that keeps every window partitioned.
+  private val nljWhitelist =
+    Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
