@@ -43,6 +43,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Packing.packSequences: sparse ids across all three levels pack like a sequential fold") {
+    import spark.implicits._
+    // Gaps within a bucket, across buckets, and across the superbucket
+    // boundary (id > 2^20) — every level of the prefix sum is exercised.
+    val rows = Seq((3L, 10L), (64L, 500L), (65L, 10L), (1000L, 600L), (1048580L, 5L))
+    val out = graft.functions.Packing
+      .packSequences(rows.toDF("id", "n"), "id", "n", packLen = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var before = 0L
+    val expected = rows.sortBy(_._1).map { case (id, n) =>
+      val e = (id, n, before / 512, before % 512); before += n; e
+    }
+    assert(out.toSeq == expected)
+  }
+
   test("chunk_docs: 256-char windows every 192 chars tile every document") {
     val rows = SparkEntry.queries("chunk_docs")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
