@@ -37,6 +37,17 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** corpus_shard's shard count, per Sampling.shards' scale rule: each
+    * shard is ONE window partition = one task, so nShards must be >= the
+    * available parallelism or the window funnels ~corpus/nShards rows
+    * through single tasks (8 was the round-5 pin — corpus/8 per task at
+    * 100 TB). Derived from the host so the demo entry and its oracle SQL
+    * shard identically BY CONSTRUCTION (both read this constant); a real
+    * cluster deployment passes executors × cores to Sampling.shards
+    * directly. Floor of 8 keeps tiny dev boxes off degenerate counts. */
+  private[graft] val ShardCount: Int =
+    math.max(8, Runtime.getRuntime.availableProcessors)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * SURVEY.md §7.2: expand events.props (JSON text) -> typed struct with
     * the reference's int32 inference, then aggregate on the parsed field. */
@@ -715,23 +726,26 @@ object SparkEntry {
         outDim = 4, dim = 64)),
 
     // Per-language quality gate: keep docs at or above their language's
-    // median quality score — "keep the best half per language". The
-    // medians are metadata (one row per language, broadcast); the corpus
-    // itself never shuffles — two narrow scans, one tiny agg.
+    // median quality score — "keep the best half per language". The median
+    // is the bounded-memory binned exact median (graft.functions.Median):
+    // a fixed-point histogram whose aggregation state is one counter per
+    // occupied 2^-20 bin — constant in the corpus size — where the exact
+    // `percentile` aggregate would buffer O(group) distinct doubles in ONE
+    // buffer (executor OOM at 100 TB with ~5 language groups). The median
+    // table stays one row per language (broadcast); the corpus itself
+    // never shuffles.
     "quality_gate" -> ((s, dir) => {
       // length(text) > 0 guards the ratio denominators: under ANSI (the
       // Spark 4 default) an empty document would otherwise abort the whole
       // query with DIVIDE_BY_ZERO where the oracle happily emits rows.
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
-      // coalesce → non-nullable: keeps the q >= med predicate's inferred
+      // coalesce → non-nullable: keeps the gate predicate's inferred
       // isnotnull from re-running the quality kernel inside the scan.
       val scored = docs.select(
         col("doc_id"), col("lang"),
         coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
-      val med = scored.groupBy(col("lang")).agg(expr("percentile(q, 0.5D)").as("med"))
-      scored.join(broadcast(med), "lang")
-        .filter(col("q") >= col("med"))
+      graft.functions.Median.gateAtBinnedMedian(scored, "lang", "q")
         .select(col("doc_id"), col("lang"), col("q"))
     }),
 
@@ -763,14 +777,16 @@ object SparkEntry {
         .groupBy(expr("n_tokens div 64").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))),
 
-    // Deterministic corpus shuffle into 8 training shards with a stable
+    // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
-    // global sort.
+    // global sort. The shard count follows the scaladoc's own scale rule
+    // (nShards >= parallelism, see ShardCount) so no window partition
+    // funnels more than ~corpus/parallelism rows through one task.
     "corpus_shard" -> ((s, dir) =>
       graft.functions.Sampling.shards(
         t(s, dir, "documents").select(col("doc_id")),
-        col("doc_id").cast(StringType), nShards = 8, salt = "r5")
+        col("doc_id").cast(StringType), nShards = ShardCount, salt = "r5")
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
 
     // The canonical corpus-cleaning composition: keep each text's lowest
@@ -807,9 +823,10 @@ object SparkEntry {
       val scored = deduped.select(
         col("doc_id"), col("lang"), col("text"),
         coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
-      val med = scored.groupBy(col("lang")).agg(expr("percentile(q, 0.5D)").as("med"))
-      val gated = scored.join(broadcast(med), "lang")
-        .filter(col("q") >= col("med"))
+      // Binned exact median (graft.functions.Median): constant-size
+      // mergeable histogram state — never the O(group)-doubles buffer of
+      // the exact percentile aggregate. Same gate shape as quality_gate.
+      val gated = graft.functions.Median.gateAtBinnedMedian(scored, "lang", "q")
         .select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 100 =!= 0) // eval docs never train
       val evSh = graft.functions.Contamination.evalShingles(
@@ -1386,13 +1403,15 @@ object SparkEntry {
          |SELECT n_tokens // 64 AS bin, count(*) AS n_docs,
          |  sum(n_tokens)::BIGINT AS sum_tokens
          |FROM tk GROUP BY 1""".stripMargin,
+    // Shard count threaded from the same ShardCount constant the query
+    // reads — the two engines shard identically by construction.
     "corpus_shard" ->
-      """SELECT doc_id,
-        |  ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
-        |  row_number() OVER (
-        |    PARTITION BY ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
-        |    ORDER BY ('0x' || substr(md5('r5_p' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) - 1 AS shard_pos
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % $ShardCount AS shard,
+         |  row_number() OVER (
+         |    PARTITION BY ('0x' || substr(md5('r5_s' || doc_id::VARCHAR), 1, 8))::BIGINT % $ShardCount
+         |    ORDER BY ('0x' || substr(md5('r5_p' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id::VARCHAR) - 1 AS shard_pos
+         |FROM documents""".stripMargin,
     // list_sum over list_zip folds left sequentially — same order as the
     // DotSeq kernel (the construction emb_pairs already proves bitwise).
     "emb_project" ->
@@ -1430,9 +1449,15 @@ object SparkEntry {
          |   - len(regexp_extract_all(text, '[0-9]')) * 3
          |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
          |  FROM d),
-         |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM q GROUP BY lang),
-         |g AS (SELECT q.doc_id, q.text FROM q JOIN m ON q.lang = m.lang
-         |      WHERE q.q >= m.med AND q.doc_id % 100 <> 0),
+         |b AS (SELECT doc_id, lang, text, floor(q * 1048576.0)::BIGINT AS qb FROM q),
+         |h AS (SELECT lang, qb, count(*) AS c FROM b GROUP BY 1, 2),
+         |m AS (SELECT lang, min(qb) AS medb FROM (
+         |  SELECT lang, qb,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY qb) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM h) WHERE cum >= (n + 1) // 2 GROUP BY lang),
+         |g AS (SELECT b.doc_id, b.text FROM b JOIN m ON b.lang = m.lang
+         |      WHERE b.qb >= m.medb AND b.doc_id % 100 <> 0),
          |s16 AS (SELECT doc_id,
          |  list_distinct(list_transform(range(1, greatest(length(text) - 14, 2)), i -> substr(text, i, 16))) AS sh
          |  FROM documents),
@@ -1445,14 +1470,23 @@ object SparkEntry {
          |cum AS (SELECT doc_id, n_tokens,
          |  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS bef FROM tk)
          |SELECT doc_id, n_tokens, bef // 512 AS pack_id, bef % 512 AS pack_offset FROM cum""".stripMargin,
+    // floor(q * 2^20) is an exponent shift (never rounds), so both engines
+    // bin identically; the lower median of the bins mirrors
+    // Median.binnedMedianPerGroup exactly (integer counts, integer div).
     "quality_gate" ->
       """WITH q AS (SELECT doc_id, lang,
         |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
         |   - len(regexp_extract_all(text, '[0-9]')) * 3
         |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
         |FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-        |m AS (SELECT lang, quantile_cont(q, 0.5) AS med FROM q GROUP BY lang)
-        |SELECT doc_id, q.lang AS lang, q.q AS q
-        |FROM q JOIN m ON q.lang = m.lang WHERE q.q >= m.med""".stripMargin
+        |b AS (SELECT doc_id, lang, q, floor(q * 1048576.0)::BIGINT AS qb FROM q),
+        |h AS (SELECT lang, qb, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT lang, min(qb) AS medb FROM (
+        |  SELECT lang, qb,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY qb) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h) WHERE cum >= (n + 1) // 2 GROUP BY lang)
+        |SELECT doc_id, b.lang AS lang, b.q AS q
+        |FROM b JOIN m ON b.lang = m.lang WHERE b.qb >= m.medb""".stripMargin
   )
 }

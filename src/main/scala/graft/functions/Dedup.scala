@@ -355,16 +355,22 @@ object Dedup {
       .toDF("lbl", "root")
     // Resolution chain: node -(L1)-> minl -(L2)-> minl2 -(fan-in)-> root.
     // A label absent from a later level was never a cut node there and
-    // already holds its final value — hence the coalesces. The L2 map is
-    // un-hinted: AQE broadcasts it in the typical near-clique case.
-    val lblMap = r2.select(col("node").as("l2"), col("minl").as("minl2"))
+    // already holds its final value — hence the coalesces. The chain is
+    // composed ENTIRELY IN THE LABEL DOMAIN first (r2 ⋈ roots — both
+    // O(cut)-sized), so the big O(nodes) r1 side pays exactly ONE join;
+    // round 5's formulation joined r1 twice (L2 map, then roots) and that
+    // second full-width pass was ~2 s on every duplicateClusters caller
+    // at sf0.1. roots is broadcast by contract (boundary-of-the-boundary);
+    // labelRoot is un-hinted — AQE broadcasts it in the typical
+    // near-clique case and shuffles a pathological one.
+    val labelRoot = r2
+      .join(broadcast(roots), r2("minl") === roots("lbl"), "left")
+      .select(col("node").as("l"), coalesce(col("root"), col("minl")).as("rt"))
     r1
-      .join(lblMap, r1("minl") === lblMap("l2"), "left")
-      .withColumn("m2", coalesce(col("minl2"), col("minl")))
-      .join(broadcast(roots), col("m2") === roots("lbl"), "left")
+      .join(labelRoot, r1("minl") === labelRoot("l"), "left")
       .select(
         col("node").as("id"),
-        coalesce(col("root"), col("m2")).as("cluster_id"))
+        coalesce(col("rt"), col("minl")).as("cluster_id"))
   }
 
   /** One union-find contraction level (phases 1-2 of [[duplicateClusters]]):

@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("median gates carry no exact Percentile aggregate (O(group) buffer at scale)") {
+    // Spark's exact `percentile` materializes a value->count map per group
+    // in ONE aggregation buffer; over a continuous double score that is
+    // O(group rows) of heap on a single executor. The median gates must
+    // use the bounded binned median (graft.functions.Median) instead.
+    // (q24_quantiles keeps the built-in deliberately: its column is a
+    // bounded INTEGER, so the buffer is bounded by the value universe.)
+    for (q <- Seq("quality_gate", "pipeline_train_prep")) {
+      val s = planString(q).toLowerCase
+      assert(!s.contains("percentile"), s"$q still plans an exact percentile:\n$s")
+    }
+  }
+
   test("dedup_exact: no exchange carries document text (hash-first shuffle)") {
     val shuffles = collectAll(plan("dedup_exact")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.nonEmpty, planString("dedup_exact"))
