@@ -565,7 +565,11 @@ object SparkEntry {
     // (monotone in N/df) but exactly representable: one integer product
     // and one IEEE division, bitwise-identical across engines, where a
     // log() would drift in the last ulp. Partitioned window top-k — no
-    // global sort.
+    // global sort. Skew: word df is Zipfian (stopwords join O(corpus) tf
+    // rows each), so the tf <-> dfreq join is left un-hinted — AQE
+    // broadcasts a small vocab outright and skew-splits the sort-merge
+    // partitions when the vocab outgrows the threshold (PlanSpec pins the
+    // join to an AQE-splittable equi shape with broadcast disabled).
     "tfidf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")

@@ -52,7 +52,7 @@ object Contamination {
       k: Int = 16,
       minOverlap: Int = 10): DataFrame =
     contaminatedAgainst(
-      KernelInput.ensureParallelism(corpus.filter(col(textCol).isNotNull)),
+      KernelInput.ensureParallelismIfScan(corpus.filter(col(textCol).isNotNull)),
       evalShingles(evalSet, textCol, k), idCol, textCol, k, minOverlap)
 
   /** [[contaminatedDocs]] against a precomputed (typically persisted)

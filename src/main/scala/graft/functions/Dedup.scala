@@ -81,9 +81,12 @@ object Dedup {
 
   // Non-nullable kernel output (FastText.hashedShinglesNN) so constraint
   // propagation can't re-run the shingle kernel inside the parquet scan;
-  // the raw-column IsNotNull pushes down as a plain filter.
+  // the raw-column IsNotNull pushes down as a plain filter. The
+  // parallelism guard is the lenient form: index builders accept composed
+  // frames (a gated pipeline stage, a foreachBatch micro-batch) whose
+  // parallelism a shuffle or the source already set.
   private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    KernelInput.ensureParallelism(
+    KernelInput.ensureParallelismIfScan(
       df.filter(col(textCol).isNotNull))
       .select(
         col(idCol).cast(LongType).as("id"),
@@ -450,7 +453,7 @@ object Dedup {
     // coalesce → non-nullable: otherwise the banded join's key constraints
     // push `isnotnull(simhash32(xhash32array(sortedshingles(text))))` into
     // the scan, running the whole signature chain twice per row.
-    val sigs = KernelInput.ensureParallelism(df.filter(col(textCol).isNotNull))
+    val sigs = KernelInput.ensureParallelismIfScan(df.filter(col(textCol).isNotNull))
       .select(
         col(idCol).cast(LongType).as("id"),
         coalesce(

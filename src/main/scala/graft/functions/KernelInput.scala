@@ -35,20 +35,45 @@ object KernelInput {
     require(!df.isStreaming,
       "ensureParallelism reads the batch scan's partition count; on a stream " +
         "the source governs parallelism — call it on the batch side instead.")
-    import org.apache.spark.sql.catalyst.plans.logical._
-    // WHITELIST, not a blacklist: anything outside the narrow scan shapes
-    // (leaf, filter, project, alias) is rejected — a blacklist of known
-    // shuffle operators would silently miss Except/Intersect/Limit/CTE
-    // nodes and re-introduce the eager-job failure the guard exists for.
     df.queryExecution.logical.foreach {
-      case _: LeafNode | _: Filter | _: Project | _: SubqueryAlias => ()
-      case p =>
+      case p if !scanShape(p) =>
         throw new IllegalArgumentException(
           s"ensureParallelism requires a scan-only input plan (its partition " +
             s"probe would otherwise run real jobs under AQE); found ${p.nodeName}")
+      case _ => ()
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
+  }
+
+  /** [[ensureParallelism]] when the input is a batch scan-only plan;
+    * identity otherwise. For COMPOSED inputs — a gated/joined frame, a
+    * foreachBatch micro-batch — the row-group starvation the guard exists
+    * for can't occur: the plan has already crossed a shuffle (parallelism =
+    * shuffle.partitions) or a streaming source governs its splits, and the
+    * strict probe would run real jobs under AQE (or throw on a stream).
+    * Operator builders that accept arbitrary frames (Dedup's index/signature
+    * pipelines) use this form; direct raw-scan call sites keep the strict
+    * contract. */
+  def ensureParallelismIfScan(df: DataFrame): DataFrame = {
+    val scanOnly = !df.isStreaming && {
+      var ok = true
+      df.queryExecution.logical.foreach(p => if (!scanShape(p)) ok = false)
+      ok
+    }
+    if (scanOnly) ensureParallelism(df) else df
+  }
+
+  // WHITELIST, not a blacklist: anything outside the narrow scan shapes
+  // (leaf, filter, project, alias) is rejected — a blacklist of known
+  // shuffle operators would silently miss Except/Intersect/Limit/CTE
+  // nodes and re-introduce the eager-job failure the guard exists for.
+  private def scanShape(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: LeafNode | _: Filter | _: Project | _: SubqueryAlias => true
+      case _ => false
+    }
   }
 }

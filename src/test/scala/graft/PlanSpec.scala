@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /**
@@ -77,6 +77,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("vocab_topk: bounded TakeOrderedAndProject, never a global sort of the vocab") {
     assert(planString("vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("tfidf_topk: the Zipf-skewed tf<->df join stays an AQE-splittable equi join") {
+    // Word document-frequency is Zipfian: stopwords concentrate O(corpus)
+    // tf rows on single join keys, so at scale the tf <-> dfreq join gets
+    // one monster partition per stopword. The defense is AQE skew-join
+    // splitting, which (a) must be enabled and (b) only applies to shuffle
+    // equi-joins (sort-merge / shuffled-hash) — so with broadcast taken
+    // off the table, the join must plan as one of those, never a nested
+    // loop. At sf0.01 AQE broadcasts dfreq instead, which is also fine —
+    // skew splitting matters on the 100 TB path where vocab outgrows the
+    // broadcast threshold. (vocab_topk has no join: its stopword skew is
+    // absorbed by map-side partial aggregation.)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("tfidf_topk")
+      val equiShuffleJoins = collectAll(p) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(equiShuffleJoins.nonEmpty, p.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("no unpartitioned window anywhere in the production query map") {

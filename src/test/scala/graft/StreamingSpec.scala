@@ -378,6 +378,86 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(back === Set((1L, 7, "a"), (2L, -2, "b")))
   }
 
+  test("streaming capstone: expand -> median gate -> decontaminate -> near-dup, parity with batch") {
+    // The streaming twin of the batch pipeline_train_prep capstone,
+    // composed from the library's streaming faces on ONE MemoryStream
+    // query: JSON docs expand against a fixed schema (with drift
+    // observability), the per-language binned-median quality gate is a
+    // stateless broadcast join against PERSISTED thresholds, and
+    // decontamination + near-dup-vs-index run per micro-batch inside
+    // TrainPrep.prepStream — all reference state in storage, none in the
+    // state store. Every per-document verdict is batch-boundary-free, so
+    // the two-batch streaming run must match the batch operators' output
+    // on the same fixture exactly.
+    import graft.functions.{Contamination, Dedup, Median, TextFunctions => TF}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val history = docs.filter(col("doc_id") < 300) // the indexed historical corpus
+    val evalDocs = docs.filter(col("doc_id") % 100 === 0) // benchmark set
+    val live = docs.filter(col("doc_id") >= 300 && col("doc_id") % 100 =!= 0)
+
+    // Persisted references, each from its batch job:
+    val thresholds = Median.binnedMedianPerGroup(
+      history.filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("lang"),
+          Median.bin(coalesce(TF.qualityScore(col("text")), lit(0.0))).as("__qb")),
+      "lang", "__qb")
+    val evSh = Contamination.evalShingles(evalDocs, "text")
+    val index = Dedup.buildMinhashIndex(history, "doc_id", "text")
+
+    // Batch-side expectation with the oracle-verified batch operators.
+    val gatedB = live
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("__qb",
+        Median.bin(coalesce(TF.qualityScore(col("text")), lit(0.0))))
+      .join(thresholds, "lang")
+      .filter(col("__qb") >= col("med_bin"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gatedIds = gatedB.select("doc_id").as[Long].collect().toSet
+    val dirtyIds = Contamination
+      .contaminatedAgainst(gatedB, evSh, "doc_id", "text", k = 16, minOverlap = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val cleanB = gatedB.filter(!col("doc_id").isInCollection(dirtyIds + -1L))
+    val dupIds = Dedup
+      .minhashPairsBetween(cleanB, history, "doc_id", "text", threshold = 0.8)
+      .select("i").as[Long].collect().toSet
+    val expected = gatedIds -- dirtyIds -- dupIds
+    val liveCount = live.count()
+    assert(gatedIds.size < liveCount) // the gate dropped something
+    assert(dupIds.nonEmpty) // the synthetic corpus has cross-boundary dups
+    assert(expected.nonEmpty)
+
+    // Streaming side: same docs as JSON, two micro-batches.
+    val wire = live
+      .select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("j"))
+      .as[String].collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[String]
+    val expanded = ExpandJsonStreaming
+      .expandWholeObserved(in.toDF().toDF("value"), "value", schema, "capstone_drift")
+      .select(col("value.doc_id").as("doc_id"), col("value.lang").as("lang"),
+        col("value.text").as("text"))
+    val writer = graft.streaming.TrainPrep.prepStream(
+      expanded, thresholds, "lang", evSh, index, "doc_id", "text") { (batch, _) =>
+      survived.synchronized {
+        survived ++= batch.select(col("doc_id")).collect().map(_.getLong(0))
+      }
+    }
+    val q = writer.queryName("train_prep_stream").start()
+    val (b1, b2) = wire.splitAt(wire.length / 2)
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq))
+
+    assert(survived.toSet == expected,
+      s"stream=${survived.toSet.size} expected=${expected.size}")
+    assert(survived.size == survived.toSet.size) // no doc emitted twice
+  }
+
   test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
