@@ -846,6 +846,54 @@ object SparkEntry {
         "doc_id", "n_tok", packLen = 512)
     }),
 
+    // Reference-corpus trigram coverage — the CCNet-style "does this doc
+    // look like the known-good corpus" LM-filter, made integer-exact:
+    // instead of a log-probability (engine-drifting ulps), the score is
+    // the fraction of a doc's distinct char-trigrams found in the
+    // reference corpus's top-64 trigram table. The table is top-k bounded
+    // (TakeOrderedAndProject over the small reference slice; ties broken
+    // by the gram string — the cross-engine ordering the ngram-freq
+    // family already relies on) and collapses to ONE broadcast array row,
+    // so the corpus pass is fully NARROW: per-doc kernel shingles +
+    // array_intersect against the broadcast — no per-doc shuffle at all
+    // (an explode+join formulation would shuffle a row per doc into the
+    // re-agg). TFast.sortedShingles = the codegen'd kernel form of
+    // TF.charShingles' distinct set (same windows, same short-text
+    // fallback).
+    "lm_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      // explode_outer + post-filter: the non-outer form would push an
+      // inferred size(<shingle kernel>) > 0 into the scan (memory'd
+      // InferFiltersFromGenerate anti-pattern).
+      val refArr = docs
+        .filter(col("doc_id") % 10 === 0)
+        .select(explode_outer(TFast.sortedShingles(col("text"), 3)).as("g"))
+        .filter(col("g").isNotNull)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g"))
+        .limit(64)
+        .agg(sort_array(collect_list(col("g"))).as("ref"))
+      val grams = coalesce(TFast.sortedShingles(col("text"), 3),
+        typedLit(Seq.empty[String]))
+      docs
+        .crossJoin(broadcast(refArr))
+        .select(
+          col("doc_id"),
+          size(grams).cast(LongType).as("n_grams"),
+          size(array_intersect(grams, col("ref"))).cast(LongType).as("n_hits"))
+        .withColumn("coverage", col("n_hits").cast(DoubleType) / col("n_grams"))
+    }),
+
+    // One exact Lloyd iteration over the embeddings — the IVF-centroid
+    // training step (Similarity.kmeansStep): md5-seeded centroids, k dot
+    // kernels fused into the scan, fixed-point (2^-20) exact means; only
+    // k x dim partial-agg rows ever shuffle.
+    "kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, dim = 64)),
+
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -1474,6 +1522,39 @@ object SparkEntry {
          |cum AS (SELECT doc_id, n_tokens,
          |  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS bef FROM tk)
          |SELECT doc_id, n_tokens, bef // 512 AS pack_id, bef % 512 AS pack_offset FROM cum""".stripMargin,
+    "lm_coverage" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 1, 2)), i -> substr(text, i, 3))) AS sh
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |ref AS (SELECT g FROM (
+        |    SELECT g, count(*) AS df
+        |    FROM (SELECT doc_id, unnest(sh) AS g FROM d) WHERE doc_id % 10 = 0 GROUP BY g)
+        |  ORDER BY df DESC, g LIMIT 64),
+        |refl AS (SELECT list(g) AS rl FROM ref)
+        |SELECT doc_id, len(sh)::BIGINT AS n_grams,
+        |  len(list_intersect(sh, rl))::BIGINT AS n_hits,
+        |  len(list_intersect(sh, rl))::BIGINT::DOUBLE / len(sh) AS coverage
+        |FROM d CROSS JOIN refl""".stripMargin,
+    // Same md5-derived centroid seed, same left-fold dot order, same
+    // fixed-point mean accumulation as Similarity.kmeansStep.
+    "kmeans_step" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT j, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('km_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cv
+        |  FROM range(0, 8) jj(j)),
+        |s AS (SELECT e.vec_id, c.j,
+        |    list_sum(list_transform(c.cv, x -> x * x))
+        |      - 2.0 * list_sum(list_transform(list_zip(e.v, c.cv), pr -> pr[1] * pr[2])) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+        |    FROM s) WHERE rn = 1),
+        |x AS (SELECT a.cell, dd.d AS dim, e.v[dd.d + 1] AS x
+        |  FROM a JOIN e USING (vec_id) CROSS JOIN range(0, 64) dd(d))
+        |SELECT cell, dim, count(*) AS n,
+        |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
+        |FROM x GROUP BY cell, dim""".stripMargin,
     // floor(q * 2^20) is an exponent shift (never rounds), so both engines
     // bin identically; the lower median of the bins mirrors
     // Median.binnedMedianPerGroup exactly (integer counts, integer div).

@@ -136,6 +136,64 @@ object Similarity {
         }: _*)
   }
 
+  /** Initial-centroid component (j, d) = xhash32("km_j_d")/2^31 - 1 — the
+    * same cross-engine md5 construction as [[projComponent]] under a
+    * disjoint salt, so both engines start Lloyd from the identical seed. */
+  private[graft] def centroidComponent(j: Int, d: Int): Double =
+    graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"km_${j}_${d}")) / 2147483648.0 - 1.0
+
+  /** One exact Lloyd (k-means) iteration over an embedding column, as a
+    * single lazy plan with NO driver action — the oracle-checkable face of
+    * the training step behind an IVF index's cell structure.
+    * ([[trainIvfCentroids]] is the multi-iteration trainer: it loops this
+    * same assign/update shape with a metadata-scale collect between
+    * iterations, which makes it spec-testable but not oracle-expressible;
+    * this operator pins the per-iteration math — assignment argmin and
+    * mean update — to a DuckDB oracle bit-for-bit, under Euclidean
+    * distance and md5-seeded centroids.)
+    *
+    * Assignment: cell = argmin_j ‖v − c_j‖² = argmin_j (‖c_j‖² − 2⟨v,c_j⟩)
+    * (the ‖v‖² term is row-constant) — k sequential-fold dot kernels
+    * against literal centroid arrays fused into the scan projection,
+    * ties broken by cell id via struct ordering. Both engines fold
+    * left-sequentially over the same md5-derived doubles, so the argmin
+    * is bitwise-deterministic (the emb_pairs oracle family's argument).
+    *
+    * Update: element-wise mean per cell with FIXED-POINT accumulation —
+    * each element is floored at 2^-20 granularity and summed as a long
+    * (exact, order-independent, overflow-safe to 2^33 rows per cell at
+    * |x| <= 1), then divided once. A double sum would be order-dependent
+    * across partitions; a decimal cast would hinge on the engines' float
+    * rounding mode (the [[graft.functions.Median]] trick, applied to
+    * means).
+    *
+    * Scale: one narrow corpus pass (k dot kernels), a k×dim-row shuffle
+    * after map-side partial aggregation — nothing corpus-sized moves.
+    * Output: (cell, dim, n, c) — k×dim rows. */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val cents = Seq.tabulate(k)(j => Seq.tabulate(dim)(d => centroidComponent(j, d)))
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum // left fold — matches list_sum's order
+      struct(
+        (lit(c2) - lit(2.0) * dotSeq(col(vecCol), typedLit(c))).as("s"),
+        lit(j).as("c"))
+    }
+    df
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(vecCol).as("v"),
+        array_min(array(scored: _*)).getField("c").cast(LongType).as("cell"))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim").cast(LongType).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("s_fp"))
+      .select(col("cell"), col("dim"), col("n"),
+        (col("s_fp").cast(DoubleType) / (col("n") * lit(1048576.0))).as("c"))
+  }
+
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
     * O(n²) shape is only for oracle-scale corpora — at scale use
     * `lshCosineTopK`-style bucketing as the candidate generator. */

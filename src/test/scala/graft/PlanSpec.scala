@@ -62,8 +62,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    level is a broadcast non-equi join over SUPERBUCKET totals —
   //    n/2^20 rows (~10k at 10^10 docs), the metadata-scale terminator
   //    that keeps every window partitioned.
+  //  - lm_coverage: same 1-row broadcast shape — the top-64 reference
+  //    trigram array joined onto every document row.
   private val nljWhitelist =
-    Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep")
+    Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
+      "lm_coverage")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {

@@ -70,6 +70,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.zip(seeds).exists { case ((_, t), (_, s)) => t != s })
   }
 
+  test("kmeansStep: assignment is the brute-force argmin; means recompute exactly") {
+    val step = Similarity.kmeansStep(emb, "vec_id", "embedding", k = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // Driver-side reference: same seed, same left-fold order, same
+    // fixed-point mean.
+    val cents = Array.tabulate(8)(j => Array.tabulate(64)(d => Similarity.centroidComponent(j, d)))
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cell(v: Array[Float]): Int =
+      (0 until 8).minBy { j =>
+        val c = cents(j)
+        val c2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        val dot = v.indices.foldLeft(0.0)((a, d) => a + v(d).toDouble * c(d))
+        (c2 - 2.0 * dot, j)
+      }
+    val byCell = vecs.groupBy { case (_, v) => cell(v) }
+    for ((c, members) <- byCell; d <- 0 until 64) {
+      val (n, mean) = step((c.toLong, d.toLong))
+      assert(n == members.length, s"cell $c size")
+      val sFp = members.map { case (_, v) => math.floor(v(d).toDouble * 1048576.0).toLong }.sum
+      assert(mean == sFp.toDouble / (n * 1048576.0), s"cell $c dim $d mean")
+    }
+    // every output row belongs to an occupied cell
+    assert(step.size == byCell.size * 64)
+  }
+
   test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     // One query, nProbe=2: of the ~6 cells on disk only 2 may be opened.
