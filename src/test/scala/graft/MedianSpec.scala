@@ -32,6 +32,36 @@ class MedianSpec extends AnyFunSuite with SparkSpec {
     assert(bins(0) == 0L && bins(1) == 1L && bins(3) == -1L)
   }
 
+  test("property: gate keeps exactly {v : bin(v) >= lower-median bin}, any data") {
+    // Driver-side reference: lower median = the ceil(n/2)-th smallest bin.
+    import org.scalacheck.{Gen, rng}
+    val valGen = Gen.oneOf(
+      Gen.chooseNum(-5.0, 2.0), // quality-score-like range
+      Gen.chooseNum(-3, 3).map(_.toDouble), // heavy ties across groups
+      Gen.const(0.0))
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"), valGen))
+    val seed = rng.Seed(20260812L)
+    val cases = Iterator.iterate((seed, List.empty[List[(String, Double)]])) {
+      case (s, acc) =>
+        val r = rowsGen.pureApply(Gen.Parameters.default.withSize(40), s)
+        (s.next, r :: acc)
+    }.drop(30).next()._2
+    for (rows <- cases) {
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .toDF("g", "id", "v")
+      val kept = graft.functions.Median.gateAtBinnedMedian(df, "g", "v")
+        .select("id").as[Long].collect().toSet
+      val expected = rows.zipWithIndex.groupBy(_._1._1).flatMap { case (_, members) =>
+        val bins = members.map { case ((_, v), _) => math.floor(v * Median.Scale).toLong }
+        val med = bins.sorted.apply((bins.size + 1) / 2 - 1)
+        members.collect {
+          case ((_, v), i) if math.floor(v * Median.Scale).toLong >= med => i.toLong
+        }
+      }.toSet
+      assert(kept == expected, s"rows=$rows")
+    }
+  }
+
   test("gateAtBinnedMedian keeps exactly the rows at or above the group median bin") {
     val df = Seq(
       ("a", 10L, 1.0), ("a", 11L, 2.0), ("a", 12L, 3.0),

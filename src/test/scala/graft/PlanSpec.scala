@@ -164,6 +164,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
   }
 
+  test("lm_coverage: the corpus never shuffles (doc rows stay out of every exchange)") {
+    // The reference table collapses to one broadcast array row, so the
+    // only exchanges belong to the tiny reference-side aggregation; a
+    // doc_id in any shuffle would mean the corpus pass lost its narrow
+    // shape (the explode+join formulation this replaced shuffled one row
+    // per document).
+    val shuffles = collectAll(plan("lm_coverage")) { case e: ShuffleExchangeExec => e }
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text"),
+        s"exchange carries corpus rows:\n$e")
+  }
+
+  test("kmeans_step: corpus is never hash-shuffled; only (cell, dim) partials move") {
+    // Assignment is k literal-centroid kernels fused into the scan; the
+    // single allowed exchange is the k x dim partial-aggregate combine.
+    val p = planString("kmeans_step")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, p)
+    assert(!p.contains("Exchange hashpartitioning(v"), p)
+  }
+
   test("ann_topk: queries side is broadcast; corpus is never shuffled pre-aggregation") {
     val p = plan("ann_topk")
     val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
