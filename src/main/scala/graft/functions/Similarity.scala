@@ -168,9 +168,11 @@ object Similarity {
     * rounding mode (the [[graft.functions.Median]] trick, applied to
     * means).
     *
-    * Scale: one narrow corpus pass (k dot kernels), a k×dim-row shuffle
+    * Scale: one narrow corpus pass (k dot kernels), a ≤k×dim-row shuffle
     * after map-side partial aggregation — nothing corpus-sized moves.
-    * Output: (cell, dim, n, c) — k×dim rows. */
+    * Output: (cell, dim, n, c), occupied cells × dim rows — a cell that
+    * won no vectors emits nothing (callers iterating Lloyd keep the
+    * previous centroid for absent cells, as [[trainIvfCentroids]] does). */
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
     require(k > 0 && dim > 0, "k and dim must be positive")
     val cents = Seq.tabulate(k)(j => Seq.tabulate(dim)(d => centroidComponent(j, d)))
