@@ -16,11 +16,15 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(col("doc_id"), col("text"))
 
   test("sortedShingles == sort_array(charShingles) on the documents corpus") {
-    val diff = docs.select(
-      FastText.sortedShingles(col("text"), 4).as("fast"),
-      sort_array(TF.charShingles(col("text"), 4)).as("ref"))
-      .filter(col("fast") =!= col("ref"))
-    assert(diff.count() === 0)
+    // k = 3 is lm_coverage's oracle assumption, 4 the dedup family's,
+    // 16 decontamination's.
+    for (k <- Seq(3, 4, 16)) {
+      val diff = docs.select(
+        FastText.sortedShingles(col("text"), k).as("fast"),
+        sort_array(TF.charShingles(col("text"), k)).as("ref"))
+        .filter(col("fast") =!= col("ref"))
+      assert(diff.count() === 0, s"k=$k")
+    }
   }
 
   test("xhash32Array == sort_array(shingleHashes) on the documents corpus") {
