@@ -68,7 +68,8 @@ object Median {
     * "the best half per group". The median table is one row per group
     * (broadcast); the corpus itself is never shuffled by the gate. */
   def gateAtBinnedMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    require(!df.columns.contains("__qb"), "input already has a __qb column")
+    require(!df.columns.exists(c => c == "__qb" || c == "med_bin"),
+      "input already has a __qb/med_bin column; rename it before gating")
     val binned = df.withColumn("__qb", bin(col(valueCol)))
     val med = binnedMedianPerGroup(
       binned.select(col(groupCol), col("__qb")), groupCol, "__qb")
