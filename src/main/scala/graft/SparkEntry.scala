@@ -793,6 +793,45 @@ object SparkEntry {
         col("doc_id").cast(StringType), nShards = ShardCount, salt = "r5")
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
 
+    // Cross-document span dedup (C4's line-dedup, over fixed 16-word
+    // windows): keep only the first corpus-wide occurrence of every span,
+    // reassemble the survivors per doc. Decisions ride a hash-only digest
+    // window (~48 B/row — never span text); span text shuffles exactly
+    // once, keyed by doc id, shared by the reassembly join and group-by
+    // (Spans scaladoc). Surfaced as counts + (length, xhash32) of the
+    // reassembled text, the chunk_docs convention.
+    "span_dedup" -> ((s, dir) =>
+      graft.functions.Spans.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 16)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          length(col("clean_text")).as("clean_chars"),
+          TF.xhash32(col("clean_text")).as("clean_hash"))),
+
+    // Boilerplate strip (CCNet-style): drop EVERY occurrence of spans
+    // found in >= 3 distinct docs (headers, footers, license blurbs),
+    // keep the unique content. Same hash-only decision frame; the
+    // boilerplate digest set is removed by an un-hinted anti-join (AQE
+    // broadcasts the typically-tiny set, shuffles a pathological one).
+    "boilerplate_strip" -> ((s, dir) =>
+      graft.functions.Spans.boilerplateStrip(t(s, dir, "documents"), "doc_id", "text",
+          k = 16, minDf = 3)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          length(col("clean_text")).as("clean_chars"),
+          TF.xhash32(col("clean_text")).as("clean_hash"))),
+
+    // Temperature-flattened language rebalancing (the "data mixing"
+    // stage): downsample over-represented languages toward the tau = 0.5
+    // temperature distribution at ~50% of the corpus overall. Stratum
+    // counts aggregate map-side (one row per language); keep rates
+    // broadcast back onto the corpus, which never shuffles — the
+    // selection filter is a narrow deterministic hash draw
+    // (Sampling.temperatureMix scaladoc has the cross-engine
+    // reproducibility argument for the sqrt-based rate).
+    "corpus_mix" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", col("doc_id").cast(StringType), targetFrac = 0.5, salt = "mx")
+        .select(col("doc_id"), col("lang"))),
+
     // The canonical corpus-cleaning composition: keep each text's lowest
     // doc_id (exact-dedup canonical, hash-first — no text ever shuffles),
     // require positive quality and classifier/label language agreement,
@@ -1488,6 +1527,50 @@ object SparkEntry {
         |  length(substr(text, (i * 192 + 1)::INT, 256)) AS chunk_chars,
         |  ('0x' || substr(md5(substr(text, (i * 192 + 1)::INT, 256)), 1, 8))::BIGINT AS chunk_hash
         |FROM u""".stripMargin,
+    // Span CTE convention (both span queries): 1-based list slicing
+    // words[i*16+1 : i*16+16] = Spark's slice(__w, i*16+1, 16); the engine
+    // windows/joins on the (xxhash64, md5) digest pair where the oracle
+    // uses the span text itself — identical grouping absent a simultaneous
+    // 64-bit + 128-bit collision (the dedup_exact digest argument).
+    "span_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL AND length(text) > 0),
+        |sp AS (SELECT doc_id, list_transform(range(0, (len(w) + 15) // 16),
+        |         i -> array_to_string(w[i*16+1:i*16+16], ' ')) AS spans FROM s),
+        |u AS (SELECT doc_id, len(spans)::BIGINT AS n_spans, unnest(spans) AS span,
+        |        generate_subscripts(spans, 1)::BIGINT - 1 AS idx FROM sp),
+        |kp AS (SELECT doc_id, n_spans, idx, span,
+        |         row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rk FROM u)
+        |SELECT doc_id, n_spans, count(*)::BIGINT AS n_kept,
+        |  length(string_agg(span, ' ' ORDER BY idx)) AS clean_chars,
+        |  ('0x' || substr(md5(string_agg(span, ' ' ORDER BY idx)), 1, 8))::BIGINT AS clean_hash
+        |FROM kp WHERE rk = 1 GROUP BY doc_id, n_spans""".stripMargin,
+    "boilerplate_strip" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL AND length(text) > 0),
+        |sp AS (SELECT doc_id, list_transform(range(0, (len(w) + 15) // 16),
+        |         i -> array_to_string(w[i*16+1:i*16+16], ' ')) AS spans FROM s),
+        |u AS (SELECT doc_id, len(spans)::BIGINT AS n_spans, unnest(spans) AS span,
+        |        generate_subscripts(spans, 1)::BIGINT - 1 AS idx FROM sp),
+        |bp AS (SELECT span FROM u GROUP BY span HAVING count(DISTINCT doc_id) >= 3),
+        |kp AS (SELECT doc_id, n_spans, idx, span FROM u
+        |       WHERE span NOT IN (SELECT span FROM bp))
+        |SELECT doc_id, n_spans, count(*)::BIGINT AS n_kept,
+        |  length(string_agg(span, ' ' ORDER BY idx)) AS clean_chars,
+        |  ('0x' || substr(md5(string_agg(span, ' ' ORDER BY idx)), 1, 8))::BIGINT AS clean_hash
+        |FROM kp GROUP BY doc_id, n_spans""".stripMargin,
+    // Same fixed-point weight (floor(sqrt(n)*2^20)), same exact integer
+    // sums, same parenthesization of the one double rate expression as
+    // Sampling.temperatureMix — bit-identical thresholds by construction.
+    "corpus_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, floor(sqrt(n::DOUBLE) * 1048576.0)::BIGINT AS w FROM c),
+        |t AS (SELECT sum(w)::BIGINT AS s, sum(n)::BIGINT AS tot FROM w),
+        |r AS (SELECT lang, least(4294967296,
+        |        floor((tot::DOUBLE * 0.5 * w::DOUBLE) / (s::DOUBLE * n::DOUBLE) * 4294967296.0)::BIGINT) AS thr
+        |      FROM w CROSS JOIN t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5('mx' || d.doc_id::VARCHAR), 1, 8))::BIGINT < r.thr""".stripMargin,
     // Capstone composition: each stage reuses its standalone oracle's
     // construction verbatim (digest dedup == GROUP BY text, quality
     // median, 16-char shingle contamination, 512-token packing), so a

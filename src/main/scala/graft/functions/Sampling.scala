@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import TextFunctions.xhash32
 
@@ -62,6 +63,50 @@ object Sampling {
         row_number().over(
           Window.partitionBy(col("shard"))
             .orderBy(xhash32(concat(lit(salt + "_p"), keyCol)), keyCol)) - 1)
+  }
+
+  /** Temperature-flattened stratum rebalancing (the "data mixing" stage):
+    * downsample over-represented strata toward the tau = 0.5 temperature
+    * distribution — each stratum's target share is proportional to
+    * sqrt(its count) — keeping ~`targetFrac` of the corpus overall. Rare
+    * strata cap at keep-everything (rate 1).
+    *
+    * Per-stratum keep rate: `targetFrac * tot * w_c / (S * n_c)` where
+    * `w_c = floor(sqrt(n_c) * 2^20)` and `S = sum(w_c)`. tau is FIXED at
+    * 0.5: sqrt is the one power IEEE 754 requires correctly rounded, so
+    * the rate — integer inputs through sqrt, exact exponent-shift
+    * scaling, exact integer sums, then one identically-parenthesized
+    * double expression — is bit-reproducible across engines (pow(x, tau)
+    * for general tau is NOT correctly rounded and drifts by ulps between
+    * libm implementations, which can flip a hash-threshold comparison).
+    * Selection is then the [[bernoulli]] draw against that rate: a pure
+    * function of the data, stable under repartitioning/retries/engines.
+    *
+    * 100 TB shape: stratum counts are a map-side-combined aggregation
+    * (one row per stratum); rates broadcast back onto the corpus, which
+    * itself never shuffles — the keep filter is narrow. */
+  def temperatureMix(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: Column,
+      targetFrac: Double,
+      salt: String): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0, 1]")
+    require(!df.columns.contains("__thr"), "input already has a __thr column")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      floor(sqrt(col("__n").cast(DoubleType)) * 1048576.0))
+    val totals = weighted.agg(sum(col("__w")).as("__s"), sum(col("__n")).as("__tot"))
+    val rates = weighted.crossJoin(broadcast(totals))
+      .select(col(stratumCol),
+        least(lit(4294967296L),
+          floor(
+            (col("__tot").cast(DoubleType) * lit(targetFrac) * col("__w").cast(DoubleType))
+              / (col("__s").cast(DoubleType) * col("__n").cast(DoubleType)) * 4294967296.0))
+          .as("__thr"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(xhash32(concat(lit(salt), keyCol)) < col("__thr"))
+      .drop("__thr")
   }
 
   /** Per-stratum quota sample: the `quota` rows of each stratum with the

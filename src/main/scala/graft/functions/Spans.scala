@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Cross-document span-level cleaning: the C4/CCNet-style stages that edit
+ * *inside* documents instead of dropping whole ones. A "span" is a fixed
+ * run of `k` consecutive whitespace words (the corpus here is single-space
+ * separated; a line- or sentence-split corpus would swap the splitter).
+ *
+ *  - [[spanDedup]]: keep only the FIRST corpus-wide occurrence of every
+ *    span (C4's line-dedup, over fixed word windows) — a doc whose every
+ *    span appeared earlier disappears entirely, which is exactly the
+ *    exact-duplicate-document case.
+ *  - [[boilerplateStrip]]: drop EVERY occurrence of spans that appear in
+ *    >= `minDf` distinct documents (headers, footers, license blurbs —
+ *    repeated-across-docs boilerplate), keeping unique content.
+ *
+ * 100 TB shape (shared by both): decisions are made on a hash-only frame —
+ * the only exchange keyed by span content carries a (xxhash64, md5) digest
+ * pair plus (id, span_idx), ~48 B/row, never the span text (the
+ * identity-by-digest convention of [[Dedup.exactGroups]]; a false merge
+ * needs a simultaneous 64-bit + 128-bit collision). Span text shuffles
+ * exactly once, keyed by doc id, for reassembly — and that exchange is
+ * shared by the reassembly join and the final group-by (same key), so the
+ * corpus pays ONE wide pass however many decision stages run.
+ */
+object Spans {
+
+  /** One row per fixed `k`-word span: (id, n_spans, span_idx, span).
+    * Narrow — a split + windowed-slice explode fused into the scan; span
+    * count arithmetic is integer-exact (`div`). Empty/null docs are
+    * dropped (they have no spans). */
+  def spansOf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "span length k must be positive")
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("n_spans", expr(s"(size(__w) + ${k - 1}) div $k"))
+      .select(col(idCol), col("n_spans"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(n_spans - 1 as int)), i -> array_join(slice(__w, i * $k + 1, $k), ' '))"))
+          .as(Seq("span_idx", "span")))
+  }
+
+  /** The hash-only decision frame: span content reduced to its digest pair
+    * so every decision exchange stays ~48 B/row. */
+  private def digests(spans: DataFrame, idCol: String): DataFrame =
+    spans.select(col(idCol), col("span_idx"),
+      xxhash64(col("span")).as("__h64"), md5(col("span")).as("__h128"))
+
+  /** Keep only the first corpus-wide occurrence (min (id, span_idx)) of
+    * each span, then reassemble the survivors per document. Output:
+    * (id, n_spans, n_kept, clean_text); docs with zero surviving spans
+    * (i.e. exact-duplicate documents) are dropped. One digest-keyed
+    * window over the hash-only frame; see class doc for the full shape. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sp = spansOf(df, idCol, textCol, k)
+    val keep = digests(sp, idCol)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__h64"), col("__h128"))
+          .orderBy(col(idCol), col("span_idx"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("span_idx"))
+    reassemble(sp, keep, idCol)
+  }
+
+  /** Drop every occurrence of spans appearing in >= `minDf` distinct
+    * documents; reassemble the rest. Same output contract as
+    * [[spanDedup]]. The boilerplate set is found by a digest-keyed
+    * count-distinct over the hash-only frame and removed with an
+    * un-hinted anti-join (AQE broadcasts it when small — the typical
+    * case: boilerplate is by definition a tiny fraction of distinct
+    * spans — and falls back to a shuffle when not). */
+  def boilerplateStrip(
+      df: DataFrame, idCol: String, textCol: String, k: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every span")
+    val sp = spansOf(df, idCol, textCol, k)
+    val dec = digests(sp, idCol)
+    val bp = dec.groupBy(col("__h64"), col("__h128"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h64"), col("__h128"))
+    val keep = dec.join(bp, Seq("__h64", "__h128"), "left_anti")
+      .select(col(idCol), col("span_idx"))
+    reassemble(sp, keep, idCol)
+  }
+
+  /** Rebuild each document from its kept spans, in span order. The keep
+    * set is first contracted to one (id, sorted idx array) row per doc —
+    * metadata-scale next to the span frame — so span text joins and
+    * regroups on the SAME key (id): Catalyst plans one exchange for both
+    * (the join's output partitioning satisfies the group-by). */
+  private def reassemble(sp: DataFrame, keep: DataFrame, idCol: String): DataFrame = {
+    val keepPerDoc = keep.groupBy(col(idCol))
+      .agg(collect_list(col("span_idx")).as("__keep"))
+    sp.join(keepPerDoc, Seq(idCol))
+      .filter(array_contains(col("__keep"), col("span_idx")))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_spans")).as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("span_idx").as("i"), col("span").as("s")))),
+            x => x.getField("s")),
+          " ").as("clean_text"))
+  }
+}

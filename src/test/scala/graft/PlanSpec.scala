@@ -64,9 +64,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    that keeps every window partitioned.
   //  - lm_coverage: same 1-row broadcast shape — the top-64 reference
   //    trigram array joined onto every document row.
+  //  - corpus_mix: same 1-row broadcast shape — the (sum weights, total)
+  //    aggregate joined onto the per-stratum weight rows (both sides are
+  //    stratum-cardinality metadata; the corpus itself is not involved).
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "lm_coverage")
+      "lm_coverage", "corpus_mix")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -137,6 +140,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     for (e <- shuffles)
       assert(!e.output.exists(_.name == "text"),
         s"exchange carries document text:\n$e")
+  }
+
+  test("span queries: decisions are hash-only; span text only ever shuffles on the doc id") {
+    // The digest-keyed decision exchanges (dedup window / boilerplate
+    // count-distinct + anti-join) must never carry span text — only the
+    // reassembly join/group-by, keyed by doc_id, may. And the raw document
+    // text column must not appear in ANY exchange (the spans explode is
+    // fused into the scan side).
+    for (q <- Seq("span_dedup", "boilerplate_strip")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, planString(q))
+      for (e <- shuffles) {
+        assert(!e.output.exists(_.name == "text"),
+          s"$q: exchange carries raw document text:\n$e")
+        if (e.output.exists(_.name == "span"))
+          assert(e.outputPartitioning.toString.contains("doc_id"),
+            s"$q: span text in a non-reassembly exchange:\n$e")
+      }
+    }
+  }
+
+  test("corpus_mix: the corpus never shuffles (only per-stratum count rows move)") {
+    val shuffles = collectAll(plan("corpus_mix")) { case e: ShuffleExchangeExec => e }
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text"),
+        s"exchange carries corpus rows:\n$e")
   }
 
   test("narrow pipeline stages plan zero shuffles") {

@@ -46,6 +46,41 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  /** Reference xhash32: unsigned value of the first 8 hex chars of md5 —
+    * must equal TextFunctions.xhash32 (and the DuckDB oracle's form). */
+  private def refHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  test("temperatureMix: bit-exact vs a scalar replica of the rate formula") {
+    // Skew: stratum A 1000 rows, B 100. tau=0.5 flattening should keep all
+    // of B (rate caps at 1) and downsample A.
+    val rows = (1 to 1000).map(i => ("A", s"a$i")) ++ (1 to 100).map(i => ("B", s"b$i"))
+    val df = rows.toDF("g", "k")
+    val got = Sampling.temperatureMix(df, "g", col("k"), targetFrac = 0.5, salt = "tm")
+      .select("g", "k").as[(String, String)].collect().toSet
+    // Scalar replica — same fixed-point weights, same parenthesization.
+    val n = Map("A" -> 1000L, "B" -> 100L)
+    val w = n.map { case (g, c) => g -> math.floor(math.sqrt(c.toDouble) * 1048576.0).toLong }
+    val s = w.values.sum.toDouble
+    val tot = n.values.sum.toDouble
+    val thr = n.keys.map { g =>
+      g -> math.min(4294967296L,
+        math.floor(tot * 0.5 * w(g).toDouble / (s * n(g).toDouble) * 4294967296.0).toLong)
+    }.toMap
+    val want = rows.filter { case (g, k) => refHash("tm" + k) < thr(g) }.toSet
+    assert(got === want)
+    assert(thr("B") === 4294967296L, "rare stratum caps at keep-everything")
+    val keptA = got.count(_._1 == "A")
+    assert(got.count(_._1 == "B") === 100)
+    assert(keptA < 550 && keptA > 300, s"skewed stratum downsampled, got $keptA")
+    // Deterministic under repartitioning.
+    val again = Sampling.temperatureMix(df.repartition(11), "g", col("k"), 0.5, "tm")
+      .select("g", "k").as[(String, String)].collect().toSet
+    assert(again === got)
+  }
+
   test("stratifiedQuota: exactly quota per stratum (or all, when smaller)") {
     val df = (1 to 300).map(i => (s"s${i % 3}", i.toString)).toDF("g", "k")
       .union(Seq(("tiny", "x")).toDF("g", "k"))
