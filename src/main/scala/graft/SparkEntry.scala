@@ -793,6 +793,56 @@ object SparkEntry {
         col("doc_id").cast(StringType), nShards = ShardCount, salt = "r5")
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
 
+    // Full outer join: daily order counts vs daily ship counts — dates
+    // outside the overlap surface one-sided (coalesced-to-zero) rows.
+    // Both sides pre-aggregate map-side; the join shuffles one row per
+    // distinct date per side.
+    "q27_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("n_orders"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d")).agg(count(lit(1)).as("n_shipped"))
+      o.join(l, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+    }),
+
+    // NOT IN with a correlated-free subquery — exercises Spark's
+    // null-aware anti join (NAAJ), a distinct physical operator from the
+    // left_anti of q6 (NOT IN must return zero rows if the subquery
+    // yields any NULL; the planner handles that with a broadcast
+    // null-aware build). The build side (deeply negative-balance
+    // customers) is small by construction at any scale.
+    "q28_notin" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q28_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q28_customer")
+      s.sql("""SELECT o_orderkey, o_custkey FROM q28_orders
+               WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM q28_customer WHERE c_acctbal < -900)""")
+    }),
+
+    // Composite Gopher-style quality gate: word-count floor, mean-word-
+    // length band, and word-repetition ceiling in one narrow pass — every
+    // stat is an integer count or a single int/int division, so both
+    // engines agree bitwise on the filter boundary. No shuffle. Catalyst
+    // substitutes the predicate through the projection (deterministic
+    // filters always push), so surviving rows evaluate the token stats
+    // twice — a bounded 2x on this CPU stage, taken deliberately: the
+    // alternatives (nondeterministic barrier, materialization) cost more
+    // or break determinism. Conjuncts are ordered cheap -> expensive so
+    // dropped rows short-circuit at the single-split word count.
+    "gopher_gate" -> ((s, dir) => {
+      val wc = size(TF.wsTokens(col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), wc.as("n_words"),
+          ((length(col("text")) - (wc - lit(1))).cast(DoubleType) / wc).as("mean_word_len"),
+          TF.wordRepetitionRatio(col("text")).as("repeat_ratio"))
+        .filter(col("n_words") >= 30 &&
+          col("mean_word_len") >= 3.5 && col("mean_word_len") <= 5.0 &&
+          col("repeat_ratio") <= 0.65)
+    }),
+
     // Cross-document span dedup (C4's line-dedup, over fixed 16-word
     // windows): keep only the first corpus-wide occurrence of every span,
     // reassemble the survivors per doc. Decisions ride a hash-only digest
@@ -1527,6 +1577,27 @@ object SparkEntry {
         |  length(substr(text, (i * 192 + 1)::INT, 256)) AS chunk_chars,
         |  ('0x' || substr(md5(substr(text, (i * 192 + 1)::INT, 256)), 1, 8))::BIGINT AS chunk_hash
         |FROM u""".stripMargin,
+    "q27_outer" ->
+      """WITH o AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+        |l AS (SELECT l_shipdate AS d, count(*) AS n_shipped FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o.d, l.d) AS d, coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_shipped, 0) AS n_shipped
+        |FROM o FULL OUTER JOIN l ON o.d = l.d""".stripMargin,
+    "q28_notin" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < -900)""".stripMargin,
+    "gopher_gate" ->
+      """WITH f AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+        |    / len(string_split(text, ' ')) AS mean_word_len,
+        |  1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' ')) AS repeat_ratio
+        |FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, repeat_ratio FROM f
+        |WHERE n_words >= 30 AND mean_word_len >= 3.5 AND mean_word_len <= 5.0
+        |  AND repeat_ratio <= 0.65""".stripMargin,
     // Span CTE convention (both span queries): 1-based list slicing
     // words[i*16+1 : i*16+16] = Spark's slice(__w, i*16+1, 16); the engine
     // windows/joins on the (xxhash64, md5) digest pair where the oracle

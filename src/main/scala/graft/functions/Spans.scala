@@ -87,6 +87,52 @@ object Spans {
     reassemble(sp, keep, idCol)
   }
 
+  /** The persisted side of streaming span dedup: the distinct digest
+    * pairs of every span already in the corpus — one ~24 B row per
+    * distinct span, never the text. Compute once over the existing
+    * corpus, then let [[cleanStream]] append each batch's novel digests. */
+  def spanIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    digests(spansOf(df, idCol, textCol, k), idCol)
+      .select(col("__h64"), col("__h128")).distinct()
+
+  def writeSpanIndex(df: DataFrame, idCol: String, textCol: String, k: Int, path: String): Unit =
+    spanIndex(df, idCol, textCol, k).write.mode("overwrite").parquet(path)
+
+  /** Per-micro-batch streaming face of [[spanDedup]]: each batch drops
+    * spans already present in the persisted digest store at `indexPath`
+    * (plus intra-batch repeats, first occurrence winning), sinks the
+    * reassembled documents, then APPENDS its novel digests to the store —
+    * so later batches dedup against everything sunk so far. Mirrors
+    * [[graft.streaming.StreamDedup.nearDupFilterAgainstIndex]] /
+    * [[Contamination.cleanStream]]: dedup state lives in storage, not the
+    * state store, so an unbounded corpus never pressures watermarks, and
+    * re-running batch [[spanDedup]] over (store corpus ++ batches) gives
+    * the identical result (SpansSpec asserts the parity). */
+  def cleanStream(
+      stream: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val seen = batch.sparkSession.read.parquet(indexPath)
+        val sp = spansOf(batch, idCol, textCol, k)
+        val firstInBatch = digests(sp, idCol)
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("__h64"), col("__h128"))
+              .orderBy(col(idCol), col("span_idx"))))
+          .filter(col("__rk") === 1)
+        val novel = firstInBatch.join(seen, Seq("__h64", "__h128"), "left_anti")
+        sink(reassemble(sp, novel.select(col(idCol), col("span_idx")), idCol), id)
+        // Append AFTER the sink: novel's plan reads the store's file list
+        // as of batch start, so the append never feeds its own input.
+        novel.select(col("__h64"), col("__h128"))
+          .write.mode("append").parquet(indexPath)
+      }
+    }
+
   /** Rebuild each document from its kept spans, in span order. The keep
     * set is first contracted to one (id, sorted idx array) row per doc —
     * metadata-scale next to the span frame — so span text joins and

@@ -109,6 +109,36 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("cleanStream: micro-batches against a persisted span index == batch spanDedup parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spanidx").toString
+    // Seed corpus -> persisted digest store.
+    val corpus = Seq(1L -> "a b c d e f g h")
+    Spans.writeSpanIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", K, dir)
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val q = Spans.cleanStream(in.toDF.toDF("doc_id", "text"), dir, "doc_id", "text", K) {
+      (df, _) =>
+        collected ++= df.select(col("doc_id"), col("n_spans"), col("n_kept"), col("clean_text"))
+          .as[(Long, Long, Long, String)].collect()
+          .map { case (id, n, kk, t) => id -> ((n, kk, t)) }
+    }.start()
+    // Batch 1: one span repeats the stored corpus, one is novel; doc 11 is new.
+    val b1 = Seq(10L -> "a b c d x y z w", 11L -> "m n o p")
+    // Batch 2: doc 20 repeats batch 1's novel span; doc 21 duplicates doc 11 exactly.
+    val b2 = Seq(20L -> "x y z w q r s t", 21L -> "m n o p")
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Parity: batch spanDedup over (store corpus ++ batch1 ++ batch2) —
+    // id order mirrors arrival order — restricted to the streamed docs.
+    val want = refSpanDedup(corpus ++ b1 ++ b2, K) - 1L
+    assert(collected.toMap === want)
+    assert(!collected.contains(21L), "exact-dup doc in a later batch is fully suppressed")
+    assert(collected(20L)._3 === "q r s t", "span sunk in batch 1 dedups batch 2")
+  }
+
   test("spansOf: count arithmetic covers ragged tails and single-word docs") {
     val df = Seq(1L -> "w", 2L -> "a b c d e").toDF("doc_id", "text")
     val got = Spans.spansOf(df, "doc_id", "text", K)
