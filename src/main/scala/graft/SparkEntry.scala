@@ -882,6 +882,21 @@ object SparkEntry {
         "lang", col("doc_id").cast(StringType), targetFrac = 0.5, salt = "mx")
         .select(col("doc_id"), col("lang"))),
 
+    // Span-stage composition: cross-document span dedup -> Gopher-style
+    // repetition/word-count gate on the REASSEMBLED text -> token count,
+    // as one lazy plan — the "edit inside documents, then judge what's
+    // left" pipeline. The span stage keeps its standalone shape (hash-only
+    // decisions, one text shuffle); the gate and token count ride the
+    // reassembly output narrowly.
+    "pipeline_span_clean" -> ((s, dir) =>
+      graft.functions.Spans.spanDedup(t(s, dir, "documents"), "doc_id", "text", k = 16)
+        .select(col("doc_id"), col("clean_text"),
+          size(TF.wsTokens(col("clean_text"))).as("n_words"),
+          TF.wordRepetitionRatio(col("clean_text")).as("repeat_ratio"))
+        .filter(col("n_words") >= 30 && col("repeat_ratio") <= 0.65)
+        .select(col("doc_id"), col("n_words"),
+          size(TF.bpeTokens(col("clean_text"))).as("n_tokens"))),
+
     // The canonical corpus-cleaning composition: keep each text's lowest
     // doc_id (exact-dedup canonical, hash-first — no text ever shuffles),
     // require positive quality and classifier/label language agreement,
@@ -1630,6 +1645,26 @@ object SparkEntry {
         |  length(string_agg(span, ' ' ORDER BY idx)) AS clean_chars,
         |  ('0x' || substr(md5(string_agg(span, ' ' ORDER BY idx)), 1, 8))::BIGINT AS clean_hash
         |FROM kp GROUP BY doc_id, n_spans""".stripMargin,
+    // Composition oracle: span_dedup's CTE chain verbatim, then the gate
+    // and token count on the reassembled text — drift pinpoints the stage.
+    "pipeline_span_clean" ->
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL AND length(text) > 0),
+         |sp AS (SELECT doc_id, list_transform(range(0, (len(w) + 15) // 16),
+         |         i -> array_to_string(w[i*16+1:i*16+16], ' ')) AS spans FROM s),
+         |u AS (SELECT doc_id, unnest(spans) AS span,
+         |        generate_subscripts(spans, 1)::BIGINT - 1 AS idx FROM sp),
+         |kp AS (SELECT doc_id, idx, span,
+         |         row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rk FROM u),
+         |r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean
+         |      FROM kp WHERE rk = 1 GROUP BY doc_id),
+         |g AS (SELECT doc_id, clean, len(string_split(clean, ' ')) AS n_words,
+         |        1.0 - len(list_distinct(string_split(clean, ' ')))::DOUBLE
+         |          / len(string_split(clean, ' ')) AS repeat_ratio
+         |      FROM r)
+         |SELECT doc_id, n_words,
+         |  len(regexp_extract_all(clean, '${TF.TokenPattern}')) AS n_tokens
+         |FROM g WHERE n_words >= 30 AND repeat_ratio <= 0.65""".stripMargin,
     // Same fixed-point weight (floor(sqrt(n)*2^20)), same exact integer
     // sums, same parenthesization of the one double rate expression as
     // Sampling.temperatureMix — bit-identical thresholds by construction.
