@@ -45,10 +45,16 @@ object Spans {
   }
 
   /** The hash-only decision frame: span content reduced to its digest pair
-    * so every decision exchange stays ~48 B/row. */
+    * so every decision exchange stays ~48 B/row. The md5 input is
+    * coalesced non-nullable (spans are never null — array_join can't
+    * produce one) so downstream joins/aggregates never infer an
+    * `isnotnull(md5(span))` constraint that would re-run the digest
+    * kernel inside a scan filter. */
+  private def digestPair(spanCol: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(spanCol).as("__h64"), md5(coalesce(spanCol, lit(""))).as("__h128"))
+
   private def digests(spans: DataFrame, idCol: String): DataFrame =
-    spans.select(col(idCol), col("span_idx"),
-      xxhash64(col("span")).as("__h64"), md5(col("span")).as("__h128"))
+    spans.select(col(idCol) +: col("span_idx") +: digestPair(col("span")): _*)
 
   /** Keep only the first corpus-wide occurrence (min (id, span_idx)) of
     * each span, then reassemble the survivors per document. Output:
@@ -76,15 +82,26 @@ object Spans {
   def boilerplateStrip(
       df: DataFrame, idCol: String, textCol: String, k: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every span")
-    val sp = spansOf(df, idCol, textCol, k)
-    val dec = digests(sp, idCol)
-    val bp = dec.groupBy(col("__h64"), col("__h128"))
+    // Boilerplate is a property of span CONTENT — every occurrence of a
+    // digest shares the verdict — and the boilerplate set is small by
+    // definition (spans repeated across many docs are a sliver of the
+    // distinct-span universe). So, unlike spanDedup's per-occurrence keep
+    // set, the decision joins back DIRECTLY: one digest pipeline feeds a
+    // skew-safe two-phase count-distinct whose surviving digests anti-join
+    // the span frame un-hinted — AQE broadcasts the typical tiny set (the
+    // span frame then never shuffles before reassembly), and falls back
+    // to a shuffle for a pathological one. Two corpus passes total: the
+    // decision pipeline and the reassembly pass.
+    val bp = spansOf(df, idCol, textCol, k)
+      .select(col(idCol) +: digestPair(col("span")): _*)
+      .groupBy(col("__h64"), col("__h128"))
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col("__h64"), col("__h128"))
-    val keep = dec.join(bp, Seq("__h64", "__h128"), "left_anti")
-      .select(col(idCol), col("span_idx"))
-    reassemble(sp, keep, idCol)
+    val sp = spansOf(df, idCol, textCol, k)
+    val withDigest = sp.select(
+      col(idCol) +: col("n_spans") +: col("span_idx") +: col("span") +: digestPair(col("span")): _*)
+    rebuildDocs(withDigest.join(bp, Seq("__h64", "__h128"), "left_anti"), idCol)
   }
 
   /** The persisted side of streaming span dedup: the distinct digest
@@ -141,9 +158,18 @@ object Spans {
   private def reassemble(sp: DataFrame, keep: DataFrame, idCol: String): DataFrame = {
     val keepPerDoc = keep.groupBy(col(idCol))
       .agg(collect_list(col("span_idx")).as("__keep"))
-    sp.join(keepPerDoc, Seq(idCol))
-      .filter(array_contains(col("__keep"), col("span_idx")))
-      .groupBy(col(idCol))
+    rebuildDocs(
+      sp.join(keepPerDoc, Seq(idCol))
+        .filter(array_contains(col("__keep"), col("span_idx"))),
+      idCol)
+  }
+
+  /** The shared tail of every span operator: group the surviving span
+    * rows by doc and emit (id, n_spans, n_kept, clean_text) with spans
+    * rejoined in span order. Runs on its input join's own partitioning
+    * (same key) — no extra exchange. */
+  private def rebuildDocs(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col(idCol))
       .agg(
         first(col("n_spans")).as("n_spans"),
         count(lit(1)).as("n_kept"),
@@ -152,5 +178,4 @@ object Spans {
             array_sort(collect_list(struct(col("span_idx").as("i"), col("span").as("s")))),
             x => x.getField("s")),
           " ").as("clean_text"))
-  }
 }
