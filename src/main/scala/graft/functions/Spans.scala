@@ -18,14 +18,15 @@ import org.apache.spark.sql.functions._
  *    >= `minDf` distinct documents (headers, footers, license blurbs —
  *    repeated-across-docs boilerplate), keeping unique content.
  *
- * 100 TB shape (shared by both): decisions are made on a hash-only frame —
- * the only exchange keyed by span content carries a (xxhash64, md5) digest
- * pair plus (id, span_idx), ~48 B/row, never the span text (the
+ * 100 TB shape (shared by both): decisions are made on hash-only frames —
+ * every exchange keyed by span content carries a (xxhash64, md5) digest
+ * pair plus id metadata, ~48 B/row, never the span text (the
  * identity-by-digest convention of [[Dedup.exactGroups]]; a false merge
- * needs a simultaneous 64-bit + 128-bit collision). Span text shuffles
- * exactly once, keyed by doc id, for reassembly — and that exchange is
- * shared by the reassembly join and the final group-by (same key), so the
- * corpus pays ONE wide pass however many decision stages run.
+ * needs a simultaneous 64-bit + 128-bit collision). Span text normally
+ * shuffles exactly once, keyed by doc id, into the reassembly group-by;
+ * see each operator's doc for its decision join-back (spanDedup contracts
+ * a per-doc keep set; boilerplateStrip anti-joins its typically-tiny
+ * broadcast drop set, with an AQE shuffle fallback for pathological ones).
  */
 object Spans {
 
