@@ -142,6 +142,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"exchange carries document text:\n$e")
   }
 
+  test("every production query has an oracle (the driver's correctness gate covers the full map)") {
+    // A queries entry without oracleSql silently downgrades to a weaker
+    // rows-only driver check; an oracle without a query never runs at all.
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
+      s"only in queries: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}; " +
+        s"only in oracleSql: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
+  }
+
+  test("q28_notin plans the null-aware anti join, not a nested loop") {
+    // NOT IN needs null-aware semantics; Spark supports NAAJ only as a
+    // broadcast hash join (the trailing isNullAwareAntiJoin=true). A
+    // regression to BroadcastNestedLoopJoin would be O(n*m) at scale.
+    val bhj = collectAll(plan("q28_notin")) {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(bhj.nonEmpty, planString("q28_notin"))
+  }
+
   test("span queries: decisions are hash-only; span text only ever shuffles on the doc id") {
     // The digest-keyed decision exchanges (dedup window / boilerplate
     // count-distinct + anti-join) must never carry span text — only the
