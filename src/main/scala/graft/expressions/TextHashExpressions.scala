@@ -96,6 +96,18 @@ case class HashedShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Binary-search membership of a long value in a sorted long array. */
+case class SortedLongContains(left: Expression, right: Expression)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(arr: Any, v: Any): Any =
+    TextKernels.sortedLongContains(arr.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, v) => s"graft.expressions.TextKernels.sortedLongContains($a, $v)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedLongContains =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard coefficient of two sorted distinct long arrays. */
 case class JaccardSortedLong(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {

@@ -178,6 +178,24 @@ object TextKernels {
   }
 
   /** Jaccard of two SORTED distinct long arrays by linear merge. */
+  /** Binary-search membership in a sorted long array — O(log n) where
+    * `array_contains` is O(n). The win that matters: an O(n)-per-probe
+    * membership inside a per-row filter over the same row's n-element
+    * array is O(n^2) per row — quadratic in document size for the span
+    * reassembly filter. */
+  def sortedLongContains(a: ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = a.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = a.getLong(mid)
+      if (x == v) return true
+      else if (x < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -52,6 +52,13 @@ object FastText {
     import org.apache.spark.sql.functions.{coalesce, typedLit}
     coalesce(hashedShingles(c, k), typedLit(Array.empty[Long]))
   }
+
+  /** Binary-search membership of a long in a SORTED long array — O(log n)
+    * vs array_contains' O(n). For membership filters probed once per
+    * element of the same row's array (span reassembly), this turns an
+    * O(n^2)-per-document filter into O(n log n). */
+  def sortedLongContains(arr: Column, v: Column): Column =
+    B.column(SortedLongContains(B.expression(arr), B.expression(v)))
 
   /** Jaccard of two sorted distinct long arrays. */
   def jaccardSortedLong(a: Column, b: Column): Column =

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Cross-document span-level cleaning: the C4/CCNet-style stages that edit
@@ -157,11 +158,15 @@ object Spans {
     * regroups on the SAME key (id): Catalyst plans one exchange for both
     * (the join's output partitioning satisfies the group-by). */
   private def reassemble(sp: DataFrame, keep: DataFrame, idCol: String): DataFrame = {
+    // Sorted keep set + binary-search membership: array_contains is O(n)
+    // per probe, and the filter probes once per span of the same doc —
+    // O(spans^2) for a pathological multi-megabyte document. The sorted
+    // kernel makes the whole doc O(spans log spans).
     val keepPerDoc = keep.groupBy(col(idCol))
-      .agg(collect_list(col("span_idx")).as("__keep"))
+      .agg(sort_array(collect_list(col("span_idx").cast(LongType))).as("__keep"))
     rebuildDocs(
       sp.join(keepPerDoc, Seq(idCol))
-        .filter(array_contains(col("__keep"), col("span_idx"))),
+        .filter(FastText.sortedLongContains(col("__keep"), col("span_idx").cast(LongType))),
       idCol)
   }
 

@@ -63,7 +63,10 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => JaccardSortedLong(args.head, args(1))),
     ("graft_dot",
       new ExpressionInfo(classOf[DotSeq].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotSeq(args.head, args(1)))
+      (args: Seq[Expression]) => DotSeq(args.head, args(1))),
+    ("graft_sorted_contains",
+      new ExpressionInfo(classOf[SortedLongContains].getName, "graft_sorted_contains"),
+      (args: Seq[Expression]) => SortedLongContains(args.head, args(1)))
   )
 
   /** Register into a live session (idempotent). */

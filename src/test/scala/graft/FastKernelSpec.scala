@@ -130,6 +130,25 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.filter(col("ref") >= 0.7).count() > 0, "sample has no above-threshold pair")
   }
 
+  test("sortedLongContains == array_contains over random sorted arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // Arrays of varied size (incl. empty and singleton) probed with a mix
+    // of present and absent values, including boundary elements.
+    val rows = (1 to 500).map { _ =>
+      val n = rnd.nextInt(20)
+      val arr = Array.fill(n)(rnd.nextInt(50).toLong).distinct.sorted
+      val probe = rnd.nextInt(60).toLong
+      (arr.toSeq, probe)
+    } ++ Seq((Seq.empty[Long], 0L), (Seq(7L), 7L), (Seq(7L), 6L), (Seq(7L), 8L))
+    val df = rows.toDF("arr", "v")
+    val diff = df.select(
+      FastText.sortedLongContains(col("arr"), col("v")).as("fast"),
+      array_contains(col("arr"), col("v")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
   test("kernels handle edge strings: empty, shorter than k, multi-byte") {
     import spark.implicits._
     val edge = Seq("", "ab", "日本語のテキスト", "aaaa", "日日日日日").toDF("text")

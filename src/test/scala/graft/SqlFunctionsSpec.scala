@@ -39,6 +39,16 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r === 11.0)
   }
 
+  test("sorted-array membership callable from SQL") {
+    GraftSqlFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq(1L, 5L, 9L), 5L), (Seq(1L, 5L, 9L), 4L)).toDF("arr", "v")
+      .createOrReplaceTempView("sorted_sql")
+    val r = spark.sql("SELECT graft_sorted_contains(arr, v) AS c FROM sorted_sql ORDER BY v")
+      .as[Boolean].collect().toSeq
+    assert(r === Seq(false, true))
+  }
+
   test("non-literal k is rejected with a clear message") {
     GraftSqlFunctions.register(spark)
     val e = intercept[Exception](
