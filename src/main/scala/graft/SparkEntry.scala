@@ -882,6 +882,19 @@ object SparkEntry {
         "lang", col("doc_id").cast(StringType), targetFrac = 0.5, salt = "mx")
         .select(col("doc_id"), col("lang"))),
 
+    // Deterministic oversampling to parity — the up-sampling half of data
+    // mixing (corpus_mix is the down-sampling half): rare languages are
+    // repeated up to the largest language's count, integer-exact base
+    // copies plus a salted fractional draw, with a 0-based `copy` column
+    // distinguishing epochs. Counts aggregate map-side; (base, threshold)
+    // broadcast back; the copy explode is narrow — the corpus never
+    // shuffles (Sampling.oversampleToParity).
+    "corpus_upsample" -> ((s, dir) =>
+      graft.functions.Sampling.oversampleToParity(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", col("doc_id").cast(StringType), salt = "up")
+        .select(col("doc_id"), col("lang"), col("copy"))),
+
     // Span-stage composition: cross-document span dedup -> Gopher-style
     // repetition/word-count gate on the REASSEMBLED text -> token count,
     // as one lazy plan — the "edit inside documents, then judge what's
@@ -1645,6 +1658,19 @@ object SparkEntry {
         |  length(string_agg(span, ' ' ORDER BY idx)) AS clean_chars,
         |  ('0x' || substr(md5(string_agg(span, ' ' ORDER BY idx)), 1, 8))::BIGINT AS clean_hash
         |FROM kp GROUP BY doc_id, n_spans""".stripMargin,
+    // Integer-exact base copies (nmax // n); the fractional threshold is
+    // the same identically-parenthesized double expression as the engine.
+    "corpus_upsample" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |m AS (SELECT max(n)::BIGINT AS nmax FROM c),
+        |r AS (SELECT lang, nmax // n AS base,
+        |        floor((nmax % n)::DOUBLE / n::DOUBLE * 4294967296.0)::BIGINT AS thr
+        |      FROM c CROSS JOIN m),
+        |j AS (SELECT d.doc_id, d.lang,
+        |        base + (CASE WHEN ('0x' || substr(md5('up' || d.doc_id::VARCHAR), 1, 8))::BIGINT < thr
+        |                     THEN 1 ELSE 0 END) AS copies
+        |      FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, lang, unnest(range(0, copies)) AS copy FROM j""".stripMargin,
     // Composition oracle: span_dedup's CTE chain verbatim, then the gate
     // and token count on the reassembled text — drift pinpoints the stage.
     "pipeline_span_clean" ->

@@ -109,6 +109,42 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic oversampling to parity (the up-sampling half of data
+    * mixing, complementing [[temperatureMix]]): every stratum is repeated
+    * up to the size of the LARGEST stratum — each row emits
+    * `n_max div n_c` copies plus one more iff its hash draw falls under
+    * the fractional remainder `(n_max mod n_c) / n_c`, so a stratum's
+    * expected output count is exactly n_max. Adds a `copy` column
+    * (0-based) so downstream sharding/packing can distinguish epochs
+    * deterministically.
+    *
+    * Cross-engine exact: base count and remainder are integer arithmetic;
+    * the fractional threshold is one identically-parenthesized double
+    * expression over integers (same argument as [[temperatureMix]]); the
+    * draw is the usual salted hash. 100 TB shape: stratum counts are one
+    * map-side-combined aggregation; (base, thr) broadcast back; the
+    * copy explode is narrow — the corpus never shuffles. */
+  def oversampleToParity(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: Column,
+      salt: String): DataFrame = {
+    require(!df.columns.exists(c => c == "copy" || c == "__base" || c == "__thr"),
+      "input already has a copy/__base/__thr column")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max(col("__n")).as("__nmax"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .select(col(stratumCol),
+        expr("__nmax div __n").as("__base"),
+        floor((col("__nmax") % col("__n")).cast(DoubleType)
+          / col("__n").cast(DoubleType) * 4294967296.0).as("__thr"))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("__copies",
+        col("__base") + when(xhash32(concat(lit(salt), keyCol)) < col("__thr"), 1L).otherwise(0L))
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__base", "__thr", "__copies")
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (hash, key) — a deterministic "random" quota per group
     * (language balancing, source balancing).

@@ -64,12 +64,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    that keeps every window partitioned.
   //  - lm_coverage: same 1-row broadcast shape — the top-64 reference
   //    trigram array joined onto every document row.
-  //  - corpus_mix: same 1-row broadcast shape — the (sum weights, total)
-  //    aggregate joined onto the per-stratum weight rows (both sides are
-  //    stratum-cardinality metadata; the corpus itself is not involved).
+  //  - corpus_mix / corpus_upsample: same 1-row broadcast shape — the
+  //    corpus-wide aggregate (sum weights / max count) joined onto the
+  //    per-stratum rows (both sides are stratum-cardinality metadata; the
+  //    corpus itself is not involved).
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "lm_coverage", "corpus_mix")
+      "lm_coverage", "corpus_mix", "corpus_upsample")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -179,11 +180,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("corpus_mix: the corpus never shuffles (only per-stratum count rows move)") {
-    val shuffles = collectAll(plan("corpus_mix")) { case e: ShuffleExchangeExec => e }
-    for (e <- shuffles)
-      assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text"),
-        s"exchange carries corpus rows:\n$e")
+  test("mixing queries: the corpus never shuffles (only per-stratum count rows move)") {
+    for (q <- Seq("corpus_mix", "corpus_upsample")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      for (e <- shuffles)
+        assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text"),
+          s"$q: exchange carries corpus rows:\n$e")
+    }
   }
 
   test("narrow pipeline stages plan zero shuffles") {

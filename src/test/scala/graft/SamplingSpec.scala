@@ -81,6 +81,31 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(again === got)
   }
 
+  test("oversampleToParity: bit-exact vs a scalar replica; largest stratum untouched") {
+    // A 900 / B 250: base_B = 3 with a 150/250 fractional draw; A emits
+    // exactly one copy (base 1, remainder 0 -> threshold 0).
+    val rows = (1 to 900).map(i => ("A", s"a$i")) ++ (1 to 250).map(i => ("B", s"b$i"))
+    val df = rows.toDF("g", "k")
+    val got = Sampling.oversampleToParity(df, "g", col("k"), "up2")
+      .select("g", "k", "copy").as[(String, String, Long)].collect().toSet
+    val n = Map("A" -> 900L, "B" -> 250L)
+    val nmax = 900L
+    val want = rows.flatMap { case (g, k) =>
+      val base = nmax / n(g)
+      val thr = math.floor((nmax % n(g)).toDouble / n(g).toDouble * 4294967296.0).toLong
+      val copies = base + (if (refHash("up2" + k) < thr) 1L else 0L)
+      (0L until copies).map(c => (g, k, c))
+    }.toSet
+    assert(got === want)
+    assert(got.count(_._1 == "A") === 900, "largest stratum emits exactly one copy per row")
+    val nB = got.count(_._1 == "B")
+    assert(nB >= 750 && nB <= 1000, s"B lands between base and base+1 per row, got $nB")
+    // Deterministic under repartitioning.
+    val again = Sampling.oversampleToParity(df.repartition(9), "g", col("k"), "up2")
+      .select("g", "k", "copy").as[(String, String, Long)].collect().toSet
+    assert(again === got)
+  }
+
   test("stratifiedQuota: exactly quota per stratum (or all, when smaller)") {
     val df = (1 to 300).map(i => (s"s${i % 3}", i.toString)).toDF("g", "k")
       .union(Seq(("tiny", "x")).toDF("g", "k"))
