@@ -781,6 +781,26 @@ object SparkEntry {
         .groupBy(expr("n_tokens div 64").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))),
 
+    // Top adjacent-token pairs — the oracle-checkable face of one BPE
+    // tokenizer-training merge step (count all adjacent pairs corpus-wide,
+    // merge the most frequent). Narrow zip_with pair explode, map-side
+    // partial count per (a, b) — the shuffle carries one row per DISTINCT
+    // pair (Zipf-bounded, never corpus-sized) — and a bounded
+    // TakeOrderedAndProject top-k, never a global sort. Ties break on the
+    // pair's binary string order, identical in both engines.
+    "bpe_pairs" -> ((s, dir) => {
+      val n = greatest(size(col("tk")) - 1, lit(0))
+      t(s, dir, "documents")
+        .select(TF.bpeTokens(col("text")).as("tk"))
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), n), slice(col("tk"), lit(2), n),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -820,6 +840,42 @@ object SparkEntry {
       s.sql("""SELECT o_orderkey, o_custkey FROM q28_orders
                WHERE o_custkey NOT IN
                  (SELECT c_custkey FROM q28_customer WHERE c_acctbal < -900)""")
+    }),
+
+    // Offset window functions (lag/lead): each order next to its
+    // customer's previous and next order timestamps — the
+    // sessionization/funnel primitive. One partitioned window keyed on
+    // the customer; the (date, key) order makes same-day ties
+    // deterministic in both engines.
+    "q29_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_date"),
+        lead(col("o_orderdate"), 1).over(w).as("next_date"))
+    }),
+
+    // Distribution window functions (ntile / percent_rank / cume_dist)
+    // over per-customer spend within a market segment. percent_rank and
+    // cume_dist are single int/int divisions of rank counters, so the
+    // doubles agree bitwise across engines; ntile is integer bucketing;
+    // spend is the exact decimal sum (dsum) so the ORDER BY key itself is
+    // order-independent. The window partitions on the segment — never a
+    // global order.
+    "q30_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spend"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend"), col("c_custkey"))
+      spend.select(
+        col("c_custkey"), col("c_mktsegment"), col("spend"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
     }),
 
     // Composite Gopher-style quality gate: word-count floor, mean-word-
@@ -1010,6 +1066,15 @@ object SparkEntry {
     "kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, dim = 64)),
+
+    // SemDeDup (cluster-then-prune semantic dedup): nearest-seeded-centroid
+    // cell assignment, within-cell cosine pairs, keep rows with no lower-id
+    // near-dup in their cell. Candidates never cross a cell boundary — the
+    // paper's answer to all-pairs cost — and the one corpus shuffle keys on
+    // the cell id (Similarity.semDedupKeep scaladoc).
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedupKeep(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, dim = 64, threshold = 0.4)),
 
     // Text analysis: token/char/uniq statistics, all-integer (exact).
     "text_stats" -> ((s, dir) => {
@@ -1430,6 +1495,14 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY word ORDER BY n_occur DESC, word LIMIT 20""".stripMargin,
+    // Adjacent pairs via a 1-based index list; tk[i], tk[i+1] mirror the
+    // zip_with of the two shifted slices exactly.
+    "bpe_pairs" ->
+      s"""WITH tk AS (SELECT regexp_extract_all(text, '${TF.TokenPattern}') AS tk FROM documents),
+         |pl AS (SELECT list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]]) AS ps FROM tk),
+         |p AS (SELECT unnest(ps) AS pr FROM pl)
+         |SELECT pr[1] AS a, pr[2] AS b, count(*) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     // The oracle may use the global-order window Spark avoids — DuckDB is
     // single-node; only the VALUES must match.
     "pack_sequences" ->
@@ -1615,6 +1688,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey NOT IN
         |  (SELECT c_custkey FROM customer WHERE c_acctbal < -900)""".stripMargin,
+    "q29_lag" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  lag(o_orderdate, 1) OVER w AS prev_date,
+        |  lead(o_orderdate, 1) OVER w AS next_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q30_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment, spend,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM spend JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)""".stripMargin,
     "gopher_gate" ->
       """WITH f AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_words,
@@ -1770,6 +1860,27 @@ object SparkEntry {
         |SELECT cell, dim, count(*) AS n,
         |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
         |FROM x GROUP BY cell, dim""".stripMargin,
+    // Same centroid/assignment CTEs as kmeans_step; pair verdicts use the
+    // sequential-fold cosine (emb_pairs family); survivors = NOT IN drop.
+    "semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT j, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('km_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cv
+        |  FROM range(0, 8) jj(j)),
+        |s AS (SELECT e.vec_id, c.j,
+        |    list_sum(list_transform(c.cv, x -> x * x))
+        |      - 2.0 * list_sum(list_transform(list_zip(e.v, c.cv), pr -> pr[1] * pr[2])) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+        |    FROM s) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cell, e.v, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        |  FROM e JOIN a USING (vec_id)),
+        |p AS (SELECT r.vec_id AS dropped
+        |  FROM n l JOIN n r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE list_sum(list_transform(list_zip(l.v, r.v), pr -> pr[1] * pr[2])) / (l.nrm * r.nrm) >= 0.4)
+        |SELECT vec_id, cell FROM a WHERE vec_id NOT IN (SELECT dropped FROM p)""".stripMargin,
     // floor(q * 2^20) is an exponent shift (never rounds), so both engines
     // bin identically; the lower median of the bins mirrors
     // Median.binnedMedianPerGroup exactly (integer counts, integer div).

@@ -173,20 +173,28 @@ object Similarity {
     * Output: (cell, dim, n, c), occupied cells × dim rows — a cell that
     * won no vectors emits nothing (callers iterating Lloyd keep the
     * previous centroid for absent cells, as [[trainIvfCentroids]] does). */
-  def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
-    require(k > 0 && dim > 0, "k and dim must be positive")
+  /** Nearest-md5-seeded-centroid id for a vector column: argmin_j
+    * (‖c_j‖² − 2⟨v,c_j⟩), ties to the lower cell id via struct ordering —
+    * the deterministic cell assignment shared by [[kmeansStep]] and
+    * [[semDedupKeep]]. k fused dot kernels, fully narrow. */
+  private def seededCell(vecCol: Column, k: Int, dim: Int): Column = {
     val cents = Seq.tabulate(k)(j => Seq.tabulate(dim)(d => centroidComponent(j, d)))
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val c2 = c.map(x => x * x).sum // left fold — matches list_sum's order
       struct(
-        (lit(c2) - lit(2.0) * dotSeq(col(vecCol), typedLit(c))).as("s"),
+        (lit(c2) - lit(2.0) * dotSeq(vecCol, typedLit(c))).as("s"),
         lit(j).as("c"))
     }
+    array_min(array(scored: _*)).getField("c").cast(LongType)
+  }
+
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
     df
       .filter(col(vecCol).isNotNull)
       .select(
         col(vecCol).as("v"),
-        array_min(array(scored: _*)).getField("c").cast(LongType).as("cell"))
+        seededCell(col(vecCol), k, dim).as("cell"))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim").cast(LongType).as("dim"))
       .agg(
@@ -194,6 +202,61 @@ object Similarity {
         sum(floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType)).as("s_fp"))
       .select(col("cell"), col("dim"), col("n"),
         (col("s_fp").cast(DoubleType) / (col("n") * lit(1048576.0))).as("c"))
+  }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune): assign every
+    * embedding to its nearest md5-seeded centroid, find within-cell pairs
+    * with cosine >= threshold, and keep only rows with no lower-id
+    * near-duplicate in their cell. Output: (idCol, cell) — the surviving
+    * corpus plus its cell label (useful downstream as a shard/mixture key).
+    *
+    * Scale shape: candidate generation is an equi self-join on the cell id
+    * — pairs are only ever scored within a Voronoi cell, never across the
+    * corpus (the SemDeDup argument: semantic duplicates land in the same
+    * cluster, so cross-cell pairs aren't worth scoring). One corpus-wide
+    * hash shuffle on `cell` carries (id, vector, norm); the merge hint
+    * plans the k-dot assignment pipeline ONCE for both join sides
+    * (ReusedExchange), so the kernel cost isn't paid twice. Pair volume is
+    * Σ_cells |cell|²/2 — the caller picks k ≈ corpus/targetCellSize
+    * (SemDeDup uses ~100k clusters at web scale) to bound it; k is a
+    * plan-time constant here because the centroids are literal arrays.
+    * The final anti-join is deliberately UN-hinted: AQE broadcasts a small
+    * drop set at runtime and shuffles a large one (the dedup_keep rule).
+    *
+    * Centroids, fold order, and tie-breaks are the [[kmeansStep]] family's
+    * md5 constructions, so a DuckDB oracle reproduces cells, pair verdicts,
+    * and survivors bit-for-bit. */
+  def semDedupKeep(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val src = KernelInput.ensureParallelismIfScan(df)
+    val assigned = src
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol),
+        col(vecCol),
+        norm2(col(vecCol)).as("nrm"),
+        seededCell(col(vecCol), k, dim).as("cell"))
+    // Each pair lives in exactly ONE cell (cells partition the corpus), so
+    // unlike the multi-table LSH joins no distinct() is needed — the join
+    // output IS the candidate-pair set, verified in place.
+    val drop = assigned
+      .as("l").hint("merge")
+      .join(assigned.as("r"),
+        col("l.cell") === col("r.cell") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .filter(
+        dotSeq(col(s"l.$vecCol"), col(s"r.$vecCol")) /
+          (col("l.nrm") * col("r.nrm")) >= threshold)
+      .select(col(s"r.$idCol").as(idCol))
+      .distinct()
+    assigned
+      .select(col(idCol), col("cell"))
+      .join(drop, Seq(idCol), "left_anti")
   }
 
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the

@@ -86,6 +86,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(planString("vocab_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("bpe_pairs: bounded top-k over the pair counts, never a global sort") {
+    assert(planString("bpe_pairs").contains("TakeOrderedAndProject"))
+  }
+
+  test("semdedup: merge-hinted cell self-join; k-dot assignment planned once") {
+    val df = SparkEntry.queries("semdedup")(spark, sf)
+    val smj = collectAll(df.queryExecution.executedPlan) {
+      case j: SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "within-cell pair join must be a shuffle equi join on the cell id")
+    // AQE finalizes exchange reuse at materialization: after running, the
+    // self-join's second assignment subtree must ride a ReusedExchange —
+    // the corpus pays the k dot kernels (and the cell shuffle) ONCE.
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("tfidf_topk: the Zipf-skewed tf<->df join stays an AQE-splittable equi join") {
     // Word document-frequency is Zipfian: stopwords concentrate O(corpus)
     // tf rows on single join keys, so at scale the tf <-> dfreq join gets

@@ -96,6 +96,42 @@ class SimilaritySpec extends SparkSpec {
     assert(step.size == byCell.size * 64)
   }
 
+  test("semDedupKeep: survivors are exactly the no-lower-id-near-dup-in-cell set") {
+    val out = Similarity.semDedupKeep(emb, "vec_id", "embedding",
+      k = 8, dim = 64, threshold = 0.4)
+    assert(out.columns.toSeq == Seq("vec_id", "cell"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Driver-side reference: same seeded cells as the kmeansStep test, same
+    // left-fold cosine as the verify kernel; a row survives iff no lower-id
+    // member of ITS cell clears the threshold against it.
+    val cents = Array.tabulate(8)(j => Array.tabulate(64)(d => Similarity.centroidComponent(j, d)))
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cell(v: Array[Float]): Int =
+      (0 until 8).minBy { j =>
+        val c = cents(j)
+        val c2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        val dot = v.indices.foldLeft(0.0)((a, d) => a + v(d).toDouble * c(d))
+        (c2 - 2.0 * dot, j)
+      }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, d) => s + x(d).toDouble * y(d).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expected = vecs.groupBy { case (_, v) => cell(v) }.iterator.flatMap {
+      case (c, members) =>
+        members.iterator.collect {
+          case (id, v) if !members.exists { case (id2, v2) =>
+                id2 < id && cos(v2, v) >= 0.4 } =>
+            id -> c.toLong
+        }
+    }.toMap
+    assert(got == expected)
+    assert(got.size < vecs.length, "nothing dropped — fixture too sparse to exercise the prune")
+  }
+
   test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     // One query, nProbe=2: of the ~6 cells on disk only 2 may be opened.
