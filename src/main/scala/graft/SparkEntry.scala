@@ -888,6 +888,55 @@ object SparkEntry {
     // alternatives (nondeterministic barrier, materialization) cost more
     // or break determinism. Conjuncts are ordered cheap -> expensive so
     // dropped rows short-circuit at the single-split word count.
+    // Intra-document repetition strip (the within-doc half of C4-style
+    // span dedup; span_dedup is the cross-doc half): cut the document
+    // into fixed 2-word spans, keep only each span's FIRST occurrence
+    // within the doc, and fingerprint the reassembly. Fully narrow — every
+    // document is processed inside its own row with array HOFs, the plan
+    // has ZERO shuffles at any corpus size (the ideal 100 TB shape). The
+    // span width is a parameter; 2 words exercises the prune on this
+    // corpus (181/500 docs at sf0.01), production text uses wider spans.
+    // The first-occurrence test is positional: array_position returns the
+    // FIRST index of the value, so a span survives iff it sits at its own
+    // first position — O(spans²) per doc, bounded by the document length.
+    "repetition_strip" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("spans", expr(
+          "transform(sequence(0, cast((size(tk) + 1) div 2 - 1 as int)), " +
+            "i -> array_join(slice(tk, i * 2 + 1, 2), ' '))"))
+        .withColumn("kept", expr(
+          "filter(spans, (sp, i) -> array_position(spans, sp) = i + 1)"))
+        .select(
+          col("doc_id"),
+          size(col("spans")).cast(LongType).as("n_spans"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          TF.xhash32(array_join(col("kept"), " ")).as("clean_hash"))),
+
+    // Per-(source, lang) corpus mixture report — the "data card" audit a
+    // mixing stage plans against: exact doc/token counts plus corpus
+    // shares. Map-side partial agg to one row per stratum; the totals are
+    // a 1-row broadcast (metadata-scale by construction, the corpus_mix
+    // rule), so the plan's only corpus-wide move is the stratum shuffle.
+    "mix_report" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TF.wsTokens(col("text"))).cast(LongType)).as("n_tokens"))
+      val tot = per.agg(
+        sum(col("n_docs")).as("t_docs"), sum(col("n_tokens")).as("t_tokens"))
+      per.crossJoin(broadcast(tot))
+        .select(
+          col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast(DoubleType) / col("t_docs").cast(DoubleType))
+            .as("share_docs"),
+          (col("n_tokens").cast(DoubleType) / col("t_tokens").cast(DoubleType))
+            .as("share_tokens"))
+    }),
+
     "gopher_gate" -> ((s, dir) => {
       val wc = size(TF.wsTokens(col("text")))
       t(s, dir, "documents")
@@ -1705,6 +1754,29 @@ object SparkEntry {
         |  cume_dist() OVER w AS cume
         |FROM spend JOIN customer ON o_custkey = c_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)""".stripMargin,
+    // DuckDB list lambdas index 1-based where Spark's are 0-based; both
+    // array_position/list_position return the FIRST index, so the
+    // first-occurrence filters agree.
+    "repetition_strip" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, list_transform(range(0, (len(tk) + 1) // 2),
+        |    i -> array_to_string(list_slice(tk, i * 2 + 1, i * 2 + 2), ' ')) AS spans
+        |  FROM d),
+        |k AS (SELECT doc_id, len(spans)::BIGINT AS n_spans,
+        |  list_filter(spans, (sp, i) -> list_position(spans, sp) = i) AS kept FROM s)
+        |SELECT doc_id, n_spans, len(kept)::BIGINT AS n_kept,
+        |  ('0x' || substr(md5(array_to_string(kept, ' ')), 1, 8))::BIGINT AS clean_hash
+        |FROM k""".stripMargin,
+    "mix_report" ->
+      """WITH per AS (SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS t_docs, sum(n_tokens)::BIGINT AS t_tokens FROM per)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS share_docs,
+        |  CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS share_tokens
+        |FROM per CROSS JOIN tot""".stripMargin,
     "gopher_gate" ->
       """WITH f AS (SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_words,

@@ -70,7 +70,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    corpus itself is not involved).
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "lm_coverage", "corpus_mix", "corpus_upsample")
+      "lm_coverage", "corpus_mix", "corpus_upsample", "mix_report")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -211,7 +211,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // Pure per-row stages (split assignment, PII scrub, repetition ratio,
     // codec metadata) must stay narrow: a shuffle here would cost a full
     // corpus pass at 100 TB for no semantic reason.
-    for (q <- Seq("sample_split", "redact_pii", "quality_repeat", "mm_audio", "mm_meta")) {
+    for (q <- Seq("sample_split", "redact_pii", "quality_repeat", "mm_audio", "mm_meta",
+        "repetition_strip")) {
       val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty, s"$q shuffles:\n${planString(q)}")
     }
