@@ -226,6 +226,18 @@ object Similarity {
     * Centroids, fold order, and tie-breaks are the [[kmeansStep]] family's
     * md5 constructions, so a DuckDB oracle reproduces cells, pair verdicts,
     * and survivors bit-for-bit. */
+  /** (id, vector, norm, cell) — the shared front of the semantic-dedup
+    * family: one narrow pass, k fused dot kernels. */
+  private def cellAssigned(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame =
+    KernelInput.ensureParallelismIfScan(df)
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol),
+        col(vecCol),
+        norm2(col(vecCol)).as("nrm"),
+        seededCell(col(vecCol), k, dim).as("cell"))
+
   def semDedupKeep(
       df: DataFrame,
       idCol: String,
@@ -234,14 +246,7 @@ object Similarity {
       dim: Int,
       threshold: Double): DataFrame = {
     require(k > 0 && dim > 0, "k and dim must be positive")
-    val src = KernelInput.ensureParallelismIfScan(df)
-    val assigned = src
-      .filter(col(vecCol).isNotNull)
-      .select(
-        col(idCol),
-        col(vecCol),
-        norm2(col(vecCol)).as("nrm"),
-        seededCell(col(vecCol), k, dim).as("cell"))
+    val assigned = cellAssigned(df, idCol, vecCol, k, dim)
     // Each pair lives in exactly ONE cell (cells partition the corpus), so
     // unlike the multi-table LSH joins no distinct() is needed — the join
     // output IS the candidate-pair set, verified in place.
@@ -258,6 +263,78 @@ object Similarity {
       .select(col(idCol), col("cell"))
       .join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Seed (or rebuild) the persisted seen-vector store [[semDedupStream]]
+    * filters against: (id, vector, norm, cell), partitioned by cell so a
+    * micro-batch touching few cells scans few files. Holds EVERY seen
+    * vector — the stream's drop rule needs dropped rows as droppers too
+    * (the [[semDedupKeep]] rule is "any lower-id near-dup", not "any
+    * surviving near-dup"), which is also what an ANN index over the
+    * corpus wants. */
+  def writeSemDedupStore(
+      df: DataFrame,
+      storePath: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int): Unit =
+    cellAssigned(df, idCol, vecCol, k, dim)
+      .write.mode("overwrite").partitionBy("cell").parquet(storePath)
+
+  /** Per-micro-batch semantic dedup against the persisted store — the
+    * streaming face of [[semDedupKeep]], same state-in-storage shape as
+    * `Spans.cleanStream` / `StreamDedup.nearDupFilterAgainstIndex`: NO
+    * streaming state store, so the reference corpus is unbounded-safe.
+    *
+    * Per batch: assign cells (narrow), collect the batch's cell set
+    * (metadata-scale — bounded by batch rows) and read only those store
+    * partitions (static partition pruning on the `cell` directory key),
+    * drop batch rows with a store near-dup OR a lower-id in-batch
+    * near-dup in the same cell, sink the survivors, then append the WHOLE
+    * assigned batch to the store (after the sink — the survivors' plan
+    * reads the file list as of batch start, so the append never feeds its
+    * own input). For an id-ordered stream the cumulative sink output is
+    * EXACTLY `semDedupKeep` over everything seen (StreamingSpec parity
+    * test). */
+  def semDedupStream(
+      stream: DataFrame,
+      storePath: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      threshold: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val assigned = cellAssigned(batch, idCol, vecCol, k, dim)
+          .localCheckpoint() // assignment runs once across the three uses
+        val cells = assigned.select(col("cell")).distinct()
+          .collect().map(_.getLong(0))
+        val store = batch.sparkSession.read.parquet(storePath)
+          .filter(col("cell").isin(cells.toIndexedSeq: _*))
+          .select(col("cell"), col(idCol).as("__sid"),
+            col(vecCol).as("__sv"), col("nrm").as("__snrm"))
+        val vsStore = assigned.as("b")
+          .join(store,
+            col("b.cell") === store("cell") &&
+              dotSeq(col(s"b.$vecCol"), col("__sv")) /
+                (col("b.nrm") * col("__snrm")) >= threshold,
+            "left_semi")
+          .select(col(idCol))
+        val vsBatch = assigned.as("l")
+          .join(assigned.as("r"),
+            col("l.cell") === col("r.cell") &&
+              col(s"l.$idCol") < col(s"r.$idCol") &&
+              dotSeq(col(s"l.$vecCol"), col(s"r.$vecCol")) /
+                (col("l.nrm") * col("r.nrm")) >= threshold)
+          .select(col(s"r.$idCol").as(idCol))
+        val survivors = assigned.select(col(idCol), col("cell"))
+          .join(vsStore.union(vsBatch).distinct(), Seq(idCol), "left_anti")
+        sink(survivors, id)
+        assigned.write.mode("append").partitionBy("cell").parquet(storePath)
+      }
+    }
 
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
     * O(n²) shape is only for oracle-scale corpora — at scale use

@@ -132,6 +132,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size < vecs.length, "nothing dropped — fixture too sparse to exercise the prune")
   }
 
+  test("semDedupStream: cumulative micro-batch survivors == batch semDedupKeep parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("semstore").toString
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    // Seed the store with the first third; stream the rest in id order
+    // (arrival order == id order is the parity precondition).
+    val cut = all(all.length / 3)._1
+    val (seed, streamed) = all.partition(_._1 < cut)
+    Similarity.writeSemDedupStore(seed.toSeq.toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding", k = 8, dim = 64)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val q = Similarity.semDedupStream(in.toDF.toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding", k = 8, dim = 64, threshold = 0.4) { (df, _) =>
+      got ++= df.as[(Long, Long)].collect()
+    }.start()
+    val (b1, b2) = streamed.splitAt(streamed.length / 2)
+    in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val want = Similarity.semDedupKeep(emb, "vec_id", "embedding",
+      k = 8, dim = 64, threshold = 0.4)
+      .filter(col("vec_id") >= cut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.toMap === want)
+    assert(want.size < streamed.length,
+      "no streamed row was dropped — fixture too sparse to exercise the stream prune")
+  }
+
   test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     // One query, nProbe=2: of the ~6 cells on disk only 2 may be opened.
