@@ -900,19 +900,8 @@ object SparkEntry {
     // FIRST index of the value, so a span survives iff it sits at its own
     // first position — O(spans²) per doc, bounded by the document length.
     "repetition_strip" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .withColumn("spans", expr(
-          "transform(sequence(0, cast((size(tk) + 1) div 2 - 1 as int)), " +
-            "i -> array_join(slice(tk, i * 2 + 1, 2), ' '))"))
-        .withColumn("kept", expr(
-          "filter(spans, (sp, i) -> array_position(spans, sp) = i + 1)"))
-        .select(
-          col("doc_id"),
-          size(col("spans")).cast(LongType).as("n_spans"),
-          size(col("kept")).cast(LongType).as("n_kept"),
-          TF.xhash32(array_join(col("kept"), " ")).as("clean_hash"))),
+      graft.functions.Spans.intraDocStrip(
+        t(s, dir, "documents"), "doc_id", "text", k = 2)),
 
     // Per-(source, lang) corpus mixture report — the "data card" audit a
     // mixing stage plans against: exact doc/token counts plus corpus

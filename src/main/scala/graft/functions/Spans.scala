@@ -46,6 +46,33 @@ object Spans {
           .as(Seq("span_idx", "span")))
   }
 
+  /** Intra-document repetition strip — the within-doc half of span dedup
+    * (the cross-doc half is [[spanDedup]]): cut each document into fixed
+    * `k`-word spans, keep each span's FIRST occurrence within its own
+    * document, and fingerprint the reassembly. Unlike every other dedup
+    * family member this is fully NARROW — each document is processed
+    * inside its own row with array HOFs, so the plan has zero shuffles at
+    * any corpus size. The first-occurrence test is positional
+    * (`array_position` returns the first index of a value, so a span
+    * survives iff it sits at its own first position); O(spans²) per doc,
+    * bounded by document length, not corpus size.
+    * Output: (id, n_spans, n_kept, clean_hash). */
+  def intraDocStrip(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "span length k must be positive")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__tk"))
+      .withColumn("__spans", expr(
+        s"transform(sequence(0, cast((size(__tk) + ${k - 1}) div $k - 1 as int)), " +
+          s"i -> array_join(slice(__tk, i * $k + 1, $k), ' '))"))
+      .withColumn("__kept", expr(
+        "filter(__spans, (sp, i) -> array_position(__spans, sp) = i + 1)"))
+      .select(
+        col(idCol),
+        size(col("__spans")).cast(LongType).as("n_spans"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        TextFunctions.xhash32(array_join(col("__kept"), " ")).as("clean_hash"))
+  }
+
   /** The hash-only decision frame: span content reduced to its digest pair
     * so every decision exchange stays ~48 B/row. The md5 input is
     * coalesced non-nullable (spans are never null — array_join can't

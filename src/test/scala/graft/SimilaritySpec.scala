@@ -132,6 +132,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size < vecs.length, "nothing dropped — fixture too sparse to exercise the prune")
   }
 
+  test("semDedupKeep: result is invariant under input partitioning") {
+    val base = Similarity.semDedupKeep(emb, "vec_id", "embedding",
+      k = 8, dim = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Same rows arriving in a different physical layout must produce the
+    // identical survivor set — every decision is a pure function of
+    // (id, vector), nothing rides on partition or arrival order.
+    val shuffled = Similarity.semDedupKeep(
+      emb.repartition(7, col("vec_id") % 3), "vec_id", "embedding",
+      k = 8, dim = 64, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shuffled == base)
+  }
+
   test("semDedupStream: cumulative micro-batch survivors == batch semDedupKeep parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -139,6 +139,30 @@ class SpansSpec extends AnyFunSuite with SparkSpec {
     assert(collected(20L)._3 === "q r s t", "span sunk in batch 1 dedups batch 2")
   }
 
+  test("intraDocStrip: first span occurrence wins WITHIN a doc; docs never interact") {
+    // doc 1: span "a b" repeats at idx 0, 2 (and once more in the ragged
+    // tail as "a"); doc 2 repeats doc 1's span but must be untouched —
+    // the operator is strictly intra-document.
+    val df = Seq(
+      1L -> "a b x y a b a",
+      2L -> "a b c d",
+      3L -> "p q p q p q").toDF("doc_id", "text")
+    val got = Spans.intraDocStrip(df, "doc_id", "text", k = 2)
+      .select(col("doc_id"), col("n_spans"), col("n_kept"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, nk) => id -> ((n, nk)) }.toMap
+    assert(got(1L) == ((4L, 3L)), "doc 1: spans [a b, x y, a b, a] -> kept [a b, x y, a]")
+    assert(got(2L) == ((2L, 2L)), "doc 2 keeps both spans despite sharing doc 1's")
+    assert(got(3L) == ((3L, 1L)), "doc 3: [p q, p q, p q] -> kept [p q]")
+    // clean_hash is the fingerprint of the reassembly, not the original
+    val h = Spans.intraDocStrip(df, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 3L).select(col("clean_hash"))
+      .as[Long].head()
+    val href = Spans.intraDocStrip(Seq(9L -> "p q").toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .select(col("clean_hash")).as[Long].head()
+    assert(h == href, "doc 3's cleaned text is exactly 'p q'")
+  }
+
   test("spansOf: count arithmetic covers ragged tails and single-word docs") {
     val df = Seq(1L -> "w", 2L -> "a b c d e").toDF("doc_id", "text")
     val got = Spans.spansOf(df, "doc_id", "text", K)
