@@ -1074,10 +1074,14 @@ object SparkEntry {
     "lm_coverage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0)
-      // explode_outer + post-filter: the non-outer form would push an
-      // inferred size(<shingle kernel>) > 0 into the scan (memory'd
-      // InferFiltersFromGenerate anti-pattern).
-      val refArr = docs
+      // The top-64 reference vocabulary is metadata-scale BY CONSTRUCTION
+      // (a bounded top-k over the held-out tenth), so it is collected at
+      // plan time and rides the counting kernel as a literal — the
+      // sampledIvfCentroids convention. That makes the corpus pass ONE
+      // narrow kernel projection (single scan, no join at all); the
+      // explode_outer + post-filter in the ref job avoids the memory'd
+      // InferFiltersFromGenerate anti-pattern.
+      val ref = docs
         .filter(col("doc_id") % 10 === 0)
         .select(explode_outer(TFast.sortedShingles(col("text"), 3)).as("g"))
         .filter(col("g").isNotNull)
@@ -1085,15 +1089,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("g"))
         .limit(64)
-        .agg(sort_array(collect_list(col("g"))).as("ref"))
-      val grams = coalesce(TFast.sortedShingles(col("text"), 3),
-        typedLit(Seq.empty[String]))
+        .collect().map(_.getString(0)).toSeq
       docs
-        .crossJoin(broadcast(refArr))
+        .select(col("doc_id"),
+          TFast.coverageCounts(col("text"), 3, ref).as("__cc"))
         .select(
           col("doc_id"),
-          size(grams).cast(LongType).as("n_grams"),
-          size(array_intersect(grams, col("ref"))).cast(LongType).as("n_hits"))
+          col("__cc").getItem(0).as("n_grams"),
+          col("__cc").getItem(1).as("n_hits"))
         .withColumn("coverage", col("n_hits").cast(DoubleType) / col("n_grams"))
     }),
 

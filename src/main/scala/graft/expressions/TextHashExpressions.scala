@@ -32,6 +32,30 @@ case class SortedShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** coverageCounts(text, k, ref): [n_distinct_k_grams, n_hits_in_ref] in one
+  * pass — the LM-coverage counting kernel. `ref` rides the expression as a
+  * literal (metadata-scale by construction: a top-N reference vocabulary),
+  * registered as a codegen reference object. */
+case class CoverageCounts(child: Expression, k: Int, ref: Seq[String])
+    extends UnaryExpression with KernelCall {
+  require(k > 0, "gram length must be positive")
+  @transient private lazy val refSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ref.size * 2)
+    ref.foreach(r => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(r)))
+    s
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.coverageCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, refSet)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("covRef", refSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.coverageCounts($c, $k, $refName)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CoverageCounts =
+    copy(child = newChild)
+}
+
 /** xhash32 of each string element, deduplicated, sorted. */
 case class XHash32Array(child: Expression)
     extends UnaryExpression with KernelCall {

@@ -72,6 +72,26 @@ object TextKernels {
     ArrayData.toArrayData(java.util.Arrays.copyOf(hs, uniq))
   }
 
+  /** One-pass distinct-k-gram count + reference-set hit count:
+    * out = [n_distinct_grams, n_distinct_grams_in_ref]. Bit-equivalent to
+    * `(size(sortedShingles(s, k)), size(array_intersect(sortedShingles(s,
+    * k), ref)))` — membership is exact string equality (UTF8String.equals),
+    * no hashing shortcut — but runs without the TreeSet sort, the output
+    * array materialization, or the second intersect pass. */
+  def coverageCounts(s: UTF8String, k: Int, ref: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = s.numChars()
+    val m = math.max(n - k + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](math.min(m * 2, 1 << 16))
+    var hits = 0L
+    var i = 1
+    while (i <= m) {
+      val g = s.substringSQL(i, k)
+      if (seen.add(g) && ref.contains(g)) hits += 1
+      i += 1
+    }
+    ArrayData.toArrayData(Array(seen.size.toLong, hits))
+  }
+
   /** Per-k coefficient cache for the MinHash permutation family. */
   private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private def coefs(k: Int): (Array[Long], Array[Long]) =

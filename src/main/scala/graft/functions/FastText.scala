@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, CoverageCounts, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -20,6 +20,11 @@ object FastText {
   /** Sorted distinct xhash32 per element — set-equal to TextFunctions.shingleHashes
     * given shingle input. */
   def xhash32Array(c: Column): Column = B.column(XHash32Array(B.expression(c)))
+
+  /** [n_distinct_k_grams, n_hits_in_ref] in one pass — value-equal to
+    * (size(sortedShingles), size(array_intersect(sortedShingles, ref))). */
+  def coverageCounts(c: Column, k: Int, ref: Seq[String]): Column =
+    B.column(CoverageCounts(B.expression(c), k, ref))
 
   /** MinHash signature — value-equal to TextFunctions.minhashSignature. */
   def minhashSig(hashes: Column, k: Int): Column = B.column(MinHashSig(B.expression(hashes), k))
