@@ -1108,6 +1108,19 @@ object SparkEntry {
       Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, dim = 64)),
 
+    // Embedding-level decontamination: the corpus (99% of vectors) minus
+    // everything within cosine 0.3 of the held-out eval set (vec_id % 100
+    // = 0) in the same seeded cell — the embedding twin of `decontaminate`
+    // (paraphrase-robust leakage scan). Cluster-then-prune like semdedup;
+    // the eval side is eval-set-sized, un-hinted (AQE broadcasts it).
+    "emb_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedupAcross(
+        e.filter(col("vec_id") % 100 =!= 0),
+        e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 8, dim = 64, threshold = 0.3)
+    }),
+
     // SemDeDup (cluster-then-prune semantic dedup): nearest-seeded-centroid
     // cell assignment, within-cell cosine pairs, keep rows with no lower-id
     // near-dup in their cell. Candidates never cross a cell boundary — the
@@ -1924,6 +1937,30 @@ object SparkEntry {
         |SELECT cell, dim, count(*) AS n,
         |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
         |FROM x GROUP BY cell, dim""".stripMargin,
+    // Same centroid/assignment/cosine CTE family as semdedup, with the
+    // corpus/reference split on vec_id % 100.
+    "emb_decontaminate" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT j, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('km_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cv
+        |  FROM range(0, 8) jj(j)),
+        |s AS (SELECT e.vec_id, c.j,
+        |    list_sum(list_transform(c.cv, x -> x * x))
+        |      - 2.0 * list_sum(list_transform(list_zip(e.v, c.cv), pr -> pr[1] * pr[2])) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+        |    FROM s) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cell, e.v, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        |  FROM e JOIN a USING (vec_id)),
+        |corp AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
+        |refv AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |bad AS (SELECT DISTINCT corp.vec_id
+        |  FROM corp JOIN refv ON corp.cell = refv.cell
+        |  WHERE list_sum(list_transform(list_zip(corp.v, refv.v), pr -> pr[1] * pr[2]))
+        |    / (corp.nrm * refv.nrm) >= 0.3)
+        |SELECT vec_id, cell FROM corp WHERE vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin,
     // Same centroid/assignment CTEs as kmeans_step; pair verdicts use the
     // sequential-fold cosine (emb_pairs family); survivors = NOT IN drop.
     "semdedup" ->

@@ -264,6 +264,41 @@ object Similarity {
       .join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-level decontamination: drop every corpus row whose vector
+    * is within `threshold` cosine of ANY reference (eval-set) vector in
+    * the same seeded cell — the embedding twin of
+    * [[Contamination.contaminatedDocs]]'s shingle overlap, for leakage
+    * that survives paraphrase. Same cluster-then-prune scale shape as
+    * [[semDedupKeep]]: both sides pay one narrow cell assignment, the
+    * probe join keys on the cell id (the reference side is eval-set-sized
+    * — AQE broadcasts it at runtime; no hint pins that assumption), and
+    * candidates never cross a cell boundary. Recall caveat mirrors
+    * SemDeDup's: a contaminated pair split across a cell boundary is
+    * missed — raise k only as far as the eval set's cell occupancy
+    * affords. Output: the clean corpus (idCol, cell). */
+  def semDedupAcross(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val c = cellAssigned(corpus, idCol, vecCol, k, dim)
+    val r = cellAssigned(reference, idCol, vecCol, k, dim)
+      .select(col("cell").as("__rcell"), col(vecCol).as("__rv"), col("nrm").as("__rnrm"))
+    val contaminated = c.as("b")
+      .join(r,
+        col("b.cell") === col("__rcell") &&
+          dotSeq(col(s"b.$vecCol"), col("__rv")) /
+            (col("b.nrm") * col("__rnrm")) >= threshold,
+        "left_semi")
+      .select(col(idCol))
+    c.select(col(idCol), col("cell"))
+      .join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Seed (or rebuild) the persisted seen-vector store [[semDedupStream]]
     * filters against: (id, vector, norm, cell), partitioned by cell so a
     * micro-batch touching few cells scans few files. Holds EVERY seen

@@ -132,6 +132,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size < vecs.length, "nothing dropped — fixture too sparse to exercise the prune")
   }
 
+  test("semDedupAcross: clean corpus = rows with no same-cell reference neighbor") {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val ref = emb.filter(col("vec_id") % 10 === 0)
+    val t = 0.3
+    val clean = Similarity.semDedupAcross(corpus, ref, "vec_id", "embedding",
+      k = 8, dim = 64, threshold = t)
+      .collect().map(_.getLong(0)).toSet
+    // Driver-side reference, same seeded cells / left-fold cosine as the
+    // semDedupKeep test.
+    val cents = Array.tabulate(8)(j => Array.tabulate(64)(d => Similarity.centroidComponent(j, d)))
+    def cell(v: Array[Float]): Int =
+      (0 until 8).minBy { j =>
+        val c = cents(j)
+        val c2 = c.foldLeft(0.0)((a, x) => a + x * x)
+        val dot = v.indices.foldLeft(0.0)((a, d) => a + v(d).toDouble * c(d))
+        (c2 - 2.0 * dot, j)
+      }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, d) => s + x(d).toDouble * y(d).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def vecsOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("embedding").isNotNull).select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val refByCell = vecsOf(ref).groupBy { case (_, v) => cell(v) }
+    val want = vecsOf(corpus).collect {
+      case (id, v) if !refByCell.getOrElse(cell(v), Array.empty)
+            .exists { case (_, rv) => cos(v, rv) >= t } => id
+    }.toSet
+    assert(clean == want)
+    assert(clean.size < vecsOf(corpus).length,
+      "no corpus row was contaminated — fixture too sparse to exercise the scan")
+  }
+
   test("semDedupKeep: result is invariant under input partitioning") {
     val base = Similarity.semDedupKeep(emb, "vec_id", "embedding",
       k = 8, dim = 64, threshold = 0.4)
