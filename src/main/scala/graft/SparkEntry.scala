@@ -1108,6 +1108,29 @@ object SparkEntry {
       Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, dim = 64)),
 
+    // Embedding-pipeline capstone — the vector twin of
+    // pipeline_train_prep: semantic dedup (cluster-then-prune, 0.4) ->
+    // embedding decontamination vs the held-out eval set (0.3) ->
+    // random-projection reduction for the downstream ANN index, composed
+    // as ONE lazy plan. Each stage keeps its standalone scale shape (the
+    // cell assignment re-runs per stage — a narrow k-dot pass, the price
+    // of stage independence); the oracle composes the same CTEs, so a
+    // drift pinpoints the stage.
+    "pipeline_emb_prep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 100 =!= 0)
+      val eval = e.filter(col("vec_id") % 100 === 0)
+      val kept = Similarity.semDedupKeep(corpus, "vec_id", "embedding",
+        k = 8, dim = 64, threshold = 0.4).select(col("vec_id"))
+      val surviving = corpus.join(kept, Seq("vec_id"), "left_semi")
+      val clean = Similarity.semDedupAcross(surviving, eval, "vec_id", "embedding",
+        k = 8, dim = 64, threshold = 0.3)
+      Similarity.randomProjection(surviving, "vec_id", "embedding", outDim = 4, dim = 64)
+        .join(clean, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"),
+          col("p0"), col("p1"), col("p2"), col("p3"))
+    }),
+
     // Embedding-level decontamination: the corpus (99% of vectors) minus
     // everything within cosine 0.3 of the held-out eval set (vec_id % 100
     // = 0) in the same seeded cell — the embedding twin of `decontaminate`
@@ -1937,6 +1960,49 @@ object SparkEntry {
         |SELECT cell, dim, count(*) AS n,
         |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
         |FROM x GROUP BY cell, dim""".stripMargin,
+    // Stage composition of the semdedup / emb_decontaminate / emb_project
+    // CTE families (same centroids, same fold-order cosine, same
+    // md5-derived projection directions).
+    "pipeline_emb_prep" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT j, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('km_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cv
+        |  FROM range(0, 8) jj(j)),
+        |s AS (SELECT e.vec_id, c.j,
+        |    list_sum(list_transform(c.cv, x -> x * x))
+        |      - 2.0 * list_sum(list_transform(list_zip(e.v, c.cv), pr -> pr[1] * pr[2])) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+        |    FROM s) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, a.cell, e.v, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+        |  FROM e JOIN a USING (vec_id)),
+        |corp AS (SELECT * FROM n WHERE vec_id % 100 <> 0),
+        |refv AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        |drop1 AS (SELECT DISTINCT r.vec_id
+        |  FROM corp l JOIN corp r ON l.cell = r.cell AND l.vec_id < r.vec_id
+        |  WHERE list_sum(list_transform(list_zip(l.v, r.v), pr -> pr[1] * pr[2]))
+        |    / (l.nrm * r.nrm) >= 0.4),
+        |keep AS (SELECT * FROM corp WHERE vec_id NOT IN (SELECT vec_id FROM drop1)),
+        |bad AS (SELECT DISTINCT keep.vec_id
+        |  FROM keep JOIN refv ON keep.cell = refv.cell
+        |  WHERE list_sum(list_transform(list_zip(keep.v, refv.v), pr -> pr[1] * pr[2]))
+        |    / (keep.nrm * refv.nrm) >= 0.3),
+        |clean AS (SELECT vec_id, cell, v FROM keep
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM bad)),
+        |d AS (SELECT j, list_transform(range(0, 64), dd ->
+        |    ('0x' || substr(md5('proj_' || j::VARCHAR || '_' || dd::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS dir
+        |  FROM range(0, 4) jj(j)),
+        |p AS (SELECT vec_id, cell, j,
+        |    list_sum(list_transform(list_zip(v, dir), pr -> pr[1] * pr[2])) AS p
+        |  FROM clean CROSS JOIN d)
+        |SELECT vec_id, cell,
+        |  max(CASE WHEN j = 0 THEN p END) AS p0,
+        |  max(CASE WHEN j = 1 THEN p END) AS p1,
+        |  max(CASE WHEN j = 2 THEN p END) AS p2,
+        |  max(CASE WHEN j = 3 THEN p END) AS p3
+        |FROM p GROUP BY vec_id, cell""".stripMargin,
     // Same centroid/assignment/cosine CTE family as semdedup, with the
     // corpus/reference split on vec_id % 100.
     "emb_decontaminate" ->
