@@ -873,9 +873,29 @@ object SparkEntry {
         .orderBy(col("spend"), col("c_custkey"))
       spend.select(
         col("c_custkey"), col("c_mktsegment"), col("spend"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cume"))
+    }),
+
+    // The SAME distribution ranks WITHOUT the per-segment funnel: q30's
+    // window puts a whole market segment (corpus/5 rows at scale) through
+    // one task; Ranks.distributionRanks rebuilds the identical values via
+    // a binned two-level prefix sum — bin counts shuffle one row per
+    // occupied bin, the only whole-group window runs over the
+    // metadata-scale bin frame, and intra-bin ranking partitions by
+    // (segment, bin). The oracle is the plain WINDOW SQL: same values,
+    // scale-safe plan (the pack_sequences argument applied to ranking).
+    "rank_dist" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spend"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("spend"))
+      graft.functions.Ranks.distributionRanks(spend, "c_mktsegment",
+          col("spend"), col("c_custkey"), tiles = 4, rankCol = "rnk")
+        .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+          col("rnk"), col("quartile").cast(LongType).as("quartile"),
+          col("pct_rank"), col("cume"))
     }),
 
     // Composite Gopher-style quality gate: word-count floor, mean-word-
@@ -1777,6 +1797,20 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT c_custkey, c_mktsegment, spend,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM spend JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)""".stripMargin,
+    // Identical values to q30_ntile's window form (plus the explicit rank)
+    // — the Spark side just computes them without the per-group funnel.
+    "rank_dist" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment, spend,
+        |  row_number() OVER w AS rnk,
         |  ntile(4) OVER w AS quartile,
         |  percent_rank() OVER w AS pct_rank,
         |  cume_dist() OVER w AS cume

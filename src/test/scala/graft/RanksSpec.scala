@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Ranks
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The binned prefix-sum ranks must be BIT-identical to the built-in window
+ * functions — that equality is what lets the oracle run the plain WINDOW
+ * SQL while the production plan avoids the per-group funnel.
+ */
+class RanksSpec extends AnyFunSuite with SparkSpec {
+
+  test("distributionRanks == built-in window functions on a skewed fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Group sizes 1 / 5 / 1003 cover: the n = 1 percent_rank rule, the
+    // n > tiles and n < tiles ntile arms, negative bins, and heavy value
+    // duplication (multi-row bins straddling quartile boundaries).
+    val rows =
+      Seq(("solo", 5.5, 1L)) ++
+        (1 to 5).map(i => ("tiny", rnd.nextInt(3) + 0.25, 100L + i)) ++
+        (1 to 1003).map(i => ("big", (rnd.nextInt(40) - 20) * 0.5, 1000L + i))
+    val df = rows.toDF("grp", "v", "id")
+    val got = Ranks.distributionRanks(df, "grp", col("v"), col("id"),
+      tiles = 4, rankCol = "rnk")
+      .select(col("grp"), col("id"), col("rnk"), col("pct_rank"),
+        col("cume"), col("quartile"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val ref = df.select(col("grp"), col("id"),
+      row_number().over(w).cast("long").as("rnk"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+    assert(got.count() === ref.count())
+    assert(got.except(ref).count() === 0)
+    assert(ref.except(got).count() === 0)
+  }
+
+  test("distributionRanks: the only group-wide window runs on the bin frame") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i * 0.5, i.toLong)).toDF("grp", "v", "id")
+    val plan = Ranks.distributionRanks(df, "grp", col("v"), col("id"), tiles = 4)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    assert(windows.size === 2, plan.toString)
+    // One window partitions by (grp, bin) — per-bin ranking over input
+    // rows; the other partitions by grp alone but consumes the AGGREGATED
+    // bin-count frame (its child contains the groupBy), never raw rows.
+    val byPartSize = windows.sortBy(_.partitionSpec.size)
+    assert(byPartSize(0).partitionSpec.size === 1)
+    assert(byPartSize(0).collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "the group-wide window must run over the bin-count aggregate")
+    assert(byPartSize(1).partitionSpec.size === 2)
+  }
+}
