@@ -878,6 +878,22 @@ object SparkEntry {
         cume_dist().over(w).as("cume"))
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    // per nation): Spark decorrelates it into WindowGroupLimit — a
+    // rank-based per-key top-k that prunes partially BEFORE the exchange
+    // (map-side group limit), then a broadcast join to the tiny nation
+    // side. The SQL surface a window-averse user writes; the plan is the
+    // bounded top-k shape q4/vocab_topk are gated on.
+    "q32_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("q32_nation")
+      t(s, dir, "customer").createOrReplaceTempView("q32_customer")
+      s.sql("""SELECT n_name, c.c_custkey, c.c_acctbal
+               FROM q32_nation, LATERAL (
+                 SELECT c_custkey, c_acctbal FROM q32_customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
+    }),
+
     // The SAME distribution ranks WITHOUT the per-segment funnel: q30's
     // window puts a whole market segment (corpus/5 rows at scale) through
     // one task; Ranks.distributionRanks rebuilds the identical values via
@@ -1802,6 +1818,12 @@ object SparkEntry {
         |  cume_dist() OVER w AS cume
         |FROM spend JOIN customer ON o_custkey = c_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)""".stripMargin,
+    "q32_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin,
     // Identical values to q30_ntile's window form (plus the explicit rank)
     // — the Spark side just computes them without the per-group funnel.
     "rank_dist" ->

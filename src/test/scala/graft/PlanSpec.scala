@@ -90,6 +90,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(planString("bpe_pairs").contains("TakeOrderedAndProject"))
   }
 
+  test("q32_lateral: LATERAL decorrelates to WindowGroupLimit, not a join-per-row") {
+    // The correlated ORDER BY + LIMIT must become the rank-based group
+    // top-k (with its map-side partial pruning), never a nested-loop
+    // re-execution of the subquery per outer row.
+    assert(planString("q32_lateral").contains("WindowGroupLimit"))
+  }
+
   test("semdedup: merge-hinted cell self-join; k-dot assignment planned once") {
     val df = SparkEntry.queries("semdedup")(spark, sf)
     val smj = collectAll(df.queryExecution.executedPlan) {
