@@ -66,8 +66,28 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => DotSeq(args.head, args(1))),
     ("graft_sorted_contains",
       new ExpressionInfo(classOf[SortedLongContains].getName, "graft_sorted_contains"),
-      (args: Seq[Expression]) => SortedLongContains(args.head, args(1)))
+      (args: Seq[Expression]) => SortedLongContains(args.head, args(1))),
+    ("graft_coverage",
+      new ExpressionInfo(classOf[CoverageCounts].getName, "graft_coverage"),
+      (args: Seq[Expression]) =>
+        CoverageCounts(args.head, intArg(args(1), "graft_coverage"),
+          stringSeqArg(args(2), "graft_coverage")))
   )
+
+  /** A foldable array-of-strings argument (the reference vocabulary rides
+    * the plan as a literal — metadata-scale by contract). */
+  private def stringSeqArg(e: Expression, fn: String): Seq[String] = e match {
+    case other if other.foldable =>
+      other.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case v => throw new IllegalArgumentException(
+          s"$fn expects a literal array<string> argument, got $v")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal array<string> argument, got $other")
+  }
 
   /** Register into a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -49,6 +49,22 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(r === Seq(false, true))
   }
 
+  test("coverage counts callable from SQL with a literal reference array") {
+    GraftSqlFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20).createOrReplaceTempView("docs_cov_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_coverage(text, 3, array('the', 'he ', 'a b')) AS cc
+        |FROM docs_cov_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCols = spark.table("docs_cov_sql")
+      .select(col("doc_id"),
+        FastText.coverageCounts(col("text"), 3, Seq("the", "he ", "a b")).as("cc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql === viaCols)
+    assert(viaSql.values.exists(v => v(1) > 0), "reference grams never hit — fixture mismatch")
+  }
+
   test("non-literal k is rejected with a clear message") {
     GraftSqlFunctions.register(spark)
     val e = intercept[Exception](
