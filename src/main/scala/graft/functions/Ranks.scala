@@ -54,7 +54,13 @@ object Ranks {
       cumeCol: String = "cume",
       tileCol: String = "quartile"): DataFrame = {
     require(tiles > 0, "tiles must be positive")
-    val binned = df.withColumn("__bin", floor(ord).cast(LongType))
+    // NaN would floor to a NULL bin, which sorts FIRST in the bin window
+    // while Spark's value ordering puts NaN LAST (after +Infinity) — pin
+    // NaN into the top bin instead; the intra-bin (ord, tie) sort then
+    // places +Infinity < NaN correctly. ±Infinity itself is safe: the
+    // long cast saturates to Long.{Max,Min}Value, preserving order.
+    val binned = df.withColumn("__bin",
+      when(isnan(ord), lit(Long.MaxValue)).otherwise(floor(ord).cast(LongType)))
     val binCounts = binned
       .groupBy(col(grp), col("__bin"))
       .agg(count(lit(1)).as("__c"))

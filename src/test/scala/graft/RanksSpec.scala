@@ -38,6 +38,38 @@ class RanksSpec extends AnyFunSuite with SparkSpec {
     assert(ref.except(got).count() === 0)
   }
 
+  test("distributionRanks == built-ins on random data with special doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val specials = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, 1e300, -1e300, Long.MaxValue.toDouble * 4)
+    // 8 random rounds x random group structure; every round must agree
+    // bit-for-bit with the built-in window functions.
+    for (round <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (1 to 200).map { i =>
+        val v =
+          if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
+          else math.floor(rnd.nextGaussian() * 40) / 8 // duplicates + fractional
+        (s"g${rnd.nextInt(nGroups)}", v, i.toLong)
+      }
+      val df = rows.toDF("grp", "v", "id")
+      val tiles = 1 + rnd.nextInt(6)
+      val got = Ranks.distributionRanks(df, "grp", col("v"), col("id"),
+        tiles = tiles, rankCol = "rnk")
+        .select(col("grp"), col("id"), col("rnk"), col("pct_rank"),
+          col("cume"), col("quartile"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
+      val ref = df.select(col("grp"), col("id"),
+        row_number().over(w).cast("long").as("rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(tiles).over(w).as("quartile"))
+      assert(got.count() === ref.count(), s"round $round (tiles=$tiles)")
+      assert(got.except(ref).count() === 0, s"round $round (tiles=$tiles)")
+    }
+  }
+
   test("distributionRanks: the only group-wide window runs on the bin frame") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i * 0.5, i.toLong)).toDF("grp", "v", "id")
