@@ -227,6 +227,44 @@ object Dedup {
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/bands"))
 
+  /** Merge daily-increment indexes into one — the compaction step of the
+    * build → write → (daily: build batch, pairsAcross, append) lifecycle.
+    * Later sides win on id collisions (re-ingested documents take their
+    * newest signature): both frames are keyed by `id`, so the merge is a
+    * union + last-wins dedup, never a re-shingle of any corpus. Shuffles
+    * carry only signature metadata (ids, hashes, band keys — the text was
+    * never in the index to begin with). */
+  def mergeMinhashIndexes(indexes: Seq[MinhashIndex]): MinhashIndex = {
+    require(indexes.nonEmpty, "need at least one index")
+    def lastWins(frames: Seq[DataFrame]): DataFrame = {
+      val tagged = frames.zipWithIndex
+        .map { case (f, i) => f.withColumn("__age", lit(i)) }
+        .reduce(_.unionByName(_))
+      import org.apache.spark.sql.expressions.Window
+      tagged
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__age").desc)))
+        .filter(col("__rk") === 1)
+        .drop("__age", "__rk")
+    }
+    // The banded frame holds multiple rows per id (one per band) — dedup
+    // at the id level by keeping every band row of the newest generation.
+    def lastWinsBands(frames: Seq[DataFrame]): DataFrame = {
+      val tagged = frames.zipWithIndex
+        .map { case (f, i) => f.withColumn("__age", lit(i)) }
+        .reduce(_.unionByName(_))
+      import org.apache.spark.sql.expressions.Window
+      tagged
+        .withColumn("__maxage", max(col("__age")).over(
+          Window.partitionBy(col("id"))))
+        .filter(col("__age") === col("__maxage"))
+        .drop("__age", "__maxage")
+    }
+    MinhashIndex(
+      lastWins(indexes.map(_.shingled)),
+      lastWinsBands(indexes.map(_.banded)))
+  }
+
   /** Near-dup pairs BETWEEN two indexed corpora (never within either side):
     * banded equi-join candidates, exact hashed-shingle Jaccard verify.
     * Output (i = left id, j = right id, jaccard). */

@@ -159,4 +159,27 @@ class DedupSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("mergeMinhashIndexes: union of generations, newest signature wins on re-ingest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gen0 = docs.filter(col("doc_id") < 300)
+    // Generation 1 re-ingests doc 100 with CHANGED text plus new docs.
+    val reingested = docs.filter(col("doc_id") === 100)
+      .withColumn("text", concat(col("text"), lit(" zz qq rr ss tt uu vv ww")))
+    val gen1 = docs.filter(col("doc_id") >= 300).unionByName(reingested)
+    val merged = Dedup.mergeMinhashIndexes(Seq(
+      Dedup.buildMinhashIndex(gen0, "doc_id", "text"),
+      Dedup.buildMinhashIndex(gen1, "doc_id", "text")))
+    // Reference: one index over the union with gen1's version of doc 100.
+    val ref = Dedup.buildMinhashIndex(
+      docs.filter(col("doc_id") =!= 100).unionByName(reingested), "doc_id", "text")
+    def sig(idx: Dedup.MinhashIndex) = idx.shingled
+      .select(col("id"), col("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def bands(idx: Dedup.MinhashIndex) = idx.banded
+      .select(col("id"), col("band"), col("key")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sig(merged) === sig(ref))
+    assert(bands(merged) === bands(ref))
+  }
 }
