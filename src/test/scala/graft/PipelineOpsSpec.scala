@@ -79,6 +79,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline stages are observable in ONE action (no per-stage counts pass)") {
+    // The batch twin of the streaming drift counters: Dataset.observe
+    // metrics ride the single job that evaluates the final plan, so a
+    // pipeline reports per-stage survivor counts with zero extra corpus
+    // passes — where a naive `df.count()` per stage would re-run every
+    // upstream stage per probe.
+    import org.apache.spark.sql.Observation
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oIn = Observation("graft_in")
+    val oGated = Observation("graft_gated")
+    val gated = docs
+      .observe(oIn, count(lit(1)).as("rows"))
+      .filter(col("text").isNotNull && length(col("text")) >= 200)
+      .observe(oGated, count(lit(1)).as("rows"))
+    val out = gated.filter(col("lang") === "en").count()
+    val nIn = oIn.get("rows").asInstanceOf[Long]
+    val nGated = oGated.get("rows").asInstanceOf[Long]
+    assert(nIn === docs.count())
+    assert(nGated === docs.filter(col("text").isNotNull && length(col("text")) >= 200).count())
+    assert(nIn > nGated && nGated > out, "fixture must discriminate the stages")
+  }
+
   test("dedup_keep: keeps exactly the canonical member of every cluster") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val clusters = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
