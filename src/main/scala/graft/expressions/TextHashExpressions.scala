@@ -56,6 +56,20 @@ case class CoverageCounts(child: Expression, k: Int, ref: Seq[String])
     copy(child = newChild)
 }
 
+/** intraDocStrip(text, k): [n_spans, n_kept, clean_hash] in one pass. */
+case class IntraDocStrip(child: Expression, k: Int)
+    extends UnaryExpression with KernelCall {
+  require(k > 0, "span length must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.intraDocStrip(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.intraDocStrip($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): IntraDocStrip =
+    copy(child = newChild)
+}
+
 /** xhash32 of each string element, deduplicated, sorted. */
 case class XHash32Array(child: Expression)
     extends UnaryExpression with KernelCall {

@@ -92,6 +92,43 @@ object TextKernels {
     ArrayData.toArrayData(Array(seen.size.toLong, hits))
   }
 
+  /** Intra-document span strip in ONE pass: split on single spaces (limit
+    * -1 — trailing empties kept, exactly Spark's `split(text, " ")`), cut
+    * into k-word spans, keep each span's first occurrence (hash set —
+    * O(spans), where the positional `array_position` HOF form is
+    * O(spans²) and stalls a task on a pathological multi-megabyte
+    * document), and fingerprint the space-joined survivors.
+    * Output: [n_spans, n_kept, xhash32(clean_text)]. Bit-equivalent to
+    * the HOF composition (FastKernelSpec). */
+  def intraDocStrip(s: UTF8String, k: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val nSpans = (words.length + k - 1) / k
+    val seen = new java.util.HashSet[String](math.min(nSpans * 2, 1 << 16))
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    var i = 0
+    while (i < nSpans) {
+      val from = i * k
+      val until = math.min(from + k, words.length)
+      val sb = new java.lang.StringBuilder
+      var w = from
+      while (w < until) {
+        if (w > from) sb.append(' ')
+        sb.append(words(w))
+        w += 1
+      }
+      val span = sb.toString
+      if (seen.add(span)) {
+        if (nKept > 0) kept.append(' ')
+        kept.append(span)
+        nKept += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(Array(
+      nSpans.toLong, nKept, xhash32(UTF8String.fromString(kept.toString))))
+  }
+
   /** Per-k coefficient cache for the MinHash permutation family. */
   private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private def coefs(k: Int): (Array[Long], Array[Long]) =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, CoverageCounts, HashedShingles, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -25,6 +25,11 @@ object FastText {
     * (size(sortedShingles), size(array_intersect(sortedShingles, ref))). */
   def coverageCounts(c: Column, k: Int, ref: Seq[String]): Column =
     B.column(CoverageCounts(B.expression(c), k, ref))
+
+  /** [n_spans, n_kept, clean_hash] — one-pass intra-document span strip,
+    * value-equal to Spans.intraDocStripRef's HOF composition. */
+  def intraDocStrip(c: Column, k: Int): Column =
+    B.column(IntraDocStrip(B.expression(c), k))
 
   /** MinHash signature — value-equal to TextFunctions.minhashSignature. */
   def minhashSig(hashes: Column, k: Int): Column = B.column(MinHashSig(B.expression(hashes), k))

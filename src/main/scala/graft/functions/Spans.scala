@@ -60,6 +60,21 @@ object Spans {
   def intraDocStrip(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "span length k must be positive")
     df.filter(col(textCol).isNotNull)
+      .select(col(idCol), FastText.intraDocStrip(col(textCol), k).as("__r"))
+      .select(
+        col(idCol),
+        col("__r").getItem(0).as("n_spans"),
+        col("__r").getItem(1).as("n_kept"),
+        col("__r").getItem(2).as("clean_hash"))
+  }
+
+  /** The HOF composition [[intraDocStrip]]'s kernel is bit-equivalent to —
+    * kept as the reference implementation (FastKernelSpec asserts
+    * equality; it is O(spans²) per document via the positional
+    * `array_position` probe, which is why production runs the kernel). */
+  private[graft] def intraDocStripRef(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__tk"))
       .withColumn("__spans", expr(
         s"transform(sequence(0, cast((size(__tk) + ${k - 1}) div $k - 1 as int)), " +
@@ -71,7 +86,6 @@ object Spans {
         size(col("__spans")).cast(LongType).as("n_spans"),
         size(col("__kept")).cast(LongType).as("n_kept"),
         TextFunctions.xhash32(array_join(col("__kept"), " ")).as("clean_hash"))
-  }
 
   /** The hash-only decision frame: span content reduced to its digest pair
     * so every decision exchange stays ~48 B/row. The md5 input is
