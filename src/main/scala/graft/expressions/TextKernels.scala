@@ -81,7 +81,8 @@ object TextKernels {
   def coverageCounts(s: UTF8String, k: Int, ref: java.util.HashSet[UTF8String]): ArrayData = {
     val n = s.numChars()
     val m = math.max(n - k + 1, 1)
-    val seen = new java.util.HashSet[UTF8String](math.min(m * 2, 1 << 16))
+    // Clamp BEFORE doubling: m * 2 overflows int for ~1 GiB documents.
+    val seen = new java.util.HashSet[UTF8String](math.min(m, 1 << 15) * 2)
     var hits = 0L
     var i = 1
     while (i <= m) {
@@ -103,7 +104,8 @@ object TextKernels {
   def intraDocStrip(s: UTF8String, k: Int): ArrayData = {
     val words = s.toString.split(" ", -1)
     val nSpans = (words.length + k - 1) / k
-    val seen = new java.util.HashSet[String](math.min(nSpans * 2, 1 << 16))
+    // Clamp BEFORE doubling: nSpans * 2 overflows int for ~1 GiB documents.
+    val seen = new java.util.HashSet[String](math.min(nSpans, 1 << 15) * 2)
     val kept = new java.lang.StringBuilder
     var nKept = 0L
     var i = 0

@@ -54,13 +54,16 @@ object Ranks {
       cumeCol: String = "cume",
       tileCol: String = "quartile"): DataFrame = {
     require(tiles > 0, "tiles must be positive")
-    // NaN would floor to a NULL bin, which sorts FIRST in the bin window
-    // while Spark's value ordering puts NaN LAST (after +Infinity) — pin
-    // NaN into the top bin instead; the intra-bin (ord, tie) sort then
-    // places +Infinity < NaN correctly. ±Infinity itself is safe: the
-    // long cast saturates to Long.{Max,Min}Value, preserving order.
+    // Special-value bins, matching the built-in window's value order
+    // exactly: NULL sorts FIRST (nulls-first ascending) → bottom bin; NaN
+    // sorts LAST (after +Infinity) → top bin; ±Infinity itself is safe
+    // because the long cast saturates to Long.{Max,Min}Value. Shared bins
+    // (NULL with -Inf, NaN with +Inf) are fine — the intra-bin (ord, tie)
+    // sort restores the exact order inside them.
     val binned = df.withColumn("__bin",
-      when(isnan(ord), lit(Long.MaxValue)).otherwise(floor(ord).cast(LongType)))
+      when(ord.isNull, lit(Long.MinValue))
+        .when(isnan(ord), lit(Long.MaxValue))
+        .otherwise(floor(ord).cast(LongType)))
     val binCounts = binned
       .groupBy(col(grp), col("__bin"))
       .agg(count(lit(1)).as("__c"))
@@ -72,9 +75,15 @@ object Ranks {
     val nPer = binCounts.groupBy(col(grp)).agg(sum(col("__c")).as("__n"))
     val wIntra = Window.partitionBy(col(grp), col("__bin")).orderBy(ord, tie)
     val r = col(rankCol)
+    // Null-safe (<=>) group keys: a NULL group is a real ranking partition
+    // for the built-in window, so an EqualTo join would silently drop its
+    // rows. Still equi-joins (EqualNullSafe keys) — AQE broadcast applies.
     val ranked = binned
-      .join(cum, Seq(grp, "__bin"))
-      .join(nPer, Seq(grp)) // un-hinted: AQE broadcasts the per-group frame
+      .join(cum.withColumnRenamed(grp, "__cg").withColumnRenamed("__bin", "__cbin"),
+        col(grp) <=> col("__cg") && col("__bin") === col("__cbin"))
+      .drop("__cg", "__cbin")
+      .join(nPer.withColumnRenamed(grp, "__ng"), col(grp) <=> col("__ng"))
+      .drop("__ng") // un-hinted: AQE broadcasts the per-group frame
       .withColumn(rankCol, col("__before") + row_number().over(wIntra))
     // All-integer ntile: big-buckets-first split, lazy CASE keeps the
     // qd = 0 (n < tiles) arm from ever dividing by zero.

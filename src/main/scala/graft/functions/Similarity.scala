@@ -143,6 +143,21 @@ object Similarity {
     graft.expressions.TextKernels.xhash32(
       org.apache.spark.unsafe.types.UTF8String.fromString(s"km_${j}_${d}")) / 2147483648.0 - 1.0
 
+  /** Nearest-md5-seeded-centroid id for a vector column: argmin_j
+    * (‖c_j‖² − 2⟨v,c_j⟩), ties to the lower cell id via struct ordering —
+    * the deterministic cell assignment shared by [[kmeansStep]] and
+    * [[semDedupKeep]]. k fused dot kernels, fully narrow. */
+  private def seededCell(vecCol: Column, k: Int, dim: Int): Column = {
+    val cents = Seq.tabulate(k)(j => Seq.tabulate(dim)(d => centroidComponent(j, d)))
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum // left fold — matches list_sum's order
+      struct(
+        (lit(c2) - lit(2.0) * dotSeq(vecCol, typedLit(c))).as("s"),
+        lit(j).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c").cast(LongType)
+  }
+
   /** One exact Lloyd (k-means) iteration over an embedding column, as a
     * single lazy plan with NO driver action — the oracle-checkable face of
     * the training step behind an IVF index's cell structure.
@@ -173,21 +188,6 @@ object Similarity {
     * Output: (cell, dim, n, c), occupied cells × dim rows — a cell that
     * won no vectors emits nothing (callers iterating Lloyd keep the
     * previous centroid for absent cells, as [[trainIvfCentroids]] does). */
-  /** Nearest-md5-seeded-centroid id for a vector column: argmin_j
-    * (‖c_j‖² − 2⟨v,c_j⟩), ties to the lower cell id via struct ordering —
-    * the deterministic cell assignment shared by [[kmeansStep]] and
-    * [[semDedupKeep]]. k fused dot kernels, fully narrow. */
-  private def seededCell(vecCol: Column, k: Int, dim: Int): Column = {
-    val cents = Seq.tabulate(k)(j => Seq.tabulate(dim)(d => centroidComponent(j, d)))
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => x * x).sum // left fold — matches list_sum's order
-      struct(
-        (lit(c2) - lit(2.0) * dotSeq(vecCol, typedLit(c))).as("s"),
-        lit(j).as("c"))
-    }
-    array_min(array(scored: _*)).getField("c").cast(LongType)
-  }
-
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
     require(k > 0 && dim > 0, "k and dim must be positive")
     df
@@ -203,6 +203,18 @@ object Similarity {
       .select(col("cell"), col("dim"), col("n"),
         (col("s_fp").cast(DoubleType) / (col("n") * lit(1048576.0))).as("c"))
   }
+
+  /** (id, vector, norm, cell) — the shared front of the semantic-dedup
+    * family: one narrow pass, k fused dot kernels. */
+  private def cellAssigned(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame =
+    KernelInput.ensureParallelismIfScan(df)
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol),
+        col(vecCol),
+        norm2(col(vecCol)).as("nrm"),
+        seededCell(col(vecCol), k, dim).as("cell"))
 
   /** SemDeDup-style semantic dedup (cluster-then-prune): assign every
     * embedding to its nearest md5-seeded centroid, find within-cell pairs
@@ -226,18 +238,6 @@ object Similarity {
     * Centroids, fold order, and tie-breaks are the [[kmeansStep]] family's
     * md5 constructions, so a DuckDB oracle reproduces cells, pair verdicts,
     * and survivors bit-for-bit. */
-  /** (id, vector, norm, cell) — the shared front of the semantic-dedup
-    * family: one narrow pass, k fused dot kernels. */
-  private def cellAssigned(
-      df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame =
-    KernelInput.ensureParallelismIfScan(df)
-      .filter(col(vecCol).isNotNull)
-      .select(
-        col(idCol),
-        col(vecCol),
-        norm2(col(vecCol)).as("nrm"),
-        seededCell(col(vecCol), k, dim).as("cell"))
-
   def semDedupKeep(
       df: DataFrame,
       idCol: String,
@@ -350,9 +350,22 @@ object Similarity {
           .filter(col("cell").isin(cells.toIndexedSeq: _*))
           .select(col("cell"), col(idCol).as("__sid"),
             col(vecCol).as("__sv"), col("nrm").as("__snrm"))
+        // The `__sid < id` guard is what makes a replayed micro-batch
+        // idempotent: foreachBatch is at-least-once, so a failure between
+        // the store append and the checkpoint commit re-runs the batch
+        // with its own rows already in the store. An unordered drop rule
+        // would then kill every row against its identical twin (cosine
+        // 1.0, same id) AND kill the batch's keepers against their own
+        // higher-id dups now sitting in the store. The ordered guard
+        // implements the one true rule — "drop iff a LOWER-id near-dup
+        // was seen anywhere" — which in normal id-ordered operation
+        // (store ids < batch ids) is exactly the old behavior, and under
+        // replay reproduces the first run bit-for-bit (replay-appended
+        // duplicate store rows are benign for the same reason).
         val vsStore = assigned.as("b")
           .join(store,
             col("b.cell") === store("cell") &&
+              col("__sid") < col(s"b.$idCol") &&
               dotSeq(col(s"b.$vecCol"), col("__sv")) /
                 (col("b.nrm") * col("__snrm")) >= threshold,
             "left_semi")

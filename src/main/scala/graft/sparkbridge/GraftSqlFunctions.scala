@@ -80,8 +80,11 @@ object GraftSqlFunctions {
     case other if other.foldable =>
       other.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toArray[org.apache.spark.unsafe.types.UTF8String](
-            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+          val elems = a.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType)
+          if (elems.exists(_ == null)) throw new IllegalArgumentException(
+            s"$fn reference array must not contain NULL elements")
+          elems.map(_.toString).toSeq
         case v => throw new IllegalArgumentException(
           s"$fn expects a literal array<string> argument, got $v")
       }

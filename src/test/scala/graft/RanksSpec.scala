@@ -44,14 +44,18 @@ class RanksSpec extends AnyFunSuite with SparkSpec {
     val specials = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
       0.0, -0.0, 1e300, -1e300, Long.MaxValue.toDouble * 4)
     // 8 random rounds x random group structure; every round must agree
-    // bit-for-bit with the built-in window functions.
+    // bit-for-bit with the built-in window functions. NULL order values
+    // (nulls-first) and a NULL group key are real ranking inputs for the
+    // built-in form, so they must rank here too, not vanish in a join.
     for (round <- 1 to 8) {
       val nGroups = 1 + rnd.nextInt(4)
       val rows = (1 to 200).map { i =>
-        val v =
-          if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
+        val v: java.lang.Double =
+          if (rnd.nextInt(12) == 0) null
+          else if (rnd.nextInt(10) == 0) specials(rnd.nextInt(specials.length))
           else math.floor(rnd.nextGaussian() * 40) / 8 // duplicates + fractional
-        (s"g${rnd.nextInt(nGroups)}", v, i.toLong)
+        val g = if (rnd.nextInt(15) == 0) null else s"g${rnd.nextInt(nGroups)}"
+        (g, v, i.toLong)
       }
       val df = rows.toDF("grp", "v", "id")
       val tiles = 1 + rnd.nextInt(6)

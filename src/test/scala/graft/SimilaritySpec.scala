@@ -167,6 +167,35 @@ class SimilaritySpec extends SparkSpec {
       "no corpus row was contaminated — fixture too sparse to exercise the scan")
   }
 
+  test("semDedupStream: replayed micro-batch is idempotent (rows already in store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("semreplay").toString
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (seed, streamed) = all.splitAt(all.length / 2)
+    Similarity.writeSemDedupStore(seed.toSeq.toDF("vec_id", "embedding"),
+      dir, "vec_id", "embedding", k = 8, dim = 64)
+    def runOnce(): Map[Long, Long] = {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val got = scala.collection.mutable.Map[Long, Long]()
+      val q = Similarity.semDedupStream(in.toDF.toDF("vec_id", "embedding"),
+        dir, "vec_id", "embedding", k = 8, dim = 64, threshold = 0.4) { (df, _) =>
+        got ++= df.as[(Long, Long)].collect()
+      }.start()
+      in.addData(streamed.toIndexedSeq: _*); q.processAllAvailable(); q.stop()
+      got.toMap
+    }
+    val first = runOnce()
+    // At-least-once replay: the same batch re-runs with its own rows
+    // already appended to the store. The same-id guard must keep the
+    // output identical instead of dropping every row against its twin.
+    val replayed = runOnce()
+    assert(first.nonEmpty)
+    assert(replayed === first)
+  }
+
   test("semDedupKeep: result is invariant under input partitioning") {
     val base = Similarity.semDedupKeep(emb, "vec_id", "embedding",
       k = 8, dim = 64, threshold = 0.4)
