@@ -90,6 +90,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(planString("bpe_pairs").contains("TakeOrderedAndProject"))
   }
 
+  test("bpe_pairs: the regex tokenizer runs exactly once (no inferred scan filter)") {
+    // The InferFiltersFromGenerate hazard: an inferred size(...) > 0
+    // pushed into the scan would re-run regexp_extract_all over every
+    // document. This generator shape doesn't trigger it today; the gate
+    // keeps a future optimizer or query change from reintroducing it.
+    val occurrences = "regexp_extract_all".r
+      .findAllIn(SparkEntry.queries("bpe_pairs")(spark, sf)
+        .queryExecution.optimizedPlan.toString).size
+    assert(occurrences === 1)
+  }
+
   test("q32_lateral: LATERAL decorrelates to WindowGroupLimit, not a join-per-row") {
     // The correlated ORDER BY + LIMIT must become the rank-based group
     // top-k (with its map-side partial pruning), never a nested-loop
