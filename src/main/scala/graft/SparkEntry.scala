@@ -753,6 +753,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("q"))
     }),
 
+    // Per-language top-30% quality gate — quality_gate's median cut
+    // generalized to an arbitrary fraction, built on the funnel-free
+    // distribution ranks (Ranks.distributionRanks): languages are few and
+    // huge, exactly the group shape whose built-in percent_rank window
+    // funnels corpus/|langs| rows through one task; here the only
+    // group-wide window runs over the value-bin frame. The 0.7 boundary
+    // compares bit-identical pct_rank doubles ((r-1)/(n-1) integer
+    // division in both engines).
+    "quality_top_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val scored = docs.select(
+        col("doc_id"), col("lang"),
+        coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      graft.functions.Ranks.distributionRanks(scored, "lang",
+          col("q"), col("doc_id"), tiles = 4, rankCol = "rnk")
+        .filter(col("pct_rank") >= 0.7)
+        .select(col("doc_id"), col("lang"), col("q"), col("pct_rank"))
+    }),
+
     // Fixed-stride character chunking: 256-char windows every 192 chars
     // (64-char overlap) — the "split long documents into embedding/context
     // windows" stage. Narrow explode, one row per chunk, no shuffle; chunk
@@ -2110,6 +2130,20 @@ object SparkEntry {
         |  FROM n l JOIN n r ON l.cell = r.cell AND l.vec_id < r.vec_id
         |  WHERE list_sum(list_transform(list_zip(l.v, r.v), pr -> pr[1] * pr[2])) / (l.nrm * r.nrm) >= 0.4)
         |SELECT vec_id, cell FROM a WHERE vec_id NOT IN (SELECT dropped FROM p)""".stripMargin,
+    // Same quality expression as quality_gate; the gate itself is the
+    // plain percent_rank window (identical values to the funnel-free
+    // Spark plan — the rank_dist argument).
+    "quality_top_frac" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id, lang, q, pct_rank FROM (
+        |  SELECT doc_id, lang, q,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pct_rank
+        |  FROM q)
+        |WHERE pct_rank >= 0.7""".stripMargin,
     // floor(q * 2^20) is an exponent shift (never rounds), so both engines
     // bin identically; the lower median of the bins mirrors
     // Median.binnedMedianPerGroup exactly (integer counts, integer div).
