@@ -767,8 +767,13 @@ object SparkEntry {
       val scored = docs.select(
         col("doc_id"), col("lang"),
         coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      // binScale 2^20: the quality score is a bounded continuous ratio —
+      // unit bins would leave ~20 of them per language and re-create a
+      // corpus/20·|langs| intra-bin funnel; fixed-point bins spread each
+      // language over ~millions of partitions' worth of distinct values.
       graft.functions.Ranks.distributionRanks(scored, "lang",
-          col("q"), col("doc_id"), tiles = 4, rankCol = "rnk")
+          col("q"), col("doc_id"), tiles = 4, rankCol = "rnk",
+          binScale = 1048576.0)
         .filter(col("pct_rank") >= 0.7)
         .select(col("doc_id"), col("lang"), col("q"), col("pct_rank"))
     }),

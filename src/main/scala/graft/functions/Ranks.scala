@@ -42,7 +42,16 @@ object Ranks {
 
   /** Adds `rank`, plus `pct_rank`, `cume` and `quartile`-style columns.
     * @param tiles ntile bucket count (the output column is named per
-    *              `tileCol`). */
+    *              `tileCol`).
+    * @param binScale multiplier applied before flooring into bins. Bins are
+    *                 INTERNAL (never in the output, no cross-engine
+    *                 concern) — their only job is spreading each group over
+    *                 many intra-bin partitions. Match it to the order
+    *                 value's spread: 1.0 for values spanning thousands of
+    *                 integers (spend in dollars); 2^20 for a bounded
+    *                 continuous score in [-10, 10] (the Median trick —
+    *                 without it such a score occupies ~20 integer bins and
+    *                 each intra-bin partition is still corpus/20·|groups|). */
   def distributionRanks(
       df: DataFrame,
       grp: String,
@@ -52,8 +61,10 @@ object Ranks {
       rankCol: String = "rank",
       pctCol: String = "pct_rank",
       cumeCol: String = "cume",
-      tileCol: String = "quartile"): DataFrame = {
+      tileCol: String = "quartile",
+      binScale: Double = 1.0): DataFrame = {
     require(tiles > 0, "tiles must be positive")
+    require(binScale > 0, "binScale must be positive")
     // Special-value bins, matching the built-in window's value order
     // exactly: NULL sorts FIRST (nulls-first ascending) → bottom bin; NaN
     // sorts LAST (after +Infinity) → top bin; ±Infinity itself is safe
@@ -63,7 +74,7 @@ object Ranks {
     val binned = df.withColumn("__bin",
       when(ord.isNull, lit(Long.MinValue))
         .when(isnan(ord), lit(Long.MaxValue))
-        .otherwise(floor(ord).cast(LongType)))
+        .otherwise(floor(ord * lit(binScale)).cast(LongType)))
     val binCounts = binned
       .groupBy(col(grp), col("__bin"))
       .agg(count(lit(1)).as("__c"))

@@ -59,8 +59,10 @@ class RanksSpec extends AnyFunSuite with SparkSpec {
       }
       val df = rows.toDF("grp", "v", "id")
       val tiles = 1 + rnd.nextInt(6)
+      // binScale must never change values, only internal bin spread.
+      val binScale = Seq(1.0, 1048576.0, 0.125)(rnd.nextInt(3))
       val got = Ranks.distributionRanks(df, "grp", col("v"), col("id"),
-        tiles = tiles, rankCol = "rnk")
+        tiles = tiles, rankCol = "rnk", binScale = binScale)
         .select(col("grp"), col("id"), col("rnk"), col("pct_rank"),
           col("cume"), col("quartile"))
       val w = Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))
