@@ -458,6 +458,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(survived.size == survived.toSet.size) // no doc emitted twice
   }
 
+  test("hashRange split/sample are stateless and stream-safe (same verdict per row as batch)") {
+    import graft.functions.Sampling
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The split/sample family is a pure function of the key — no state
+    // store, no aggregation — so the SAME expressions drop into a
+    // streaming pipeline and give every row the batch verdict: a
+    // train/val/test split computed on a stream is consistent with (and
+    // reproducible against) the batch assignment of the same rows.
+    val ids = (1L to 300L)
+    val in = MemoryStream[Long]
+    val split = org.apache.spark.sql.functions.when(
+      Sampling.hashRange(col("id").cast("string"), 0.0, 0.8, "sp1"), "train")
+      .when(Sampling.hashRange(col("id").cast("string"), 0.8, 0.9, "sp1"), "val")
+      .otherwise("test")
+    val q = in.toDF().toDF("id").select(col("id"), split.as("split"))
+      .writeStream.format("memory").queryName("stream_split").outputMode("append").start()
+    runToCompletion(q, () => in.addData(ids.take(150): _*), () => in.addData(ids.drop(150): _*))
+    val streamed = spark.table("stream_split").as[(Long, String)].collect().toMap
+    val batch = ids.toDF("id").select(col("id"), split.as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    assert(Set("train", "val", "test").subsetOf(streamed.values.toSet))
+  }
+
   test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
