@@ -958,14 +958,11 @@ object SparkEntry {
     // Intra-document repetition strip (the within-doc half of C4-style
     // span dedup; span_dedup is the cross-doc half): cut the document
     // into fixed 2-word spans, keep only each span's FIRST occurrence
-    // within the doc, and fingerprint the reassembly. Fully narrow — every
-    // document is processed inside its own row with array HOFs, the plan
-    // has ZERO shuffles at any corpus size (the ideal 100 TB shape). The
-    // span width is a parameter; 2 words exercises the prune on this
-    // corpus (181/500 docs at sf0.01), production text uses wider spans.
-    // The first-occurrence test is positional: array_position returns the
-    // FIRST index of the value, so a span survives iff it sits at its own
-    // first position — O(spans²) per doc, bounded by the document length.
+    // within the doc, and fingerprint the reassembly. Fully narrow — one
+    // codegen'd O(spans) kernel pass per row (Spans.intraDocStrip), ZERO
+    // shuffles at any corpus size (the ideal 100 TB shape). The span
+    // width is a parameter; 2 words exercises the prune on this corpus
+    // (181/500 docs at sf0.01), production text uses wider spans.
     "repetition_strip" -> ((s, dir) =>
       graft.functions.Spans.intraDocStrip(
         t(s, dir, "documents"), "doc_id", "text", k = 2)),

@@ -236,20 +236,12 @@ object Dedup {
     * never in the index to begin with). */
   def mergeMinhashIndexes(indexes: Seq[MinhashIndex]): MinhashIndex = {
     require(indexes.nonEmpty, "need at least one index")
+    // Keep every row of each id's newest generation. The banded frame has
+    // one row per (id, band); the shingled frame one row per id — the
+    // max-age rule covers both (and unlike a row_number pick it can't
+    // silently choose an arbitrary row if a malformed frame ever held
+    // duplicate ids within one generation).
     def lastWins(frames: Seq[DataFrame]): DataFrame = {
-      val tagged = frames.zipWithIndex
-        .map { case (f, i) => f.withColumn("__age", lit(i)) }
-        .reduce(_.unionByName(_))
-      import org.apache.spark.sql.expressions.Window
-      tagged
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("__age").desc)))
-        .filter(col("__rk") === 1)
-        .drop("__age", "__rk")
-    }
-    // The banded frame holds multiple rows per id (one per band) — dedup
-    // at the id level by keeping every band row of the newest generation.
-    def lastWinsBands(frames: Seq[DataFrame]): DataFrame = {
       val tagged = frames.zipWithIndex
         .map { case (f, i) => f.withColumn("__age", lit(i)) }
         .reduce(_.unionByName(_))
@@ -262,7 +254,7 @@ object Dedup {
     }
     MinhashIndex(
       lastWins(indexes.map(_.shingled)),
-      lastWinsBands(indexes.map(_.banded)))
+      lastWins(indexes.map(_.banded)))
   }
 
   /** Near-dup pairs BETWEEN two indexed corpora (never within either side):

@@ -65,6 +65,14 @@ object Ranks {
       binScale: Double = 1.0): DataFrame = {
     require(tiles > 0, "tiles must be positive")
     require(binScale > 0, "binScale must be positive")
+    // Fail fast on collisions/injection instead of silently overwriting a
+    // caller column (withColumn replaces in place) or breaking the
+    // integer-div SQL below.
+    val internal = Seq("__bin", "__before", "__n")
+    val outputs = Seq(rankCol, pctCol, cumeCol, tileCol)
+    val clash = (internal ++ outputs).filter(df.columns.contains)
+    require(clash.isEmpty, s"input columns collide with rank outputs/internals: ${clash.mkString(", ")}")
+    require(!rankCol.contains("`"), "rankCol must not contain backticks")
     // Special-value bins, matching the built-in window's value order
     // exactly: NULL sorts FIRST (nulls-first ascending) → bottom bin; NaN
     // sorts LAST (after +Infinity) → top bin; ±Infinity itself is safe
@@ -79,22 +87,23 @@ object Ranks {
       .groupBy(col(grp), col("__bin"))
       .agg(count(lit(1)).as("__c"))
     val wBins = Window.partitionBy(col(grp)).orderBy(col("__bin"))
-    // (group, bin) -> rows in earlier bins of the same group.
+    val wGrp = Window.partitionBy(col(grp))
+    // (group, bin) -> rows in earlier bins of the same group, plus the
+    // group total — both window sums over the SAME metadata-scale bin
+    // frame, so the corpus-frame join below stays the plan's only join.
     val cum = binCounts
       .withColumn("__before", sum(col("__c")).over(wBins) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wGrp))
       .drop("__c")
-    val nPer = binCounts.groupBy(col(grp)).agg(sum(col("__c")).as("__n"))
     val wIntra = Window.partitionBy(col(grp), col("__bin")).orderBy(ord, tie)
     val r = col(rankCol)
     // Null-safe (<=>) group keys: a NULL group is a real ranking partition
     // for the built-in window, so an EqualTo join would silently drop its
-    // rows. Still equi-joins (EqualNullSafe keys) — AQE broadcast applies.
+    // rows. Still an equi-join (EqualNullSafe keys) — AQE broadcast applies.
     val ranked = binned
       .join(cum.withColumnRenamed(grp, "__cg").withColumnRenamed("__bin", "__cbin"),
         col(grp) <=> col("__cg") && col("__bin") === col("__cbin"))
       .drop("__cg", "__cbin")
-      .join(nPer.withColumnRenamed(grp, "__ng"), col(grp) <=> col("__ng"))
-      .drop("__ng") // un-hinted: AQE broadcasts the per-group frame
       .withColumn(rankCol, col("__before") + row_number().over(wIntra))
     // All-integer ntile: big-buckets-first split, lazy CASE keeps the
     // qd = 0 (n < tiles) arm from ever dividing by zero.

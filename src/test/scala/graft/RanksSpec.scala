@@ -84,15 +84,15 @@ class RanksSpec extends AnyFunSuite with SparkSpec {
     val windows = plan.collect {
       case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
     }
-    assert(windows.size === 2, plan.toString)
     // One window partitions by (grp, bin) — per-bin ranking over input
-    // rows; the other partitions by grp alone but consumes the AGGREGATED
-    // bin-count frame (its child contains the groupBy), never raw rows.
-    val byPartSize = windows.sortBy(_.partitionSpec.size)
-    assert(byPartSize(0).partitionSpec.size === 1)
-    assert(byPartSize(0).collectFirst {
+    // rows; the group-wide windows (cumulative predecessors + group total,
+    // possibly collapsed into one Window node) consume the AGGREGATED
+    // bin-count frame (child contains the groupBy), never raw rows.
+    val (intraW, grpW) = windows.partition(_.partitionSpec.size == 2)
+    assert(intraW.size === 1, plan.toString)
+    assert(grpW.nonEmpty && grpW.forall(_.partitionSpec.size == 1), plan.toString)
+    assert(grpW.forall(_.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }.nonEmpty, "the group-wide window must run over the bin-count aggregate")
-    assert(byPartSize(1).partitionSpec.size === 2)
+    }.nonEmpty), "every group-wide window must run over the bin-count aggregate")
   }
 }
