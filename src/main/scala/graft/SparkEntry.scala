@@ -778,6 +778,54 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("q"), col("pct_rank"))
     }),
 
+    // Curriculum sampling: per-language quality quartiles (funnel-free
+    // ranks) crossed with per-quartile deterministic keep rates — keep
+    // all of the top quartile, 1/2, 1/4, 1/8 of the others. The
+    // quality-weighted subsampling stage, composed from two deterministic
+    // primitives (Ranks.distributionRanks × Sampling.hashRange), so the
+    // sample is reproducible under repartitioning, retries, and engines.
+    "curriculum_sample" -> ((s, dir) => {
+      import graft.functions.Sampling
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val scored = docs.select(
+        col("doc_id"), col("lang"),
+        coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      val key = col("doc_id").cast(StringType)
+      graft.functions.Ranks.distributionRanks(scored, "lang",
+          col("q"), col("doc_id"), tiles = 4, rankCol = "rnk",
+          binScale = 1048576.0)
+        .filter(
+          col("quartile") === 4 ||
+            (col("quartile") === 3 && Sampling.hashRange(key, 0.0, 0.5, "cu")) ||
+            (col("quartile") === 2 && Sampling.hashRange(key, 0.0, 0.25, "cu")) ||
+            (col("quartile") === 1 && Sampling.hashRange(key, 0.0, 0.125, "cu")))
+        .select(col("doc_id"), col("lang"), col("q"),
+          col("quartile").cast(LongType).as("quartile"))
+    }),
+
+    // Deterministic token-budget selection: order the corpus by a salted
+    // hash (a reproducible shuffle), take documents until the token
+    // budget fills — "train on exactly N tokens" without a global sort or
+    // an unpartitioned window: the cumulative token count rides
+    // pack_sequences' three-level prefix sum over the hash-derived id.
+    // hid = xhash32(doc_id)·2^20 + doc_id is unique and order-stable at
+    // test scale (doc_id < 2^20); widen the multiplier with the id space.
+    "token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(TF.wsTokens(col("text"))).cast(LongType).as("n_toks"),
+          (TF.xhash32(col("doc_id").cast(StringType)) * lit(1048576L) + col("doc_id"))
+            .as("hid"))
+      graft.functions.Packing.packSequences(
+          docs.select(col("hid"), col("n_toks")), "hid", "n_toks", packLen = 512)
+        .withColumn("bef", col("pack_id") * 512 + col("pack_offset"))
+        .filter(col("bef") + col("n_tokens") <= 10000)
+        .join(docs.select(col("hid"), col("doc_id")), Seq("hid"))
+        .select(col("doc_id"), col("n_tokens").as("n_toks"), col("bef"))
+    }),
+
     // Fixed-stride character chunking: 256-char windows every 192 chars
     // (64-char overlap) — the "split long documents into embedding/context
     // windows" stage. Narrow explode, one row per chunk, no shuffle; chunk
@@ -2132,6 +2180,31 @@ object SparkEntry {
         |  FROM n l JOIN n r ON l.cell = r.cell AND l.vec_id < r.vec_id
         |  WHERE list_sum(list_transform(list_zip(l.v, r.v), pr -> pr[1] * pr[2])) / (l.nrm * r.nrm) >= 0.4)
         |SELECT vec_id, cell FROM a WHERE vec_id NOT IN (SELECT dropped FROM p)""".stripMargin,
+    // Quality CTE + plain ntile window + the sample_bernoulli hash form
+    // per quartile.
+    "curriculum_sample" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |r AS (SELECT doc_id, lang, q,
+        |  ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS quartile FROM q),
+        |h AS (SELECT r.*, ('0x' || substr(md5('cu' || doc_id::VARCHAR), 1, 8))::BIGINT AS hh FROM r)
+        |SELECT doc_id, lang, q, quartile FROM h
+        |WHERE quartile = 4
+        |   OR (quartile = 3 AND hh < CAST(floor(0.5 * 4294967296.0) AS BIGINT))
+        |   OR (quartile = 2 AND hh < CAST(floor(0.25 * 4294967296.0) AS BIGINT))
+        |   OR (quartile = 1 AND hh < CAST(floor(0.125 * 4294967296.0) AS BIGINT))""".stripMargin,
+    // The oracle may use the global-order cumsum window Spark avoids —
+    // DuckDB is single-node; only the VALUES must match.
+    "token_budget" ->
+      """WITH tk AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_toks,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 1048576 + doc_id AS hid
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_toks,
+        |  (sum(n_toks) OVER (ORDER BY hid))::BIGINT - n_toks AS bef FROM tk)
+        |SELECT doc_id, n_toks, bef FROM c WHERE bef + n_toks <= 10000""".stripMargin,
     // Same quality expression as quality_gate; the gate itself is the
     // plain percent_rank window (identical values to the funnel-free
     // Spark plan — the rank_dist argument).

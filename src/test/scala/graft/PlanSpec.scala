@@ -70,7 +70,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    corpus itself is not involved).
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "corpus_mix", "corpus_upsample", "mix_report")
+      "corpus_mix", "corpus_upsample", "mix_report", "token_budget")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
