@@ -147,13 +147,23 @@ object Spans {
     rebuildDocs(withDigest.join(bp, Seq("__h64", "__h128"), "left_anti"), idCol)
   }
 
-  /** The persisted side of streaming span dedup: the distinct digest
-    * pairs of every span already in the corpus — one ~24 B row per
-    * distinct span, never the text. Compute once over the existing
-    * corpus, then let [[cleanStream]] append each batch's novel digests. */
+  /** The persisted side of streaming span dedup: for every distinct span
+    * digest, its corpus-wide FIRST occurrence — (__h64, __h128, __sid,
+    * __sidx), one ~40 B row per distinct span, never the text. The
+    * occurrence provenance is what makes [[cleanStream]] replay-safe: a
+    * store row only blocks STRICTLY-LATER occurrences, so a re-run batch
+    * whose own digests already landed reproduces its output instead of
+    * sinking nothing. Compute once over the existing corpus, then let
+    * [[cleanStream]] append each batch's novel digests. */
   def spanIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     digests(spansOf(df, idCol, textCol, k), idCol)
-      .select(col("__h64"), col("__h128")).distinct()
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__h64"), col("__h128"))
+          .orderBy(col(idCol), col("span_idx"))))
+      .filter(col("__rk") === 1)
+      .select(col("__h64"), col("__h128"),
+        col(idCol).cast(LongType).as("__sid"),
+        col("span_idx").cast(LongType).as("__sidx"))
 
   def writeSpanIndex(df: DataFrame, idCol: String, textCol: String, k: Int, path: String): Unit =
     spanIndex(df, idCol, textCol, k).write.mode("overwrite").parquet(path)
@@ -167,7 +177,12 @@ object Spans {
     * [[Contamination.cleanStream]]: dedup state lives in storage, not the
     * state store, so an unbounded corpus never pressures watermarks, and
     * re-running batch [[spanDedup]] over (store corpus ++ batches) gives
-    * the identical result (SpansSpec asserts the parity). */
+    * the identical result (SpansSpec asserts the parity). A store row
+    * blocks only STRICTLY-EARLIER-provenance occurrences (`(__sid,
+    * __sidx) < (id, span_idx)`), which makes an at-least-once replay
+    * idempotent: the failed attempt's own appended digests have EQUAL
+    * provenance and so don't suppress the re-run's output (the
+    * semDedupStream ordered-guard rule; SpansSpec replay test). */
   def cleanStream(
       stream: DataFrame,
       indexPath: String,
@@ -184,11 +199,18 @@ object Spans {
             Window.partitionBy(col("__h64"), col("__h128"))
               .orderBy(col(idCol), col("span_idx"))))
           .filter(col("__rk") === 1)
-        val novel = firstInBatch.join(seen, Seq("__h64", "__h128"), "left_anti")
+        val novel = firstInBatch.as("b")
+          .join(seen,
+            col("b.__h64") === seen("__h64") && col("b.__h128") === seen("__h128") &&
+              (col("__sid") < col(s"b.$idCol") ||
+                (col("__sid") === col(s"b.$idCol") && col("__sidx") < col("b.span_idx"))),
+            "left_anti")
         sink(reassemble(sp, novel.select(col(idCol), col("span_idx")), idCol), id)
         // Append AFTER the sink: novel's plan reads the store's file list
         // as of batch start, so the append never feeds its own input.
-        novel.select(col("__h64"), col("__h128"))
+        novel.select(col("__h64"), col("__h128"),
+            col(idCol).cast(LongType).as("__sid"),
+            col("span_idx").cast(LongType).as("__sidx"))
           .write.mode("append").parquet(indexPath)
       }
     }
