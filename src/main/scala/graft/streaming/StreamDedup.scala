@@ -40,7 +40,12 @@ object StreamDedup {
     * per-batch candidate join shuffles only the (small) batch side — see
     * [[graft.functions.Dedup.writeMinhashIndex]]. The surviving batch
     * would typically also be indexed and appended to the store so later
-    * batches dedup against it. */
+    * batches dedup against it — a caller doing that must make the drop
+    * rule order-aware (drop i only for index partners j < i) or a
+    * replayed micro-batch finds its own appended signatures and drops
+    * every row (the ordered-guard rule of `Similarity.semDedupStream` /
+    * `Spans.cleanStream`, both replay-spec'd; this function itself never
+    * appends and is replay-safe against a fixed index). */
   def nearDupFilterAgainstIndex(
       stream: DataFrame,
       index: Dedup.MinhashIndex,
