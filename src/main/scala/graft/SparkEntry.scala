@@ -1256,6 +1256,29 @@ object SparkEntry {
         "vec_id", "embedding", k = 8, dim = 64, threshold = 0.3)
     }),
 
+    // Cross-modal cluster profile: join the embedding cells onto the text
+    // table and report per-(cell, lang) document counts and mean quality —
+    // the "what's actually in each semantic cluster" audit behind
+    // mixture/curation decisions. Cell assignment is narrow
+    // (Similarity.assignCells); the join keys both corpus-sized tables on
+    // the id; the mean rides the kmeans_step fixed-point trick (floored
+    // 2^-20 longs — exact, order-independent) so both engines agree
+    // bitwise.
+    "cluster_profile" -> ((s, dir) => {
+      val cells = Similarity.assignCells(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, dim = 64)
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
+      cells.join(docs, col("vec_id") === col("doc_id"))
+        .groupBy(col("cell"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(floor(col("q") * lit(1048576.0)).cast(LongType)).cast(DoubleType) /
+            (count(lit(1)) * lit(1048576.0))).as("mean_q"))
+    }),
+
     // SemDeDup (cluster-then-prune semantic dedup): nearest-seeded-centroid
     // cell assignment, within-cell cosine pairs, keep rows with no lower-id
     // near-dup in their cell. Candidates never cross a cell boundary — the
@@ -2092,6 +2115,29 @@ object SparkEntry {
         |SELECT cell, dim, count(*) AS n,
         |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
         |FROM x GROUP BY cell, dim""".stripMargin,
+    // kmeans_step's cell CTEs + the quality expression + a fixed-point
+    // mean (the kmeans_step mean trick).
+    "cluster_profile" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c AS (SELECT j, list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('km_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cv
+        |  FROM range(0, 8) jj(j)),
+        |s AS (SELECT e.vec_id, c.j,
+        |    list_sum(list_transform(c.cv, x -> x * x))
+        |      - 2.0 * list_sum(list_transform(list_zip(e.v, c.cv), pr -> pr[1] * pr[2])) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, j AS cell FROM (
+        |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+        |    FROM s) WHERE rn = 1),
+        |q AS (SELECT doc_id, lang,
+        |  (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS q
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT cell, lang, count(*)::BIGINT AS n_docs,
+        |  sum(floor(q * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS mean_q
+        |FROM a JOIN q ON vec_id = doc_id GROUP BY cell, lang""".stripMargin,
     // Stage composition of the semdedup / emb_decontaminate / emb_project
     // CTE families (same centroids, same fold-order cosine, same
     // md5-derived projection directions).

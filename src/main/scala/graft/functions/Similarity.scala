@@ -204,6 +204,15 @@ object Similarity {
         (col("s_fp").cast(DoubleType) / (col("n") * lit(1048576.0))).as("c"))
   }
 
+  /** Public face of the cell assignment: (idCol, cell) for every vector —
+    * "which semantic cluster is each row in", the join key for
+    * cross-modal cluster audits and cell-keyed storage layouts. One
+    * narrow pass, k fused dot kernels, no shuffle. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    cellAssigned(df, idCol, vecCol, k, dim).select(col(idCol), col("cell"))
+  }
+
   /** (id, vector, norm, cell) — the shared front of the semantic-dedup
     * family: one narrow pass, k fused dot kernels. */
   private def cellAssigned(
