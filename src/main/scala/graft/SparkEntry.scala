@@ -826,6 +826,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").as("n_toks"), col("bef"))
     }),
 
+    // DSIR-style importance selection (Xie et al. 2023): fit hashed
+    // word-bigram count distributions on a curated target domain (source
+    // src0) and on the raw pool (everything else), weight each of the
+    // 4096 hash buckets by the smoothed fixed-point target/raw rate
+    // ratio, score every raw doc by the BIGINT sum of its bigrams' bucket
+    // weights, keep the top 25% — "pick the web pages that look most like
+    // the curated domain". Two narrow corpus passes (fit counts bounded
+    // by 4096 rows/task pre-shuffle; scoring joins the broadcast
+    // metadata-scale weight table), funnel-free top-fraction boundary
+    // (graft.functions.Dsir scaladoc).
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Dsir.selectTopFraction(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", frac = 0.25)
+    }),
+
     // Fixed-stride character chunking: 256-char windows every 192 chars
     // (64-char overlap) — the "split long documents into embedding/context
     // windows" stage. Narrow explode, one row per chunk, no shuffle; chunk
@@ -963,6 +981,20 @@ object SparkEntry {
     // (map-side group limit), then a broadcast join to the tiny nation
     // side. The SQL surface a window-averse user writes; the plan is the
     // bounded top-k shape q4/vocab_topk are gated on.
+    // Correlated SCALAR subquery in the select list — the remaining
+    // decorrelation path (q6/q28 cover anti, q7 semi, q32 LATERAL+LIMIT):
+    // Catalyst rewrites it to an aggregate-then-left-outer-join on the
+    // correlation key, with the COUNT-bug null→0 projection — exactly the
+    // hand-written plan, shuffling one pre-aggregated row per order key.
+    "q31_scalar_subq" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q31_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("q31_lineitem")
+      s.sql("""SELECT o_orderkey, o_totalprice,
+               (SELECT count(*) FROM q31_lineitem l
+                WHERE l.l_orderkey = o_orderkey) AS n_items
+               FROM q31_orders""")
+    }),
+
     "q32_lateral" -> ((s, dir) => {
       t(s, dir, "nation").createOrReplaceTempView("q32_nation")
       t(s, dir, "customer").createOrReplaceTempView("q32_customer")
@@ -1917,6 +1949,11 @@ object SparkEntry {
         |  cume_dist() OVER w AS cume
         |FROM spend JOIN customer ON o_custkey = c_custkey
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)""".stripMargin,
+    "q31_scalar_subq" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey = o_orderkey) AS n_items
+        |FROM orders""".stripMargin,
     "q32_lateral" ->
       """SELECT n_name, c.c_custkey, c.c_acctbal
         |FROM nation, LATERAL (
@@ -2251,6 +2288,34 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_toks,
         |  (sum(n_toks) OVER (ORDER BY hid))::BIGINT - n_toks AS bef FROM tk)
         |SELECT doc_id, n_toks, bef FROM c WHERE bef + n_toks <= 10000""".stripMargin,
+    // The weight chain `(t+1)::DOUBLE / (r+1) * (R+B) / (T+B) * 2^20` is
+    // left-associated exactly like the Spark column expression — every op
+    // correctly rounded over exactly-representable integers, the last a
+    // power-of-two exponent shift — so floor lands on identical BIGINTs;
+    // doc scores are then exact integer sums. The oracle's selection
+    // window is the plain percent_rank Spark's funnel-free ranks
+    // reproduce bit-identically (the rank_dist argument).
+    "dsir_select" ->
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |hb AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(bg), 1, 8))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+        |    FROM tk)),
+        |tc AS (SELECT b, count(*)::BIGINT AS t FROM hb WHERE source = 'src0' GROUP BY b),
+        |rc AS (SELECT b, count(*)::BIGINT AS r FROM hb WHERE source <> 'src0' GROUP BY b),
+        |tot AS (SELECT (SELECT coalesce(sum(t), 0) FROM tc)::BIGINT AS tt,
+        |               (SELECT coalesce(sum(r), 0) FROM rc)::BIGINT AS rr),
+        |w AS (SELECT rc.b AS b,
+        |    floor((coalesce(t, 0) + 1)::DOUBLE / (r + 1) * (rr + 4096) / (tt + 4096) * 1048576.0)::BIGINT AS w
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+        |sc AS (SELECT doc_id, sum(w)::BIGINT AS score
+        |  FROM hb JOIN w ON hb.b = w.b WHERE source <> 'src0' GROUP BY doc_id)
+        |SELECT doc_id, score, pct_rank FROM (
+        |  SELECT doc_id, score,
+        |    percent_rank() OVER (ORDER BY score, doc_id) AS pct_rank FROM sc)
+        |WHERE pct_rank >= 0.75""".stripMargin,
     // Same quality expression as quality_gate; the gate itself is the
     // plain percent_rank window (identical values to the funnel-free
     // Spark plan — the rank_dist argument).

@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * DSIR-style data selection via hashed n-gram importance weights
+ * (Xie et al., "Data Selection for Language Models via Importance
+ * Resampling", 2023): fit hashed word-bigram count distributions on a
+ * small curated TARGET domain and on the RAW pool being selected from,
+ * weight every hash bucket by the smoothed target/raw rate ratio, score
+ * each raw document by the sum of its bigrams' bucket weights, and keep
+ * the top fraction.
+ *
+ * Cross-engine determinism (the repo's oracle rules):
+ *  - the bucket hash is the md5-mirror xhash32 (`('0x' ||
+ *    substr(md5(bg), 1, 8))::BIGINT` in DuckDB) mod `buckets`;
+ *  - the bucket weight is computed as ONE left-associated chain of
+ *    correctly-rounded IEEE ops over exactly-representable integers —
+ *    `(t+1)::DOUBLE / (r+1) * (R+B) / (T+B) * 2^20`, floored to BIGINT —
+ *    identical bits in any engine that evaluates the same chain (the
+ *    final factor is a power of two, an exact exponent shift);
+ *  - document scores are BIGINT sums of BIGINT weights — exact and
+ *    order-independent, so the top-fraction boundary never drifts.
+ * The paper sums LOG ratios and adds Gumbel noise for sampling; summing
+ * fixed-point LINEAR ratios with a deterministic top-fraction keeps the
+ * same "most target-like documents win" selection while staying
+ * bit-reproducible across engines and retries (a log() or a Gumbel draw
+ * would drift in the last ulp between libm implementations — the
+ * corpus_mix sqrt-only lesson).
+ *
+ * Shape at 100 TB: fit-then-apply is inherently two passes over the raw
+ * pool, both NARROW over the corpus — the count pass map-side-combines
+ * into at most `buckets` rows per task before a buckets-bounded shuffle,
+ * and the scoring pass joins a BROADCAST weight table (<= `buckets` rows
+ * by construction — explicitly metadata-scale, the allowed broadcast
+ * class) then map-side-combines per-doc partial sums. Document text
+ * never shuffles; nothing corpus-sized is ever sorted. The target side
+ * is small by construction (a curated domain), mirroring the
+ * decontamination eval-side argument.
+ */
+object Dsir {
+
+  /** Word bigrams of a whitespace-tokenized text column, one entry per
+    * OCCURRENCE (DSIR's counts are multinomial, not distinct-set).
+    * Mirrors the bpe_pairs adjacency construction: zip_with over the two
+    * shifted slices. Words are space-split, so joining with a space is
+    * collision-free. */
+  def wordBigrams(text: Column): Column = {
+    val tk = TextFunctions.wsTokens(text)
+    val n = greatest(size(tk) - 1, lit(0))
+    zip_with(
+      slice(tk, lit(1), n), slice(tk, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** One row per bigram occurrence: (docId untyped pass-through, bucket).
+    * The md5 kernel runs AFTER the explode, so any filter the optimizer
+    * might infer through the generator re-runs only the cheap
+    * split/slice/concat, never the hash (the kernel-in-scan-filter
+    * anti-pattern). */
+  /** The bucket expression is wrapped non-nullable (`coalesce(·, 0)` — a
+    * semantic no-op: post-explode bigrams of a non-null text are never
+    * null) so the bucket joins' inferred `isnotnull(b)` constraint FOLDS
+    * AWAY instead of planning a Filter that re-computes the md5 per
+    * bigram above every Generate — the kernel-runs-twice anti-pattern,
+    * here worth one full hash pass per fit/score stage. */
+  private def bucket(bg: Column, buckets: Int): Column =
+    coalesce(pmod(TextFunctions.xhash32(bg), lit(buckets.toLong)), lit(0L))
+
+  private def bucketRows(df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), explode(wordBigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), bucket(col("bg"), buckets).as("b"))
+
+  /** Bucket occurrences only — the fit passes never carry an id. */
+  private def bucketOnly(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(wordBigrams(col(textCol))).as("bg"))
+      .select(bucket(col("bg"), buckets).as("b"))
+
+  /** The fitted bucket-weight table: one BIGINT weight per bucket seen in
+    * the raw pool (buckets absent from raw are never probed by a raw
+    * document, so the table is <= `buckets` rows — broadcastable by
+    * construction). Add-one smoothing keeps target-unseen buckets finite
+    * and raw totals positive.
+    *
+    * weight(b) = floor( (t_b+1)/(r_b+1) * (R+B)/(T+B) * scale )
+    * — the fixed-point smoothed rate ratio p_target(b)/p_raw(b). */
+  def importanceWeights(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int = 4096,
+      scale: Double = 1048576.0): DataFrame = {
+    val tc = bucketOnly(target, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val rc = bucketOnly(raw, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tTot = tc.agg(coalesce(sum(col("t")), lit(0L)).as("tt"))
+    val rTot = rc.agg(coalesce(sum(col("r")), lit(0L)).as("rr"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      // ONE left-associated double chain — mirrored verbatim in the oracle
+      // SQL. Every intermediate integer is exact in double far past any
+      // real corpus size's bucket counts (< 2^53).
+      .select(
+        col("b"),
+        floor(
+          (coalesce(col("t"), lit(0L)) + 1).cast(DoubleType)
+            / (col("r") + 1)
+            * (col("rr") + buckets)
+            / (col("tt") + buckets)
+            * scale).as("w"))
+  }
+
+  /** Per-document importance score over the raw pool: (doc_id, n_bigrams,
+    * score) with score = sum of the doc's bigrams' bucket weights (BIGINT —
+    * exact under any aggregation order). Documents with fewer than two
+    * tokens have no bigrams and are not scored (no evidence either way —
+    * the paper's featurization is equally silent on them). */
+  def scoreDocs(
+      raw: DataFrame,
+      weights: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame =
+    bucketRows(raw, idCol, textCol, buckets)
+      .join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+
+  /** The fitted weights collected at plan time into a dense bucket-indexed
+    * literal (metadata-scale BY CONSTRUCTION — <= `buckets` longs; the
+    * lm_coverage literal convention). Buckets absent from the raw pool are
+    * never probed by a raw document; their slot stays 0. */
+  def importanceWeightArray(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int = 4096,
+      scale: Double = 1048576.0): Array[Long] = {
+    val arr = new Array[Long](buckets)
+    importanceWeights(target, raw, textCol, buckets, scale)
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** [[scoreDocs]] against the collected literal weight array: one narrow
+    * join-free projection per corpus pass (`element_at` into the literal),
+    * returning (doc_id, score) ONLY. Both choices exist so a selection
+    * that consumes the scored frame twice — the ranks' corpus and
+    * bin-count branches — collapses to ONE materialized scoring pass
+    * under AQE stage reuse: the join form's asymmetric broadcast reuse
+    * defeats the stage cache, and any extra aggregate (an n_bigrams
+    * count) gets column-pruned out of the bin-count branch, making the
+    * two subtrees canonically unequal — either way the corpus pays the
+    * hash twice. Need per-doc bigram counts? That's [[scoreDocs]]. */
+  def scoreDocsLit(
+      raw: DataFrame,
+      weights: Array[Long],
+      idCol: String,
+      textCol: String): DataFrame =
+    bucketRows(raw, idCol, textCol, weights.length)
+      .select(col("doc_id"),
+        element_at(lit(weights), (col("b") + 1).cast(IntegerType)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+
+  /** Fit on `target`, score `raw`, keep the top `frac` by (score, id):
+    * (doc_id, score, pct_rank). The fit runs eagerly (two bounded
+    * aggregations) and the weights ride as a literal; the top-fraction
+    * boundary rides the funnel-free distribution ranks
+    * (Ranks.distributionRanks with a constant group), so no corpus-wide
+    * window ever funnels through one task; the pct_rank >= 1-frac
+    * comparison is the same bit-identical (r-1)/(n-1) double both
+    * engines produce. */
+  def selectTopFraction(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      frac: Double,
+      buckets: Int = 4096): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val scored = scoreDocsLit(raw,
+      importanceWeightArray(target, raw, textCol, buckets), idCol, textCol)
+    // Scores span a wide integer range (bucket weights are 2^20
+    // fixed-point), so unit bins already spread the corpus — the
+    // spend-in-dollars case of the binScale rule.
+    Ranks.distributionRanks(
+        scored.withColumn("g", lit(1)), "g",
+        col("score"), col("doc_id"), tiles = 4, rankCol = "rnk")
+      .filter(col("pct_rank") >= lit(1.0 - frac))
+      .select(col("doc_id"), col("score"), col("pct_rank"))
+  }
+}

@@ -68,9 +68,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    corpus-wide aggregate (sum weights / max count) joined onto the
   //    per-stratum rows (both sides are stratum-cardinality metadata; the
   //    corpus itself is not involved).
+  //  - dsir_select: two 1-row broadcast aggregates (the target/raw bigram
+  //    TOTALS) joined onto the <= 4096-row bucket-weight table — both
+  //    sides metadata-scale at any corpus size.
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "corpus_mix", "corpus_upsample", "mix_report", "token_budget")
+      "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "dsir_select")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -154,7 +157,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val bad = collectAll(plan(q)) { case w: WindowExec if w.partitionSpec.isEmpty => w }
-      assert(bad.isEmpty, s"$q has an unpartitioned window:\n${planString(q)}")
+      // One documented exception class: a GLOBAL distribution-rank
+      // selection (dsir_select) has no grouping column, so the constant
+      // group folds out of Ranks.distributionRanks' bin-frame windows and
+      // they plan as unpartitioned. That is still the metadata-scale
+      // shape: the window input is the BIN-COUNT frame (<= one row per
+      // occupied score bin), never corpus rows — asserted structurally by
+      // requiring every such window to consume only bin-frame columns.
+      val corpusScale =
+        if (q != "dsir_select") bad
+        else bad.filterNot(_.child.output.forall(a => a.name.startsWith("__") || a.name == "1"))
+      assert(corpusScale.isEmpty, s"$q has an unpartitioned window:\n${planString(q)}")
     }
   }
 
@@ -223,6 +236,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text"),
           s"$q: exchange carries corpus rows:\n$e")
     }
+  }
+
+  test("dsir_select: the bigram hash materializes exactly once per corpus pass") {
+    // Three hazards, one gate. (a) The bucket equi-uses' inferred
+    // isnotnull(b) constraint would plan a Filter recomputing the md5
+    // bucket expression above every Generate — the non-nullable coalesce
+    // wrapper folds it away. (b) The fit totals re-derive the count
+    // subtrees — ReusedExchange must collapse them. (c) The selection's
+    // ranks consume the scored frame twice (corpus branch + bin-count
+    // branch): with the weight table as a LITERAL and the scoring
+    // aggregate reduced to (doc_id, score) the two subtrees are
+    // canonically identical and AQE stage reuse collapses them to ONE
+    // materialized scoring pass. Both halves were measured necessary: the
+    // join form's asymmetric broadcast reuse defeats the stage cache, and
+    // an extra n_bigrams count gets column-pruned out of the bin-count
+    // branch only, de-canonicalizing the pair — either way the corpus
+    // paid the hash twice. The fit passes run eagerly at construction
+    // (bounded aggregations, the lm_coverage convention), so the
+    // selection plan itself must materialize the hash exactly ONCE. AQE
+    // finalizes reuse at materialization (the semdedup lesson), so run
+    // first and count md5 sites in the FINAL plan only.
+    val df = SparkEntry.queries("dsir_select")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val occurrences = "md5".r.findAllIn(s).size
+    assert(occurrences === 1, s"expected 1 materialized md5 site (the single scoring pass), got $occurrences:\n$s")
+    assert(s.contains("ReusedExchange"), s)
+  }
+
+  test("dsir_select: no exchange carries text or bigram strings") {
+    // The weight table rides as a literal (metadata-scale by
+    // construction); corpus text and raw bigram strings must never enter
+    // an exchange — only (bucket, count) fit rows and per-doc partial
+    // sums move.
+    val p = plan("dsir_select")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("dsir_select"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "text" || a.name == "bg"),
+        s"dsir_select: exchange carries corpus text/bigrams:\n$e")
   }
 
   test("narrow pipeline stages plan zero shuffles") {
