@@ -170,6 +170,36 @@ object Dsir {
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("score"))
 
+  /** Per-micro-batch importance filter: only documents scoring at least
+    * `minScore` against the batch-fitted weights reach `sink` — the
+    * streaming face of DSIR selection, mirroring
+    * [[Contamination.cleanStream]]: the "state" is the persisted/fitted
+    * weight array, not the state store, so the stream is
+    * unbounded-corpus-safe and a re-fit swaps in without restarting
+    * state. A stream cannot rank against the full corpus distribution,
+    * so the global top-fraction boundary is replaced by an absolute
+    * threshold the caller derives from a batch fit (e.g. the score at
+    * the desired pct_rank of a reference run of [[selectTopFraction]]).
+    * Documents with fewer than two tokens have no bigrams, hence no
+    * score, and are dropped — consistent with the batch face. */
+  def selectStream(
+      stream: DataFrame,
+      weights: Array[Long],
+      idCol: String,
+      textCol: String,
+      minScore: Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val kept = scoreDocsLit(batch, weights, idCol, textCol)
+          .filter(col("score") >= minScore)
+          .select(col("doc_id").as("__keep_id"))
+        sink(
+          batch.join(broadcast(kept), batch(idCol) === col("__keep_id"), "left_semi"),
+          id)
+      }
+    }
+
   /** Fit on `target`, score `raw`, keep the top `frac` by (score, id):
     * (doc_id, score, pct_rank). The fit runs eagerly (two bounded
     * aggregations) and the weights ride as a literal; the top-fraction

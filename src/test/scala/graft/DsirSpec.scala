@@ -56,6 +56,30 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq === scored.toSeq)
   }
 
+  test("selectStream: micro-batch threshold filter == batch scoring parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = Dsir.importanceWeightArray(target, raw, "text")
+    // Threshold = the batch boundary between the two fixture halves.
+    val batchScores = Dsir.scoreDocsLit(raw, w, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val minScore = (1L to 10L).map(batchScores).min
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = Dsir.selectStream(in.toDF.toDF("doc_id", "text"), w, "doc_id", "text", minScore) {
+      (df, _) => kept ++= df.select("doc_id").as[Long].collect()
+    }.start()
+    // Same pool split across two micro-batches, plus an unscorable doc.
+    in.addData(raw.as[(Long, String)].collect().take(12).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(raw.as[(Long, String)].collect().drop(12).toSeq :+ (99L -> "solo"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val want = batchScores.filter(_._2 >= minScore).keySet
+    assert(kept.toSet === want, s"stream kept $kept, batch keeps $want")
+    assert(!kept.contains(99L), "a bigram-less doc has no score and is dropped")
+  }
+
   test("target-unseen buckets still score via add-one smoothing (low, not missing)") {
     // Gibberish docs probe buckets absent from the target: the smoothed
     // weight floor((0+1)/(r+1)*…) must keep them present with LOW scores,
