@@ -729,6 +729,14 @@ object SparkEntry {
       Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
         outDim = 4, dim = 64)),
 
+    // Deterministic contrastive negative sampling: 4 hash-drawn
+    // companions per vector with the pair's exact cosine — the
+    // negatives-plus-hardness table a contrastive-training pipeline
+    // feeds from (Similarity.negativeSample; gather shape, nothing
+    // data-dependent broadcast).
+    "neg_sample" -> ((s, dir) =>
+      Similarity.negativeSample(t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)),
+
     // Per-language quality gate: keep docs at or above their language's
     // median quality score — "keep the best half per language". The median
     // is the bounded-memory binned exact median (graft.functions.Median):
@@ -1617,6 +1625,21 @@ object SparkEntry {
     "emb_pairs" ->
       s"""WITH $embPairsCtes
          |SELECT i, j, cosine FROM ep""".stripMargin,
+    // Same md5 hash family and left-sequential dot fold as the Spark
+    // side; the self-draw deflection and mod-n draw are integer-exact.
+    "neg_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |d AS (SELECT vec_id, j,
+        |    ('0x' || substr(md5(vec_id::VARCHAR || '_ng_' || j::VARCHAR), 1, 8))::BIGINT % n AS raw, n
+        |  FROM e CROSS JOIN n CROSS JOIN range(0, 4) jj(j)),
+        |p AS (SELECT vec_id, j,
+        |    CASE WHEN raw = vec_id THEN (raw + 1) % n ELSE raw END AS neg_id FROM d)
+        |SELECT p.vec_id AS vec_id, p.j AS j, p.neg_id AS neg_id,
+        |  list_sum(list_transform(list_zip(a.v, b.v), pr -> pr[1] * pr[2]))
+        |  / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), pr -> pr[1] * pr[2])))
+        |     * sqrt(list_sum(list_transform(list_zip(b.v, b.v), pr -> pr[1] * pr[2])))) AS cosine
+        |FROM p JOIN e a ON p.vec_id = a.vec_id JOIN e b ON p.neg_id = b.vec_id""".stripMargin,
     // Sign-LSH pair closure, then the embedding corpus minus every
     // non-canonical member (mirrors dedup_keep on the text side).
     "emb_dedup_keep" ->

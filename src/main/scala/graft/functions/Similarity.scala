@@ -393,6 +393,47 @@ object Similarity {
       }
     }
 
+  /** Deterministic contrastive negative sampling: for every vector, `k`
+    * pseudo-random companions drawn by the cross-engine hash family —
+    * the negatives a contrastive-training pipeline pairs with each
+    * anchor, reproducible under retries, repartitioning, and engines
+    * (the Sampling.hashRange argument applied to sampling OTHER rows).
+    * Draw j of anchor i targets `xhash32(i + "_ng_" + j) mod n`; a
+    * self-draw deflects to the next id (deterministic, still uniform
+    * over the others for that draw); draws are with replacement across
+    * j — collisions stand, the standard in-batch-negatives compromise.
+    * Output (vec_id, j, neg_id, cosine) carries each pair's exact
+    * cosine so hard-negative curriculum filtering (keep the
+    * similar-but-not-duplicate band) composes in the same pass.
+    *
+    * Requires ids dense 0..n-1 (the embeddings layout); n rides a 1-row
+    * broadcast. Shape at 100 TB: a gather — two equi shuffles that each
+    * move k vector rows per anchor, which is the floor for fetching
+    * sampled rows; no candidate beyond the k requested is ever
+    * enumerated, and nothing data-dependent is broadcast. */
+  def negativeSample(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val draws = df
+      .select(col(idCol).as("vec_id"))
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"), explode(sequence(lit(0L), lit(k - 1L))).as("j"), col("__n"))
+      .withColumn("__raw",
+        pmod(graft.functions.TextFunctions.xhash32(
+          concat(col("vec_id").cast(StringType), lit("_ng_"), col("j").cast(StringType))),
+          col("__n")))
+      .select(col("vec_id"), col("j"),
+        when(col("__raw") === col("vec_id"), (col("__raw") + 1) % col("__n"))
+          .otherwise(col("__raw")).as("neg_id"))
+    val anchors = df.select(col(idCol).as("vec_id"), col(vecCol).as("__va"), norm2(col(vecCol)).as("__na"))
+    val negs = df.select(col(idCol).as("neg_id"), col(vecCol).as("__vb"), norm2(col(vecCol)).as("__nb"))
+    draws
+      .join(negs, "neg_id")
+      .join(anchors, "vec_id")
+      .select(col("vec_id"), col("j"), col("neg_id"),
+        (dotSeq(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("cosine"))
+  }
+
   /** All pairs (i<j) with cosine >= threshold, brute force. Exact; the
     * O(n²) shape is only for oracle-scale corpora — at scale use
     * `lshCosineTopK`-style bucketing as the candidate generator. */

@@ -31,6 +31,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2L) == ((0.0, 0.0)))
   }
 
+  test("negativeSample: k draws per anchor, never self, in range, deterministic") {
+    import spark.implicits._
+    val out = Similarity.negativeSample(emb, "vec_id", "embedding", k = 4)
+      .select("vec_id", "j", "neg_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    val n = emb.count()
+    assert(out.length === 4 * n)
+    assert(out.forall(r => r._3 >= 0 && r._3 < n), "draws stay in the dense id range")
+    assert(out.forall(r => r._3 != r._1), "self-draws deflect")
+    assert(out.forall(r => !r._4.isNaN), "every pair carries a real cosine")
+    // Each anchor has exactly draws j = 0..3.
+    for ((anchor, rows) <- out.groupBy(_._1))
+      assert(rows.map(_._2).sorted.toSeq === Seq(0L, 1L, 2L, 3L), s"anchor $anchor")
+    // Pure function of the data: identical under repartitioning.
+    val again = Similarity.negativeSample(emb.repartition(13), "vec_id", "embedding", k = 4)
+      .select("vec_id", "j", "neg_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("cosinePairsLsh finds every brute-force pair at cosine >= 0.4 (recall 1.0 here)") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
