@@ -483,6 +483,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(Set("train", "val", "test").subsetOf(streamed.values.toSet))
   }
 
+  test("stream-stream interval join: inner matches in-window; outer rows emit after the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    def withTs(df: DataFrame, k: String, t: String) =
+      df.toDF(k, "secs").select(col(k), timestamp_seconds(col("secs")).as(t))
+    val joined = graft.streaming.StreamJoin.interval(
+      withTs(imps.toDF, "key", "itime"), withTs(clicks.toDF, "key", "ctime"),
+      "key", "itime", "ctime",
+      before = "0 seconds", after = "10 seconds", delay = "5 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    // Impression 1 gets an in-window click (+5s); impression 2's click
+    // lands 80s late — attributable to nothing.
+    imps.addData((1L, 10L), (2L, 20L))
+    clicks.addData((1L, 15L), (2L, 100L), (3L, 12L))
+    q.processAllAvailable()
+    // Advance BOTH watermarks far past t=30 so the engine can prove no
+    // match for impression 2 can still arrive, then trigger once more to
+    // flush the outer row.
+    imps.addData((8L, 1000L)); clicks.addData((8L, 2000L))
+    q.processAllAvailable()
+    imps.addData((7L, 3000L)); clicks.addData((7L, 4000L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj")
+      .select(col("l_key"), col("r_key"), col("r_ctime").cast("long").as("csecs"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(rows.contains((1L, Some(1L), Some(15L))), s"in-window match missing: ${rows.toSeq}")
+    assert(rows.contains((2L, None, None)),
+      s"unmatched impression must emit null-padded after the watermark: ${rows.toSeq}")
+    // The out-of-window click never pairs with impression 2.
+    assert(!rows.contains((2L, Some(2L), Some(100L))), rows.toSeq.toString)
+  }
+
   test("inferThenExpand: static-sample inference drives the fixed-schema stream path") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
