@@ -729,6 +729,31 @@ object SparkEntry {
       Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
         outDim = 4, dim = 64)),
 
+    // Data profiling (the Deequ-style pre-ingestion audit): completeness,
+    // cardinality, and numeric bounds for every documents column in ONE
+    // corpus pass — exact count_distinct where the value universe is
+    // bounded (lang, source: the shuffle carries one row per distinct
+    // value per partition), the KMV sketch where it is not (text: 64
+    // longs per partition, deterministic and oracle-checkable, the q19
+    // argument), and null-safe counts/min/max/sum throughout. The final
+    // single-partition reduce merges partition partials — metadata-scale
+    // at any corpus size.
+    "data_profile" -> ((s, dir) => {
+      import graft.functions.Sketches
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("text_nonnull"),
+        Sketches.kmvDistinct(TF.xhash32(concat(lit("t"), col("text"))), 64)
+          .as("text_est_distinct"),
+        count(col("lang")).as("lang_nonnull"),
+        count_distinct(col("lang")).as("lang_distinct"),
+        count(col("source")).as("source_nonnull"),
+        count_distinct(col("source")).as("source_distinct"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Deterministic contrastive negative sampling: 4 hash-drawn
     // companions per vector with the pair's exact cosine — the
     // negatives-plus-hardness table a contrastive-training pipeline
@@ -1625,6 +1650,24 @@ object SparkEntry {
     "emb_pairs" ->
       s"""WITH $embPairsCtes
          |SELECT i, j, cosine FROM ep""".stripMargin,
+    // The text-cardinality estimate reuses q19's KMV construction (same
+    // 't'-salted md5 hash, same 63·2^32/h64 estimator).
+    "data_profile" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5('t' || text), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT list_sort(list_distinct(list(h))) AS hs FROM h)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  count(text)::BIGINT AS text_nonnull,
+        |  (SELECT CASE WHEN len(hs) < 64 THEN len(hs)::DOUBLE
+        |          ELSE 63 * 4294967296.0 / hs[64] END FROM k) AS text_est_distinct,
+        |  count(lang)::BIGINT AS lang_nonnull,
+        |  count(DISTINCT lang)::BIGINT AS lang_distinct,
+        |  count(source)::BIGINT AS source_nonnull,
+        |  count(DISTINCT source)::BIGINT AS source_distinct,
+        |  min(n_chars)::BIGINT AS min_chars,
+        |  max(n_chars)::BIGINT AS max_chars,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents""".stripMargin,
     // Same md5 hash family and left-sequential dot fold as the Spark
     // side; the self-draw deflection and mod-n draw are integer-exact.
     "neg_sample" ->

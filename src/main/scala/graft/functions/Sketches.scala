@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions.udaf
 object Sketches {
 
   /** Bounded k-min buffer over already-hashed values. Buffer invariant:
-    * sorted ascending, distinct, size <= k. */
-  class KMVDistinct(k: Int) extends Aggregator[Long, Seq[Long], Double] {
+    * sorted ascending, distinct, size <= k. NULL inputs are skipped (the
+    * SQL aggregate convention — a null hash means a null value, and
+    * distinct counts never include null), which lets the sketch ride
+    * inside one null-safe profiling aggregate. */
+  class KMVDistinct(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Double] {
     require(k >= 2, "KMV needs k >= 2")
     override def zero: Seq[Long] = Vector.empty
     // Per-row path: O(log k) membership/insert against the sorted buffer —
     // this runs once per input row, so no full re-sort here.
-    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+    override def reduce(buf: Seq[Long], boxed: java.lang.Long): Seq[Long] = {
+      if (boxed == null) return buf
+      val h = boxed.longValue
       if (buf.size == k && h >= buf.last) return buf
       val v = buf.toVector
       val i = lowerBound(v, h)
@@ -60,5 +65,5 @@ object Sketches {
   /** Column form: KMV distinct estimate of `hashed` (a 32-bit hash column,
     * e.g. `TextFunctions.xhash32`). */
   def kmvDistinct(hashed: Column, k: Int): Column =
-    udaf(new KMVDistinct(k), Encoders.scalaLong)(hashed)
+    udaf(new KMVDistinct(k), Encoders.LONG)(hashed)
 }

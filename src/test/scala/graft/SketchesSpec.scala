@@ -23,6 +23,15 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(est - 20000) / 20000 < 0.51, s"estimate $est")
   }
 
+  test("KMV skips NULL inputs (the SQL distinct-count convention)") {
+    val df = Seq(Some(1L), Some(2L), None, Some(2L), None)
+      .toDF("v")
+    val est = df.agg(
+      Sketches.kmvDistinct(TF.xhash32(concat(lit("u"), col("v"))), 64).as("est"))
+      .select(col("est")).as[Double].head()
+    assert(est === 2.0, "nulls must not count as a phantom distinct value")
+  }
+
   test("KMV buffer stays bounded at k and dedups hashes") {
     val agg = new Sketches.KMVDistinct(8)
     val buf = (1 to 1000).foldLeft(agg.zero)((b, i) => agg.reduce(b, (i % 100).toLong))
