@@ -865,10 +865,12 @@ object SparkEntry {
     // 4096 hash buckets by the smoothed fixed-point target/raw rate
     // ratio, score every raw doc by the BIGINT sum of its bigrams' bucket
     // weights, keep the top 25% — "pick the web pages that look most like
-    // the curated domain". Two narrow corpus passes (fit counts bounded
-    // by 4096 rows/task pre-shuffle; scoring joins the broadcast
-    // metadata-scale weight table), funnel-free top-fraction boundary
-    // (graft.functions.Dsir scaladoc).
+    // the curated domain". The fit runs eagerly (counts bounded by 4096
+    // rows/task pre-shuffle) and the weights ride the ONE materialized
+    // scoring pass as a bucket-indexed LITERAL — never a broadcast join,
+    // which was measured to defeat AQE stage reuse and double the hash
+    // cost; funnel-free top-fraction boundary (graft.functions.Dsir
+    // scaladoc, PlanSpec).
     "dsir_select" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.functions.Dsir.selectTopFraction(
@@ -1008,12 +1010,6 @@ object SparkEntry {
         cume_dist().over(w).as("cume"))
     }),
 
-    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
-    // per nation): Spark decorrelates it into WindowGroupLimit — a
-    // rank-based per-key top-k that prunes partially BEFORE the exchange
-    // (map-side group limit), then a broadcast join to the tiny nation
-    // side. The SQL surface a window-averse user writes; the plan is the
-    // bounded top-k shape q4/vocab_topk are gated on.
     // Correlated SCALAR subquery in the select list — the remaining
     // decorrelation path (q6/q28 cover anti, q7 semi, q32 LATERAL+LIMIT):
     // Catalyst rewrites it to an aggregate-then-left-outer-join on the
@@ -1028,6 +1024,12 @@ object SparkEntry {
                FROM q31_orders""")
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    // per nation): Spark decorrelates it into WindowGroupLimit — a
+    // rank-based per-key top-k that prunes partially BEFORE the exchange
+    // (map-side group limit), then a broadcast join to the tiny nation
+    // side. The SQL surface a window-averse user writes; the plan is the
+    // bounded top-k shape q4/vocab_topk are gated on.
     "q32_lateral" -> ((s, dir) => {
       t(s, dir, "nation").createOrReplaceTempView("q32_nation")
       t(s, dir, "customer").createOrReplaceTempView("q32_customer")
@@ -1682,7 +1684,8 @@ object SparkEntry {
         |  list_sum(list_transform(list_zip(a.v, b.v), pr -> pr[1] * pr[2]))
         |  / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), pr -> pr[1] * pr[2])))
         |     * sqrt(list_sum(list_transform(list_zip(b.v, b.v), pr -> pr[1] * pr[2])))) AS cosine
-        |FROM p JOIN e a ON p.vec_id = a.vec_id JOIN e b ON p.neg_id = b.vec_id""".stripMargin,
+        |FROM p JOIN e a ON p.vec_id = a.vec_id JOIN e b ON p.neg_id = b.vec_id
+        |WHERE p.neg_id <> p.vec_id""".stripMargin,
     // Sign-LSH pair closure, then the embedding corpus minus every
     // non-canonical member (mirrors dedup_keep on the text side).
     "emb_dedup_keep" ->
@@ -2373,9 +2376,9 @@ object SparkEntry {
         |rc AS (SELECT b, count(*)::BIGINT AS r FROM hb WHERE source <> 'src0' GROUP BY b),
         |tot AS (SELECT (SELECT coalesce(sum(t), 0) FROM tc)::BIGINT AS tt,
         |               (SELECT coalesce(sum(r), 0) FROM rc)::BIGINT AS rr),
-        |w AS (SELECT rc.b AS b,
-        |    floor((coalesce(t, 0) + 1)::DOUBLE / (r + 1) * (rr + 4096) / (tt + 4096) * 1048576.0)::BIGINT AS w
-        |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+        |w AS (SELECT b,
+        |    floor((coalesce(t, 0) + 1)::DOUBLE / (coalesce(r, 0) + 1) * (rr + 4096) / (tt + 4096) * 1048576.0)::BIGINT AS w
+        |  FROM rc FULL JOIN tc USING (b) CROSS JOIN tot),
         |sc AS (SELECT doc_id, sum(w)::BIGINT AS score
         |  FROM hb JOIN w ON hb.b = w.b WHERE source <> 'src0' GROUP BY doc_id)
         |SELECT doc_id, score, pct_rank FROM (

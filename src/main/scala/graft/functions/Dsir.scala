@@ -81,10 +81,12 @@ object Dsir {
       .select(bucket(col("bg"), buckets).as("b"))
 
   /** The fitted bucket-weight table: one BIGINT weight per bucket seen in
-    * the raw pool (buckets absent from raw are never probed by a raw
-    * document, so the table is <= `buckets` rows — broadcastable by
-    * construction). Add-one smoothing keeps target-unseen buckets finite
-    * and raw totals positive.
+    * EITHER pool (<= `buckets` rows — metadata-scale by construction).
+    * Add-one smoothing keeps every weight finite, including buckets the
+    * raw fit never saw — a NEW document (a later increment, a stream
+    * micro-batch) probing such a bucket must get the smoothed ratio, not
+    * a silent zero: with t_b > 0 and r_b = 0 these are precisely the most
+    * target-like buckets.
     *
     * weight(b) = floor( (t_b+1)/(r_b+1) * (R+B)/(T+B) * scale )
     * — the fixed-point smoothed rate ratio p_target(b)/p_raw(b). */
@@ -93,14 +95,25 @@ object Dsir {
       raw: DataFrame,
       textCol: String,
       buckets: Int = 4096,
-      scale: Double = 1048576.0): DataFrame = {
+      scale: Double = 1048576.0): DataFrame =
+    weightsWithTotals(target, raw, textCol, buckets, scale).select(col("b"), col("w"))
+
+  /** (b, w, tt, rr): the weight rows plus the totals that parameterize
+    * the smoothing — the array face needs the totals to fill
+    * never-seen-anywhere slots with the same formula at t=r=0. */
+  private def weightsWithTotals(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int,
+      scale: Double): DataFrame = {
     val tc = bucketOnly(target, textCol, buckets)
       .groupBy(col("b")).agg(count(lit(1)).as("t"))
     val rc = bucketOnly(raw, textCol, buckets)
       .groupBy(col("b")).agg(count(lit(1)).as("r"))
     val tTot = tc.agg(coalesce(sum(col("t")), lit(0L)).as("tt"))
     val rTot = rc.agg(coalesce(sum(col("r")), lit(0L)).as("rr"))
-    rc.join(tc, Seq("b"), "left")
+    rc.join(tc, Seq("b"), "full")
       .crossJoin(broadcast(tTot))
       .crossJoin(broadcast(rTot))
       // ONE left-associated double chain — mirrored verbatim in the oracle
@@ -110,17 +123,23 @@ object Dsir {
         col("b"),
         floor(
           (coalesce(col("t"), lit(0L)) + 1).cast(DoubleType)
-            / (col("r") + 1)
+            / (coalesce(col("r"), lit(0L)) + 1)
             * (col("rr") + buckets)
             / (col("tt") + buckets)
-            * scale).as("w"))
+            * scale).as("w"),
+        col("tt"), col("rr"))
   }
 
-  /** Per-document importance score over the raw pool: (doc_id, n_bigrams,
-    * score) with score = sum of the doc's bigrams' bucket weights (BIGINT —
-    * exact under any aggregation order). Documents with fewer than two
-    * tokens have no bigrams and are not scored (no evidence either way —
-    * the paper's featurization is equally silent on them). */
+  /** Per-document importance score over THE FITTED raw pool: (doc_id,
+    * n_bigrams, score) with score = sum of the doc's bigrams' bucket
+    * weights (BIGINT — exact under any aggregation order). The inner join
+    * drops buckets absent from the weight table, which is correct only
+    * when every probed bucket was fitted — i.e. when `raw` IS the fit
+    * pool; to score NEW documents (increments, streams) use
+    * [[scoreDocsLit]], whose array covers every bucket with the smoothed
+    * default. Documents with fewer than two tokens have no bigrams and
+    * are not scored (no evidence either way — the paper's featurization
+    * is equally silent on them). */
   def scoreDocs(
       raw: DataFrame,
       weights: DataFrame,
@@ -134,18 +153,26 @@ object Dsir {
 
   /** The fitted weights collected at plan time into a dense bucket-indexed
     * literal (metadata-scale BY CONSTRUCTION — <= `buckets` longs; the
-    * lm_coverage literal convention). Buckets absent from the raw pool are
-    * never probed by a raw document; their slot stays 0. */
+    * lm_coverage literal convention). Every slot is filled: buckets seen
+    * in neither pool get the same smoothing formula at t=r=0 (the neutral
+    * prior ratio (R+B)/(T+B), scaled and floored with the identical
+    * left-associated double chain), so a NEW document probing a
+    * never-fitted bucket scores the smoothed prior rather than a silent
+    * zero. */
   def importanceWeightArray(
       target: DataFrame,
       raw: DataFrame,
       textCol: String,
       buckets: Int = 4096,
       scale: Double = 1048576.0): Array[Long] = {
-    val arr = new Array[Long](buckets)
-    importanceWeights(target, raw, textCol, buckets, scale)
-      .collect()
-      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val rows = weightsWithTotals(target, raw, textCol, buckets, scale).collect()
+    val default = if (rows.isEmpty) 0L
+    else {
+      val (tt, rr) = (rows.head.getLong(2), rows.head.getLong(3))
+      math.floor(1.0 / 1.0 * (rr + buckets) / (tt + buckets) * scale).toLong
+    }
+    val arr = Array.fill(buckets)(default)
+    rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr
   }
 
@@ -218,12 +245,18 @@ object Dsir {
     require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
     val scored = scoreDocsLit(raw,
       importanceWeightArray(target, raw, textCol, buckets), idCol, textCol)
-    // Scores span a wide integer range (bucket weights are 2^20
-    // fixed-point), so unit bins already spread the corpus — the
-    // spend-in-dollars case of the binScale rule.
+    // binScale 2^-20 (an exact exponent shift — bins never round): scores
+    // are near-UNIQUE integers, so unit bins would put one bin per
+    // document and the global selection's bin frame would grow with the
+    // corpus — recreating the single-task funnel at the bin level.
+    // Dividing out the weights' 2^20 fixed-point factor bounds the bin
+    // universe by the score RANGE (max bigrams/doc × max ratio — a data
+    // property, constant in corpus size), the Median-histogram argument
+    // run in reverse.
     Ranks.distributionRanks(
         scored.withColumn("g", lit(1)), "g",
-        col("score"), col("doc_id"), tiles = 4, rankCol = "rnk")
+        col("score"), col("doc_id"), tiles = 4, rankCol = "rnk",
+        binScale = 1.0 / 1048576.0)
       .filter(col("pct_rank") >= lit(1.0 - frac))
       .select(col("doc_id"), col("score"), col("pct_rank"))
   }

@@ -406,10 +406,14 @@ object Similarity {
     * cosine so hard-negative curriculum filtering (keep the
     * similar-but-not-duplicate band) composes in the same pass.
     *
-    * Requires ids dense 0..n-1 (the embeddings layout); n rides a 1-row
-    * broadcast. Shape at 100 TB: a gather — two equi shuffles that each
-    * move k vector rows per anchor, which is the floor for fetching
-    * sampled rows; no candidate beyond the k requested is ever
+    * Requires ids dense 0..n-1 (the embeddings layout) — a violation
+    * surfaces as anchors receiving fewer than k negatives (draws aimed at
+    * missing ids vanish through the gather join), never as a wrong pair.
+    * A single-row corpus has no valid negative: the trailing self-guard
+    * makes it yield zero rows rather than a cosine-1.0 self-pair. n rides
+    * a 1-row broadcast. Shape at 100 TB: a gather — two equi shuffles
+    * that each move k vector rows per anchor, which is the floor for
+    * fetching sampled rows; no candidate beyond the k requested is ever
     * enumerated, and nothing data-dependent is broadcast. */
   def negativeSample(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
@@ -425,6 +429,9 @@ object Similarity {
       .select(col("vec_id"), col("j"),
         when(col("__raw") === col("vec_id"), (col("__raw") + 1) % col("__n"))
           .otherwise(col("__raw")).as("neg_id"))
+      // n = 1 is the one case deflection cannot save ((0+1) % 1 = 0):
+      // drop the degenerate self-pair instead of emitting it.
+      .filter(col("neg_id") =!= col("vec_id"))
     val anchors = df.select(col(idCol).as("vec_id"), col(vecCol).as("__va"), norm2(col(vecCol)).as("__na"))
     val negs = df.select(col(idCol).as("neg_id"), col(vecCol).as("__vb"), norm2(col(vecCol)).as("__nb"))
     draws

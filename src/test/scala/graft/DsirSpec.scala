@@ -56,6 +56,19 @@ class DsirSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq === scored.toSeq)
   }
 
+  test("weight array: never-fitted buckets carry the smoothed default, not a silent zero") {
+    val w = Dsir.importanceWeightArray(target, raw, "text")
+    // t=r=0 smoothing is a positive prior ratio — a zero slot would
+    // invert selection pressure for novel target-like documents.
+    assert(w.forall(_ > 0), "every slot must carry a positive smoothed weight")
+    // A document whose bigrams were never seen by either fit pool still
+    // scores (the streaming/increment case).
+    val novel = Seq((500L, "wholly unfitted phrasing arrives later on")).toDF("doc_id", "text")
+    val scored = Dsir.scoreDocsLit(novel, w, "doc_id", "text")
+      .select("doc_id", "score").as[(Long, Long)].collect()
+    assert(scored.length === 1 && scored.head._2 > 0, scored.toSeq.toString)
+  }
+
   test("selectStream: micro-batch threshold filter == batch scoring parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -68,15 +68,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    corpus-wide aggregate (sum weights / max count) joined onto the
   //    per-stratum rows (both sides are stratum-cardinality metadata; the
   //    corpus itself is not involved).
-  //  - dsir_select: two 1-row broadcast aggregates (the target/raw bigram
-  //    TOTALS) joined onto the <= 4096-row bucket-weight table — both
-  //    sides metadata-scale at any corpus size.
   //  - neg_sample: the 1-row corpus count broadcast onto every anchor
   //    (the q14_subq shape) — the draws' mod-n needs it.
+  // (dsir_select is NOT exempt: its fit cross-joins run eagerly at
+  // construction and never appear in the gated selection plan, so the
+  // gate still protects that plan from a future real nested loop.)
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "dsir_select",
-      "neg_sample")
+      "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {

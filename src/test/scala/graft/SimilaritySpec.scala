@@ -51,6 +51,12 @@ class SimilaritySpec extends SparkSpec {
     assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("negativeSample: a single-row corpus yields no rows, never a self-pair") {
+    import spark.implicits._
+    val one = Seq((0L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.negativeSample(one, "vec_id", "embedding", k = 2).count() === 0)
+  }
+
   test("cosinePairsLsh finds every brute-force pair at cosine >= 0.4 (recall 1.0 here)") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
