@@ -1040,6 +1040,48 @@ object SparkEntry {
                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""")
     }),
 
+    // UNPIVOT (wide -> long melt): three per-status measures become one
+    // (metric, value) column pair. Plans as a narrow Expand (3 output rows
+    // per input row) over the aggregate — no extra shuffle beyond the
+    // grouped count-distincts, which key their expands on
+    // (status, measure) and stay AQE-splittable at any corpus size. All
+    // measures are exact longs, so both engines hash identically.
+    "q33_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+      wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("n_cust"), col("n_prio")),
+        "metric", "value")
+    }),
+
+    // Time-spine gap-fill: complete (hour, event_type) grid from the
+    // observed min..max hour, missing buckets as explicit zero rows — the
+    // batch face of what a streaming tumbling window emits for empty
+    // windows. The corpus touches exactly one keyed shuffle (the hourly
+    // partial agg); everything after is metadata-scale: bounds fold the
+    // AGGREGATED frame (never the corpus) to one row, the spine explodes
+    // one array of hour buckets, types is an enum-cardinality distinct,
+    // and the fill join runs grid-vs-aggregate. At multi-year scale the
+    // one spine array holds only ~10k elements per decade — driver-safe.
+    "q34_gapfill" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy((expr("ts div 3600000000000") * 3600).as("bucket_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = hourly.agg(min(col("bucket_s")).as("lo"), max(col("bucket_s")).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket_s"))
+      val types = hourly.select(col("event_type")).distinct()
+      spine.crossJoin(broadcast(types))
+        .join(hourly, Seq("bucket_s", "event_type"), "left")
+        .select(col("bucket_s"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // The SAME distribution ranks WITHOUT the per-segment funnel: q30's
     // window puts a whole market segment (corpus/5 rows at scale) through
     // one task; Ranks.distributionRanks rebuilds the identical values via
@@ -2029,6 +2071,30 @@ object SparkEntry {
         |  SELECT c_custkey, c_acctbal FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin,
+    // The melt spelled as UNION ALL — unambiguous across engines (DuckDB's
+    // UNPIVOT keyword reorders columns); values are exact longs.
+    "q33_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |    count(DISTINCT o_custkey) AS n_cust,
+        |    count(DISTINCT o_orderpriority) AS n_prio
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+        |UNION ALL SELECT o_orderstatus, 'n_cust', n_cust FROM w
+        |UNION ALL SELECT o_orderstatus, 'n_prio', n_prio FROM w""".stripMargin,
+    // generate_series is inclusive on both ends, matching Spark's
+    // sequence(lo, hi, step); the hour bucket matches q11_hourly's.
+    "q34_gapfill" ->
+      """WITH h AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS bucket_s FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM h)
+        |SELECT s.bucket_s, ty.event_type, COALESCE(h.n, 0) AS n
+        |FROM spine s CROSS JOIN ty
+        |LEFT JOIN h ON h.bucket_s = s.bucket_s AND h.event_type = ty.event_type""".stripMargin,
     // Identical values to q30_ntile's window form (plus the explicit rank)
     // — the Spark side just computes them without the per-group funnel.
     "rank_dist" ->

@@ -70,12 +70,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    corpus itself is not involved).
   //  - neg_sample: the 1-row corpus count broadcast onto every anchor
   //    (the q14_subq shape) — the draws' mod-n needs it.
+  //  - q34_gapfill: the spine x types grid is a cross join by definition;
+  //    both sides are metadata-scale (hour buckets x enum event types),
+  //    and the corpus side is aggregated before either is built.
   // (dsir_select is NOT exempt: its fit cross-joins run eagerly at
   // construction and never appear in the gated selection plan, so the
   // gate still protects that plan from a future real nested loop.)
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
-      "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample")
+      "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
+      "q34_gapfill")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -325,6 +329,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, p)
     assert(!p.contains("Exchange hashpartitioning(v"), p)
+  }
+
+  test("q34_gapfill: only aggregated hourly rows ever shuffle (the corpus moves once)") {
+    // The spine/types/fill machinery must all run over the AGGREGATED
+    // frame: raw event columns in any exchange would mean the corpus is
+    // paying for the metadata-scale grid.
+    val shuffles = collectAll(plan("q34_gapfill")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("q34_gapfill"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "event_id" || a.name == "value" || a.name == "props"),
+        s"exchange carries raw event rows:\n$e")
+  }
+
+  test("q33_unpivot: melt is a narrow Expand over the aggregate (no post-agg shuffle)") {
+    assert(planString("q33_unpivot").contains("Expand"))
   }
 
   test("ann_topk: queries side is broadcast; corpus is never shuffled pre-aggregation") {
