@@ -1405,6 +1405,71 @@ object SparkEntry {
         length(col("text")).as("n_chars_actual"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_uniq"))
+    }),
+
+    // CDC log compaction: latest record per (user_id, event_type) wins —
+    // Kafka's compacted-topic semantics as a batch operator
+    // (Cdc.compactLog scaladoc: one map-side-combining max(struct)
+    // shuffle; deterministic tiebreak through the struct order). The
+    // nanos ts never leaves the plan (ordering key only), so the output
+    // is engine-type-neutral.
+    "compact_log" -> ((s, dir) =>
+      graft.functions.Cdc.compactLog(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value")),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"),
+        payloadCols = Seq("value"))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"), col("n_versions"))),
+
+    // Snapshot diff / merge-upsert change feed: old = customer, new = a
+    // deterministically mutated copy (drop 10% = deletes, +100.00 on 20%
+    // of balances = updates, 5% re-keyed copies = inserts — all md5-drawn
+    // so both engines build the identical snapshots). One un-hinted
+    // full-outer join on the key (Cdc.snapshotDiff scaladoc).
+    "merge_upsert" -> ((s, dir) => {
+      import graft.functions.{Cdc, Sampling}
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val key = col("c_custkey").cast(StringType)
+      val kept = cust.filter(!Sampling.bernoulli(key, 0.1, "del"))
+        .select(col("c_custkey"),
+          when(Sampling.bernoulli(key, 0.2, "mut"), col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_mktsegment"))
+      val inserted = cust.filter(Sampling.bernoulli(key, 0.05, "ins"))
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment"))
+      Cdc.snapshotDiff(cust, kept.unionAll(inserted),
+        keyCols = Seq("c_custkey"), compareCols = Seq("c_acctbal", "c_mktsegment"))
+    }),
+
+    // Pairwise Pearson correlation over lineitem's numeric columns from
+    // ONE pass of exact cent-scaled integer moments (Stats.corrMatrix
+    // scaladoc: the corpus folds into a single moment row; the matrix
+    // expansion is metadata-scale). round(x*100) is exact here — inputs
+    // have <= 2 decimal digits, so the scaled double sits within one ulp
+    // of the integer in both engines.
+    "corr_matrix" -> ((s, dir) =>
+      graft.functions.Stats.corrMatrix(t(s, dir, "lineitem"), Seq(
+        "qty" -> round(col("l_quantity") * 100).cast(LongType),
+        "price" -> round(col("l_extendedprice") * 100).cast(LongType),
+        "disc" -> round(col("l_discount") * 100).cast(LongType)))),
+
+    // Per-language OLS fit of quality score vs document length — "does
+    // quality drift with length, per language", the post-ingest audit
+    // regression. y is the fixed-point floor(q*2^20) (exponent shift,
+    // exact), x the integer n_chars; moments are exact DECIMAL sums, so
+    // slope/intercept are bit-identical across engines (Stats.olsFit).
+    "ols_fit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val scored = docs.select(col("lang"), col("n_chars"),
+        floor(coalesce(TF.qualityScore(col("text")), lit(0.0)) * lit(1048576.0))
+          .cast(LongType).as("qfp"))
+      graft.functions.Stats.olsFit(scored, "lang", col("n_chars"), col("qfp"))
     })
   )
 
@@ -2482,6 +2547,97 @@ object SparkEntry {
         |    sum(c) OVER (PARTITION BY lang) AS n
         |  FROM h) WHERE cum >= (n + 1) // 2 GROUP BY lang)
         |SELECT doc_id, b.lang AS lang, b.q AS q
-        |FROM b JOIN m ON b.lang = m.lang WHERE b.qb >= m.medb""".stripMargin
+        |FROM b JOIN m ON b.lang = m.lang WHERE b.qb >= m.medb""".stripMargin,
+    // Latest-wins compaction: rank mirror of Spark's max(struct) — the
+    // (ts DESC, event_id DESC) order is the struct comparison reversed.
+    "compact_log" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  value AS last_value, n_versions
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |  FROM events)
+        |WHERE rk = 1""".stripMargin,
+    // Same md5-drawn snapshot mutation as the Spark side, then the same
+    // full-outer classification; +100.0 on a double is exact in both
+    // engines (no decimal rounding involved).
+    "merge_upsert" ->
+      """WITH old AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |kept AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN ('0x' || substr(md5('mut' || c_custkey::VARCHAR), 1, 8))::BIGINT
+        |              < CAST(floor(0.2 * 4294967296.0) AS BIGINT)
+        |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM old
+        |  WHERE NOT ('0x' || substr(md5('del' || c_custkey::VARCHAR), 1, 8))::BIGINT
+        |            < CAST(floor(0.1 * 4294967296.0) AS BIGINT)),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal, 'NEW' AS c_mktsegment
+        |  FROM old
+        |  WHERE ('0x' || substr(md5('ins' || c_custkey::VARCHAR), 1, 8))::BIGINT
+        |        < CAST(floor(0.05 * 4294967296.0) AS BIGINT)),
+        |nw AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+        |d AS (
+        |  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    CASE WHEN o.c_custkey IS NULL THEN 'I'
+        |         WHEN n.c_custkey IS NULL THEN 'D'
+        |         WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |           OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'U' END AS op,
+        |    o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal,
+        |    o.c_mktsegment AS old_c_mktsegment, n.c_mktsegment AS new_c_mktsegment
+        |  FROM old o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey)
+        |SELECT * FROM d WHERE op IS NOT NULL""".stripMargin,
+    // HUGEINT sums mirror Spark's DECIMAL(38,0) exactly; the corr
+    // expression is parenthesized identically so the double bits match.
+    "corr_matrix" ->
+      """WITH f AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x0,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS x1,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(x0::HUGEINT)::DOUBLE AS s0, sum(x1::HUGEINT)::DOUBLE AS s1,
+        |    sum(x2::HUGEINT)::DOUBLE AS s2,
+        |    sum(x0::HUGEINT * x0::HUGEINT)::DOUBLE AS s0_0,
+        |    sum(x0::HUGEINT * x1::HUGEINT)::DOUBLE AS s0_1,
+        |    sum(x0::HUGEINT * x2::HUGEINT)::DOUBLE AS s0_2,
+        |    sum(x1::HUGEINT * x1::HUGEINT)::DOUBLE AS s1_1,
+        |    sum(x1::HUGEINT * x2::HUGEINT)::DOUBLE AS s1_2,
+        |    sum(x2::HUGEINT * x2::HUGEINT)::DOUBLE AS s2_2
+        |  FROM f)
+        |SELECT 'qty' AS col_x, 'price' AS col_y,
+        |  (n * s0_1 - s0 * s1) / (sqrt(n * s0_0 - s0 * s0) * sqrt(n * s1_1 - s1 * s1)) AS corr
+        |FROM m
+        |UNION ALL SELECT 'qty', 'disc',
+        |  (n * s0_2 - s0 * s2) / (sqrt(n * s0_0 - s0 * s0) * sqrt(n * s2_2 - s2 * s2))
+        |FROM m
+        |UNION ALL SELECT 'price', 'disc',
+        |  (n * s1_2 - s1 * s2) / (sqrt(n * s1_1 - s1 * s1) * sqrt(n * s2_2 - s2 * s2))
+        |FROM m""".stripMargin,
+    // Same quality-score fixed-point as quality_gate; HUGEINT moments,
+    // then the slope/intercept doubles with identical parenthesization.
+    "ols_fit" ->
+      """WITH q AS (SELECT lang, n_chars,
+        |  floor((len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |   - len(regexp_extract_all(text, '[0-9]')) * 3
+        |   - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) * 1048576.0)::BIGINT AS qfp
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |m AS (
+        |  SELECT lang, count(*)::DOUBLE AS n,
+        |    sum(n_chars::HUGEINT)::DOUBLE AS sx, sum(qfp::HUGEINT)::DOUBLE AS sy,
+        |    sum(n_chars::HUGEINT * n_chars::HUGEINT)::DOUBLE AS sxx,
+        |    sum(n_chars::HUGEINT * qfp::HUGEINT)::DOUBLE AS sxy
+        |  FROM q GROUP BY lang),
+        |s AS (SELECT lang, n, sx, sy,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_fp FROM m)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  slope_fp / 1048576.0 AS slope,
+        |  ((sy - slope_fp * sx) / n) / 1048576.0 AS intercept
+        |FROM s""".stripMargin
   )
 }
