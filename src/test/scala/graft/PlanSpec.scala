@@ -355,4 +355,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // NOT happen is a shuffle of the corpus before the partial top-k agg.
     assert(bhj.nonEmpty || nlj.nonEmpty, p.toString)
   }
+
+  test("compact_log: the shuffle carries compacted structs, never raw log rows") {
+    // max(struct) must partial-aggregate map-side: the single exchange's
+    // input is one (key, max-buffer, count-buffer) row per key per map
+    // partition, so the raw version/payload columns never move.
+    val shuffles = collectAll(plan("compact_log")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size === 1, planString("compact_log"))
+    val names = shuffles.head.output.map(_.name)
+    assert(names.exists(_.startsWith("max")), s"no partial-max buffer in exchange: $names")
+    assert(!names.contains("ts") && !names.contains("value"),
+      s"compact_log exchange carries raw log columns: $names")
+  }
+
+  test("corr_matrix / ols_fit: the corpus folds before any exchange — only moment buffers move") {
+    // Both reduce the frame to exact integer moments map-side; every
+    // exchange must carry aggregation buffers (sum/count/isEmpty [+ the
+    // group key]), never the scored or scanned corpus columns.
+    val corpusCols = Set("l_quantity", "l_extendedprice", "l_discount",
+      "text", "n_chars", "qfp", "doc_id")
+    for (q <- Seq("corr_matrix", "ols_fit")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size === 1, planString(q))
+      val names = shuffles.head.output.map(_.name)
+      assert(names.exists(n => n.startsWith("sum") || n.startsWith("count")),
+        s"$q: no aggregation buffers in exchange: $names")
+      assert(!names.exists(corpusCols), s"$q: exchange carries corpus columns: $names")
+    }
+  }
+
+  test("merge_upsert: full-outer join, never a nested-loop plan") {
+    // Both snapshots are corpus-scale, so the diff must stay an equi join
+    // (AQE may pick SMJ or shuffled-hash; a BNLJ full outer would buffer a
+    // whole snapshot per task).
+    val p = plan("merge_upsert")
+    val bnlj = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, planString("merge_upsert"))
+    val outer = collectAll(p) {
+      case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j
+      case j: ShuffledHashJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(outer.nonEmpty, planString("merge_upsert"))
+  }
 }

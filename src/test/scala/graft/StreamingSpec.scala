@@ -531,6 +531,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val rows = spark.table("expand_infer").select("value.k").as[Int].collect()
     assert(rows.toSeq === Seq(42))
   }
+
+  test("Cdc.compactLog runs unchanged on a stream (complete mode), parity with batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The same groupBy/max(struct) plan is a plain streaming aggregation:
+    // complete mode re-emits the compacted table each micro-batch, and the
+    // constant-size per-key state is exactly the batch aggregation buffer.
+    val b1 = Seq(("k1", 1L, "a"), ("k1", 3L, "c"), ("k2", 5L, "x"))
+    val b2 = Seq(("k1", 2L, "b"), ("k2", 9L, "y"), ("k3", 7L, "q"))
+    val in = MemoryStream[(String, Long, String)]
+    val out = graft.functions.Cdc.compactLog(
+      in.toDF().toDF("key", "ver", "payload"),
+      keyCols = Seq("key"), versionCols = Seq("ver"), payloadCols = Seq("payload"))
+    val q = out.writeStream.format("memory").queryName("compact_stream")
+      .outputMode("complete").start()
+    runToCompletion(q, () => in.addData(b1), () => in.addData(b2))
+    val streamed = spark.table("compact_stream")
+      .as[(String, Long, String, Long)].collect().toSet
+    val batch = graft.functions.Cdc.compactLog(
+      (b1 ++ b2).toDF("key", "ver", "payload"),
+      keyCols = Seq("key"), versionCols = Seq("ver"), payloadCols = Seq("payload"))
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(("k1", 3L, "c", 3L), ("k2", 9L, "y", 2L), ("k3", 7L, "q", 1L)))
+  }
 }
 
 /** Shared fixed schemas for streaming tests. */
