@@ -1470,7 +1470,49 @@ object SparkEntry {
         floor(coalesce(TF.qualityScore(col("text")), lit(0.0)) * lit(1048576.0))
           .cast(LongType).as("qfp"))
       graft.functions.Stats.olsFit(scored, "lang", col("n_chars"), col("qfp"))
-    })
+    }),
+
+    // Bloom-pre-filtered decontamination — the 100 TB path when the eval
+    // shingle set outgrows a comfortable broadcast: an m-bit bitset
+    // (16 MB at 100 M shingles where the exact set is ~800 MB) prunes the
+    // corpus shingle stream map-side; only survivors reach the exact
+    // verify join. No false negatives, so the output — and the oracle —
+    // is exactly `decontaminate`'s (graft.functions.Bloom).
+    "bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Bloom.contaminatedDocsBloom(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 16, minOverlap = 10)
+    }),
+
+    // BM25 top-10 retrieval for a literal query-term set — log-free
+    // Robertson scoring over exact integer (tf, df, dl, N), fixed-point
+    // term-score sum, bounded TakeOrderedAndProject
+    // (graft.functions.Retrieval).
+    "bm25_topk" -> ((s, dir) =>
+      graft.functions.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("vector", "query", "spark"), topK = 10)),
+
+    // Robust per-type outlier screen on event values: median/MAD at 2^-20
+    // fixed point, one histogram pass + one narrow flagging pass, (med,
+    // mad) broadcast — where mean/stddev would be dragged by the very
+    // tail being hunted (graft.functions.Robust).
+    "anomaly_mad" -> ((s, dir) =>
+      graft.functions.Robust.madOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", nMads = 3)),
+
+    // Z-order layout clustering evidence: interleave the low 8 bits of
+    // (l_partkey, l_suppkey), cut 64 aligned z-files, report per-file
+    // min/max of BOTH dims — each file spans <= 32 values per dimension,
+    // so file statistics prune scans filtered on EITHER column
+    // (graft.functions.Layout; clusterByZ is the write path).
+    "zorder_layout" -> ((s, dir) =>
+      graft.functions.Layout.zFileStats(
+        t(s, dir, "lineitem"), col("l_partkey"), col("l_suppkey"),
+        bits = 8, fileBits = 6))
   )
 
   // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
@@ -1543,6 +1585,13 @@ object SparkEntry {
       |    list_sum(list_transform(list_zip(a.v, b2.v), pr -> pr[1] * pr[2])) / (a.nrm * b2.nrm) AS cosine
       |  FROM cand JOIN n a ON a.vec_id = i JOIN n b2 ON b2.vec_id = j)
       |WHERE cosine >= 0.4)""".stripMargin
+
+  /** 8-bit Morton interleave of (x, y) — mirrors Layout.zValue(x, y, 8):
+    * bit 2i = x bit i, bit 2i+1 = y bit i, all integer bit ops. */
+  private val zInterleaveSql: String =
+    (0 until 8).map(i =>
+      s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" + ")
 
   /** Sequential-fold cosine pieces — mirrors Similarity.dotSeq/norm2. */
   private val embCast =
@@ -2638,6 +2687,69 @@ object SparkEntry {
         |SELECT lang, CAST(n AS BIGINT) AS n,
         |  slope_fp / 1048576.0 AS slope,
         |  ((sy - slope_fp * sx) / n) / 1048576.0 AS intercept
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // Bloom filters have no false negatives and the engine verifies every
+    // bloom hit exactly, so the oracle is decontaminate's, verbatim.
+    "bloom_decontaminate" ->
+      """WITH s AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 14, 2)), i -> substr(text, i, 16))) AS sh
+        |FROM documents),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 100 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 100 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM c JOIN ev ON c.g = ev.g
+        |GROUP BY c.doc_id HAVING count(*) >= 10""".stripMargin,
+    // Log-free BM25: every literal (0.5/2.2/1.2/0.25/0.75) and every
+    // parenthesis mirrors Retrieval.bm25TopK — exact-integer inputs
+    // through correctly-rounded IEEE ops are bit-equal cross-engine, and
+    // the per-doc sum is fixed-pointed so it is order-independent.
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS sum_dl FROM d),
+        |t AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS word FROM d),
+        |tf AS (SELECT doc_id, dl, word, count(*)::BIGINT AS tf FROM t
+        |  WHERE word IN ('vector', 'query', 'spark') GROUP BY 1, 2, 3),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |sc AS (SELECT doc_id,
+        |  floor(((n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (sum_dl / n_docs)))))
+        |    * 1048576.0)::BIGINT AS s_fp
+        |  FROM tf JOIN df USING (word) CROSS JOIN st)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms, sum(s_fp)::BIGINT AS score_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+    // Same fixed-point bins as the quality-gate median; the deviation
+    // histogram folds out of the value histogram (h JOIN m), and both
+    // medians are the lower-median cum >= (n+1)//2 rule.
+    "anomaly_mad" ->
+      """WITH b AS (SELECT event_id, event_type, value,
+        |    floor(value * 1048576.0)::BIGINT AS qb FROM events),
+        |h AS (SELECT event_type, qb, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT event_type, min(qb) AS med_bin FROM (
+        |  SELECT event_type, qb,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY qb) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h) WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+        |dh AS (SELECT h.event_type, abs(h.qb - m.med_bin) AS d, sum(c) AS c
+        |  FROM h JOIN m USING (event_type) GROUP BY 1, 2),
+        |md AS (SELECT event_type, min(d) AS mad_bin FROM (
+        |  SELECT event_type, d,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM dh) WHERE cum >= (n + 1) // 2 GROUP BY event_type)
+        |SELECT b.event_id, b.event_type, b.value, m.med_bin, md.mad_bin,
+        |  abs(b.qb - m.med_bin) AS dev_bins
+        |FROM b JOIN m USING (event_type) JOIN md USING (event_type)
+        |WHERE abs(b.qb - m.med_bin) > 3 * md.mad_bin""".stripMargin,
+    // Aligned z-files: top-6 z-bits => 64 files of 1024 z-values = 32x32
+    // tiles, so both per-dim spreads are <= 31 (the pruning evidence).
+    "zorder_layout" ->
+      s"""WITH z AS (SELECT (l_partkey & 255)::BIGINT AS x,
+         |    (l_suppkey & 255)::BIGINT AS y FROM lineitem),
+         |zz AS (SELECT x, y, ($zInterleaveSql)::BIGINT AS zval FROM z)
+         |SELECT zval // 1024 AS file_id, count(*)::BIGINT AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM zz GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Bloom-filter pre-filtered decontamination — the 100 TB path for
+ * [[Contamination]] when the eval/benchmark shingle set outgrows a
+ * comfortable broadcast.
+ *
+ * The exact path broadcasts the eval set's distinct 8-byte shingle hashes:
+ * at 100 M shingles that is ~800 MB on every executor. This variant
+ * broadcasts an m-BIT Bloom bitset instead (2^27 bits = 16 MB at the same
+ * cardinality, FPR < 1 %, k = 2), pre-filters the corpus's shingle stream
+ * against it map-side, and only the survivors — true hits plus the FPR
+ * sliver — enter the exact verify join (un-hinted, the dedup_keep
+ * convention: AQE broadcasts a small eval set, shuffles a big one; either
+ * way the corpus-sized side of that join is bloom-thinned first). Bloom
+ * filters have NO false negatives, so the final output is bit-identical
+ * to [[Contamination.contaminatedDocs]] — the oracle is the exact one.
+ *
+ * The bitset build is a constant-size mergeable aggregation (per-word
+ * bit_or), collected once at plan-construction time — the lm_coverage /
+ * centroid convention for metadata-scale artifacts.
+ */
+object Bloom {
+
+  /** Build the m-bit Bloom bitset over `keyCol` (long hashes) as packed
+    * 64-bit words. kHashes seeded XXH64 draws per key; mBits must be a
+    * power of two so the position mask is a bitwise AND, never a pmod. */
+  def buildBits(keys: DataFrame, keyCol: String, mBits: Int, kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two >= 64")
+    require(kHashes >= 1, "need at least one hash")
+    val nWords = mBits / 64
+    val pos = keys.select(
+      explode(array((0 until kHashes).map(seed =>
+        xxhash64(lit(seed), col(keyCol)).bitwiseAND(lit(mBits - 1L))): _*)).as("p"))
+    val words = pos
+      .select(call_function("shiftright", col("p"), lit(6)).cast(IntegerType).as("w"),
+        call_function("shiftleft", lit(1L), col("p").bitwiseAND(lit(63L)).cast(IntegerType)).as("m"))
+      .groupBy(col("w"))
+      .agg(bit_or(col("m")).as("bits"))
+      .collect()
+    val arr = new Array[Long](nWords)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a literal bitset: k seeded positions, each
+    * tested with element_at + shiftright + AND — all codegen'd built-ins,
+    * fused into the scan-side projection. */
+  def mightContain(bits: Array[Long], key: Column, kHashes: Int): Column = {
+    val mBits = bits.length * 64L
+    val arr = typedLit(bits.toSeq)
+    (0 until kHashes).map { seed =>
+      val p = xxhash64(lit(seed), key).bitwiseAND(lit(mBits - 1L))
+      val word = element_at(arr, (call_function("shiftright", p, lit(6)) + lit(1L)).cast(IntegerType))
+      call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast(IntegerType))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** [[Contamination.contaminatedDocs]] with the Bloom pre-filter between
+    * the corpus shingle stream and the exact verify join. Identical
+    * output (no false negatives); the verify join's corpus side carries
+    * only bloom survivors. */
+  def contaminatedDocsBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      minOverlap: Int = 10,
+      mBits: Int = 1 << 18,
+      kHashes: Int = 2): DataFrame = {
+    val ev = Contamination.evalShingles(evalSet, textCol, k)
+    val bits = buildBits(ev, "sh", mBits, kHashes)
+    KernelInput.ensureParallelismIfScan(corpus.filter(col(textCol).isNotNull))
+      .select(col(idCol).as("doc_id"),
+        explode_outer(FastText.hashedShinglesNN(col(textCol), k)).as("sh"))
+      .filter(mightContain(bits, col("sh"), kHashes))
+      // Exact verify: un-hinted — AQE broadcasts a small eval set,
+      // shuffle-joins a large one (only bloom survivors move either way).
+      .join(ev, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+}

@@ -50,13 +50,23 @@ object Median {
   /** Per-group lower median of `binCol`: the smallest bin b such that at
     * least `ceil(n/2)` of the group's rows fall in bins <= b. Output:
     * one row per group, `(groupCol, med_bin)`. */
-  def binnedMedianPerGroup(df: DataFrame, groupCol: String, binCol: String): DataFrame = {
-    val hist = df.groupBy(col(groupCol), col(binCol)).agg(count(lit(1)).as("c"))
+  def binnedMedianPerGroup(df: DataFrame, groupCol: String, binCol: String): DataFrame =
+    medianFromHist(
+      df.groupBy(col(groupCol), col(binCol)).agg(count(lit(1)).as("c")),
+      groupCol, binCol, "c")
+
+  /** [[binnedMedianPerGroup]] over a PRE-AGGREGATED histogram
+    * `(groupCol, binCol, cntCol)` — lets a caller derive several medians
+    * (e.g. median + MAD, graft.functions.Robust) from ONE corpus pass:
+    * every input here is already bin-universe-sized, so the windows and
+    * the weighted cumulative count never see corpus rows. Output:
+    * one row per group, `(groupCol, med_bin)`. */
+  def medianFromHist(hist: DataFrame, groupCol: String, binCol: String, cntCol: String): DataFrame = {
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col(binCol))
     val allW = Window.partitionBy(col(groupCol))
     hist
-      .withColumn("cum", sum(col("c")).over(cumW))
-      .withColumn("n", sum(col("c")).over(allW))
+      .withColumn("cum", sum(col(cntCol)).over(cumW))
+      .withColumn("n", sum(col(cntCol)).over(allW))
       // integer div: (n+1) div 2 = ceil(n/2) — exact at any count, where
       // double division would drift past 2^53 rows.
       .filter(col("cum") >= expr("(n + 1) div 2"))

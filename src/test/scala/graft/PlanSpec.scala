@@ -76,10 +76,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   // (dsir_select is NOT exempt: its fit cross-joins run eagerly at
   // construction and never appear in the gated selection plan, so the
   // gate still protects that plan from a future real nested loop.)
+  //  - bm25_topk: the 1-row (N, sum dl) corpus aggregate broadcast onto
+  //    the per-(doc, term) tf rows — the q14_subq/tfidf_topk shape.
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
-      "q34_gapfill")
+      "q34_gapfill", "bm25_topk")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -204,6 +206,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
       s"only in queries: ${SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)}; " +
         s"only in oracleSql: ${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)}")
+  }
+
+  test("bm25_topk: bounded TakeOrderedAndProject, never a global sort of the scored set") {
+    assert(planString("bm25_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("bloom_decontaminate: no data-dependent exchange carries document text") {
+    // The one exchange allowed to carry text is KernelInput's round-robin
+    // parallelism guard on the raw scan (identity at production scale,
+    // where the scan itself provides the partitions). Every HASH exchange
+    // — the ones that exist at 100 TB — must carry only bloom-thinned
+    // (doc_id, sh) rows.
+    val shuffles = collectAll(plan("bloom_decontaminate")) {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+    }
+    for (e <- shuffles)
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange carries document text:\n$e")
+  }
+
+  test("anomaly_mad: corpus rows never shuffle (only histogram bins and the broadcast gate move)") {
+    // The flagging pass must be narrow: event rows ride a broadcast join;
+    // the only exchanges belong to the bin-universe histogram/median
+    // machinery, which never carries event_id or the raw value.
+    val shuffles = collectAll(plan("anomaly_mad")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("anomaly_mad"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "event_id" || a.name == "value"),
+        s"exchange carries corpus rows:\n$e")
+  }
+
+  test("zorder_layout: one aggregation shuffle; the bit interleave stays narrow") {
+    val shuffles = collectAll(plan("zorder_layout")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, planString("zorder_layout"))
   }
 
   test("q28_notin plans the null-aware anti join, not a nested loop") {

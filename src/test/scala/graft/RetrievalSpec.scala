@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Retrieval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 top-k: engine output vs a from-first-principles driver-side
+  * scorer over the same fixture (plain Scala collections — an independent
+  * code path through the same IEEE ops). */
+class RetrievalSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (1L, "spark spark spark joins data"),
+    (2L, "spark query engine"),
+    (3L, "query query query query planner cost model estimate"),
+    (4L, "totally unrelated words only here"),
+    (5L, "spark query spark query mixed relevance doc"),
+    (6L, "one spark mention in a much longer document with many filler words present")
+  )
+
+  /** Reference BM25 (same formula, same literals, driver-side). */
+  private def referenceScores(terms: Set[String]): Map[Long, (Long, Long)] = {
+    val docs = fixture.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size.toLong
+    val sumDl = docs.map(_._2.size.toLong).sum
+    val avgdl = sumDl.toDouble / n.toDouble
+    val dfm = terms.map(w => w -> docs.count(_._2.contains(w)).toLong).toMap
+    docs.flatMap { case (id, toks) =>
+      val dl = toks.size.toLong
+      val perTerm = terms.toSeq.flatMap { w =>
+        val tf = toks.count(_ == w).toLong
+        if (tf == 0 || dfm(w) == 0) None
+        else {
+          val df = dfm(w)
+          val idf = (n - df + 0.5) / (df + 0.5)
+          val norm = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+          Some(math.floor(idf * norm * 1048576.0).toLong)
+        }
+      }
+      if (perTerm.isEmpty) None else Some(id -> (perTerm.size.toLong, perTerm.sum))
+    }.toMap
+  }
+
+  test("bm25TopK matches the driver-side reference scorer, ranked with doc_id ties") {
+    val terms = Seq("spark", "query")
+    val got = Retrieval
+      .bm25TopK(fixture.toDF("doc_id", "text"), "doc_id", "text", terms, topK = 10)
+      .as[(Long, Long, Long)].collect()
+    val ref = referenceScores(terms.toSet)
+    val expected = ref.toSeq
+      .map { case (id, (nt, s)) => (id, nt, s) }
+      .sortBy { case (id, _, s) => (-s, id) }
+    assert(got.toSeq === expected)
+    // Sanity on the fixture's shape: doc 4 has no query term; tf dominance
+    // ranks the heavy-tf docs above the single-mention long doc.
+    assert(!got.exists(_._1 == 4L))
+    assert(got.map(_._1).indexOf(6L) > got.map(_._1).indexOf(1L))
+  }
+
+  test("topK bounds the result; unmatched terms contribute nothing") {
+    val df = fixture.toDF("doc_id", "text")
+    val top2 = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark", "query"), topK = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(top2.length === 2)
+    val ghost = Retrieval.bm25TopK(df, "doc_id", "text", Seq("zzz_absent"), topK = 5)
+    assert(ghost.count() === 0L)
+  }
+}
