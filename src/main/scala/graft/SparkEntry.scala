@@ -1512,7 +1512,36 @@ object SparkEntry {
     "zorder_layout" -> ((s, dir) =>
       graft.functions.Layout.zFileStats(
         t(s, dir, "lineitem"), col("l_partkey"), col("l_suppkey"),
-        bits = 8, fileBits = 6))
+        bits = 8, fileBits = 6)),
+
+    // Count-min sketch heavy hitters: build the 4 x 4096 additive sketch
+    // (constant-size, mergeable, stream-buildable), probe it for the
+    // exact top-20 words, and report estimate next to truth — est >= exact
+    // always, equal absent collision mass (graft.functions.Sketches).
+    "heavy_hitters" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(TF.wsTokens(col("text"))).as("word"))
+      val top = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(20)
+      Sketches.cmsEstimate(
+        Sketches.countMinTable(toks, "word", depth = 4, width = 4096),
+        top, "word", depth = 4, width = 4096)
+    }),
+
+    // Per-language distribution drift between two ingestion epochs
+    // (doc_id parity): exact chi-square over 2^-4-binned quality scores —
+    // the log-free, fixed-point-summed drift monitor; one corpus
+    // histogram pass, everything downstream bin-universe-sized
+    // (graft.functions.Drift).
+    "dist_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("lang"), (col("doc_id") % 2).as("__ep"),
+          TF.qualityScore(col("text")).as("__q"))
+      graft.functions.Drift.chiSquareDrift(
+        d, "lang", col("__ep"), floor(col("__q") * lit(16.0)).cast(LongType))
+    })
   )
 
   // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
@@ -2750,6 +2779,51 @@ object SparkEntry {
          |zz AS (SELECT x, y, ($zInterleaveSql)::BIGINT AS zval FROM z)
          |SELECT zval // 1024 AS file_id, count(*)::BIGINT AS n_rows,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-         |FROM zz GROUP BY 1""".stripMargin
+         |FROM zz GROUP BY 1""".stripMargin,
+    // Cell-for-cell CMS replica (same md5 'cms{r}_' bucket family), same
+    // top-20 probe set, min over rows.
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE text IS NOT NULL),
+        |x AS (SELECT word, count(*)::BIGINT AS n_exact FROM t GROUP BY word),
+        |top AS (SELECT word, n_exact FROM x ORDER BY n_exact DESC, word LIMIT 20),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5('cms' || r::VARCHAR || '_' || word), 1, 8))::BIGINT % 4096 AS b,
+        |    count(*)::BIGINT AS c
+        |  FROM t CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2),
+        |probe AS (SELECT top.word, top.n_exact, r,
+        |    ('0x' || substr(md5('cms' || r::VARCHAR || '_' || top.word), 1, 8))::BIGINT % 4096 AS b
+        |  FROM top CROSS JOIN range(0, 4) rr(r))
+        |SELECT word, n_exact, min(c)::BIGINT AS n_est
+        |FROM probe JOIN cells USING (r, b) GROUP BY 1, 2""".stripMargin,
+    // quality_gate's score expression, 2^-4 bins (exact exponent shift),
+    // then the chi-square with IDENTICAL parenthesization to
+    // Drift.chiSquareDrift — each bin contribution fixed-pointed before
+    // the order-independent integer sum.
+    "dist_drift" ->
+      """WITH q AS (SELECT lang, doc_id % 2 AS e,
+        |    floor((len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+        |     - len(regexp_extract_all(text, '[0-9]')) * 3
+        |     - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) * 16.0)::BIGINT AS bin
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |h AS (SELECT lang, e, bin, count(*) AS c FROM q GROUP BY 1, 2, 3),
+        |wide AS (SELECT lang, bin,
+        |    sum(CASE WHEN e = 0 THEN c ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN e = 1 THEN c ELSE 0 END)::BIGINT AS nb
+        |  FROM h GROUP BY 1, 2),
+        |tot AS (SELECT lang, bin, na, nb,
+        |    sum(na) OVER (PARTITION BY lang) AS ta,
+        |    sum(nb) OVER (PARTITION BY lang) AS tb
+        |  FROM wide),
+        |cf AS (SELECT lang,
+        |    floor(((na - (na + nb)::DOUBLE * ta::DOUBLE / (ta + tb)::DOUBLE)
+        |         * (na - (na + nb)::DOUBLE * ta::DOUBLE / (ta + tb)::DOUBLE)
+        |         / ((na + nb)::DOUBLE * ta::DOUBLE / (ta + tb)::DOUBLE)
+        |       + (nb - (na + nb)::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE)
+        |         * (nb - (na + nb)::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE)
+        |         / ((na + nb)::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE)) * 1048576.0)::BIGINT AS cfp
+        |  FROM tot WHERE ta > 0 AND tb > 0)
+        |SELECT lang, count(*)::BIGINT AS n_bins, sum(cfp)::BIGINT / 1048576.0 AS chi2
+        |FROM cf GROUP BY lang""".stripMargin
   )
 }

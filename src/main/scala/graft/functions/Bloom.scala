@@ -76,15 +76,59 @@ object Bloom {
       kHashes: Int = 2): DataFrame = {
     val ev = Contamination.evalShingles(evalSet, textCol, k)
     val bits = buildBits(ev, "sh", mBits, kHashes)
-    KernelInput.ensureParallelismIfScan(corpus.filter(col(textCol).isNotNull))
+    contaminatedAgainstBloom(
+      KernelInput.ensureParallelismIfScan(corpus.filter(col(textCol).isNotNull)),
+      bits, ev, idCol, textCol, k, minOverlap, kHashes)
+  }
+
+  /** The probe side alone, against a PREBUILT bitset + shingle set (both
+    * typically persisted once per benchmark refresh — the streaming /
+    * many-corpus-passes face). */
+  def contaminatedAgainstBloom(
+      corpus: DataFrame,
+      bits: Array[Long],
+      evShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOverlap: Int,
+      kHashes: Int): DataFrame =
+    corpus
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode_outer(FastText.hashedShinglesNN(col(textCol), k)).as("sh"))
       .filter(mightContain(bits, col("sh"), kHashes))
       // Exact verify: un-hinted — AQE broadcasts a small eval set,
       // shuffle-joins a large one (only bloom survivors move either way).
-      .join(ev, "sh")
+      .join(evShingles, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-  }
+
+  /** Per-micro-batch Bloom-prefiltered decontamination: the streaming
+    * face of [[Contamination.cleanStream]] with the same
+    * state-in-storage contract (bitset + eval shingles computed once,
+    * swapped without restarting state), but each batch's shingle stream
+    * is bloom-thinned before the exact verify join — at a 100 TB/day
+    * ingest the per-batch join input shrinks by ~the clean fraction. */
+  def cleanStreamBloom(
+      stream: DataFrame,
+      bits: Array[Long],
+      evShingles: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      minOverlap: Int = 10,
+      kHashes: Int = 2)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) {
+        val dirty =
+          contaminatedAgainstBloom(batch, bits, evShingles, idCol, textCol, k, minOverlap, kHashes)
+            .select(col("doc_id").as("__dirty_id"))
+        sink(
+          batch.join(broadcast(dirty), batch(idCol) === col("__dirty_id"), "left_anti"),
+          id)
+      }
+    }
 }

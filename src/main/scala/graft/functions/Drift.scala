@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Distribution-drift monitoring between two corpus epochs — "did this
+ * week's crawl shift the quality/length/language mix" — as an exact
+ * per-group chi-square statistic over binned feature histograms.
+ *
+ * Chi-square (not PSI/KL) deliberately: the divergence family needs
+ * log(), whose last-ulp behavior differs across libm implementations;
+ * chi-square is +,-,*,/ only — every step a correctly-rounded IEEE op —
+ * and each bin's contribution is fixed-pointed (floor(c * 2^20)) before
+ * the per-group sum, so the total is an order-independent integer,
+ * reproducible on any engine and any partitioning.
+ *
+ * Scale shape: ONE corpus aggregation builds the (group, epoch, bin)
+ * histogram (map-side combine; state = occupied bins, constant in corpus
+ * size). Everything downstream — the epoch pivot, per-group totals,
+ * expected counts, the statistic — runs on the bin-universe frame:
+ * windows are partitioned by group over occupied bins only, and no
+ * corpus row survives past the first aggregation.
+ */
+object Drift {
+
+  /** Per-group chi-square between epoch 0 and epoch 1 of `epochCol` over
+    * the `binCol` histogram. Output: (groupCol, n_bins, chi2), one row
+    * per group present in BOTH epochs. The caller picks the binning;
+    * multiply-by-power-of-two + floor keeps it bit-identical
+    * cross-engine (the graft.functions.Median argument). */
+  def chiSquareDrift(df: DataFrame, groupCol: String, epochCol: Column, binCol: Column): DataFrame = {
+    val h = df
+      .groupBy(col(groupCol), epochCol.as("__e"), binCol.as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wide = h
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(sum(when(col("__e") === 0, col("__c")).otherwise(lit(0L))).as("na"),
+        sum(when(col("__e") === 1, col("__c")).otherwise(lit(0L))).as("nb"))
+    val w = Window.partitionBy(col(groupCol))
+    val tot = wide
+      .withColumn("ta", sum(col("na")).over(w))
+      .withColumn("tb", sum(col("nb")).over(w))
+    // Expected counts in doubles (BIGINT products would overflow past
+    // ~3e9 rows per epoch); identical parenthesization to the oracle.
+    val g = (col("ta") + col("tb")).cast(DoubleType)
+    val ea = (col("na") + col("nb")).cast(DoubleType) * col("ta").cast(DoubleType) / g
+    val eb = (col("na") + col("nb")).cast(DoubleType) * col("tb").cast(DoubleType) / g
+    val contrib =
+      (col("na") - ea) * (col("na") - ea) / ea + (col("nb") - eb) * (col("nb") - eb) / eb
+    tot
+      .filter(col("ta") > 0 && col("tb") > 0)
+      .select(col(groupCol), floor(contrib * lit(Median.Scale)).cast(LongType).as("__cfp"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bins"),
+        (sum(col("__cfp")) / lit(Median.Scale)).as("chi2"))
+  }
+}

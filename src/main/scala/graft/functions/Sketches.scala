@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -66,4 +66,44 @@ object Sketches {
     * e.g. `TextFunctions.xhash32`). */
   def kmvDistinct(hashed: Column, k: Int): Column =
     udaf(new KMVDistinct(k), Encoders.LONG)(hashed)
+
+  // ---- count-min sketch ------------------------------------------------
+
+  import org.apache.spark.sql.functions._
+
+  /** Row-r bucket of a token: xhash32("cms{r}_" || token) % width — the
+    * md5-derived family every cross-engine hash here uses, so a DuckDB
+    * oracle reproduces the sketch cell-for-cell. */
+  private def cmsBucket(tok: Column, r: Int, width: Int): Column =
+    TextFunctions.xhash32(concat(lit(s"cms${r}_"), tok)) % width
+
+  /** Build the depth x width count-min table over `tokenCol`: one row per
+    * OCCUPIED (r, b) cell, `c` = total hits. The sketch is an additive
+    * constant-size summary (<= depth*width cells at any corpus size):
+    * map-side partial aggregation ships cell partials, two sketches merge
+    * by summing cells, and a streaming build is the same groupBy in
+    * update mode. */
+  def countMinTable(tokens: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    tokens
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(col(tokenCol), r, width)): _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-query the sketch for each row of `words` (tiny, broadcast):
+    * estimate = min over rows of the word's cell — an overestimate by at
+    * most the collision mass, never an under. Passes `words`' other
+    * columns through. */
+  def cmsEstimate(cms: DataFrame, words: DataFrame, wordCol: String, depth: Int, width: Int): DataFrame = {
+    val passThrough = words.columns.map(col).toIndexedSeq
+    val probes = words.select(
+      passThrough :+ posexplode(array((0 until depth).map(r =>
+        cmsBucket(col(wordCol), r, width)): _*)).as(Seq("r", "b")): _*)
+    cms
+      .join(broadcast(probes), Seq("r", "b"))
+      .groupBy(words.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("c")).as("n_est"))
+  }
 }

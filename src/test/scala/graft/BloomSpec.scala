@@ -55,6 +55,31 @@ class BloomSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cleanStreamBloom: micro-batch filtering == the exact batch keep set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val eval = docs.filter(col("doc_id") % 100 === 0)
+    val ev = Contamination.evalShingles(eval, "text", 16)
+    val bits = Bloom.buildBits(ev, "sh", mBits = 1 << 14, kHashes = 2)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val dirty = Contamination
+      .contaminatedDocs(docs.filter(col("doc_id") % 100 =!= 0), eval, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.Set[Long]()
+    val q = Bloom.cleanStreamBloom(
+      in.toDF.toDF("doc_id", "text"), bits, ev, "doc_id", "text") { (df, _) =>
+      kept ++= df.select(col("doc_id")).as[Long].collect()
+    }.start()
+    val (b1, b2) = corpus.splitAt(corpus.size / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(kept.toSet === corpus.map(_._1).toSet -- dirty)
+    assert(dirty.nonEmpty, "fixture sanity: some docs must be contaminated")
+  }
+
   test("pre-filter actually prunes: clean shingles mostly fail the probe") {
     // At a production-shaped sizing (bits >> keys), a disjoint key set
     // should see a tiny pass rate — the map-side pruning the operator is

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.Drift
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chi-square epoch-drift semantics (cross-engine parity is dist_drift's
+  * DuckDB oracle; here: identical vs shifted distributions and a
+  * driver-side reference on random data). */
+class DriftSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def frame(rows: Seq[(String, Long, Long)]) =
+    rows.toDF("g", "e", "bin")
+
+  private def drift(rows: Seq[(String, Long, Long)]) =
+    Drift.chiSquareDrift(frame(rows), "g", col("e"), col("bin"))
+      .select(col("g"), col("n_bins"), col("chi2"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("identical epoch distributions score (near) zero; a shift scores large") {
+    val same = for (e <- 0L to 1L; b <- 1L to 5L; _ <- 1 to 10) yield ("s", e, b)
+    // Epoch 1 moved all mass from bins 1-5 to bins 6-10.
+    val moved = (for (b <- 1L to 5L; _ <- 1 to 10) yield ("m", 0L, b)) ++
+      (for (b <- 6L to 10L; _ <- 1 to 10) yield ("m", 1L, b))
+    val got = drift(same ++ moved)
+    assert(got("s")._2 === 0.0) // exactly equal histograms: every e == n
+    assert(got("m")._1 === 10L)
+    assert(got("m")._2 > 50.0, s"full separation must dominate: ${got("m")}")
+  }
+
+  test("groups missing an epoch are dropped, not divided by zero") {
+    val rows = Seq(("only0", 0L, 1L), ("only0", 0L, 2L), ("both", 0L, 1L), ("both", 1L, 1L))
+    val got = drift(rows)
+    assert(!got.contains("only0"))
+    assert(got("both")._1 === 1L)
+  }
+
+  test("property: matches a driver-side chi-square (same fixed-point fold) on random data") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 3000).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val e = rnd.nextInt(2).toLong
+      // Epoch-dependent bin distribution => nonzero drift.
+      val bin = (rnd.nextInt(8) + (if (e == 1L) rnd.nextInt(3) else 0)).toLong
+      (g, e, bin)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val bins = rs.map(_._3).distinct.sorted
+      val na = bins.map(b => rs.count(r => r._2 == 0L && r._3 == b).toLong)
+      val nb = bins.map(b => rs.count(r => r._2 == 1L && r._3 == b).toLong)
+      val (ta, tb) = (na.sum, nb.sum)
+      val cfp = bins.indices.map { i =>
+        val g2 = (ta + tb).toDouble
+        val ea = (na(i) + nb(i)).toDouble * ta.toDouble / g2
+        val eb = (na(i) + nb(i)).toDouble * tb.toDouble / g2
+        math.floor(((na(i) - ea) * (na(i) - ea) / ea +
+          (nb(i) - eb) * (nb(i) - eb) / eb) * 1048576.0).toLong
+      }.sum
+      g -> ((bins.size.toLong, cfp / 1048576.0))
+    }
+    assert(drift(rows) === expected)
+  }
+}

@@ -243,6 +243,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles.size <= 1, planString("zorder_layout"))
   }
 
+  test("heavy_hitters: bounded top-k probe set; the sketch probe is a broadcast join") {
+    val p = plan("heavy_hitters")
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, p.toString)
+  }
+
+  test("dist_drift: corpus rows collapse in the first aggregation (no doc columns in any exchange)") {
+    // Everything after the (group, epoch, bin) histogram is
+    // bin-universe-sized; a doc_id / text / raw score in an exchange would
+    // mean the chi-square machinery is paying corpus scale.
+    val shuffles = collectAll(plan("dist_drift")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("dist_drift"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "doc_id" || a.name == "text" || a.name == "__q"),
+        s"exchange carries corpus rows:\n$e")
+  }
+
   test("q28_notin plans the null-aware anti join, not a nested loop") {
     // NOT IN needs null-aware semantics; Spark supports NAAJ only as a
     // broadcast hash join (the trailing isNullAwareAntiJoin=true). A

@@ -8,6 +8,38 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
 
   import spark.implicits._
 
+  test("CMS: estimate >= exact always; exact when the table is collision-free") {
+    val words = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val toks = words.toDF("word")
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+    // Wide table: 50 distinct words over 4 x 4096 cells — collisions in
+    // ALL 4 rows simultaneously are (50/4096)^4-rare, so min == exact.
+    val wide = Sketches.cmsEstimate(
+      Sketches.countMinTable(toks, "word", 4, 4096), exact, "word", 4, 4096)
+      .select(col("word"), col("n_exact"), col("n_est"))
+      .as[(String, Long, Long)].collect()
+    assert(wide.length === 50)
+    assert(wide.forall { case (_, ex, est) => est === ex }, wide.mkString(","))
+    // Tiny table (width 4): heavy collisions — the one-sided guarantee
+    // est >= exact must still hold for every word.
+    val tight = Sketches.cmsEstimate(
+      Sketches.countMinTable(toks, "word", 2, 4), exact, "word", 2, 4)
+      .select(col("n_exact"), col("n_est")).as[(Long, Long)].collect()
+    assert(tight.forall { case (ex, est) => est >= ex })
+    assert(tight.exists { case (ex, est) => est > ex }, "width 4 must collide")
+  }
+
+  test("CMS: two partial sketches merged by cell-sum == one full build") {
+    val a = (1 to 200).map(i => s"w${i % 13}").toDF("word")
+    val b = (1 to 150).map(i => s"w${i % 7}").toDF("word")
+    val merged = Sketches.countMinTable(a, "word", 4, 256)
+      .union(Sketches.countMinTable(b, "word", 4, 256))
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+    val full = Sketches.countMinTable(a.union(b), "word", 4, 256)
+    assert(merged.as[(Int, Long, Long)].collect().toSet ===
+      full.as[(Int, Long, Long)].collect().toSet)
+  }
+
   test("KMV: exact below k, within expected error above k") {
     val small = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "v")
     val exactSmall = small.groupBy(col("g"))
