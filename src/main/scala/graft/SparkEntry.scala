@@ -1541,7 +1541,24 @@ object SparkEntry {
           TF.qualityScore(col("text")).as("__q"))
       graft.functions.Drift.chiSquareDrift(
         d, "lang", col("__ep"), floor(col("__q") * lit(16.0)).cast(LongType))
-    })
+    }),
+
+    // Per-type winsorized value summary: clip at the exact rational
+    // [p5, p95] quantile bins (same bounded histogram machinery as the
+    // median gate), fixed-point winsorized mean — the robust location
+    // estimate after clipping the tails (graft.functions.Robust).
+    "winsorize" -> ((s, dir) =>
+      graft.functions.Robust.winsorStats(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value")),
+
+    // Referential-integrity audit of lineitem.l_orderkey ->
+    // orders.o_orderkey: orphan child rows/keys, childless parents, NULL
+    // keys — two key-only anti-joins + metadata-side 1-row combine
+    // (graft.functions.Audit).
+    "fk_audit" -> ((s, dir) =>
+      graft.functions.Audit.fkAudit(
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
   )
 
   // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
@@ -2824,6 +2841,40 @@ object SparkEntry {
         |         / ((na + nb)::DOUBLE * tb::DOUBLE / (ta + tb)::DOUBLE)) * 1048576.0)::BIGINT AS cfp
         |  FROM tot WHERE ta > 0 AND tb > 0)
         |SELECT lang, count(*)::BIGINT AS n_bins, sum(cfp)::BIGINT / 1048576.0 AS chi2
-        |FROM cf GROUP BY lang""".stripMargin
+        |FROM cf GROUP BY lang""".stripMargin,
+    // Same fixed-point bins and cum >= ceil(n*q) lower-quantile rule as
+    // the engine; the winsorized mean is the exact integer bin sum with
+    // one final double division (identical parenthesization).
+    "winsorize" ->
+      """WITH b AS (SELECT event_type, floor(value * 1048576.0)::BIGINT AS qb FROM events),
+        |h AS (SELECT event_type, qb, count(*) AS c FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, qb,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY qb) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |lo AS (SELECT event_type, min(qb) AS lo_bin FROM r
+        |  WHERE cum >= (n * 5 + 99) // 100 GROUP BY event_type),
+        |hi AS (SELECT event_type, min(qb) AS hi_bin FROM r
+        |  WHERE cum >= (n * 95 + 99) // 100 GROUP BY event_type)
+        |SELECT b.event_type, lo_bin, hi_bin, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN qb < lo_bin THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+        |  sum(CASE WHEN qb > hi_bin THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+        |  sum(least(greatest(qb, lo_bin), hi_bin))::DOUBLE / (count(*) * 1048576.0) AS wmean
+        |FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // NOT EXISTS mirrors the engine's null-filtered anti joins; NULL child
+    // keys are audited separately, never counted as orphans.
+    "fk_audit" ->
+      """WITH c AS (SELECT l_orderkey AS ck FROM lineitem),
+        |p AS (SELECT o_orderkey AS pk FROM orders),
+        |cs AS (SELECT count(*)::BIGINT AS n_child,
+        |    count(DISTINCT ck)::BIGINT AS n_child_keys,
+        |    sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_child_null FROM c),
+        |os AS (SELECT count(*)::BIGINT AS n_orphan,
+        |    count(DISTINCT ck)::BIGINT AS n_orphan_keys
+        |  FROM c WHERE ck IS NOT NULL AND NOT EXISTS (SELECT 1 FROM p WHERE pk = ck)),
+        |ps AS (SELECT count(*)::BIGINT AS n_parent FROM p),
+        |cl AS (SELECT count(*)::BIGINT AS n_childless_parents FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE ck IS NOT NULL AND ck = pk))
+        |SELECT * FROM cs CROSS JOIN os CROSS JOIN ps CROSS JOIN cl""".stripMargin
   )
 }

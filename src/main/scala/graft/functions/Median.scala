@@ -61,17 +61,27 @@ object Median {
     * every input here is already bin-universe-sized, so the windows and
     * the weighted cumulative count never see corpus rows. Output:
     * one row per group, `(groupCol, med_bin)`. */
-  def medianFromHist(hist: DataFrame, groupCol: String, binCol: String, cntCol: String): DataFrame = {
+  def medianFromHist(hist: DataFrame, groupCol: String, binCol: String, cntCol: String): DataFrame =
+    quantileFromHist(hist, groupCol, binCol, cntCol, 1, 2)
+      .withColumnRenamed("q_bin", "med_bin")
+
+  /** General lower quantile over a pre-aggregated histogram: the smallest
+    * bin holding the ceil(n * num / den)-th row of its group. num/den as
+    * an exact rational — `(n * num + den - 1) div den` is integer
+    * arithmetic at any group size, where a double `n * q` drifts past
+    * 2^53 rows (num=1, den=2 is the lower median). Output: one row per
+    * group, `(groupCol, q_bin)`. */
+  def quantileFromHist(hist: DataFrame, groupCol: String, binCol: String, cntCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num >= 0 && num <= den && den >= 1, "need 0 <= num <= den, den >= 1")
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col(binCol))
     val allW = Window.partitionBy(col(groupCol))
     hist
       .withColumn("cum", sum(col(cntCol)).over(cumW))
       .withColumn("n", sum(col(cntCol)).over(allW))
-      // integer div: (n+1) div 2 = ceil(n/2) — exact at any count, where
-      // double division would drift past 2^53 rows.
-      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .filter(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"))
       .groupBy(col(groupCol))
-      .agg(min(col(binCol)).as("med_bin"))
+      .agg(min(col(binCol)).as("q_bin"))
   }
 
   /** Keep rows at or above their group's binned median of `valueCol` —

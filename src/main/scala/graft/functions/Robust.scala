@@ -52,6 +52,40 @@ object Robust {
     med.join(mad, groupCol)
   }
 
+  /** Per-group winsorized summary: clip the binned value to the group's
+    * [pLo, pHi] quantile bins and report counts + the winsorized mean —
+    * the outlier-robust location estimate a pipeline clips metric
+    * columns with before feeding them to anything mean-based.
+    *
+    * Same scale shape as [[medianMadPerGroup]]: ONE corpus histogram
+    * pass; both quantiles come off the bin-universe frame
+    * (`Median.quantileFromHist` with exact rational ranks); the clip
+    * pass re-scans the corpus narrowly against the broadcast one-row-
+    * per-group bounds. The winsorized mean uses the fixed-point trick
+    * (sum of clamped 2^-20 bins as an exact integer, one final double
+    * division), so it is order-independent and oracle-reproducible.
+    * Output: (group, lo_bin, hi_bin, n, n_lo, n_hi, wmean). */
+  def winsorStats(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Int = 5, hiNum: Int = 95, den: Int = 100): DataFrame = {
+    require(loNum <= hiNum, "need loNum <= hiNum")
+    val hist = df
+      .groupBy(col(groupCol), Median.bin(col(valueCol)).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val lo = Median.quantileFromHist(hist, groupCol, "__b", "__c", loNum, den)
+      .withColumnRenamed("q_bin", "lo_bin")
+    val hi = Median.quantileFromHist(hist, groupCol, "__b", "__c", hiNum, den)
+      .withColumnRenamed("q_bin", "hi_bin")
+    df.withColumn("__b", Median.bin(col(valueCol)))
+      .join(broadcast(lo.join(hi, groupCol)), groupCol)
+      .groupBy(col(groupCol), col("lo_bin"), col("hi_bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("__b") < col("lo_bin")).cast("long")).as("n_lo"),
+        sum((col("__b") > col("hi_bin")).cast("long")).as("n_hi"),
+        (sum(least(greatest(col("__b"), col("lo_bin")), col("hi_bin"))).cast("double")
+          / (count(lit(1)) * lit(Median.Scale))).as("wmean"))
+  }
+
   /** Rows whose binned value sits more than `nMads` MADs from their
     * group's median — the robust analogue of a z-score > n filter. Adds
     * `dev_bins`, `med_bin`, `mad_bin` to the surviving rows. The (med,

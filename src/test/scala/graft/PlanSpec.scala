@@ -78,10 +78,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   // gate still protects that plan from a future real nested loop.)
   //  - bm25_topk: the 1-row (N, sum dl) corpus aggregate broadcast onto
   //    the per-(doc, term) tf rows — the q14_subq/tfidf_topk shape.
+  //  - fk_audit: four 1-row aggregates cross-combined metadata-side (the
+  //    corpus-scale work — the anti joins — happens below them as equi
+  //    joins).
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
-      "q34_gapfill", "bm25_topk")
+      "q34_gapfill", "bm25_topk", "fk_audit")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -241,6 +244,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("zorder_layout: one aggregation shuffle; the bit interleave stays narrow") {
     val shuffles = collectAll(plan("zorder_layout")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, planString("zorder_layout"))
+  }
+
+  test("winsorize: corpus values never shuffle (histogram bins + broadcast clip bounds only)") {
+    val shuffles = collectAll(plan("winsorize")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("winsorize"))
+    for (e <- shuffles)
+      assert(!e.output.exists(_.name == "value"),
+        s"exchange carries raw values:\n$e")
+  }
+
+  test("fk_audit: the anti joins are equi joins on projected keys, never wide rows") {
+    // The only nested loops allowed are the 1-row stat combines
+    // (whitelisted); the key-matching itself must be AQE-plannable equi
+    // anti joins, and no exchange may carry a non-key lineitem column.
+    val p = plan("fk_audit")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    for (e <- shuffles; a <- e.output)
+      assert(a.name.startsWith("__") || a.name.startsWith("n_") ||
+        a.name.startsWith("count") || a.name.startsWith("sum"),
+        s"fk_audit exchange carries unexpected column ${a.name}:\n$e")
   }
 
   test("heavy_hitters: bounded top-k probe set; the sketch probe is a broadcast join") {

@@ -36,6 +36,48 @@ class RobustSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set(("a", 100.0)))
   }
 
+  test("winsorStats: hand-checkable p5/p95 clip on 100 uniform values") {
+    // 1..100: lower p5 = 5th smallest = 5, p95 = 95. Clipped sum =
+    // 5*5 + sum(5..95) + 5*95 = 5050 - (1+2+3+4) - (96+..+100) + 4*5 + 5*95...
+    // computed directly below from first principles.
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Robust.winsorStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val (_, loB, hiB, n, nLo, nHi, wmean) = got.head
+    val scale = Median.Scale.toLong
+    assert(loB === 5L * scale)
+    assert(hiB === 95L * scale)
+    assert(n === 100L)
+    assert(nLo === 4L) // 1..4 below the p5 bin
+    assert(nHi === 5L) // 96..100 above the p95 bin
+    val expectedSum = vals.map(v => math.min(math.max(v, 5.0), 95.0)).sum
+    assert(wmean === expectedSum * scale / (100.0 * Median.Scale))
+  }
+
+  test("winsorStats property: matches a driver-side clip on random grouped data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 2}", if (i % 41 == 0) 1000.0 * rnd.nextDouble() else rnd.nextDouble() * 20)
+    }
+    def lowerQ(bins: Seq[Long], num: Int, den: Int): Long = {
+      val s = bins.sorted
+      s(((s.size.toLong * num + den - 1) / den - 1).toInt.max(0))
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val bins = rs.map(r => math.floor(r._2 * Median.Scale).toLong)
+      val lo = lowerQ(bins, 5, 100)
+      val hi = lowerQ(bins, 95, 100)
+      val clamped = bins.map(b => math.min(math.max(b, lo), hi))
+      (g, lo, hi, bins.size.toLong, bins.count(_ < lo).toLong, bins.count(_ > hi).toLong,
+        clamped.sum.toDouble / (bins.size * Median.Scale))
+    }.toSet
+    val got = Robust.winsorStats(rows.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
   test("property: flagged set == driver-side median/MAD filter on random data") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 400).map { i =>
