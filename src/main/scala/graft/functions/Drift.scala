@@ -31,10 +31,48 @@ object Drift {
     * per group present in BOTH epochs. The caller picks the binning;
     * multiply-by-power-of-two + floor keeps it bit-identical
     * cross-engine (the graft.functions.Median argument). */
-  def chiSquareDrift(df: DataFrame, groupCol: String, epochCol: Column, binCol: Column): DataFrame = {
-    val h = df
-      .groupBy(col(groupCol), epochCol.as("__e"), binCol.as("__bin"))
-      .agg(count(lit(1)).as("__c"))
+  def chiSquareDrift(df: DataFrame, groupCol: String, epochCol: Column, binCol: Column): DataFrame =
+    fromTaggedHist(
+      df.groupBy(col(groupCol), epochCol.as("__e"), binCol.as("__bin"))
+        .agg(count(lit(1)).as("__c")),
+      groupCol)
+
+  /** Chi-square between two PRE-AGGREGATED histograms `(groupCol, binCol,
+    * cntCol)` — the reference-vs-current form: the reference side is
+    * computed once and persisted; only the current side touches data.
+    * Reference = epoch 0, current = epoch 1. */
+  def chiSquareBetweenHists(refHist: DataFrame, curHist: DataFrame,
+      groupCol: String, binCol: String, cntCol: String): DataFrame =
+    fromTaggedHist(
+      refHist.select(col(groupCol), lit(0L).as("__e"), col(binCol).as("__bin"),
+          col(cntCol).cast(LongType).as("__c"))
+        .union(curHist.select(col(groupCol), lit(1L).as("__e"), col(binCol).as("__bin"),
+          col(cntCol).cast(LongType).as("__c"))),
+      groupCol)
+
+  /** The histogram side of [[chiSquareBetweenHists]]: bin + count, for
+    * persisting a reference epoch once. */
+  def histogram(df: DataFrame, groupCol: String, binCol: Column): DataFrame =
+    df.groupBy(col(groupCol), binCol.as("bin")).agg(count(lit(1)).as("c"))
+
+  /** Per-micro-batch drift alerting: each batch's histogram is scored
+    * against the PERSISTED reference histogram and the (group, n_bins,
+    * chi2) frame handed to `sink` — the "is today's ingest shaped like
+    * the reference corpus" monitor. Reference state lives in storage
+    * (swap it without restarting), nothing in the state store; the
+    * per-batch work is one bounded histogram aggregation plus the
+    * bin-universe statistic. */
+  def driftStream(stream: DataFrame, refHist: DataFrame, groupCol: String, binCol: Column)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(chiSquareBetweenHists(
+          refHist, histogram(batch, groupCol, binCol), groupCol, "bin", "c"), id)
+    }
+
+  /** Shared statistic over an epoch-tagged histogram
+    * `(groupCol, __e, __bin, __c)`. */
+  private def fromTaggedHist(h: DataFrame, groupCol: String): DataFrame = {
     val wide = h
       .groupBy(col(groupCol), col("__bin"))
       .agg(sum(when(col("__e") === 0, col("__c")).otherwise(lit(0L))).as("na"),

@@ -37,6 +37,46 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(got("both")._1 === 1L)
   }
 
+  test("chiSquareBetweenHists == the epoch form on the same split") {
+    val rows = (1 to 600).map { i =>
+      ("g" + (i % 2), (i % 2 + i % 3).toLong /*epoch-skewed*/, (i % 7).toLong)
+    }.map { case (g, e, b) => (g, e % 2, b) }
+    val epochForm = drift(rows)
+    val ref = Drift.histogram(
+      frame(rows.filter(_._2 == 0L)).select(col("g"), col("bin")), "g", col("bin"))
+    val cur = Drift.histogram(
+      frame(rows.filter(_._2 == 1L)).select(col("g"), col("bin")), "g", col("bin"))
+    val histForm = Drift.chiSquareBetweenHists(ref, cur, "g", "bin", "c")
+      .select(col("g"), col("n_bins"), col("chi2"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(histForm === epochForm)
+  }
+
+  test("driftStream: per-batch chi-square against a persisted reference histogram") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Reference: uniform bins 0..4 per group.
+    val refRows = for (g <- Seq("a", "b"); b <- 0L to 4L; _ <- 1 to 20) yield (g, b)
+    val ref = Drift.histogram(refRows.toDF("g", "bin"), "g", col("bin"))
+    val in = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.Map[Long, Map[String, (Long, Double)]]()
+    val q = Drift.driftStream(in.toDF.toDF("g", "v"), ref, "g", col("v"))({ (df, id) =>
+      got(id) = df.select(col("g"), col("n_bins"), col("chi2"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }).start()
+    // Batch 0: same shape as the reference (scaled) -> chi2 == 0 exactly.
+    in.addData((for (g <- Seq("a", "b"); b <- 0L to 4L; _ <- 1 to 4) yield (g, b)): _*)
+    q.processAllAvailable()
+    // Batch 1: all of group a's mass lands in one novel bin -> large chi2.
+    in.addData((1 to 20).map(_ => ("a", 9L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got(0L)("a")._2 === 0.0 && got(0L)("b")._2 === 0.0)
+    assert(got(1L)("a")._1 === 6L) // 5 reference bins + the novel one
+    assert(got(1L)("a")._2 > 30.0, got(1L).toString)
+    assert(!got(1L).contains("b"), "group absent from the batch is not scored")
+  }
+
   test("property: matches a driver-side chi-square (same fixed-point fold) on random data") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 3000).map { _ =>
