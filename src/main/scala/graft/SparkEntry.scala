@@ -26,11 +26,21 @@ import org.apache.spark.sql.types._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata's events.ts is parquet TIMESTAMP(NANOS), which Spark only
-    // reads via this legacy conf (as a long of epoch-nanos). Runtime-settable,
-    // so set it here — works with any session the driver passes in.
+    // The engine's event-time contract is epoch-NANOS LONG (integer-exact
+    // bucketing, gap tests, and range joins — see RangeJoin's scaladoc on
+    // why nanos must never pass through doubles). Testdata generations have
+    // stored events.ts as either parquet TIMESTAMP(NANOS) (readable only as
+    // a nanos long via the legacy conf below) or TIMESTAMP(MICROS) (read as
+    // TIMESTAMP/_NTZ); normalize both to the nanos-long view at the scan
+    // boundary — a narrow codegen'd projection, matching the DuckDB
+    // oracles' `epoch_ns(ts)` view of the same files bit-for-bit (naive
+    // wall-clock times are interpreted as UTC on both sides).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != LongType) {
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    } else df
   }
 
   /** Exact, order-independent sum of a double column (see class doc). */
@@ -706,6 +716,23 @@ object SparkEntry {
             .when(Sampling.hashRange(key, 0.8, 0.9, "sp1"), lit("val"))
             .otherwise(lit("test"))
             .as("split"))
+    }),
+
+    // Weighted per-language quota (PPSWOR with integer weights): longer
+    // docs carry weight 1..4, each row's sort key is the MIN of w salted
+    // md5 draws (P(i beats j) = w_i/(w_i+w_j)) — quality-weighted
+    // subsampling whose selection is a pure function of the data, with no
+    // pow/log anywhere (Sampling.weightedQuota scaladoc). The draw is a
+    // narrow O(w) projection; selection is the two-phase anti-funnel
+    // window shared with sample_stratified.
+    "sample_weighted" -> ((s, dir) => {
+      import graft.functions.Sampling
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (lit(1L) + least(lit(3L), expr("n_chars div 800"))).as("w"))
+      Sampling.weightedQuota(
+        d, col("lang"), col("doc_id").cast(StringType), col("w"),
+        quota = 25, salt = "ws1")
     }),
 
     // Benchmark decontamination: corpus docs sharing >= 10 distinct
@@ -2120,6 +2147,17 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        ('0x' || substr(md5('sp1' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
         |      FROM documents)""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, w FROM (
+        |  SELECT doc_id, lang, w, row_number() OVER (
+        |    PARTITION BY lang ORDER BY draw, doc_id::VARCHAR) AS rk
+        |  FROM (
+        |    SELECT d.doc_id, d.lang, d.w,
+        |      min(('0x' || substr(md5('ws1' || d.doc_id::VARCHAR || '_' || g.c::VARCHAR), 1, 8))::BIGINT) AS draw
+        |    FROM (SELECT doc_id, lang, 1 + least(3, n_chars // 800) AS w FROM documents) d
+        |    JOIN (SELECT unnest(range(0, 4)) AS c) g ON g.c < d.w
+        |    GROUP BY d.doc_id, d.lang, d.w))
+        |WHERE rk <= 25""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
         |  ((octet_length(encode(text))::BIGINT * 2654435761 + i * 40503) & 4294967295) AS frame_hash

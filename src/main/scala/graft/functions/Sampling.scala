@@ -163,15 +163,66 @@ object Sampling {
       keyCol: Column,
       quota: Int,
       salt: String,
-      preBuckets: Int = 32): DataFrame = {
+      preBuckets: Int = 32): DataFrame =
+    quotaByDraw(df, stratumCol, keyCol,
+      xhash32(concat(lit(salt), keyCol)), quota, preBuckets)
+
+  /** Per-stratum WEIGHTED quota sample without replacement (probability
+    * proportional to an integer weight): each row draws `weight`
+    * independent salted hashes and keeps the MINIMUM as its sort key;
+    * the `quota` rows with the smallest (draw, key) per stratum win.
+    * Pairwise, P(row i outdraws row j) = w_i / (w_i + w_j) — the
+    * successive-sampling (PPSWOR) scheme restricted to integer weights,
+    * expressed entirely in md5 draws so the DuckDB oracle reproduces the
+    * selection bit-for-bit. The usual continuous forms (u^(1/w) of
+    * Efraimidis–Spirakis, or -ln(u)/w exponential clocks) need pow/log,
+    * which drift by ulps between libm implementations and can flip a
+    * rank comparison; min-of-w-uniforms needs only hashing and is
+    * order-equivalent.
+    *
+    * `weightCol` must be a SMALL bounded positive integer (quality tier,
+    * duplication count …): the draw is a narrow
+    * `array_min(transform(sequence(0, w-1), …))` projection — O(w) per
+    * row, no explode, no extra shuffle. Selection scale shape is the
+    * same two-phase window as [[stratifiedQuota]]. */
+  def weightedQuota(
+      df: DataFrame,
+      stratumCol: Column,
+      keyCol: Column,
+      weightCol: Column,
+      quota: Int,
+      salt: String,
+      preBuckets: Int = 32): DataFrame =
+    quotaByDraw(df, stratumCol, keyCol,
+      array_min(transform(
+        sequence(lit(0L), weightCol.cast("long") - 1L),
+        c => xhash32(concat(lit(salt), keyCol, lit("_"), c.cast("string"))))),
+      quota, preBuckets)
+
+  /** Shared two-phase per-stratum top-`quota` by an arbitrary
+    * deterministic draw expression. A single window per stratum would
+    * funnel every row of a stratum through ONE task (a handful of
+    * languages over a 100 TB corpus = a handful of active tasks); phase 1
+    * pre-selects the quota per (stratum, hash-bucket) across `preBuckets`
+    * parallel partitions, phase 2 takes the true quota from the surviving
+    * quota×preBuckets rows. Identical output to the single window: every
+    * globally-selected row is also top-quota within its own bucket, so
+    * phase 1 never discards a winner. */
+  private def quotaByDraw(
+      df: DataFrame,
+      stratumCol: Column,
+      keyCol: Column,
+      draw: Column,
+      quota: Int,
+      preBuckets: Int): DataFrame = {
     require(quota > 0, "quota must be positive")
     require(preBuckets > 0, "preBuckets must be positive")
     require(!df.columns.exists(c => c == "__rk" || c == "__h"),
-      "input already has a __rk/__h column; rename it before stratifiedQuota")
+      "input already has a __rk/__h column; rename it before the quota sample")
     val pre = Window.partitionBy(stratumCol, pmod(col("__h"), lit(preBuckets)))
       .orderBy(col("__h"), keyCol)
     val fin = Window.partitionBy(stratumCol).orderBy(col("__h"), keyCol)
-    df.withColumn("__h", xhash32(concat(lit(salt), keyCol)))
+    df.withColumn("__h", draw)
       .withColumn("__rk", row_number().over(pre))
       .filter(col("__rk") <= quota)
       .withColumn("__rk", row_number().over(fin))

@@ -117,6 +117,44 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val again = Sampling.stratifiedQuota(df.repartition(7), col("g"), col("k"), 10, "q")
     assert(out.collect().toSet === again.collect().toSet)
   }
+
+  test("weightedQuota: bit-exact vs a scalar replica of the min-of-w draw") {
+    // Weights 1..4 cycle over the keys; the scalar replica recomputes every
+    // row's min-of-w md5 draw and takes the quota per stratum by the same
+    // (draw, key) order — the two-phase window must match it exactly.
+    val rows = (1 to 400).map(i => (s"s${i % 2}", s"k$i", 1L + (i % 4)))
+    val df = rows.toDF("g", "k", "w")
+    val out = Sampling.weightedQuota(df, col("g"), col("k"), col("w"), quota = 20, salt = "wq")
+      .select("g", "k", "w").as[(String, String, Long)].collect().toSet
+    val expected = rows
+      .map { case (g, k, w) =>
+        (g, k, w, (0L until w).map(c => refHash(s"wq${k}_$c")).min)
+      }
+      .groupBy(_._1)
+      .flatMap { case (_, rs) =>
+        rs.sortBy { case (_, k, _, d) => (d, k) }.take(20)
+      }
+      .map { case (g, k, w, _) => (g, k, w) }
+      .toSet
+    assert(out === expected)
+    // Deterministic under repartitioning.
+    val again = Sampling.weightedQuota(
+      df.repartition(7), col("g"), col("k"), col("w"), 20, "wq")
+      .select("g", "k", "w").as[(String, String, Long)].collect().toSet
+    assert(again === out)
+  }
+
+  test("weightedQuota: higher weights win proportionally more slots") {
+    // Two strata of 500 keys each, half weight 1 and half weight 8:
+    // pairwise P(w8 beats w1) = 8/9, so the top 100 should be dominated by
+    // weight-8 rows (binomially, fewer than 40 weight-1 winners is ~certain).
+    val rows = (1 to 1000).map(i => ("g", s"k$i", if (i % 2 == 0) 8L else 1L))
+    val out = Sampling.weightedQuota(
+      rows.toDF("g", "k", "w"), col("g"), col("k"), col("w"), quota = 100, salt = "wp")
+      .select("w").as[Long].collect()
+    assert(out.length === 100)
+    assert(out.count(_ == 8L) > 60, s"weight-8 rows won only ${out.count(_ == 8L)}/100 slots")
+  }
 }
 
 class ClustersSpec extends AnyFunSuite with SparkSpec {
