@@ -1109,6 +1109,65 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // Window frame breadth: first_value / nth_value / rolling max over
+    // explicit ROWS frames on per-customer order timelines. Partitioned
+    // window (millions of customers = full parallelism); max over a 3-row
+    // frame picks one value — no summation, so doubles compare exactly.
+    "q35_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val sofar = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val roll3 = base.rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderdate")).over(sofar).as("first_dt"),
+        nth_value(col("o_orderdate"), 2).over(sofar).as("second_dt"),
+        max(col("o_totalprice")).over(roll3).as("roll3_max"))
+    }),
+
+    // Ordered funnel conversion (view -> click -> purchase): a step counts
+    // only when some STRICTLY EARLIER event of the same user completed the
+    // previous step. The cascaded "seen so far" flags are preceding-frame
+    // windows over ONE user-partitioned ordering — consecutive windows
+    // share the single exchange+sort — and the final three counts are a
+    // metadata-scale aggregation. Tie order pinned by (ts, event_id).
+    "funnel_conv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val prior = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("s1_seen",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
+        .withColumn("is_s2",
+          when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
+        .withColumn("s2_seen", max(col("is_s2")).over(prior))
+        .withColumn("is_s3",
+          when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+        .agg(
+          countDistinct(when(col("event_type") === "view", col("user_id"))).as("u_view"),
+          countDistinct(when(col("is_s2") === 1, col("user_id"))).as("u_click_after_view"),
+          countDistinct(when(col("is_s3") === 1, col("user_id"))).as("u_purchase_after_click"))
+    }),
+
+    // Day-zero cohort retention: users grouped by their first active day,
+    // counted at each later day-offset they return — the activation audit.
+    // One shuffle on user_id; the per-user active-day set is bounded by
+    // the observation window's calendar length (not corpus size), and the
+    // exploded (cohort, offset) pairs map-side-combine into a
+    // metadata-scale result.
+    "cohort_retention" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+        .select(col("cohort_day"), explode(col("days")).as("day"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // The SAME distribution ranks WITHOUT the per-segment funnel: q30's
     // window puts a whole market segment (corpus/5 rows at scale) through
     // one task; Ranks.distributionRanks rebuilds the identical values via
@@ -2293,6 +2352,45 @@ object SparkEntry {
         |SELECT s.bucket_s, ty.event_type, COALESCE(h.n, 0) AS n
         |FROM spine s CROSS JOIN ty
         |LEFT JOIN h ON h.bucket_s = s.bucket_s AND h.event_type = ty.event_type""".stripMargin,
+    "q35_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderdate) OVER w AS first_dt,
+        |  nth_value(o_orderdate, 2) OVER w AS second_dt,
+        |  max(o_totalprice) OVER w3 AS roll3_max
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "funnel_conv" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type FROM events),
+        |s1 AS (SELECT *,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1_seen
+        |  FROM e),
+        |s2 AS (SELECT *,
+        |  CASE WHEN event_type = 'click' AND s1_seen = 1 THEN 1 ELSE 0 END AS is_s2
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |  max(is_s2) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2_seen
+        |  FROM s2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS u_view,
+        |  count(DISTINCT CASE WHEN is_s2 = 1 THEN user_id END) AS u_click_after_view,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' AND s2_seen = 1 THEN user_id END)
+        |    AS u_purchase_after_click
+        |FROM s3""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT f.cohort_day, e.day - f.cohort_day AS day_offset, count(*) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // Identical values to q30_ntile's window form (plus the explicit rank)
     // — the Spark side just computes them without the per-group funnel.
     "rank_dist" ->

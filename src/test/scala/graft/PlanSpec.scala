@@ -378,6 +378,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(shuffles.size == 1, planString("sessionize"))
   }
 
+  test("funnel_conv: both cascaded funnel windows share ONE corpus shuffle") {
+    // The two "seen so far" windows partition on the same (user_id)
+    // ordering, so the event stream must cross exactly one hash exchange;
+    // the remaining exchanges belong to the metadata-scale countDistinct
+    // tail (expand + single-partition final), never the corpus.
+    val shuffles = collectAll(plan("funnel_conv")) { case e: ShuffleExchangeExec => e }
+    // A bare hashpartitioning(user_id#…) is the corpus shuffle; the
+    // countDistinct tail's expand exchange mentions user_id only inside
+    // CASE projections of already-aggregated rows.
+    val corpus = shuffles.filter(_.outputPartitioning.toString.startsWith("hashpartitioning(user_id#"))
+    assert(corpus.size == 1, planString("funnel_conv"))
+  }
+
+  test("cohort_retention: exactly two shuffles (per-user days, then cohort cells)") {
+    val shuffles = collectAll(plan("cohort_retention")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2, planString("cohort_retention"))
+  }
+
+  test("q35_frames: one partitioned window exchange, no funnel") {
+    val shuffles = collectAll(plan("q35_frames")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, planString("q35_frames"))
+    // Partitioned by customer — never a global single-partition window.
+    assert(!planString("q35_frames").contains("SinglePartition"), planString("q35_frames"))
+  }
+
   test("ann_ivf: corpus is never hash-shuffled (map-side cells, broadcast probes)") {
     val plan = planString("ann_ivf")
     // The only hash exchange allowed is the partial top-k groupBy on
