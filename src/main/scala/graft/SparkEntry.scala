@@ -682,6 +682,16 @@ object SparkEntry {
         element_at(col("features"), 3).as("f2"), element_at(col("features"), 4).as("f3"))
     }),
 
+    // Perceptual-hash image near-dup (Multimodal.phashPairs): 16-bit dHash
+    // through the codec boundary (real luminance grid for decodable
+    // images, md5-fallback here), then the SimHash pigeonhole band join —
+    // the multimodal member of the dedup family. Never all-pairs.
+    "mm_phash" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      Multimodal.phashPairs(bin, "doc_id", "data", maxHamming = 3)
+    }),
+
     // Deterministic Bernoulli 30% sample (graft.functions.Sampling):
     // selection is a pure function of the key hash — reproducible across
     // partitioning, retries, and engines, unlike df.sample()'s RNG.
@@ -2233,6 +2243,21 @@ object SparkEntry {
         |  (('0x' || substr(md5(md5(text) || '_2'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f2,
         |  (('0x' || substr(md5(md5(text) || '_3'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f3
         |FROM documents""".stripMargin,
+    // dHash bits derive from the same md5 fallback features mm_features
+    // pins. The banded join is only a candidate generator, so the oracle
+    // states the SEMANTICS directly — every pair at Hamming <= 3 — and
+    // the pigeonhole argument guarantees the banded plan finds each one.
+    "mm_phash" -> {
+      val feats = (0 to 16).map(d =>
+        s"(('0x' || substr(md5(md5(text) || '_$d'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f$d")
+        .mkString(", ")
+      val bits = (0 until 16).map(i =>
+        s"CASE WHEN f${i + 1} > f$i THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"WITH f AS (SELECT doc_id AS id, $feats FROM documents), " +
+        s"p AS (SELECT id, CAST($bits AS BIGINT) AS ph FROM f) " +
+        "SELECT l.id AS i, r.id AS j, bit_count(xor(l.ph, r.ph)) AS hamming_dist " +
+        "FROM p l JOIN p r ON l.id < r.id WHERE bit_count(xor(l.ph, r.ph)) <= 3"
+    },
     "text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_actual,
         |  len(string_split(text, ' ')) AS n_tokens,

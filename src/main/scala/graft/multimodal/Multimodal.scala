@@ -173,6 +173,27 @@ object MediaCodec {
     * `javax.sound.sampled` (JDK built-in), deterministic length-derived
     * fallback for anything else (compressed formats need external codecs).
     * Returns (sample_rate_hz, channels, n_frames, format). */
+  /** 16-bit perceptual difference hash (dHash): bit i set iff feature
+    * i+1 > feature i over the first 17 entries of the 25-dim (5×5)
+    * luminance grid of [[extractImageFeatures]]. Near-identical images
+    * share most adjacent-brightness orderings, so they land within a few
+    * bits in Hamming space — the image twin of SimHash. Undecodable
+    * payloads fall through to the md5-derived fallback features (whose
+    * element d depends only on d, so the first 17 of 25 equal a 17-dim
+    * call — what the DuckDB oracle replicates term-for-term; float
+    * comparisons agree because both engines round h/2^32 through the
+    * same single-precision value). */
+  def dHash16(bytes: Array[Byte]): Long = {
+    val f = extractImageFeatures(bytes, 25)
+    var h = 0L
+    var i = 0
+    while (i < 16) {
+      if (f(i + 1) > f(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   def decodeAudioMeta(bytes: Array[Byte]): (Int, Int, Long, String) =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -274,5 +295,46 @@ object Multimodal {
         (r.id, rate, ch, frames, fmt)
       })
       .toDF("id", "sample_rate", "channels", "n_frames", "format")
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash through the codec
+    * boundary, then the SimHash pigeonhole — Hamming <= `maxHamming`
+    * over 16 bits guarantees at least one of maxHamming+1 equal chunks,
+    * so candidates come from a banded equi self-join (merge-hinted: one
+    * shared Exchange, the codec pass plans once) and the exact Hamming
+    * filter runs BEFORE the dedup shuffle. Never all-pairs; candidate
+    * volume is collision-bounded per chunk bucket, the image twin of
+    * Dedup.simhashPairs. Output: (i, j, hamming_dist), i < j. */
+  def phashPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.hamming
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 16 / chunks
+    val hashed = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => (r.id, MediaCodec.dHash16(r.data))))
+      .toDF("id", "ph")
+    val banded = hashed.select(
+      col("id"),
+      col("ph"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(chunks - 1)),
+          c => call_function("shiftright", col("ph"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
+    banded
+      .as("l").hint("merge")
+      .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"),
+        hamming(col("l.ph"), col("r.ph")).as("hamming_dist"))
+      .filter(col("hamming_dist") <= maxHamming)
+      .distinct()
   }
 }

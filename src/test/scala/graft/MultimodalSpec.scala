@@ -188,4 +188,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     val fb = MediaCodec.fallbackMeta("opaque payload".getBytes("UTF-8"))
     assert(out(3L).getInt(2) == fb.width && out(3L).getInt(3) == fb.height)
   }
+
+  /** A w×h gradient image with an optional small blemish painted in. */
+  private def blemished(w: Int, h: Int, blemish: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    if (blemish) for (x <- 0 until 3; y <- 0 until 3) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash16: near-identical images land within the Hamming budget, fallback is md5-exact") {
+    val a = MediaCodec.dHash16(blemished(100, 80, blemish = false))
+    val b = MediaCodec.dHash16(blemished(100, 80, blemish = true))
+    assert(java.lang.Long.bitCount((a ^ b).toInt & 0xffff) <= 3,
+      s"blemish flipped too many bits: $a vs $b")
+    // Opaque payloads: the hash is the adjacent-comparison fold of the
+    // md5-derived fallback features — the exact arithmetic the oracle runs.
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val f = MediaCodec.extractFeatures(junk, 17)
+    val expected = (0 until 16).map(i => if (f(i + 1) > f(i)) 1L << i else 0L).sum
+    assert(MediaCodec.dHash16(junk) === expected)
+  }
+
+  test("phashPairs finds the perceptual near-pair and skips unrelated images") {
+    val rows = Seq(
+      (1L, blemished(100, 80, blemish = false)),
+      (2L, blemished(100, 80, blemish = true)),
+      (3L, imageBytes(80, 100, "png")), // orthogonal gradient: far in dHash space
+      (4L, "opaque payload one".getBytes("UTF-8")),
+      (5L, "a different opaque payload".getBytes("UTF-8"))).toDF("id", "data")
+    val pairs = Multimodal.phashPairs(rows, "id", "data", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), pairs.mkString(", "))
+    for ((i, j, d) <- pairs) {
+      assert(i < j)
+      assert(d <= 3, s"pair ($i,$j) escaped the Hamming cap: $d")
+    }
+  }
 }
