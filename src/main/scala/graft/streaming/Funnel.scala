@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the funnel path (ts in epoch nanos; event_id breaks ties). */
+final case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: String)
+
+/** A user's funnel progress: reached view / click-after-view /
+  * purchase-after-that-click. Flags are monotone — they never unset. */
+final case class FunnelStage(user_id: Long, s1: Boolean, s2: Boolean, s3: Boolean)
+
+/**
+ * Streaming face of the ordered funnel (`funnel_conv`): per-user
+ * view → click → purchase progress over an unbounded event stream.
+ *
+ * State is three monotone booleans per user — a dozen bytes, O(users)
+ * total, the smallest state any funnel can carry — via
+ * `mapGroupsWithState` in Update mode: each micro-batch emits the current
+ * stage record for every user that appeared, and a downstream aggregation
+ * turns stages into conversion counts. Events fold in (ts, event_id)
+ * order WITHIN a batch; across batches the fold follows delivery order,
+ * so the result is exactly the batch operator's whenever each user's
+ * events arrive in order (e.g. a Kafka topic partitioned by user) — the
+ * same at-least-once posture as the other streaming faces, and replay
+ * is idempotent because the flags are monotone. A later step counts only
+ * when a STRICTLY earlier event completed the previous one (the
+ * sequential fold sees only prior events), matching `funnel_conv`'s
+ * strictly-preceding window frame.
+ */
+object Funnel {
+
+  /** Fold a user's in-order events into their funnel flags. */
+  private[graft] def fold(
+      s1: Boolean, s2: Boolean, s3: Boolean,
+      ordered: Iterator[FunnelEvent]): (Boolean, Boolean, Boolean) = {
+    var (a, b, c) = (s1, s2, s3)
+    for (e <- ordered) e.event_type match {
+      case "click" if a    => b = true
+      case "purchase" if b => c = true
+      case "view"          => a = true
+      case _               => ()
+    }
+    (a, b, c)
+  }
+
+  def stageStream(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelStage, FunnelStage](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelStage]) =>
+          val prev = state.getOption.getOrElse(FunnelStage(user, s1 = false, s2 = false, s3 = false))
+          val (a, b, c) = fold(prev.s1, prev.s2, prev.s3,
+            batch.toSeq.sortBy(e => (e.ts, e.event_id)).iterator)
+          val next = FunnelStage(user, a, b, c)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience output-mode hint: stage records update in place. */
+  val outputMode: OutputMode = OutputMode.Update()
+}

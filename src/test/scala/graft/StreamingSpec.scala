@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{ExpandJsonStreaming, Sessionize, SessionEvent, StreamDedup, UserSession}
+import graft.streaming.{ExpandJsonStreaming, Funnel, FunnelEvent, FunnelStage, Sessionize, SessionEvent, StreamDedup, UserSession}
 import graft.transform.ExpandJson
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -555,6 +555,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, String, Long)].collect().toSet
     assert(streamed === batch)
     assert(streamed === Set(("k1", 3L, "c", 3L), ("k2", 9L, "y", 2L), ("k3", 7L, "q", 1L)))
+  }
+
+  test("Funnel.stageStream: per-user stages match the batch funnel fold, replay-safe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // User 1 completes the funnel across TWO batches (in-order per user);
+    // user 2's purchase precedes any view — must stay at stage 0; user 3
+    // clicks before viewing, so the click must NOT count (strict order),
+    // then views: stage 1 only.
+    val b1 = Seq(
+      FunnelEvent(1L, T0, 10L, "view"), FunnelEvent(1L, T0 + Min, 11L, "click"),
+      FunnelEvent(2L, T0, 20L, "purchase"),
+      FunnelEvent(3L, T0, 30L, "click"))
+    val b2 = Seq(
+      FunnelEvent(1L, T0 + 2 * Min, 12L, "purchase"),
+      FunnelEvent(2L, T0 + Min, 21L, "view"),
+      FunnelEvent(3L, T0 + Min, 31L, "view"))
+    val in = MemoryStream[FunnelEvent]
+    val q = Funnel.stageStream(in.toDS()).writeStream
+      .format("memory").queryName("funnel_stages").outputMode("update").start()
+    runToCompletion(q, () => in.addData(b1), () => in.addData(b2))
+    // Latest stage per user (update mode appends each batch's emission).
+    val latest = spark.table("funnel_stages").as[FunnelStage].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rs) =>
+        u -> rs.map(r => (r.s1, r.s2, r.s3))
+          .reduce((x, y) => (x._1 | y._1, x._2 | y._2, x._3 | y._3)) // monotone
+      }
+    // Scalar replica of the batch fold over the full in-order history.
+    val expected = (b1 ++ b2).groupBy(_.user_id).map { case (u, es) =>
+      u -> Funnel.fold(s1 = false, s2 = false, s3 = false,
+        es.sortBy(e => (e.ts, e.event_id)).iterator)
+    }
+    assert(latest === expected)
+    assert(expected(1L) === ((true, true, true)))
+    assert(expected(2L) === ((true, false, false)))
+    assert(expected(3L) === ((true, false, false)))
   }
 }
 
