@@ -37,10 +37,20 @@ object SparkEntry {
     // wall-clock times are interpreted as UTC on both sides).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != LongType) {
-      s.conf.set("spark.sql.session.timeZone", "UTC")
-      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
-    } else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df
+      case _: TimestampNTZType =>
+        // Pure wall-clock arithmetic against the NTZ epoch — no session
+        // time zone involved, so no conf mutation and no order-dependent
+        // results on non-UTC driver sessions. Naive wall time reads as
+        // UTC, exactly DuckDB's epoch_ns on a naive TIMESTAMP.
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+      case _ =>
+        // TIMESTAMP_LTZ carries an instant; unix_micros is tz-independent.
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+    }
   }
 
   /** Exact, order-independent sum of a double column (see class doc). */

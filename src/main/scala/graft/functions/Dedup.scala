@@ -478,8 +478,6 @@ object Dedup {
       textCol: String,
       shingleK: Int = 4,
       maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1 // Hamming<=d over c=d+1 chunks => >=1 chunk equal
-    val bitsPerChunk = 32 / chunks
     // coalesce → non-nullable: otherwise the banded join's key constraints
     // push `isnotnull(simhash32(xhash32array(sortedshingles(text))))` into
     // the scan, running the whole signature chain twice per row.
@@ -488,25 +486,43 @@ object Dedup {
         col(idCol).cast(LongType).as("id"),
         coalesce(
           FastText.simhash32(FastText.xhash32Array(FastText.sortedShingles(col(textCol), shingleK))),
-          lit(0L)).as("sim"))
+          lit(0L)).as("sig"))
+    bandedHammingPairs(sigs, totalBits = 32, maxHamming = maxHamming)
+  }
+
+  /** Pigeonhole banded Hamming self-join shared by SimHash (text) and
+    * dHash (`Multimodal.phashPairs`, images): Hamming <= d over d+1
+    * chunks forces >= 1 equal chunk, so candidates come from a banded
+    * equi-join — merge-hinted: ONE shared Exchange, the signature
+    * pipeline plans once (see minhashPairs) — and the exact Hamming
+    * filter runs BEFORE the dedup shuffle, so the distinct only carries
+    * surviving near-pairs. Chunks cover the low
+    * (d+1)·floor(totalBits/(d+1)) bits; any uncovered high bits only add
+    * to hamming_dist, never to chunk equality, so recall is exact
+    * regardless. Input: (id: long, sig: long non-nullable).
+    * Output: (i, j, hamming_dist), i < j. */
+  private[graft] def bandedHammingPairs(
+      sigs: DataFrame,
+      totalBits: Int,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(maxHamming >= 0 && chunks <= totalBits,
+      s"need 0 <= maxHamming < totalBits chunks, got $maxHamming over $totalBits bits")
+    val bitsPerChunk = totalBits / chunks
     val banded = sigs.select(
       col("id"),
-      col("sim"),
+      col("sig"),
       posexplode(
         transform(
           sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftright", col("sim"), c * bitsPerChunk)
+          c => call_function("shiftright", col("sig"), c * bitsPerChunk)
             .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
-    // Hamming filter BEFORE the dedup shuffle: the distinct then only
-    // carries surviving near-pairs, not every chunk collision.
-    // hint("merge"): shared Exchange → the simhash signature chain runs
-    // once, not once per join side (see minhashPairs).
     banded
       .as("l").hint("merge")
       .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"),
-        hamming(col("l.sim"), col("r.sim")).as("hamming_dist"))
+        hamming(col("l.sig"), col("r.sig")).as("hamming_dist"))
       .filter(col("hamming_dist") <= maxHamming)
       .distinct()
   }

@@ -193,7 +193,12 @@ object Sampling {
       quota: Int,
       salt: String,
       preBuckets: Int = 32): DataFrame =
-    quotaByDraw(df, stratumCol, keyCol,
+    // NULL or non-positive weights draw nothing and are excluded — the
+    // same semantics as the oracle's `JOIN series ON c < w` (a NULL
+    // weight would otherwise yield a NULL draw and, under NULLS FIRST
+    // ordering, silently WIN a quota slot; w = 0 would make sequence()
+    // count downward and draw from salts no oracle computes).
+    quotaByDraw(df.filter(weightCol.isNotNull && weightCol >= 1), stratumCol, keyCol,
       array_min(transform(
         sequence(lit(0L), weightCol.cast("long") - 1L),
         c => xhash32(concat(lit(salt), keyCol, lit("_"), c.cast("string"))))),

@@ -173,6 +173,21 @@ object MediaCodec {
     * `javax.sound.sampled` (JDK built-in), deterministic length-derived
     * fallback for anything else (compressed formats need external codecs).
     * Returns (sample_rate_hz, channels, n_frames, format). */
+  def decodeAudioMeta(bytes: Array[Byte]): (Int, Int, Long, String) =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
+          fmt.getEncoding.toString.toLowerCase)
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        val n = bytes.length
+        (8000 + n % 40000, 1 + n % 2, n.toLong, s"enc${n % 3}")
+    }
+
   /** 16-bit perceptual difference hash (dHash): bit i set iff feature
     * i+1 > feature i over the first 17 entries of the 25-dim (5×5)
     * luminance grid of [[extractImageFeatures]]. Near-identical images
@@ -193,21 +208,6 @@ object MediaCodec {
     }
     h
   }
-
-  def decodeAudioMeta(bytes: Array[Byte]): (Int, Int, Long, String) =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength,
-          fmt.getEncoding.toString.toLowerCase)
-      } finally in.close()
-    } catch {
-      case scala.util.control.NonFatal(_) =>
-        val n = bytes.length
-        (8000 + n % 40000, 1 + n % 2, n.toLong, s"enc${n % 3}")
-    }
 }
 
 /**
@@ -299,12 +299,12 @@ object Multimodal {
 
   /** Perceptual near-duplicate image pairs: dHash through the codec
     * boundary, then the SimHash pigeonhole — Hamming <= `maxHamming`
-    * over 16 bits guarantees at least one of maxHamming+1 equal chunks,
-    * so candidates come from a banded equi self-join (merge-hinted: one
-    * shared Exchange, the codec pass plans once) and the exact Hamming
-    * filter runs BEFORE the dedup shuffle. Never all-pairs; candidate
-    * volume is collision-bounded per chunk bucket, the image twin of
-    * Dedup.simhashPairs. Output: (i, j, hamming_dist), i < j. */
+    * over 16 bits guarantees at least one of maxHamming+1 equal chunks
+    * (`Dedup.bandedHammingPairs` — the same banded plan SimHash runs:
+    * one shared Exchange, Hamming filter before the dedup shuffle).
+    * Never all-pairs; candidate volume is collision-bounded per chunk
+    * bucket. NULL payloads are skipped like simhashPairs' NULL text.
+    * Output: (i, j, hamming_dist), i < j. */
   def phashPairs(
       df: DataFrame,
       idCol: String,
@@ -313,28 +313,14 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
     val spark = df.sparkSession
     import spark.implicits._
-    import graft.functions.TextFunctions.hamming
-    val chunks = maxHamming + 1
-    val bitsPerChunk = 16 / chunks
-    val hashed = df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    // NULL payloads are skipped, not hashed: the codec contract is
+    // "corrupt rows skip, never kill the task", and the oracle's
+    // md5(text) drops NULLs the same way (simhashPairs' posture).
+    val sigs = df.filter(col(binCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
       .as[MediaRecord]
       .mapPartitions(_.map(r => (r.id, MediaCodec.dHash16(r.data))))
-      .toDF("id", "ph")
-    val banded = hashed.select(
-      col("id"),
-      col("ph"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(chunks - 1)),
-          c => call_function("shiftright", col("ph"), c * bitsPerChunk)
-            .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
-    banded
-      .as("l").hint("merge")
-      .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("i"), col("r.id").as("j"),
-        hamming(col("l.ph"), col("r.ph")).as("hamming_dist"))
-      .filter(col("hamming_dist") <= maxHamming)
-      .distinct()
+      .toDF("id", "sig")
+    graft.functions.Dedup.bandedHammingPairs(sigs, totalBits = 16, maxHamming = maxHamming)
   }
 }

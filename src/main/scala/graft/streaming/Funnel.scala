@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** One event on the funnel path (ts in epoch nanos; event_id breaks ties). */
 final case class FunnelEvent(user_id: Long, ts: Long, event_id: Long, event_type: String)
@@ -60,7 +60,4 @@ object Funnel {
           next
       }
   }
-
-  /** Convenience output-mode hint: stage records update in place. */
-  val outputMode: OutputMode = OutputMode.Update()
 }

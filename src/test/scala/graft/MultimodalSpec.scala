@@ -220,12 +220,14 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       (2L, blemished(100, 80, blemish = true)),
       (3L, imageBytes(80, 100, "png")), // orthogonal gradient: far in dHash space
       (4L, "opaque payload one".getBytes("UTF-8")),
-      (5L, "a different opaque payload".getBytes("UTF-8"))).toDF("id", "data")
+      (5L, "a different opaque payload".getBytes("UTF-8")),
+      (6L, null.asInstanceOf[Array[Byte]])).toDF("id", "data") // skipped, never kills the task
     val pairs = Multimodal.phashPairs(rows, "id", "data", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L), pairs.mkString(", "))
     for ((i, j, d) <- pairs) {
       assert(i < j)
+      assert(i != 6L && j != 6L, "NULL payload must be excluded from pairing")
       assert(d <= 3, s"pair ($i,$j) escaped the Hamming cap: $d")
     }
   }

@@ -144,6 +144,17 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(again === out)
   }
 
+  test("weightedQuota: NULL and non-positive weights draw nothing (oracle join semantics)") {
+    val df = Seq(("g", "a", Some(2L)), ("g", "b", None), ("g", "c", Some(0L)),
+      ("g", "d", Some(-5L)), ("g", "e", Some(1L)))
+      .toDF("g", "k", "w")
+    val out = Sampling.weightedQuota(df, col("g"), col("k"), col("w"), quota = 10, salt = "wn")
+      .select("k").as[String].collect().sorted
+    // Only the two valid-weight rows can win; invalid rows never occupy
+    // a slot (a NULL draw would otherwise sort NULLS FIRST and win).
+    assert(out.toSeq === Seq("a", "e"))
+  }
+
   test("weightedQuota: higher weights win proportionally more slots") {
     // Two strata of 500 keys each, half weight 1 and half weight 8:
     // pairwise P(w8 beats w1) = 8/9, so the top 100 should be dominated by
