@@ -1172,6 +1172,51 @@ object SparkEntry {
           countDistinct(when(col("is_s3") === 1, col("user_id"))).as("u_purchase_after_click"))
     }),
 
+    // Funnel × cohort composition: per first-active-day cohort, how many
+    // users reached each funnel stage. The flag windows, the per-user
+    // rollup, AND the cohort derivation all ride ONE user_id exchange
+    // (consecutive windows + groupBy on the partitioning key); only the
+    // per-cohort rollup shuffles again, at calendar scale.
+    "funnel_by_cohort" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val prior = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .withColumn("s1_seen",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
+        .withColumn("is_s2",
+          when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
+        .withColumn("s2_seen", max(col("is_s2")).over(prior))
+        .withColumn("is_s3",
+          when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
+          max(col("is_s2")).as("f2"),
+          max(col("is_s3")).as("f3"))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_users"), sum(col("f1")).as("u_view"),
+          sum(col("f2")).as("u_click"), sum(col("f3")).as("u_purchase"))
+    }),
+
+    // Per-source duplication audit (the data-card number before dedup):
+    // doc and distinct-content counts per source with the duplicate
+    // fraction. Distinct-by-digest, so the shuffle carries 16-byte md5
+    // keys, never text (the dedup_exact convention); one corpus
+    // aggregation, source cardinality output.
+    "dedup_report" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("dg"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("dg")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          ((col("n_docs") - col("n_unique")).cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("dup_rate"))
+    }),
+
     // Day-zero cohort retention: users grouped by their first active day,
     // counted at each later day-offset they return — the activation audit.
     // One shuffle on user_id; the per-user active-day set is bounded by
@@ -2419,6 +2464,34 @@ object SparkEntry {
         |  count(DISTINCT CASE WHEN event_type = 'purchase' AND s2_seen = 1 THEN user_id END)
         |    AS u_purchase_after_click
         |FROM s3""".stripMargin,
+    "funnel_by_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |s1 AS (SELECT *,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1_seen
+        |  FROM e),
+        |s2 AS (SELECT *,
+        |  CASE WHEN event_type = 'click' AND s1_seen = 1 THEN 1 ELSE 0 END AS is_s2
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |  max(is_s2) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2_seen
+        |  FROM s2),
+        |u AS (SELECT user_id, min(day) AS cohort_day,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+        |  max(is_s2) AS f2,
+        |  max(CASE WHEN event_type = 'purchase' AND s2_seen = 1 THEN 1 ELSE 0 END) AS f3
+        |  FROM s3 GROUP BY 1)
+        |SELECT cohort_day, count(*) AS n_users, sum(f1) AS u_view,
+        |  sum(f2) AS u_click, sum(f3) AS u_purchase
+        |FROM u GROUP BY 1""".stripMargin,
+    "dedup_report" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),

@@ -391,6 +391,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(corpus.size == 1, planString("funnel_conv"))
   }
 
+  test("funnel_by_cohort: flag windows + per-user rollup ride one user_id exchange") {
+    // Consecutive windows and the groupBy(user_id) all require the same
+    // partitioning: exactly one bare user_id exchange may exist; the only
+    // other shuffle is the calendar-scale cohort rollup.
+    val shuffles = collectAll(plan("funnel_by_cohort")) { case e: ShuffleExchangeExec => e }
+    val corpus = shuffles.filter(_.outputPartitioning.toString.startsWith("hashpartitioning(user_id#"))
+    assert(corpus.size == 1, planString("funnel_by_cohort"))
+    assert(shuffles.size <= 2, planString("funnel_by_cohort"))
+  }
+
   test("cohort_retention: exactly two shuffles (per-user days, then cohort cells)") {
     val shuffles = collectAll(plan("cohort_retention")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size == 2, planString("cohort_retention"))
