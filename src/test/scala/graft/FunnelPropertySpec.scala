@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.{Funnel, FunnelEvent}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized property coverage for the funnel semantics: the cascaded
+ * strictly-preceding-frame WINDOW implementation (the `funnel_conv` /
+ * `funnel_by_cohort` plan shape) must agree with the sequential
+ * `Funnel.fold` (the streaming state machine) on arbitrary event
+ * sequences under arbitrary partitioning. The two are deliberately
+ * different algorithms — a frame-boundary bug (e.g. `-1` vs `0` in the
+ * preceding frame, which silently weakens "strictly earlier" to
+ * "earlier-or-same") cannot cancel out across both.
+ */
+class FunnelPropertySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private val types = Vector("view", "click", "purchase", "error", "signup")
+
+  private val eventsGen: Gen[Seq[FunnelEvent]] = for {
+    nUsers <- Gen.chooseNum(1, 6)
+    n <- Gen.chooseNum(1, 60)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.chooseNum(1L, nUsers.toLong)
+      // Small ts range on purpose: ties across users and repeated ts per
+      // user exercise the (ts, event_id) tie-break.
+      ts <- Gen.chooseNum(0L, 20L)
+      t <- Gen.oneOf(types)
+    } yield (u, ts, t))
+  } yield evs.zipWithIndex.map { case ((u, ts, t), i) =>
+    FunnelEvent(u, ts, i.toLong, t)
+  }
+
+  /** The window-cascade flags, per user — the funnel_conv construction. */
+  private def windowFlags(events: Seq[FunnelEvent], parts: Int): Map[Long, (Boolean, Boolean, Boolean)] = {
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.toDF().repartition(parts)
+      .withColumn("s1_seen",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
+      .withColumn("is_s2",
+        when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
+      .withColumn("s2_seen", max(col("is_s2")).over(prior))
+      .withColumn("is_s3",
+        when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
+        max(col("is_s2")).as("f2"),
+        max(col("is_s3")).as("f3"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) == 1, r.getInt(2) == 1, r.getInt(3) == 1)))
+      .toMap
+  }
+
+  test("window-cascade funnel equals the sequential fold on random sequences") {
+    val seqs = Iterator.from(0)
+      .map(i => eventsGen.apply(Gen.Parameters.default, rng.Seed(777L + i)))
+      .flatten.take(20).toSeq
+    for ((events, i) <- seqs.zipWithIndex) {
+      val folded = events.groupBy(_.user_id).map { case (u, es) =>
+        u -> Funnel.fold(s1 = false, s2 = false, s3 = false,
+          es.sortBy(e => (e.ts, e.event_id)).iterator)
+      }
+      val windowed = windowFlags(events, parts = 1 + (i % 5))
+      assert(windowed == folded, s"case $i: $events")
+    }
+  }
+}
