@@ -72,4 +72,31 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     val merged = agg.merge(buf, buf)
     assert(merged === buf) // idempotent merge
   }
+
+  test("KMV runs as a streaming aggregation with exact batch parity") {
+    // The bounded sorted-array buffer is a mergeable aggregation state, so
+    // the SAME kmvDistinct column works as a stateful streaming aggregate
+    // (complete mode) — per-key sketch state is k longs, not the value
+    // set. Parity must be exact, not approximate: identical inputs fold
+    // through identical merges.
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = (1 to 300).map(i => ("g" + (i % 2), s"u${i % 97}"))
+    val b2 = (1 to 200).map(i => ("g" + (i % 2), s"v${i % 53}"))
+    val in = MemoryStream[(String, String)]
+    val out = in.toDF().toDF("g", "u")
+      .groupBy(col("g"))
+      .agg(Sketches.kmvDistinct(TF.xhash32(col("u")), 64).as("est"))
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream").as[(String, Double)].collect().toMap
+    val batch = (b1 ++ b2).toDF("g", "u")
+      .groupBy(col("g"))
+      .agg(Sketches.kmvDistinct(TF.xhash32(col("u")), 64).as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed === batch)
+  }
 }
