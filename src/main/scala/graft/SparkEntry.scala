@@ -1810,9 +1810,9 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter" ->
@@ -2939,15 +2939,15 @@ object SparkEntry {
         |         CAST(round(l_discount * 100) AS BIGINT) AS x2
         |  FROM lineitem),
         |m AS (
-        |  SELECT count(*)::DOUBLE AS n,
-        |    sum(x0::HUGEINT)::DOUBLE AS s0, sum(x1::HUGEINT)::DOUBLE AS s1,
-        |    sum(x2::HUGEINT)::DOUBLE AS s2,
-        |    sum(x0::HUGEINT * x0::HUGEINT)::DOUBLE AS s0_0,
-        |    sum(x0::HUGEINT * x1::HUGEINT)::DOUBLE AS s0_1,
-        |    sum(x0::HUGEINT * x2::HUGEINT)::DOUBLE AS s0_2,
-        |    sum(x1::HUGEINT * x1::HUGEINT)::DOUBLE AS s1_1,
-        |    sum(x1::HUGEINT * x2::HUGEINT)::DOUBLE AS s1_2,
-        |    sum(x2::HUGEINT * x2::HUGEINT)::DOUBLE AS s2_2
+        |  SELECT count(*)::VARCHAR::DOUBLE AS n,
+        |    sum(x0::HUGEINT)::VARCHAR::DOUBLE AS s0, sum(x1::HUGEINT)::VARCHAR::DOUBLE AS s1,
+        |    sum(x2::HUGEINT)::VARCHAR::DOUBLE AS s2,
+        |    sum(x0::HUGEINT * x0::HUGEINT)::VARCHAR::DOUBLE AS s0_0,
+        |    sum(x0::HUGEINT * x1::HUGEINT)::VARCHAR::DOUBLE AS s0_1,
+        |    sum(x0::HUGEINT * x2::HUGEINT)::VARCHAR::DOUBLE AS s0_2,
+        |    sum(x1::HUGEINT * x1::HUGEINT)::VARCHAR::DOUBLE AS s1_1,
+        |    sum(x1::HUGEINT * x2::HUGEINT)::VARCHAR::DOUBLE AS s1_2,
+        |    sum(x2::HUGEINT * x2::HUGEINT)::VARCHAR::DOUBLE AS s2_2
         |  FROM f)
         |SELECT 'qty' AS col_x, 'price' AS col_y,
         |  (n * s0_1 - s0 * s1) / (sqrt(n * s0_0 - s0 * s0) * sqrt(n * s1_1 - s1 * s1)) AS corr
