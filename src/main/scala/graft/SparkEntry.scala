@@ -1802,7 +1802,7 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "ej_field_agg" ->
       """SELECT event_type,
-        |  CAST(SUM(CAST(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+        |  CAST(CAST(SUM(CAST(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "ej_variant" ->
@@ -1821,7 +1821,7 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05 AND l_quantity < 25""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name, count(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
@@ -1854,7 +1854,7 @@ object SparkEntry {
     "q11_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, event_type,
         |  count(*) AS n,
-        |  CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q12_union" ->
       """SELECT nationkey, count(*) AS n FROM (
@@ -1864,7 +1864,7 @@ object SparkEntry {
     "q13_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q25_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -1895,7 +1895,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q17_tpch5" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1923,7 +1923,7 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q22_salted" ->
       """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
@@ -2968,9 +2968,9 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL AND length(text) > 0),
         |m AS (
         |  SELECT lang, count(*)::DOUBLE AS n,
-        |    sum(n_chars::HUGEINT)::DOUBLE AS sx, sum(qfp::HUGEINT)::DOUBLE AS sy,
-        |    sum(n_chars::HUGEINT * n_chars::HUGEINT)::DOUBLE AS sxx,
-        |    sum(n_chars::HUGEINT * qfp::HUGEINT)::DOUBLE AS sxy
+        |    sum(n_chars::HUGEINT)::VARCHAR::DOUBLE AS sx, sum(qfp::HUGEINT)::VARCHAR::DOUBLE AS sy,
+        |    sum(n_chars::HUGEINT * n_chars::HUGEINT)::VARCHAR::DOUBLE AS sxx,
+        |    sum(n_chars::HUGEINT * qfp::HUGEINT)::VARCHAR::DOUBLE AS sxy
         |  FROM q GROUP BY lang),
         |s AS (SELECT lang, n, sx, sy,
         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_fp FROM m)
