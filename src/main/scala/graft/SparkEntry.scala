@@ -1153,21 +1153,12 @@ object SparkEntry {
     // share the single exchange+sort — and the final three counts are a
     // metadata-scale aggregation. Tie order pinned by (ts, event_id).
     "funnel_conv" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val prior = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("s1_seen",
-          max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
-        .withColumn("is_s2",
-          when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
-        .withColumn("s2_seen", max(col("is_s2")).over(prior))
-        .withColumn("is_s3",
-          when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+      graft.streaming.Funnel.withStageMarkers(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          "user_id", "ts", "event_id", "event_type")
         .agg(
-          countDistinct(when(col("event_type") === "view", col("user_id"))).as("u_view"),
+          countDistinct(when(col("is_s1") === 1, col("user_id"))).as("u_view"),
           countDistinct(when(col("is_s2") === 1, col("user_id"))).as("u_click_after_view"),
           countDistinct(when(col("is_s3") === 1, col("user_id"))).as("u_purchase_after_click"))
     }),
@@ -1178,23 +1169,14 @@ object SparkEntry {
     // (consecutive windows + groupBy on the partitioning key); only the
     // per-cohort rollup shuffles again, at calendar scale.
     "funnel_by_cohort" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val prior = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-          expr("ts div 86400000000000").as("day"))
-        .withColumn("s1_seen",
-          max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
-        .withColumn("is_s2",
-          when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
-        .withColumn("s2_seen", max(col("is_s2")).over(prior))
-        .withColumn("is_s3",
-          when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+      graft.streaming.Funnel.withStageMarkers(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              expr("ts div 86400000000000").as("day")),
+          "user_id", "ts", "event_id", "event_type")
         .groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"),
-          max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
+          max(col("is_s1")).as("f1"),
           max(col("is_s2")).as("f2"),
           max(col("is_s3")).as("f3"))
         .groupBy(col("cohort_day"))
@@ -2308,7 +2290,7 @@ object SparkEntry {
         .mkString(", ")
       val bits = (0 until 16).map(i =>
         s"CASE WHEN f${i + 1} > f$i THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"WITH f AS (SELECT doc_id AS id, $feats FROM documents), " +
+      s"WITH f AS (SELECT doc_id AS id, $feats FROM documents WHERE text IS NOT NULL), " +
         s"p AS (SELECT id, CAST($bits AS BIGINT) AS ph FROM f) " +
         "SELECT l.id AS i, r.id AS j, bit_count(xor(l.ph, r.ph)) AS hamming_dist " +
         "FROM p l JOIN p r ON l.id < r.id WHERE bit_count(xor(l.ph, r.ph)) <= 3"

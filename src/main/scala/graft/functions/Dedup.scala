@@ -509,6 +509,10 @@ object Dedup {
     require(maxHamming >= 0 && chunks <= totalBits,
       s"need 0 <= maxHamming < totalBits chunks, got $maxHamming over $totalBits bits")
     val bitsPerChunk = totalBits / chunks
+    // Full-width chunk (one chunk over 64 bits): 1L << 64 wraps to 1L in
+    // Scala, which would zero the mask and collapse every signature into
+    // ONE bucket (an all-pairs join). -1L is the correct 64-bit mask.
+    val mask = if (bitsPerChunk >= 64) -1L else (1L << bitsPerChunk) - 1
     val banded = sigs.select(
       col("id"),
       col("sig"),
@@ -516,7 +520,7 @@ object Dedup {
         transform(
           sequence(lit(0), lit(chunks - 1)),
           c => call_function("shiftright", col("sig"), c * bitsPerChunk)
-            .bitwiseAND(lit((1L << bitsPerChunk) - 1)))).as(Seq("chunk", "ckey")))
+            .bitwiseAND(lit(mask)))).as(Seq("chunk", "ckey")))
     banded
       .as("l").hint("merge")
       .join(banded.as("r"), col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&

@@ -193,11 +193,12 @@ object Sampling {
       quota: Int,
       salt: String,
       preBuckets: Int = 32): DataFrame =
-    // NULL or non-positive weights draw nothing and are excluded — the
-    // same semantics as the oracle's `JOIN series ON c < w` (a NULL
+    // Rows whose weight is NULL or < 1 are excluded up front (a NULL
     // weight would otherwise yield a NULL draw and, under NULLS FIRST
     // ordering, silently WIN a quota slot; w = 0 would make sequence()
-    // count downward and draw from salts no oracle computes).
+    // count downward and draw from salts no oracle computes). Weights
+    // are integers by contract (scaladoc); a fractional weight in (0, 1)
+    // is excluded too, not rounded up to one draw.
     quotaByDraw(df.filter(weightCol.isNotNull && weightCol >= 1), stratumCol, keyCol,
       array_min(transform(
         sequence(lit(0L), weightCol.cast("long") - 1L),

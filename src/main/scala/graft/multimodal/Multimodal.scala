@@ -314,8 +314,8 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     // NULL payloads are skipped, not hashed: the codec contract is
-    // "corrupt rows skip, never kill the task", and the oracle's
-    // md5(text) drops NULLs the same way (simhashPairs' posture).
+    // "corrupt rows skip, never kill the task", and the mm_phash oracle
+    // filters NULL text up front to state the same semantics.
     val sigs = df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
       .as[MediaRecord]

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** One event on the funnel path (ts in epoch nanos; event_id breaks ties). */
@@ -29,6 +31,36 @@ final case class FunnelStage(user_id: Long, s1: Boolean, s2: Boolean, s3: Boolea
  * strictly-preceding window frame.
  */
 object Funnel {
+
+  /** Batch-side stage markers: adds `is_s1` (this row is a view), `is_s2`
+    * (a click some STRICTLY earlier event of the user made count by
+    * completing step 1), and `is_s3` (a purchase strictly after such a
+    * click) — cascaded strictly-preceding ROWS-frame windows over ONE
+    * (user, ts, id) ordering, so every caller shares a single exchange
+    * AND a single implementation: a frame-boundary edit here (e.g. -1 vs
+    * 0, which would weaken "strictly earlier" to "earlier-or-same")
+    * cannot drift between `funnel_conv`, `funnel_by_cohort`, and the
+    * property spec that cross-checks the fold. All input columns pass
+    * through. */
+  def withStageMarkers(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val prior = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .withColumn("is_s1", when(col(typeCol) === "view", 1).otherwise(0))
+      .withColumn("__s1_seen", max(col("is_s1")).over(prior))
+      .withColumn("is_s2",
+        when(col(typeCol) === "click" && col("__s1_seen") === 1, 1).otherwise(0))
+      .withColumn("__s2_seen", max(col("is_s2")).over(prior))
+      .withColumn("is_s3",
+        when(col(typeCol) === "purchase" && col("__s2_seen") === 1, 1).otherwise(0))
+      .drop("__s1_seen", "__s2_seen")
+  }
 
   /** Fold a user's in-order events into their funnel flags. */
   private[graft] def fold(

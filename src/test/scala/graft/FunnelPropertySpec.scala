@@ -1,7 +1,6 @@
 package graft
 
 import graft.streaming.{Funnel, FunnelEvent}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, rng}
 import org.scalatest.funsuite.AnyFunSuite
@@ -36,28 +35,20 @@ class FunnelPropertySpec extends AnyFunSuite with SparkSpec {
     FunnelEvent(u, ts, i.toLong, t)
   }
 
-  /** The window-cascade flags, per user — the funnel_conv construction. */
-  private def windowFlags(events: Seq[FunnelEvent], parts: Int): Map[Long, (Boolean, Boolean, Boolean)] = {
-    val prior = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    events.toDF().repartition(parts)
-      .withColumn("s1_seen",
-        max(when(col("event_type") === "view", 1).otherwise(0)).over(prior))
-      .withColumn("is_s2",
-        when(col("event_type") === "click" && col("s1_seen") === 1, 1).otherwise(0))
-      .withColumn("s2_seen", max(col("is_s2")).over(prior))
-      .withColumn("is_s3",
-        when(col("event_type") === "purchase" && col("s2_seen") === 1, 1).otherwise(0))
+  /** The production window-cascade flags per user — THE shared
+    * `Funnel.withStageMarkers` construction, not a private replica, so
+    * this spec pins the implementation the queries actually run. */
+  private def windowFlags(events: Seq[FunnelEvent], parts: Int): Map[Long, (Boolean, Boolean, Boolean)] =
+    Funnel.withStageMarkers(events.toDF().repartition(parts),
+        "user_id", "ts", "event_id", "event_type")
       .groupBy(col("user_id"))
       .agg(
-        max(when(col("event_type") === "view", 1).otherwise(0)).as("f1"),
+        max(col("is_s1")).as("f1"),
         max(col("is_s2")).as("f2"),
         max(col("is_s3")).as("f3"))
       .collect()
       .map(r => r.getLong(0) -> ((r.getInt(1) == 1, r.getInt(2) == 1, r.getInt(3) == 1)))
       .toMap
-  }
 
   test("window-cascade funnel equals the sequential fold on random sequences") {
     val seqs = Iterator.from(0)
