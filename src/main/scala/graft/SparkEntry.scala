@@ -1184,6 +1184,27 @@ object SparkEntry {
           sum(col("f2")).as("u_click"), sum(col("f3")).as("u_purchase"))
     }),
 
+    // Length-bucketed inference/training batch planning: exact global
+    // token-length order (shortest first) chopped into fixed-size batches,
+    // with the integer-exact padding waste each batch would pay at
+    // max-length padding. The global ordering comes from the funnel-free
+    // ranks machinery (Ranks.distributionRanks with one logical group —
+    // internally partitioned by length BIN, so no task ever sees more
+    // than one bin's rows); no global sort exists in the plan.
+    "batch_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("g", lit(1))
+      graft.functions.Ranks.distributionRanks(
+          docs, "g", col("n_tok").cast(DoubleType), col("doc_id"), tiles = 4,
+          rankCol = "rk")
+        .groupBy(expr("(rk - 1) div 32").as("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tokens"),
+          sum(col("n_tok")).as("sum_tokens"))
+        .select(col("batch_id"), col("n_docs"), col("max_tokens"), col("sum_tokens"),
+          (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("pad_waste"))
+    }),
+
     // Per-source duplication audit (the data-card number before dedup):
     // doc and distinct-content counts per source with the duplicate
     // fraction. Distinct-by-digest, so the shuffle carries 16-byte md5
@@ -2470,6 +2491,13 @@ object SparkEntry {
         |SELECT cohort_day, count(*) AS n_users, sum(f1) AS u_view,
         |  sum(f2) AS u_click, sum(f3) AS u_purchase
         |FROM u GROUP BY 1""".stripMargin,
+    "batch_plan" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rk FROM d)
+        |SELECT (rk - 1) // 32 AS batch_id, count(*) AS n_docs,
+        |  max(n_tok) AS max_tokens, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1""".stripMargin,
     "dedup_report" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
         |  CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate

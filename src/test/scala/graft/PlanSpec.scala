@@ -176,7 +176,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // occupied score bin), never corpus rows — asserted structurally by
       // requiring every such window to consume only bin-frame columns.
       val corpusScale =
-        if (q != "dsir_select") bad
+        if (q != "dsir_select" && q != "batch_plan") bad
         else bad.filterNot(_.child.output.forall(a => a.name.startsWith("__") || a.name == "1"))
       assert(corpusScale.isEmpty, s"$q has an unpartitioned window:\n${planString(q)}")
     }
