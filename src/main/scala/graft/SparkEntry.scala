@@ -356,6 +356,21 @@ object SparkEntry {
         Map("ts" -> "last_purchase_ts", "pv" -> "last_purchase_value"))
     }),
 
+    // Forward as-of join: each event enriched with the NEXT purchase of
+    // the same user (time-to-conversion labeling) — the mirror direction
+    // of q20, same one-shuffle union+window composition with the ordering
+    // flipped; DuckDB's ASOF with `e.ts <= p.ts` is the oracle.
+    "q36_asof_fwd" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = t(s, dir, "events").withColumn("ts", expr("(ts div 1000) * 1000"))
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(dsum(col("value")).as("pv"))
+      AsOfJoin.asofJoinForward(left, right, "user_id", "ts", "ts",
+        Map("ts" -> "next_purchase_ts", "pv" -> "next_purchase_value"))
+    }),
+
     // Keyed range join (graft.operators.RangeJoin): each event located in
     // its session's [start_ts, end_ts] interval — bucketed equi-join plus
     // exact range post-filter, never a nested-loop inequality join.
@@ -1950,6 +1965,12 @@ object SparkEntry {
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT e.user_id, e.ts, e.event_id, p.ts AS last_purchase_ts, p.pv AS last_purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q36_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts, event_type, "value" FROM events),
+        |p AS (SELECT user_id, ts, CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS pv
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id, p.ts AS next_purchase_ts, p.pv AS next_purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
     "q19_kmv" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type, user_id,

@@ -39,7 +39,31 @@ object AsOfJoin {
       key: String,
       leftTs: String,
       rightTs: String,
-      attrs: Map[String, String]): DataFrame = {
+      attrs: Map[String, String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, attrs, forward = false)
+
+  /** Forward as-of: the NEAREST FOLLOWING right row (`rightTs >= leftTs`)
+    * instead of the most recent prior one — "time to next purchase",
+    * label-attachment windows, next-state enrichment. Same one-shuffle
+    * union+window composition, same tie semantics (equal timestamps
+    * match); only the ordering direction flips. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      attrs: Map[String, String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, attrs, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      attrs: Map[String, String],
+      forward: Boolean): DataFrame = {
     val outAttrs = attrs.toSeq
     val passthrough = left.columns.toSeq.filterNot(c => c == key || c == leftTs)
     val collisions = outAttrs.map(_._2).filter(o => o == key || o == leftTs || passthrough.contains(o))
@@ -57,7 +81,13 @@ object AsOfJoin {
         lit(null).cast(r.schema("__attrs").dataType).as("__attrs") +:
         passthrough.map(col): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // Backward: ascending ts, carry the last prior right row forward.
+    // Forward: DESCENDING ts, so "previous rows in frame" are the LATER
+    // timestamps and the carried row is the nearest following one. In
+    // both directions right rows (__side = 0) sort before the left row
+    // at an equal timestamp, so equal ts matches.
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(col(key)).orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rPadded.unionByName(l)
       .withColumn("__m", last(col("__attrs"), ignoreNulls = true).over(w))

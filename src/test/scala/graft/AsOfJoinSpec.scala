@@ -25,6 +25,17 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (2L, 100L, "e3", None, None)))         // key with no right rows
   }
 
+  test("forward: matches the nearest FOLLOWING right row; equal ts matches") {
+    val out = AsOfJoin.asofJoinForward(left, right, "k", "ts", "ts",
+      Map("ts" -> "rts", "v" -> "rv"))
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSet
+    assert(out === Set(
+      (1L, 50L, "e0", Some(100L), Some(10.0)),  // nearest following, not 150
+      (1L, 100L, "e1", Some(100L), Some(10.0)), // equal ts matches
+      (1L, 200L, "e2", None, None),             // after every right row
+      (2L, 100L, "e3", None, None)))            // key with no right rows
+  }
+
   test("plans exactly one shuffle (the key window)") {
     val plan = AsOfJoin.asofJoin(left, right, "k", "ts", "ts", Map("v" -> "rv"))
       .queryExecution.executedPlan.toString
