@@ -1178,6 +1178,21 @@ object SparkEntry {
           countDistinct(when(col("is_s3") === 1, col("user_id"))).as("u_purchase_after_click"))
     }),
 
+    // Windowed funnel: conversion counts where each step must land within
+    // ONE DAY of the completing previous step — the attribution-window
+    // form of funnel_conv (Funnel.withStageMarkersWithin: value RANGE
+    // frames over the same single user exchange).
+    "funnel_windowed" -> ((s, dir) => {
+      graft.streaming.Funnel.withStageMarkersWithin(
+          t(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", "event_type", horizonNanos = 86400000000000L)
+        .agg(
+          countDistinct(when(col("is_s1") === 1, col("user_id"))).as("u_view"),
+          countDistinct(when(col("is_s2") === 1, col("user_id"))).as("u_click_1d"),
+          countDistinct(when(col("is_s3") === 1, col("user_id"))).as("u_purchase_1d"))
+    }),
+
     // Funnel × cohort composition: per first-active-day cohort, how many
     // users reached each funnel stage. The flag windows, the per-user
     // rollup, AND the cohort derivation all ride ONE user_id exchange
@@ -2487,6 +2502,27 @@ object SparkEntry {
         |  count(DISTINCT CASE WHEN is_s2 = 1 THEN user_id END) AS u_click_after_view,
         |  count(DISTINCT CASE WHEN event_type = 'purchase' AND s2_seen = 1 THEN user_id END)
         |    AS u_purchase_after_click
+        |FROM s3""".stripMargin,
+    "funnel_windowed" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+        |s1 AS (SELECT *,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING) AS s1_recent
+        |  FROM e),
+        |s2 AS (SELECT *,
+        |  CASE WHEN event_type = 'click' AND s1_recent = 1 THEN 1 ELSE 0 END AS is_s2
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |  max(is_s2) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN 86400000000000 PRECEDING AND 1 PRECEDING) AS s2_recent
+        |  FROM s2)
+        |SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS u_view,
+        |  count(DISTINCT CASE WHEN is_s2 = 1 THEN user_id END) AS u_click_1d,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' AND s2_recent = 1 THEN user_id END)
+        |    AS u_purchase_1d
         |FROM s3""".stripMargin,
     "funnel_by_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,

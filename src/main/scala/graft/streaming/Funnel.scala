@@ -62,6 +62,35 @@ object Funnel {
       .drop("__s1_seen", "__s2_seen")
   }
 
+  /** [[withStageMarkers]] with a conversion HORIZON: a step counts only
+    * when the previous step completed within `horizonNanos` BEFORE it —
+    * the industry-standard windowed attribution form ("click within a
+    * day of a view, purchase within a day of that click"). The cascade
+    * swaps the unbounded ROWS frame for a value RANGE frame
+    * (-horizon, -1]: same single user exchange, and the frame bound is
+    * by event-time VALUE, so same-timestamp ties are excluded entirely
+    * (strictly-earlier by time, not by row). */
+  def withStageMarkersWithin(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      horizonNanos: Long): DataFrame = {
+    require(horizonNanos > 0, "horizonNanos must be positive")
+    val recent = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol))
+      .rangeBetween(-horizonNanos, -1)
+    df
+      .withColumn("is_s1", when(col(typeCol) === "view", 1).otherwise(0))
+      .withColumn("__s1_recent", max(col("is_s1")).over(recent))
+      .withColumn("is_s2",
+        when(col(typeCol) === "click" && col("__s1_recent") === 1, 1).otherwise(0))
+      .withColumn("__s2_recent", max(col("is_s2")).over(recent))
+      .withColumn("is_s3",
+        when(col(typeCol) === "purchase" && col("__s2_recent") === 1, 1).otherwise(0))
+      .drop("__s1_recent", "__s2_recent")
+  }
+
   /** Fold a user's in-order events into their funnel flags. */
   private[graft] def fold(
       s1: Boolean, s2: Boolean, s3: Boolean,

@@ -50,6 +50,42 @@ class FunnelPropertySpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> ((r.getInt(1) == 1, r.getInt(2) == 1, r.getInt(3) == 1)))
       .toMap
 
+  test("windowed (horizon) cascade equals a scalar range-scan replica on random sequences") {
+    // Scalar replica: is_s2 iff a view exists at ts' in [ts-H, ts-1];
+    // is_s3 iff a QUALIFYING click exists in that range — independently
+    // recomputed per row by brute-force scan, so a RANGE-frame boundary
+    // bug (inclusive vs exclusive, H vs H-1) cannot cancel out.
+    val H = 5L
+    val seqs = Iterator.from(0)
+      .map(i => eventsGen.apply(Gen.Parameters.default, rng.Seed(31337L + i)))
+      .flatten.take(15).toSeq
+    for ((events, i) <- seqs.zipWithIndex) {
+      val byUser = events.groupBy(_.user_id)
+      val expected = byUser.flatMap { case (u, es) =>
+        val views = es.filter(_.event_type == "view").map(_.ts)
+        val s2 = es.filter(e => e.event_type == "click" &&
+          views.exists(t => t >= e.ts - H && t <= e.ts - 1)).map(_.ts)
+        val s3 = es.filter(e => e.event_type == "purchase" &&
+          s2.exists(t => t >= e.ts - H && t <= e.ts - 1))
+        Seq(
+          (u, 1, views.nonEmpty),
+          (u, 2, s2.nonEmpty),
+          (u, 3, s3.nonEmpty))
+      }.toSet
+      val out = Funnel.withStageMarkersWithin(
+          events.toDF().repartition(1 + (i % 4)), "user_id", "ts", "event_type", H)
+        .groupBy(col("user_id"))
+        .agg(max(col("is_s1")).as("f1"), max(col("is_s2")).as("f2"), max(col("is_s3")).as("f3"))
+        .collect()
+        .flatMap(r => Seq(
+          (r.getLong(0), 1, r.getInt(1) == 1),
+          (r.getLong(0), 2, r.getInt(2) == 1),
+          (r.getLong(0), 3, r.getInt(3) == 1)))
+        .toSet
+      assert(out == expected, s"case $i: $events")
+    }
+  }
+
   test("window-cascade funnel equals the sequential fold on random sequences") {
     val seqs = Iterator.from(0)
       .map(i => eventsGen.apply(Gen.Parameters.default, rng.Seed(777L + i)))
