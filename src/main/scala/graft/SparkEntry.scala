@@ -1185,6 +1185,7 @@ object SparkEntry {
     "funnel_windowed" -> ((s, dir) => {
       graft.streaming.Funnel.withStageMarkersWithin(
           t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
             .select(col("user_id"), col("ts"), col("event_type")),
           "user_id", "ts", "event_type", horizonNanos = 86400000000000L)
         .agg(
@@ -1223,7 +1224,7 @@ object SparkEntry {
     // than one bin's rows); no global sort exists in the plan.
     "batch_plan" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+        .select(col("doc_id"), size(TF.wsTokens(col("text"))).as("n_tok"))
         .withColumn("g", lit(1))
       graft.functions.Ranks.distributionRanks(
           docs, "g", col("n_tok").cast(DoubleType), col("doc_id"), tiles = 4,

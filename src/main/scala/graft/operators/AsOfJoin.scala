@@ -70,7 +70,13 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"output attr name(s) collide with left columns: ${collisions.mkString(", ")}")
 
-    val r = right.select(
+    // NULL timestamps never match (DuckDB ASOF's comparison semantics):
+    // null-ts right rows are dropped, and the orderings below pin null-ts
+    // LEFT rows to sort before every right row in frame order (asc ->
+    // nulls first; desc -> nulls FIRST explicitly, where Spark's default
+    // desc puts nulls last and would hand a null-ts left row the
+    // minimum-ts right match).
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(key), col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),
       struct(outAttrs.map { case (rc, out) => col(rc).as(out) }: _*).as("__attrs"))
     val rPadded = r.select(
@@ -86,7 +92,7 @@ object AsOfJoin {
     // timestamps and the carried row is the nearest following one. In
     // both directions right rows (__side = 0) sort before the left row
     // at an equal timestamp, so equal ts matches.
-    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val ord = if (forward) col("__ts").desc_nulls_first else col("__ts").asc_nulls_first
     val w = Window.partitionBy(col(key)).orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rPadded.unionByName(l)

@@ -67,7 +67,8 @@ object Funnel {
     * the industry-standard windowed attribution form ("click within a
     * day of a view, purchase within a day of that click"). The cascade
     * swaps the unbounded ROWS frame for a value RANGE frame
-    * (-horizon, -1]: same single user exchange, and the frame bound is
+    * [-horizon, -1] (inclusive at both ends — a previous step at exactly
+    * ts - horizon qualifies): same single user exchange, and the frame bound is
     * by event-time VALUE, so same-timestamp ties are excluded entirely
     * (strictly-earlier by time, not by row). */
   def withStageMarkersWithin(

@@ -36,6 +36,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
       (2L, 100L, "e3", None, None)))            // key with no right rows
   }
 
+  test("NULL timestamps never match in either direction") {
+    val l = Seq((1L, Some(100L), "e1"), (1L, None, "eNull")).toDF("k", "ts", "name")
+    val r = Seq((1L, Some(150L), 20.0), (1L, Option.empty[Long], 99.0)).toDF("k", "ts", "v")
+    val fwd = AsOfJoin.asofJoinForward(l, r, "k", "ts", "ts", Map("v" -> "rv"))
+      .as[(Long, Option[Long], String, Option[Double])].collect().toSet
+    // The null-ts left row gets NO match (desc_nulls_first), and the
+    // null-ts right row is dropped rather than carried to everyone.
+    assert(fwd === Set(
+      (1L, Some(100L), "e1", Some(20.0)),
+      (1L, None, "eNull", None)))
+    val bwd = AsOfJoin.asofJoin(l, r, "k", "ts", "ts", Map("v" -> "rv"))
+      .as[(Long, Option[Long], String, Option[Double])].collect().toSet
+    assert(bwd === Set(
+      (1L, Some(100L), "e1", None),
+      (1L, None, "eNull", None)))
+  }
+
   test("plans exactly one shuffle (the key window)") {
     val plan = AsOfJoin.asofJoin(left, right, "k", "ts", "ts", Map("v" -> "rv"))
       .queryExecution.executedPlan.toString
