@@ -520,9 +520,10 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
-    // IVF approximate ANN: Voronoi-cell partition around deterministic
-    // sample centroids, nProbe=2 cells probed per query; cell assignment
-    // is a map-side literal-centroid argmax (no corpus shuffle).
+    // IVF approximate ANN: Voronoi-cell partition around a FIXED-size
+    // hash-rank centroid sample (|C| independent of corpus rows), nProbe=2
+    // cells probed per query; cell assignment is a map-side
+    // literal-centroid argmax (no corpus shuffle).
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
@@ -1170,6 +1171,7 @@ object SparkEntry {
     "funnel_conv" -> ((s, dir) => {
       graft.streaming.Funnel.withStageMarkers(
           t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
             .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
           "user_id", "ts", "event_id", "event_type")
         .agg(
@@ -1202,6 +1204,7 @@ object SparkEntry {
     "funnel_by_cohort" -> ((s, dir) => {
       graft.streaming.Funnel.withStageMarkers(
           t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
             .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
               expr("ts div 86400000000000").as("day")),
           "user_id", "ts", "event_id", "event_type")
@@ -2092,11 +2095,14 @@ object SparkEntry {
          |WHERE vec_id NOT IN (
          |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
          |  WHERE id != cluster_id)""".stripMargin,
-    // Replicates IVF cells: same centroid sample, affinity ranking with
-    // (a DESC, cid) tie-break, nProbe=2, scoring identical to ann_topk.
+    // Replicates IVF cells: same hash-rank centroid sample (fixed |C|=16,
+    // xhash32 = md5-prefix), affinity ranking with (a DESC, cid) tie-break,
+    // nProbe=2, scoring identical to ann_topk.
     "ann_ivf" ->
       s"""WITH e AS ($embCast),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e WHERE vec_id % 97 = 3),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
          |aff AS (
          |  SELECT e.vec_id, cent.cid,
          |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
@@ -2546,8 +2552,10 @@ object SparkEntry {
         |  max(is_s2) AS f2,
         |  max(CASE WHEN event_type = 'purchase' AND s2_seen = 1 THEN 1 ELSE 0 END) AS f3
         |  FROM s3 GROUP BY 1)
-        |SELECT cohort_day, count(*) AS n_users, sum(f1) AS u_view,
-        |  sum(f2) AS u_click, sum(f3) AS u_purchase
+        |SELECT cohort_day, count(*) AS n_users,
+        |  CAST(sum(f1) AS BIGINT) AS u_view,
+        |  CAST(sum(f2) AS BIGINT) AS u_click,
+        |  CAST(sum(f3) AS BIGINT) AS u_purchase
         |FROM u GROUP BY 1""".stripMargin,
     "batch_plan" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),

@@ -538,22 +538,37 @@ object Similarity {
    * and the candidate join is an equi-join on centroid id — the classic
    * IVF scale shape: scan cost drops by ~|C|/nProbe.
    *
-   * Centroids here are deterministic corpus samples (`vec_id % modulo ==
-   * residue`) rather than k-means iterates, so the DuckDB oracle replicates
-   * cells, probes, and ranking exactly; swapping in trained centroids
-   * changes recall, not the plan. Ties break toward the lower centroid id.
+   * Centroids here are deterministic corpus samples (the `numCentroids`
+   * vectors of smallest cross-engine hash rank) rather than k-means
+   * iterates, so the DuckDB oracle replicates cells, probes, and ranking
+   * exactly; swapping in trained centroids changes recall, not the plan.
+   * Ties break toward the lower centroid id.
    * Output: (query_id, rank, vec_id, score) — rank within probed cells.
    */
-  /** Deterministic sample centroids for IVF: corpus vectors with
-    * `id % modulo == residue`, sorted by id. Metadata-scale collect. */
+  /** Deterministic sample centroids for IVF: the `numCentroids` corpus
+    * vectors with the smallest `(xhash32("ivf_" + id), id)` hash rank,
+    * sorted by id. |C| is FIXED — independent of corpus row count — so the
+    * driver collect, the literal payload in the plan, and the per-row
+    * assignment cost are all bounded at any corpus scale (a `id % m`
+    * sample would grow |C| linearly with the corpus and turn assignment
+    * into O(n²·dim/m)). The rank is a TakeOrderedAndProject: per-partition
+    * top-k, merged on the driver — never a global sort. Cross-engine: the
+    * hash is the md5-prefix xhash32 family, so a DuckDB oracle reproduces
+    * the exact sample via
+    * `QUALIFY row_number() OVER (ORDER BY ('0x' || substr(md5('ivf_' ||
+    * id::VARCHAR), 1, 8))::BIGINT, id) <= numCentroids`. */
   def sampledIvfCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidModulo: Long = 97L,
-      centroidResidue: Long = 3L): Array[(Long, Vector[Double])] =
-    corpus.filter(col(idCol) % centroidModulo === centroidResidue)
-      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      numCentroids: Int = 16): Array[(Long, Vector[Double])] =
+    corpus
+      .select(col(idCol).cast(LongType).as("cid"), col(vecCol).as("cv"),
+        graft.functions.TextFunctions.xhash32(
+          concat(lit("ivf_"), col(idCol).cast(StringType))).as("hr"))
+      .orderBy(col("hr"), col("cid"))
+      .limit(numCentroids)
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector))
       .sortBy(_._1)
 
@@ -569,11 +584,10 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroidModulo: Long = 97L,
-      centroidResidue: Long = 3L,
+      numCentroids: Int = 16,
       iters: Int = 3): Array[(Long, Vector[Double])] = {
-    var cents = sampledIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue)
-    require(cents.nonEmpty, "no seed centroids selected — adjust modulo/residue")
+    var cents = sampledIvfCentroids(corpus, idCol, vecCol, numCentroids)
+    require(cents.nonEmpty, "no seed centroids selected — empty corpus?")
     val base = corpus.select(
       col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
     for (_ <- 0 until iters) {
@@ -625,12 +639,11 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidModulo: Long = 97L,
-      centroidResidue: Long = 3L,
+      numCentroids: Int = 16,
       nProbe: Int = 2,
       trainIters: Int = 3): DataFrame =
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
-      trainIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue, trainIters),
+      trainIvfCentroids(corpus, idCol, vecCol, numCentroids, trainIters),
       nProbe)
 
   def ivfTopK(
@@ -639,16 +652,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      centroidModulo: Long = 97L,
-      centroidResidue: Long = 3L,
+      numCentroids: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    // Centroids are metadata-scale: collect to the driver and inline them
-    // as literals, so cell assignment is a pure map-side projection (|C|
+    // Centroids are metadata-scale BY CONSTRUCTION (fixed |C|, see
+    // sampledIvfCentroids): collect to the driver and inline them as
+    // literals, so cell assignment is a pure map-side projection (|C|
     // kernel dot products per row, NO shuffle of the corpus). At storage
     // scale the corpus would additionally be bucketed by cell so probing
     // prunes file scans, not just scoring.
-    val centRows = sampledIvfCentroids(corpus, idCol, vecCol, centroidModulo, centroidResidue)
-    require(centRows.nonEmpty, "no centroids selected — adjust modulo/residue")
+    val centRows = sampledIvfCentroids(corpus, idCol, vecCol, numCentroids)
+    require(centRows.nonEmpty, "no centroids selected — empty corpus?")
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centRows, nProbe)
   }
 

@@ -87,6 +87,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rt > 0.0)
   }
 
+  test("IVF centroid count is FIXED — independent of corpus row count (100 TB gate)") {
+    // The r6 verdict's one scale-killer: an `id % m` sample grows |C|
+    // linearly with the corpus (driver collect, plan literals, and per-row
+    // assignment all corpus-linear). The hash-rank sample is bounded BY
+    // CONSTRUCTION: doubling the corpus must not change |C|.
+    val base = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    assert(base.length == 16, s"|C| = ${base.length}, want the fixed default 16")
+    val doubled = emb.union(emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    val big = Similarity.sampledIvfCentroids(doubled, "vec_id", "embedding")
+    assert(big.length == 16, s"|C| grew to ${big.length} on a 2x corpus")
+    // Deterministic: pure function of the data, stable under repartitioning.
+    val repart = Similarity.sampledIvfCentroids(emb.repartition(13), "vec_id", "embedding")
+    assert(repart.map(_._1).toSeq == base.map(_._1).toSeq)
+    // Explicit budgets are honored exactly (and clamp at the corpus size).
+    assert(Similarity.sampledIvfCentroids(emb, "vec_id", "embedding", 7).length == 7)
+  }
+
   test("k-means training preserves centroid count and dimension, ids stay stable") {
     val seeds = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", iters = 2)
