@@ -183,8 +183,12 @@ object Sampling {
     * `weightCol` must be a SMALL bounded positive integer (quality tier,
     * duplication count …): the draw is a narrow
     * `array_min(transform(sequence(0, w-1), …))` projection — O(w) per
-    * row, no explode, no extra shuffle. Selection scale shape is the
-    * same two-phase window as [[stratifiedQuota]]. */
+    * row, no explode, no extra shuffle. The bound is ENFORCED: a weight
+    * above `maxWeight` (default 1024) raises a clear contract error at
+    * execution instead of materializing a w-element array per row and
+    * OOMing the task (an un-capped upstream count, e.g. a duplication
+    * tally of 10^9, would otherwise do exactly that). Selection scale
+    * shape is the same two-phase window as [[stratifiedQuota]]. */
   def weightedQuota(
       df: DataFrame,
       stratumCol: Column,
@@ -192,18 +196,25 @@ object Sampling {
       weightCol: Column,
       quota: Int,
       salt: String,
-      preBuckets: Int = 32): DataFrame =
+      preBuckets: Int = 32,
+      maxWeight: Int = 1024): DataFrame = {
+    require(maxWeight >= 1, "maxWeight must be positive")
     // Rows whose weight is NULL or < 1 are excluded up front (a NULL
     // weight would otherwise yield a NULL draw and, under NULLS FIRST
     // ordering, silently WIN a quota slot; w = 0 would make sequence()
     // count downward and draw from salts no oracle computes). Weights
     // are integers by contract (scaladoc); a fractional weight in (0, 1)
     // is excluded too, not rounded up to one draw.
+    val w = weightCol.cast("long")
+    val guarded = when(w <= lit(maxWeight.toLong), w).otherwise(raise_error(concat(
+      lit(s"weightedQuota: weight "), w.cast("string"),
+      lit(s" exceeds maxWeight=$maxWeight for key "), keyCol.cast("string"))))
     quotaByDraw(df.filter(weightCol.isNotNull && weightCol >= 1), stratumCol, keyCol,
       array_min(transform(
-        sequence(lit(0L), weightCol.cast("long") - 1L),
+        sequence(lit(0L), guarded - 1L),
         c => xhash32(concat(lit(salt), keyCol, lit("_"), c.cast("string"))))),
       quota, preBuckets)
+  }
 
   /** Shared two-phase per-stratum top-`quota` by an arbitrary
     * deterministic draw expression. A single window per stratum would

@@ -298,12 +298,17 @@ object Multimodal {
   }
 
   /** Perceptual near-duplicate image pairs: dHash through the codec
-    * boundary, then the SimHash pigeonhole — Hamming <= `maxHamming`
-    * over 16 bits guarantees at least one of maxHamming+1 equal chunks
-    * (`Dedup.bandedHammingPairs` — the same banded plan SimHash runs:
-    * one shared Exchange, Hamming filter before the dedup shuffle).
-    * Never all-pairs; candidate volume is collision-bounded per chunk
-    * bucket. NULL payloads are skipped like simhashPairs' NULL text.
+    * boundary, then the SimHash pigeonhole band join — but run over the
+    * DISTINCT 16-bit signatures, not the raw rows. A 16-bit signature
+    * banded into 4-bit chunks has only 16 keys per band, so a banded
+    * self-join over raw rows would still generate Θ(n²/16) candidates at
+    * corpus scale; over distinct sigs the banded-join volume is bounded by
+    * 2^32/16 — a CONSTANT, independent of corpus rows — and every
+    * re-expanded candidate is already a true near-pair because the exact
+    * Hamming filter ran at signature granularity. Equal-signature pairs
+    * (Hamming 0) come from a plain sig equi-join; both expansions are
+    * output-bound (no false candidates survive to the id joins).
+    * NULL payloads are skipped like simhashPairs' NULL text.
     * Output: (i, j, hamming_dist), i < j. */
   def phashPairs(
       df: DataFrame,
@@ -321,6 +326,25 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.map(r => (r.id, MediaCodec.dHash16(r.data))))
       .toDF("id", "sig")
-    graft.functions.Dedup.bandedHammingPairs(sigs, totalBits = 16, maxHamming = maxHamming)
+    // <= 65536 distinct signatures: the band join runs at sig scale.
+    val sigPairs = graft.functions.Dedup.bandedHammingPairs(
+        sigs.select(col("sig")).distinct().select(col("sig").as("id"), col("sig")),
+        totalBits = 16, maxHamming = maxHamming)
+      .filter(col("hamming_dist") >= 1) // equal sigs handled exactly below
+      .select(col("i").as("si"), col("j").as("sj"), col("hamming_dist"))
+    // Re-expand near-sig pairs through the id side. The sig-pair table is
+    // metadata-scale (bounded by the 16-bit space), so it broadcasts; a
+    // given unordered id pair maps to exactly ONE unordered sig pair, so
+    // no dedup pass is needed.
+    val near = sigs.select(col("id").as("a"), col("sig").as("si"))
+      .join(broadcast(sigPairs), Seq("si"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sj")), Seq("sj"))
+      .select(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"), col("hamming_dist"))
+    val same = sigs.as("l")
+      .join(sigs.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"),
+        lit(0).cast("int").as("hamming_dist"))
+    near.unionByName(same)
   }
 }

@@ -200,4 +200,57 @@ class ExpandJsonSpec extends SparkSpec {
     assert(meta("o").metadata.getString(
       graft.schema.JsonSchemaInference.SchemaNameKey).startsWith("com.acme.Doc"))
   }
+
+  test("schema-name metadata survives a parquet write -> read round-trip") {
+    // §1.3's naming exists FOR sinks (a downstream consumer reads the
+    // Connect schema name off the stored frame); prove the StructField
+    // metadata actually lands in the parquet footer and comes back.
+    val nested =
+      """{"numberValue": 42, "level1": {"level2": {"level3Number": 24}}, "items": [{"q": 1}]}"""
+    val out = Seq(nested).toDF("value")
+      .transform(ExpandJson.whole("value", schemaNamePrefix = Some("my.prefix.Rec")))
+    val dir = java.nio.file.Files.createTempDirectory("ej_meta_rt").toString
+    try {
+      out.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      // Bottom-up numbering: level2 -> Rec, level1 -> Rec2, items element
+      // -> Rec3, root -> Rec4.
+      val root = back.schema("value")
+      assert(root.metadata.getString(JsonSchemaInference.SchemaNameKey) === "my.prefix.Rec4")
+      val st = root.dataType.asInstanceOf[StructType]
+      assert(st("level1").metadata.getString(JsonSchemaInference.SchemaNameKey)
+        === "my.prefix.Rec2")
+      assert(st("level1").dataType.asInstanceOf[StructType]("level2")
+        .metadata.getString(JsonSchemaInference.SchemaNameKey) === "my.prefix.Rec")
+      // Array-of-struct fields carry the element name under the element key.
+      assert(st("items").metadata.getString(JsonSchemaInference.ElementSchemaNameKey)
+        .startsWith("my.prefix.Rec"))
+      // And the data itself round-tripped.
+      assert(back.collect().head.getStruct(0).getInt(0) === 42)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("heterogeneous array [1, \"a\"]: FAILFAST throws (DataException parity); permissive nulls the record") {
+    // Reference parity: first-element inference types the array int32, then
+    // JsonConverter's value conversion throws DataException on the "a"
+    // element (ExpandJson.java:220 + JsonConverter). Our FAILFAST mode
+    // surfaces the same failure as a SparkException at parse time — strict
+    // parity. Permissive mode maps it to a NULL expanded value for the
+    // whole record (Spark's PERMISSIVE from_json treats the conversion
+    // failure at record granularity, not element) — the documented
+    // error-model mapping (§2.3): strict mode agrees with the reference,
+    // lenient mode degrades by record.
+    val df = Seq("""{"h": [1, 2]}""", """{"h": [1, "a"]}""").toDF("value")
+    intercept[SparkException] {
+      df.transform(ExpandJson.whole("value", sampleSize = 1)).collect()
+    }
+    val ok = df.transform(ExpandJson.whole("value", sampleSize = 1, permissive = true))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getStruct(0).getSeq[Any](0))
+    assert(ok(0) === Seq(1, 2))
+    // The unconvertible record's expanded value is null; the clean record
+    // is untouched.
+    assert(ok(1) === null)
+  }
 }

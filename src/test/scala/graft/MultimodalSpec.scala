@@ -231,4 +231,27 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       assert(d <= 3, s"pair ($i,$j) escaped the Hamming cap: $d")
     }
   }
+
+  test("phashPairs matches the brute-force Hamming closure exactly (distinct-sig path)") {
+    // The distinct-signature collapse must not change SEMANTICS: all pairs
+    // at Hamming <= max, including equal-signature (Hamming 0) pairs from
+    // byte-identical payloads, each exactly once.
+    val payloads = Seq(
+      1L -> "opaque payload one", 2L -> "opaque payload one", // identical -> Hamming 0
+      3L -> "opaque payload one", // three-way identical group
+      4L -> "a different opaque payload",
+      5L -> "yet another thing entirely", 6L -> "and one more for volume")
+    val rows = payloads.map { case (id, s) => (id, s.getBytes("UTF-8")) }.toDF("id", "data")
+    val got = Multimodal.phashPairs(rows, "id", "data", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = payloads.toMap.view.mapValues(s => MediaCodec.dHash16(s.getBytes("UTF-8"))).toMap
+    val want = (for {
+      (i, _) <- payloads; (j, _) <- payloads if i < j
+      d = java.lang.Long.bitCount(sig(i) ^ sig(j)) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got === want)
+    // Multiplicity check: collect() above would hide duplicates in the Set;
+    // count must equal the closure size too.
+    assert(Multimodal.phashPairs(rows, "id", "data", maxHamming = 3).count() === want.size)
+  }
 }

@@ -166,6 +166,25 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     assert(out.length === 100)
     assert(out.count(_ == 8L) > 60, s"weight-8 rows won only ${out.count(_ == 8L)}/100 slots")
   }
+
+  test("weightedQuota: a weight above maxWeight raises a contract error, not an OOM") {
+    // An un-capped upstream count (say a duplication tally of 10^9) would
+    // otherwise materialize a billion-element draw array per row and kill
+    // the task opaquely; the guard names the key and the bound instead.
+    val df = Seq(("g", "a", 2L), ("g", "huge", 2000000000L)).toDF("g", "k", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedQuota(df, col("g"), col("k"), col("w"), quota = 10, salt = "wg")
+        .collect()
+    }
+    assert(e.getMessage.contains("maxWeight") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxWeight")))
+    // A raised bound admits the same row.
+    val ok = Sampling.weightedQuota(
+      Seq(("g", "a", 1500L)).toDF("g", "k", "w"),
+      col("g"), col("k"), col("w"), quota = 10, salt = "wg", maxWeight = 2048)
+      .select("k").as[String].collect()
+    assert(ok.toSeq === Seq("a"))
+  }
 }
 
 class ClustersSpec extends AnyFunSuite with SparkSpec {

@@ -593,6 +593,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(expected(2L) === ((true, false, false)))
     assert(expected(3L) === ((true, false, false)))
   }
+
+  test("Kafka source contract: binary key/value expand; topic/partition/offset pass through") {
+    // The exact frame the Kafka DataSource presents (no broker in this
+    // container — DESIGN.md; this pins the column contract KafkaJson.expand
+    // must honor: key/value BINARY, plus the five passthrough metadata
+    // columns, reference Key/Value variants ExpandJson.java:277-319).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val kafkaSchema = StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val rows = Seq(
+      Row("""{"id": 7}""".getBytes("UTF-8"),
+        """{"k": 42, "tag": "a"}""".getBytes("UTF-8"), "events", 0, 100L, ts, 0),
+      Row(null,
+        """{"k": -1, "tag": "b"}""".getBytes("UTF-8"), "events", 1, 5L, ts, 0))
+    val kafka = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), kafkaSchema)
+
+    val keySchema = StructType(Seq(StructField("id", IntegerType)))
+    val out = graft.streaming.KafkaJson.expand(kafka, JsonTestSchemas.kv, Some(keySchema))
+
+    // Column contract: same names, same order; only key/value retyped.
+    assert(out.columns.toSeq ===
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType"))
+    assert(out.schema("key").dataType === keySchema)
+    assert(out.schema("value").dataType === JsonTestSchemas.kv)
+    val got = out.orderBy("offset").collect()
+    // Null key (a keyless Kafka record) passes through as null — the
+    // documented divergence from the reference's NPE.
+    assert(got(0).isNullAt(0) && got(0).getStruct(1).getInt(0) === -1)
+    assert(got(1).getStruct(0).getInt(0) === 7)
+    assert(got(1).getStruct(1).getInt(0) === 42 && got(1).getStruct(1).getString(1) === "a")
+    // Passthrough metadata columns are untouched.
+    assert(got.map(r => (r.getString(2), r.getInt(3), r.getLong(4))).toSeq ===
+      Seq(("events", 1, 5L), ("events", 0, 100L)))
+  }
 }
 
 /** Shared fixed schemas for streaming tests. */
