@@ -84,7 +84,11 @@ class SimilaritySpec extends SparkSpec {
     val trained = Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", k = 5)
     val (rs, rt) = (recall(sampled, exact), recall(trained, exact))
     assert(rt >= rs, s"trained recall $rt < sampled recall $rs")
-    assert(rt > 0.0)
+    // Explicit floor vs the exact oracle: nProbe=2 of 16 cells probes 1/8
+    // of the corpus, so chance recall is ~0.125; the Voronoi structure
+    // must beat that with margin (measured 0.30 at sf0.001 AND sf0.1 for
+    // the sampled policy, 0.35-0.38 trained — corpus-size stable).
+    assert(rs >= 0.2, s"sampled IVF recall $rs below the 0.2 floor")
   }
 
   test("IVF centroid count is FIXED — independent of corpus row count (100 TB gate)") {
