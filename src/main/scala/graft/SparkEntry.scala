@@ -448,6 +448,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, threshold = 0.7)),
 
+    // Asymmetric containment |S(i)∩S(j)|/|S(i)| >= 0.9 — the quote/subset
+    // detector Jaccard can't see (a short doc wholly inside a long one).
+    // Rarest-prefix inverted-index join on the contained side; exact.
+    "contain_ngram" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 4, threshold = 0.9, minShingles = 8)),
+
     // SimHash near-dup at Hamming<=3 via pigeonhole band join (exact recall).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -585,6 +592,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occur"), count_distinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occur").desc, col("word"))
         .limit(20)),
+
+    // Top skip-gram co-occurrence pairs (forward window 2) — the
+    // word-embedding / PMI training-prep counting stage. Pairs are
+    // generated map-side (TF.skipgramPairs — no positional self-join);
+    // the only shuffle is the pair-count agg, and the top-k is a
+    // TakeOrderedAndProject, never a global sort.
+    "cooccur_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.skipgramPairs(TF.wsTokens(col("text")), window = 2)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(25)),
 
     // Sequence packing into 512-token training contexts — the three-level
     // distributed prefix sum (no unpartitioned window, integer-exact
@@ -1218,6 +1239,56 @@ object SparkEntry {
           sum(col("f2")).as("u_click"), sum(col("f3")).as("u_purchase"))
     }),
 
+    // SCD Type-2 history: each user's event_type transition intervals
+    // (valid_from/valid_to/version ordinal) — the CDC form that answers
+    // "what was the value WHEN" (Cdc.scd2History: both windows and the
+    // ordinal ride ONE user_id exchange). Struct endpoints flattened to
+    // scalar columns for the oracle compare.
+    "scd2_history" -> ((s, dir) =>
+      graft.functions.Cdc.scd2History(
+          t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          attrCol = "event_type")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from.ts").as("from_ts"),
+          col("valid_from.event_id").as("from_event"),
+          col("valid_to.ts").as("to_ts"),
+          col("valid_to.event_id").as("to_event"),
+          col("version_n"))),
+
+    // Daily OHLC bars per event type — the financial/TS downsample (open
+    // and close picked by (ts, event_id) order; window + agg share ONE
+    // (bucket, type) exchange; decimal-exact totals).
+    "ohlc_bars" -> ((s, dir) =>
+      graft.functions.TimeSeries.ohlcBars(
+        t(s, dir, "events")
+          .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+          .select(col("ts"), col("event_id"), col("event_type"), col("value")),
+        tsCol = "ts", valueCol = "value", keyCols = Seq("event_type"),
+        bucketNanos = 86400000000000L, orderCols = Seq("ts", "event_id"))),
+
+    // Time-weighted per-user value integral (step-function hold until the
+    // next event) — integer fixed-point cents x seconds, exact in any
+    // summation order; irregular sampling doesn't bias the mean.
+    "time_weighted" -> ((s, dir) =>
+      graft.functions.TimeSeries.timeWeighted(
+        t(s, dir, "events")
+          .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        keyCols = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        orderCols = Seq("ts", "event_id"))),
+
+    // One degree-normalized PageRank push round over the part->supplier
+    // bipartite graph (distinct lineitem edges) — integer parts-per-million
+    // fixed point, bit-exact across engines and partitionings
+    // (graft.functions.Graph scaladoc).
+    "graph_pagerank" -> ((s, dir) =>
+      graft.functions.Graph.pushRound(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct(),
+        "l_partkey", "l_suppkey")),
+
     // Length-bucketed inference/training batch planning: exact global
     // token-length order (shortest first) chopped into fixed-size batches,
     // with the integer-exact padding waste each batch would pay at
@@ -1634,6 +1705,15 @@ object SparkEntry {
         keyCols = Seq("c_custkey"), compareCols = Seq("c_acctbal", "c_mktsegment"))
     }),
 
+    // Entity resolution at Hamming distance <= 1 over customer names —
+    // near-identical identifier linkage (typo'd keys, one-digit variants).
+    // Masked-fingerprint candidate join, exact recall, never all-pairs
+    // (see EntityMatch scaladoc for why prefix blocking degenerates on
+    // zero-padded identifiers while masking does not).
+    "entity_match" -> ((s, dir) =>
+      graft.functions.EntityMatch.hamming1Pairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")),
+
     // Pairwise Pearson correlation over lineitem's numeric columns from
     // ONE pass of exact cent-scaled integer moments (Stats.corrMatrix
     // scaladoc: the corpus folds into a single moment row; the matrix
@@ -2026,6 +2106,16 @@ object SparkEntry {
          |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
          |  WHERE id != cluster_id)""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql(0.7),
+    // Asymmetric containment: intersect over the CONTAINED side's set size
+    // (both directions of a mutual near-equal pair qualify). minShingles=8
+    // mirrors Dedup.containmentPairs' contained-side guard.
+    "contain_ngram" ->
+      s"""WITH s AS ($shingles4)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS containment
+         |FROM s a JOIN s b ON a.doc_id != b.doc_id
+         |WHERE len(a.sh) >= 8
+         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9""".stripMargin,
     "dedup_simhash" ->
       s"""WITH sim AS ($simhashSql)
          |SELECT a.doc_id AS i, b.doc_id AS j,
@@ -2207,6 +2297,15 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY word ORDER BY n_occur DESC, word LIMIT 20""".stripMargin,
+    // Forward-window-2 skip-gram pairs, generated per document with list
+    // comprehensions (1-based list indexing; range() is end-exclusive).
+    "cooccur_topk" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, len(tk)), i ->
+        |  list_transform(range(i + 1, least(i + 3, len(tk) + 1)), j ->
+        |    [tk[i], tk[j]])))) AS pr FROM d)
+        |SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n FROM p
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 25""".stripMargin,
     // Adjacent pairs via a 1-based index list; tk[i], tk[i+1] mirror the
     // zip_with of the two shifted slices exactly.
     "bpe_pairs" ->
@@ -2557,6 +2656,57 @@ object SparkEntry {
         |  CAST(sum(f2) AS BIGINT) AS u_click,
         |  CAST(sum(f3) AS BIGINT) AS u_purchase
         |FROM u GROUP BY 1""".stripMargin,
+    // The microsecond grid ((epoch_ns // 1000) * 1000) mirrors the Spark
+    // side's ts normalization, so tie order and arithmetic agree even on a
+    // TIMESTAMP(NANOS) testdata generation.
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ts, event_id, event_type
+        |  FROM events),
+        |c AS (SELECT *,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ts AS from_ts, event_id AS from_event,
+        |  lead(ts) OVER w AS to_ts, lead(event_id) OVER w AS to_event,
+        |  row_number() OVER w AS version_n
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "ohlc_bars" ->
+      """WITH e AS (SELECT (epoch_ns(ts) // 1000) * 1000 AS ts, event_id, event_type, "value"
+        |  FROM events),
+        |r AS (SELECT *, ts // 86400000000000 AS bucket,
+        |  row_number() OVER (PARTITION BY ts // 86400000000000, event_type
+        |    ORDER BY ts, event_id) AS ra,
+        |  row_number() OVER (PARTITION BY ts // 86400000000000, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rd FROM e)
+        |SELECT bucket, event_type,
+        |  max(CASE WHEN ra = 1 THEN "value" END) AS open,
+        |  max("value") AS high, min("value") AS low,
+        |  max(CASE WHEN rd = 1 THEN "value" END) AS close,
+        |  CAST(CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total,
+        |  count(*) AS n_events
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "time_weighted" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ts, event_id, "value"
+        |  FROM events),
+        |d AS (SELECT user_id,
+        |  coalesce((lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts)
+        |    // 1000000000, 0) AS dur_s,
+        |  CAST(floor("value" * 100) AS BIGINT) AS cents FROM e),
+        |a AS (SELECT user_id, CAST(sum(cents * dur_s) AS BIGINT) AS tw_cents_s,
+        |  CAST(sum(dur_s) AS BIGINT) AS active_s, count(*) AS n_events
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, tw_cents_s, active_s, n_events,
+        |  CASE WHEN active_s > 0 THEN tw_cents_s // active_s END AS tw_avg_cents
+        |FROM a""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |c AS (SELECT e.dst, 1000000 // o.outdeg AS contrib FROM e JOIN o USING (src))
+        |SELECT dst AS node, count(*) AS in_edges,
+        |  CAST(150000 + (850000 * CAST(sum(contrib) AS BIGINT)) // 1000000 AS BIGINT)
+        |    AS score_ppm
+        |FROM c GROUP BY 1""".stripMargin,
     "batch_plan" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
         |r AS (SELECT doc_id, n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rk FROM d)
@@ -3006,6 +3156,15 @@ object SparkEntry {
         |    o.c_mktsegment AS old_c_mktsegment, n.c_mktsegment AS new_c_mktsegment
         |  FROM old o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey)
         |SELECT * FROM d WHERE op IS NOT NULL""".stripMargin,
+    // Brute-force reference (the oracle may go quadratic; the engine may
+    // not). The CASE guard keeps mismatches() off unequal-length pairs —
+    // DuckDB's hamming/mismatches raises on length mismatch.
+    "entity_match" ->
+      """SELECT a.c_custkey AS i, b.c_custkey AS j,
+        |  mismatches(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE CASE WHEN length(a.c_name) = length(b.c_name)
+        |  THEN mismatches(a.c_name, b.c_name) ELSE 999 END <= 1""".stripMargin,
     // HUGEINT sums mirror Spark's DECIMAL(38,0) exactly; the corr
     // expression is parenthesized identically so the double bits match.
     "corr_matrix" ->

@@ -174,6 +174,22 @@ case class JaccardSortedLongBounded(left: Expression, right: Expression, thresho
     copy(left = newLeft, right = newRight)
 }
 
+/** Containment |A∩B|/|A| of two sorted distinct long arrays with
+  * threshold-aware early exit (see TextKernels.containmentSortedLongBounded):
+  * -1.0 for pairs provably below `threshold`, the exact value otherwise. */
+case class ContainmentSortedLongBounded(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression with KernelCall {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.containmentSortedLongBounded(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextKernels.containmentSortedLongBounded($a, $b, $threshold)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentSortedLongBounded =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sequential left-fold dot product of two numeric arrays (float or double
   * elements), widened to double. Fold order matches the HOF reference form
   * and DuckDB's list_sum — bitwise cross-engine. */

@@ -300,6 +300,32 @@ object TextKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Containment |A∩B|/|A| of two sorted distinct long arrays, with a
+    * threshold-aware early exit: bail (-1.0) once the best-still-achievable
+    * intersection `inter + remaining(A)` cannot reach `t·na` (containment
+    * >= t ⇔ inter >= ceil(t·na); strict-< bail keeps the boundary exact).
+    * Callers filter `>= t`, so the surviving pair set and values equal the
+    * unbounded form. na == 0 returns -1.0 (empty sets are contained in
+    * nothing by convention — mirrors the SQL oracle's minShingles guard). */
+  def containmentSortedLongBounded(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb < t * na) return -1.0
+    val minNeeded = t * na
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + (na - i) < minNeeded) return -1.0
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
+  }
+
   /** Sequential left-fold dot product in double — the same fold order as
     * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, _+_)` and DuckDB's
     * `list_sum(list_transform(list_zip(...)))`, so results stay bitwise

@@ -76,4 +76,48 @@ object Cdc {
       .select(keyCols.map(col) ++ (col("op") +:
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
   }
+
+  /** SCD Type-2 history build — the third CDC form: an attribute's full
+    * validity-interval history per key, from an event/mutation log. Where
+    * [[compactLog]] answers "what is the value NOW", this answers "what
+    * was the value WHEN": one row per (key, change point) carrying the
+    * new attribute value, `valid_from` (the change's version), `valid_to`
+    * (the NEXT change's version; null = current), and `version_n` (1-based
+    * change ordinal). A log record is a change point iff its attribute
+    * differs from the key's previous record (IS DISTINCT FROM — null
+    * transitions count).
+    *
+    * One exchange: both windows (the change-detection lag and the
+    * valid_to lead) and the change ordinal ride the same
+    * partitionBy(key) ordering, so Spark plans a single sort+shuffle;
+    * state per task is one row of lookahead. `orderCols` must be a
+    * deterministic total order within each key (include a unique
+    * tiebreaker — the same contract as compactLog's version tuple). */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      attrCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val versionTuple = struct(orderCols.map(col): _*)
+    val changed = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      // First record per key always opens an interval; later records only
+      // on a value transition (null-safe, so value->null and null->value
+      // both close/open intervals).
+      .filter(col("__first") || !(col(attrCol) <=> col("__prev")))
+    changed
+      .withColumn("valid_from", versionTuple)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .select(keyCols.map(col) ++ Seq(
+        col(attrCol),
+        col("valid_from"),
+        col("valid_to"),
+        col("version_n")): _*)
+  }
 }

@@ -182,6 +182,70 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /** Asymmetric set containment |S(i) ∩ S(j)| / |S(i)| >= threshold over
+    * distinct char-shingle sets — the quote/subset detector: doc i whose
+    * content is (nearly) wholly present in doc j, regardless of how much
+    * MORE j contains. Jaccard misses exactly these pairs (a 10x-longer
+    * containing doc caps J at ~0.1), which is why containment is its own
+    * dedup family (C4/RefinedWeb use it for quote removal).
+    *
+    * Exact, never all-pairs: the contained side keeps only its
+    * ⌈(1-t)·|S|⌉+1 RAREST shingles (global-frequency order — if containment
+    * >= t, at most (1-t)·|S| of A's shingles are missing from B, so at
+    * least one of that prefix is shared); the inverted-index join fans out
+    * rare-shingle postings only. The containing side is the full posting
+    * list but carries only (s, id, len) — 24 B rows, no text, no arrays —
+    * and the length bound |S(j)| >= t·|S(i)| prunes before the distinct.
+    * Verification re-attaches the sorted hashed-shingle arrays on the
+    * deduped pair set and runs the early-exit merge kernel. Docs with
+    * fewer than `minShingles` distinct shingles are not tested as the
+    * contained side (near-empty sets are "contained" everywhere —
+    * semantically noise, and their postings are the one unbounded fan-out).
+    *
+    * Output: (i, j, containment) — i contained in j; both directions of a
+    * mutual near-equal pair appear. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      threshold: Double = 0.9,
+      minShingles: Int = 8): DataFrame = {
+    val shingled = shingledDf(df, idCol, textCol, shingleK)
+    val exploded = shingled
+      .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = exploded
+      .filter(col("len") >= minShingles)
+      .join(freq, "s")
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("pos") <= col("len") - ceil(col("len") * threshold) + 1)
+      .select(col("s"), col("id"), col("len"))
+    // No merge hint: the sides are genuinely different frames (rare prefix
+    // vs full postings), so there is no exchange to share; AQE picks the
+    // join shape from runtime sizes.
+    val candidates = prefix.as("l")
+      .join(exploded.as("r"),
+        col("l.s") === col("r.s") && col("l.id") =!= col("r.id") &&
+          col("r.len") >= col("l.len") * lit(threshold))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = shingled.select(col("id").as("i"), col("sh").as("sh_i"))
+    val b = shingled.select(col("id").as("j"), col("sh").as("sh_j"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(
+        col("i"),
+        col("j"),
+        FastText.containmentSortedLongBounded(col("sh_i"), col("sh_j"), threshold)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The persistable per-corpus dedup index: `shingled` (id, sh:
     * array<long> sorted hashed shingles — what exact verification needs)
     * and `banded` (id, band, key — what candidate generation needs).

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Record linkage / entity resolution by near-exact string identity.
+ *
+ * The 100 TB design point: NEVER compare all pairs. Candidate generation is
+ * the masked-fingerprint (wildcard/deletion-neighborhood) scheme: each row
+ * emits `length(s)` keys, key_p = hash of the string with character p
+ * replaced by a sentinel. Two equal-length strings at Hamming distance
+ * exactly 1 share precisely the key masked at their differing position, and
+ * equal strings share every key — so an equi-join on the masked-key hash
+ * has EXACT recall for distance <= 1 (a masked string keeps its length and
+ * sentinel position, so cross-position or cross-length collisions can only
+ * come from 64-bit hash collisions, which the verify step then rejects).
+ *
+ * Contrast with blocking on prefixes/segments (the pigeonhole scheme used
+ * for SimHash bits): low-entropy segments — zero-padded keys, shared
+ * prefixes like "Customer#" — degenerate into giant blocks. Masked keys
+ * keep ALL of the string except one char, so group sizes track true
+ * near-duplicate structure instead of format entropy.
+ *
+ * Cost: n·L fingerprint rows of 16 B (hash, id) in one exchange; strings
+ * re-attach only on the deduped candidate pair set.
+ */
+object EntityMatch {
+
+  /** Pairs (i, j, dist) with i < j and Hamming distance <= 1 (equal-length;
+    * dist 0 = exact duplicate identifiers, dist 1 = one-char variants). */
+  def hamming1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df
+      .filter(col(strCol).isNotNull && length(col(strCol)) >= 1)
+      .select(col(idCol).cast(LongType).as("id"), col(strCol).as("s"))
+    // U+0001 sentinel: outside any sane identifier alphabet, so masking
+    // never collides with a literal character.
+    val keys = base.select(
+      col("id"),
+      explode(transform(sequence(lit(1), length(col("s"))), p =>
+        xxhash64(concat(
+          col("s").substr(lit(1), p - 1),
+          lit("\u0001"),
+          col("s").substr(p + 1, length(col("s")) - p))))).as("k"))
+    // hint("merge"): one shared Exchange for both sides of the self-join
+    // (the fingerprint pipeline plans once, ReusedExchange) — and at corpus
+    // scale the fingerprint frame is past broadcast size anyway.
+    val candidates = keys.as("l").hint("merge")
+      .join(keys.as("r"), col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = base.select(col("id").as("i"), col("s").as("s_i"))
+    val b = base.select(col("id").as("j"), col("s").as("s_j"))
+    // Exact verify on the candidate pairs only. The length guard exists
+    // solely to reject 64-bit hash collisions across lengths; zip_with
+    // null-padding would count those as mismatches anyway, but an explicit
+    // sentinel keeps the intent visible.
+    val dist = when(length(col("s_i")) =!= length(col("s_j")), lit(999))
+      .otherwise(aggregate(
+        zip_with(split(col("s_i"), ""), split(col("s_j"), ""),
+          (x, y) => when(x === y, lit(0)).otherwise(lit(1))),
+        lit(0),
+        (acc, v) => acc + v))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(col("i"), col("j"), dist.cast(LongType).as("dist"))
+      .filter(col("dist") <= 1)
+  }
+}

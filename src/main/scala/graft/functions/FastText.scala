@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -79,4 +79,10 @@ object FastText {
     * for call sites that filter `>= t` afterwards. */
   def jaccardSortedLongBounded(a: Column, b: Column, t: Double): Column =
     B.column(JaccardSortedLongBounded(B.expression(a), B.expression(b), t))
+
+  /** Threshold-aware containment |A∩B|/|A|: -1.0 for pairs provably below
+    * `t` (early exit), exact value otherwise. Only for call sites that
+    * filter `>= t` afterwards. */
+  def containmentSortedLongBounded(a: Column, b: Column, t: Double): Column =
+    B.column(ContainmentSortedLongBounded(B.expression(a), B.expression(b), t))
 }

@@ -130,6 +130,22 @@ object TextFunctions {
   /** Whitespace tokens (the cheap path). */
   def wsTokens(c: Column): Column = split(c, " ")
 
+  /** Directional skip-gram pairs within a forward window: for each token
+    * position i, pairs (tok[i], tok[j]) for j in (i, i+window]. Generated
+    * MAP-SIDE by higher-order functions — no positional self-join, so the
+    * co-occurrence pipeline's only shuffle is the final pair-count
+    * aggregation (pair volume is n_tokens x window, linear in corpus
+    * size). Output: array<struct<w1,w2>>. */
+  def skipgramPairs(toks: Column, window: Int): Column = {
+    require(window >= 1, "skip-gram window must be >= 1")
+    // sequence(a, b) is DESCENDING when a > b, so the single-token case
+    // must be guarded explicitly rather than relying on an empty range.
+    when(size(toks) < 2, array().cast(s"array<struct<w1:string,w2:string>>"))
+      .otherwise(flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+        transform(sequence(i + 1, least(i + lit(window), size(toks))), j =>
+          struct(element_at(toks, i).as("w1"), element_at(toks, j).as("w2"))))))
+  }
+
   /** Stopword lists for the n-gram language heuristic. ASCII-only so that
     * no case-folding of accented chars is involved. */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/**
+ * Time-series resampling primitives over the epoch-nanos-long event-time
+ * contract (see SparkEntry.t): OHLC bar aggregation (the financial
+ * downsample: first/last/min/max of a value per time bucket) and
+ * time-weighted aggregation (the IoT/sensor downsample: integrate a
+ * step-function signal over its holding durations, so irregular sampling
+ * does not bias the mean toward chatty periods).
+ *
+ * 100 TB shape: ohlcBars is one window + one aggregation over the SAME
+ * (bucket, key) hash partitioning — EnsureRequirements reuses the window's
+ * exchange for the agg, so the operator moves the events through exactly
+ * one shuffle, partitioned by bucket x key (calendar-bounded cardinality,
+ * no per-key funnel). timeWeighted is one window (per-key lookahead) + one
+ * per-key aggregation on the window's own partitioning — again a single
+ * exchange. Both are integer/decimal-exact: no floating-point accumulation
+ * order can flip a result (the dsum/DECIMAL convention from SparkEntry).
+ */
+object TimeSeries {
+
+  /** OHLC bars: per (bucket = tsNanos div bucketNanos, keyCols) emit
+    * open/close (value at the first/last event in `orderCols` order),
+    * high/low (max/min), the exact decimal-summed total, and the event
+    * count. `orderCols` must totally order events within a bar (include a
+    * unique tiebreaker). */
+  def ohlcBars(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      bucketNanos: Long,
+      orderCols: Seq[String]): DataFrame = {
+    require(bucketNanos > 0, "bucket width must be positive")
+    val withBucket = df.withColumn("bucket", intDiv(col(tsCol), lit(bucketNanos)))
+    val part = (col("bucket") +: keyCols.map(col)).toSeq
+    val wAsc = Window.partitionBy(part: _*).orderBy(orderCols.map(col): _*)
+    val wDesc = Window.partitionBy(part: _*).orderBy(orderCols.map(c => col(c).desc): _*)
+    withBucket
+      .withColumn("__rn_a", row_number().over(wAsc))
+      .withColumn("__rn_d", row_number().over(wDesc))
+      .groupBy(part: _*)
+      .agg(
+        max(when(col("__rn_a") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rn_d") === 1, col(valueCol))).as("close"),
+        sum(col(valueCol).cast(DecimalType(18, 4))).cast(DoubleType).as("total"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Time-weighted value integral per key: each event's value holds until
+    * the key's next event (step-function/last-observation-carried-forward
+    * semantics); the last event holds for zero time. Integer-exact: values
+    * are fixed-pointed to `floor(value * 100)` (cents) and durations to
+    * whole seconds, so the weighted sum and the integer-division mean are
+    * bit-identical across engines and row orders. Output per key:
+    * `tw_cents_s` (Σ cents·seconds), `active_s` (Σ seconds), `tw_avg_cents`
+    * (tw_cents_s div active_s; null for keys with no elapsed time). */
+  def timeWeighted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val durS = intDiv((lead(col(tsCol), 1).over(w) - col(tsCol)).cast(LongType),
+      lit(1000000000L))
+    val cents = floor(col(valueCol) * lit(100)).cast(LongType)
+    df
+      .withColumn("__dur_s", coalesce(durS, lit(0L)))
+      .withColumn("__cents", cents)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__cents") * col("__dur_s")).as("tw_cents_s"),
+        sum(col("__dur_s")).as("active_s"),
+        count(lit(1)).as("n_events"))
+      .withColumn(
+        "tw_avg_cents",
+        when(col("active_s") > 0, intDiv(col("tw_cents_s"), col("active_s"))))
+  }
+
+  /** Integral division on longs — SQL `div`, NOT Column `/` (double
+    * division: a numerator past 2^53, e.g. an epoch-nanos timestamp,
+    * rounds before the divide and can land in the wrong bucket). */
+  private def intDiv(x: Column, y: Column): Column =
+    call_function("div", x.cast(LongType), y.cast(LongType))
+}

@@ -182,4 +182,40 @@ class DedupSpec extends SparkSpec {
     assert(sig(merged) === sig(ref))
     assert(bands(merged) === bands(ref))
   }
+
+  test("containmentPairs: finds quote-in-document pairs Jaccard misses; matches brute force") {
+    val short = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, short), // contained verbatim in 2 (with much more around it)
+      (2L, "PREAMBLE section alpha beta gamma. " + short +
+        " APPENDIX one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (3L, "完全 unrelated content with nothing shared at all here whatsoever indeed"),
+      (4L, short), // exact dup of 1 -> mutual containment with 1, contained in 2
+      (5L, "tiny") // < minShingles: must never appear as the contained side
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleK = 4, threshold = 0.9, minShingles = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // Brute-force reference over distinct char-4-gram STRING sets.
+    def sh(s: String): Set[String] =
+      (1 to math.max(s.length - 3, 1)).map(i => s.slice(i - 1, i + 3)).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (for {
+      (i, ti) <- texts.toSeq; (j, tj) <- texts.toSeq
+      if i != j && sh(ti).size >= 8
+      c = sh(ti).intersect(sh(tj)).size.toDouble / sh(ti).size
+      if c >= 0.9
+    } yield (i, j) -> c).toMap
+
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-12, k.toString) }
+    // The asymmetry that motivates the operator: 1 ⊂ 2 but NOT 2 ⊂ 1,
+    // and their Jaccard is far below any dedup threshold.
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)))
+    assert(got((1L, 4L)) === 1.0 && got((4L, 1L)) === 1.0)
+    assert(!got.keySet.exists(_._1 == 5L))
+  }
 }

@@ -112,4 +112,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(nonCanonical.nonEmpty)
     assert(kept == all -- nonCanonical)
   }
+
+  test("skipgramPairs: window-2 pairs match the positional definition; short docs are safe") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val out = Seq("a b c d", "x", "", "p q").toDF("text")
+      .select(explode(TF.skipgramPairs(TF.wsTokens(col("text")), window = 2)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // "a b c d" -> (a,b)(a,c)(b,c)(b,d)(c,d); "x" -> none; "" splits to
+    // [""] (single token) -> none; "p q" -> (p,q).
+    assert(out.sorted.toSeq === Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"), ("p", "q")).sorted)
+  }
 }

@@ -510,4 +510,60 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
     assert(outer.nonEmpty, planString("merge_upsert"))
   }
+
+  test("cooccur_topk: pairs generate map-side — no join in the plan, bounded top-k") {
+    // The skip-gram pairs come from higher-order functions over each doc's
+    // token array; a positional self-join here would shuffle the exploded
+    // token table twice at corpus scale.
+    val p = plan("cooccur_topk")
+    val joins = collectAll(p) {
+      case j: SortMergeJoinExec => j; case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j; case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(joins.isEmpty, planString("cooccur_topk"))
+    assert(planString("cooccur_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("entity_match: candidate exchanges carry fingerprints, never name strings") {
+    // The masked-fingerprint self-join must shuffle (id, hash) rows only;
+    // names re-attach via the id-keyed verify joins on the deduped pair
+    // set. A raw string in the candidate exchange is the n·L blowup.
+    val shuffles = collectAll(plan("entity_match")) {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+    }
+    assert(shuffles.nonEmpty, planString("entity_match"))
+    val fingerprint = shuffles.filter(_.outputPartitioning.toString.startsWith("hashpartitioning(k#"))
+    assert(fingerprint.nonEmpty, planString("entity_match"))
+    for (e <- fingerprint)
+      assert(e.output.forall(a => a.name == "k" || a.name == "id"),
+        s"fingerprint exchange carries more than (id, k):\n$e")
+  }
+
+  test("ohlc_bars: window and aggregation share ONE (bucket, type) exchange") {
+    val shuffles = collectAll(plan("ohlc_bars")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, planString("ohlc_bars"))
+  }
+
+  test("scd2_history: both windows and the ordinal ride one user_id exchange") {
+    val shuffles = collectAll(plan("scd2_history")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, planString("scd2_history"))
+  }
+
+  test("time_weighted: lookahead window and per-key aggregation share one exchange") {
+    val shuffles = collectAll(plan("time_weighted")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, planString("time_weighted"))
+  }
+
+  test("contain_ngram: no exchange carries document text (hash-shingle pipeline only)") {
+    val shuffles = collectAll(plan("contain_ngram")) {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+    }
+    assert(shuffles.nonEmpty, planString("contain_ngram"))
+    for (e <- shuffles)
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange carries document text:\n$e")
+  }
 }
