@@ -455,6 +455,14 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, threshold = 0.9, minShingles = 8)),
 
+    // Quote/subset removal: the corpus minus every doc >= 0.9 contained in
+    // another (min-id survivor on mutual near-equals) — containment as a
+    // cleaning stage, not just a pair report.
+    "quote_clean" -> ((s, dir) =>
+      Dedup.dropContained(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 4, threshold = 0.9, minShingles = 8)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // SimHash near-dup at Hamming<=3 via pigeonhole band join (exact recall).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1714,6 +1722,17 @@ object SparkEntry {
       graft.functions.EntityMatch.hamming1Pairs(
         t(s, dir, "customer"), "c_custkey", "c_name")),
 
+    // Edit-distance <= 1 linkage over VARIABLE-length identifiers
+    // ("C1"/"C10"/"C100"): the FastSS deletion-neighborhood candidates
+    // catch the insert/delete pairs Hamming can't, still exact and never
+    // all-pairs.
+    "entity_match_edit" -> ((s, dir) =>
+      graft.functions.EntityMatch.edit1Pairs(
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            concat(lit("C"), col("c_custkey").cast(StringType)).as("short_id")),
+        "c_custkey", "short_id")),
+
     // Pairwise Pearson correlation over lineitem's numeric columns from
     // ONE pass of exact cent-scaled integer moments (Stats.corrMatrix
     // scaladoc: the corpus folds into a single moment row; the matrix
@@ -2116,6 +2135,18 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id != b.doc_id
          |WHERE len(a.sh) >= 8
          |  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9""".stripMargin,
+    // Same containment pair set, applied as a cleaner: drop the contained
+    // side, except a mutual near-equal pair keeps its min id.
+    "quote_clean" ->
+      s"""WITH s AS ($shingles4),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM s a JOIN s b ON a.doc_id != b.doc_id
+         |  WHERE len(a.sh) >= 8
+         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9),
+         |d AS (SELECT DISTINCT p.i FROM p LEFT JOIN p r ON r.i = p.j AND r.j = p.i
+         |  WHERE r.i IS NULL OR p.j < p.i)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT i FROM d)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH sim AS ($simhashSql)
          |SELECT a.doc_id AS i, b.doc_id AS j,
@@ -3165,6 +3196,11 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE CASE WHEN length(a.c_name) = length(b.c_name)
         |  THEN mismatches(a.c_name, b.c_name) ELSE 999 END <= 1""".stripMargin,
+    "entity_match_edit" ->
+      """WITH c AS (SELECT c_custkey, 'C' || CAST(c_custkey AS VARCHAR) AS sid FROM customer)
+        |SELECT a.c_custkey AS i, b.c_custkey AS j, levenshtein(a.sid, b.sid) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.sid, b.sid) <= 1""".stripMargin,
     // HUGEINT sums mirror Spark's DECIMAL(38,0) exactly; the corr
     // expression is parenthesized identically so the double bits match.
     "corr_matrix" ->

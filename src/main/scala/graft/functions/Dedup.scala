@@ -565,6 +565,31 @@ object Dedup {
     * to hamming_dist, never to chunk equality, so recall is exact
     * regardless. Input: (id: long, sig: long non-nullable).
     * Output: (i, j, hamming_dist), i < j. */
+  /** Quote/subset removal — the cleaning stage [[containmentPairs]] exists
+    * for: drop every document whose shingle set is >= `threshold` contained
+    * in some other document. Mutual near-equal pairs (contained both ways)
+    * keep their min-id member, so a duplicate group never deletes itself
+    * entirely; a strictly-contained doc drops regardless of id order.
+    * The drop set is metadata-scale (ids only), and the final anti join is
+    * deliberately un-hinted — AQE broadcasts it while it fits and falls
+    * back to shuffle on a quote-heavy corpus (the dedup_keep lesson). */
+  def dropContained(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 4,
+      threshold: Double = 0.9,
+      minShingles: Int = 8): DataFrame = {
+    val p = containmentPairs(df, idCol, textCol, shingleK, threshold, minShingles)
+      .select(col("i"), col("j"))
+    val rev = p.select(col("j").as("i"), col("i").as("j"), lit(1).as("__mutual"))
+    val drops = p.join(rev, Seq("i", "j"), "left")
+      .filter(col("__mutual").isNull || col("j") < col("i"))
+      .select(col("i").as("__drop_id"))
+      .distinct()
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   private[graft] def bandedHammingPairs(
       sigs: DataFrame,
       totalBits: Int,

@@ -68,4 +68,44 @@ object EntityMatch {
       .select(col("i"), col("j"), dist.cast(LongType).as("dist"))
       .filter(col("dist") <= 1)
   }
+
+  /** Pairs (i, j, dist) with i < j and LEVENSHTEIN distance <= 1 —
+    * [[hamming1Pairs]] plus single-character insertions/deletions, the
+    * variant that links variable-length identifiers ("C1" vs "C10").
+    *
+    * Candidates are the FastSS deletion neighborhood for d=1: each row
+    * emits the hash of the string itself plus each of its `length(s)`
+    * single-char deletions, UNTAGGED — lev(a,b) <= 1 implies the two
+    * neighborhoods {s} ∪ del1(s) intersect AS STRING SETS (substitution:
+    * del at the differing position; insertion/deletion: the shorter string
+    * equals a deletion of the longer; equality: the strings themselves),
+    * so the key equi-join has exact recall and the built-in `levenshtein`
+    * verifies candidates pair-by-pair. Same scale shape as
+    * [[hamming1Pairs]]: (n·(L+1)) 16 B fingerprint rows, strings attach
+    * only on the deduped pair set. */
+  def edit1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df
+      .filter(col(strCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"), col(strCol).as("s"))
+    val deletions = transform(sequence(lit(1), length(col("s"))), p =>
+      xxhash64(concat(
+        col("s").substr(lit(1), p - 1),
+        col("s").substr(p + 1, length(col("s")) - p))))
+    // sequence(1, 0) is DESCENDING, so the empty string (no deletions)
+    // needs the explicit guard.
+    val neighborhood = when(length(col("s")) < 1, array(xxhash64(col("s"))))
+      .otherwise(concat(array(xxhash64(col("s"))), deletions))
+    val keys = base.select(col("id"), explode(neighborhood).as("k")).distinct()
+    val candidates = keys.as("l").hint("merge")
+      .join(keys.as("r"), col("l.k") === col("r.k") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val a = base.select(col("id").as("i"), col("s").as("s_i"))
+    val b = base.select(col("id").as("j"), col("s").as("s_j"))
+    candidates
+      .join(a, "i")
+      .join(b, "j")
+      .select(col("i"), col("j"), levenshtein(col("s_i"), col("s_j")).cast(LongType).as("dist"))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -57,4 +57,38 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
       assert(out == bfsComponents(edges), s"graph $i (parts=$parts): $edges")
     }
   }
+
+  // Random low-alphabet corpora make shingle overlaps dense — the worst
+  // case for the containment prefix filter's exactness argument.
+  private val corpusGen: Gen[Seq[String]] = for {
+    nDocs <- Gen.chooseNum(3, 25)
+    docs <- Gen.listOfN(nDocs, for {
+      len <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' '))
+    } yield cs.mkString)
+  } yield docs
+
+  test("containmentPairs equals the brute-force definition on random dense corpora") {
+    def sh(s: String): Set[String] =
+      (1 to math.max(s.length - 3, 1)).map(i => s.slice(i - 1, i + 3)).toSet
+    val corpora = Iterator.from(0)
+      .map(i => corpusGen.apply(Gen.Parameters.default, rng.Seed(77L + i)))
+      .flatten.take(15).toSeq
+    for ((docs, n) <- corpora.zipWithIndex; t <- Seq(0.6, 0.9)) {
+      val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text").repartition(1 + n % 5)
+      val got = Dedup.containmentPairs(df, "doc_id", "text",
+          shingleK = 4, threshold = t, minShingles = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val expected = (for {
+        (a, i) <- docs.zipWithIndex; (b, j) <- docs.zipWithIndex
+        if i != j && sh(a).size >= 2
+        c = sh(a).intersect(sh(b)).size.toDouble / sh(a).size
+        if c >= t
+      } yield (i.toLong, j.toLong) -> c).toMap
+      assert(got.keySet === expected.keySet, s"corpus $n t=$t: $docs")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) < 1e-12, s"corpus $n t=$t pair $k") }
+    }
+  }
 }

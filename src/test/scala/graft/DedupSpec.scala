@@ -218,4 +218,24 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 4L)) === 1.0 && got((4L, 1L)) === 1.0)
     assert(!got.keySet.exists(_._1 == 5L))
   }
+
+  test("dropContained: quotes drop toward their container; mutual dups keep min id") {
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, quote), // contained in 3 AND an exact dup of 2 -> drops
+      (2L, quote), // exact dup of 1: mutual, but also contained in 3 -> drops
+      (3L, "HEADER alpha beta gamma. " + quote + " FOOTER one two three four five " +
+        "six seven eight nine ten eleven twelve thirteen fourteen"),
+      (4L, "standalone unrelated content that shares nothing with the others at all"),
+      (5L, "another standalone document entirely disjoint from every other text here"),
+      (6L, "mutual twin kept: identical pair with no bigger container around it now"),
+      (7L, "mutual twin kept: identical pair with no bigger container around it now")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "doc_id", "text",
+        shingleK = 4, threshold = 0.9, minShingles = 8)
+      .collect().map(_.getLong(0)).toSet
+    // 1 and 2 are strictly contained in 3 -> both drop (the container
+    // survives); 6/7 are a mutual pair with no container -> min id 6 stays.
+    assert(kept === Set(3L, 4L, 5L, 6L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{ExpandJsonStreaming, Funnel, FunnelEvent, FunnelStage, Sessionize, SessionEvent, StreamDedup, UserSession}
+import graft.streaming.{AttrEvent, ExpandJsonStreaming, Funnel, FunnelEvent, FunnelStage, Scd2Change, Sessionize, SessionEvent, StreamDedup, UserSession}
 import graft.transform.ExpandJson
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -635,6 +635,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // Passthrough metadata columns are untouched.
     assert(got.map(r => (r.getString(2), r.getInt(3), r.getLong(4))).toSeq ===
       Seq(("events", 1, 5L), ("events", 0, 100L)))
+  }
+
+  test("Scd2Stream.changes: open-interval change feed equals the batch SCD2 history") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Key 1 transitions a->b->a across two batches with a no-op repeat in
+    // between; key 2 exercises null transitions (null -> x counts, a
+    // repeated null does not).
+    val b1 = Seq(
+      AttrEvent(1L, T0, 101L, "a"), AttrEvent(1L, T0 + Min, 102L, "a"),
+      AttrEvent(2L, T0, 201L, null))
+    val b2 = Seq(
+      AttrEvent(1L, T0 + 2 * Min, 103L, "b"), AttrEvent(1L, T0 + 3 * Min, 104L, "a"),
+      AttrEvent(2L, T0 + Min, 202L, null), AttrEvent(2L, T0 + 2 * Min, 203L, "x"))
+    val in = MemoryStream[AttrEvent]
+    val q = graft.streaming.Scd2Stream.changes(in.toDS()).writeStream
+      .format("memory").queryName("scd2_changes").outputMode("append").start()
+    runToCompletion(q, () => in.addData(b1), () => in.addData(b2))
+    val got = spark.table("scd2_changes").as[Scd2Change].collect()
+      .map(c => (c.key, c.version_n) -> (Option(c.attr).orNull, c.from_ts, c.from_event))
+      .toMap
+    // Batch reference: the same events through Cdc.scd2History, open
+    // intervals only (valid_from + ordinal — the stream cannot know
+    // valid_to at emission time).
+    val batch = graft.functions.Cdc.scd2History(
+        (b1 ++ b2).toDF("key", "ts", "event_id", "attr"),
+        Seq("key"), Seq("ts", "event_id"), "attr")
+      .selectExpr("key", "attr", "valid_from.ts", "valid_from.event_id", "version_n")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (Option(r.getString(1)).orNull, r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === batch)
+    assert(got((1L, 3L)) === (("a", T0 + 3 * Min, 104L)))
+    assert(got((2L, 1L)) === ((null, T0, 201L)))
   }
 }
 
