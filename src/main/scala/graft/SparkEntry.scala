@@ -603,17 +603,23 @@ object SparkEntry {
 
     // Top skip-gram co-occurrence pairs (forward window 2) — the
     // word-embedding / PMI training-prep counting stage. Pairs are
-    // generated map-side (TF.skipgramPairs — no positional self-join);
-    // the only shuffle is the pair-count agg, and the top-k is a
-    // TakeOrderedAndProject, never a global sort.
+    // generated map-side by the codegen'd TFast.skipgramConcat kernel (no
+    // positional self-join; value-equal to the HOF reference
+    // TF.skipgramPairs, FastKernelSpec) as single NUL-joined strings whose
+    // binary order equals (w1, w2) tuple order, so the only shuffle is the
+    // pair-count agg and the top-k is a TakeOrderedAndProject over ONE
+    // string column; the 25 winners split back into (w1, w2) post-limit.
     "cooccur_topk" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TF.skipgramPairs(TF.wsTokens(col("text")), window = 2)).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy(col("w1"), col("w2"))
+        .select(explode(TFast.skipgramConcat(TF.wsTokens(col("text")), window = 2)).as("pr"))
+        .groupBy(col("pr"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("w1"), col("w2"))
-        .limit(25)),
+        .orderBy(col("n").desc, col("pr"))
+        .limit(25)
+        .select(
+          substring_index(col("pr"), "\u0000", 1).as("w1"),
+          substring_index(col("pr"), "\u0000", -1).as("w2"),
+          col("n"))),
 
     // Sequence packing into 512-token training contexts — the three-level
     // distributed prefix sum (no unpartitioned window, integer-exact

@@ -174,6 +174,20 @@ case class JaccardSortedLongBounded(left: Expression, right: Expression, thresho
     copy(left = newLeft, right = newRight)
 }
 
+/** skipgramConcat(tokens, window): forward-window skip-gram pairs, each
+  * encoded `w1 + NUL + w2` (binary order == (w1, w2) tuple order). */
+case class SkipgramConcat(child: Expression, window: Int)
+    extends UnaryExpression with KernelCall {
+  require(window >= 1, "skip-gram window must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.skipgramConcat(input.asInstanceOf[ArrayData], window)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.skipgramConcat($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): SkipgramConcat =
+    copy(child = newChild)
+}
+
 /** Containment |A∩B|/|A| of two sorted distinct long arrays with
   * threshold-aware early exit (see TextKernels.containmentSortedLongBounded):
   * -1.0 for pairs provably below `threshold`, the exact value otherwise. */

@@ -300,6 +300,38 @@ object TextKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Forward-window skip-gram pairs of a token array, each pair encoded as
+    * ONE UTF8 string `w1 + NUL + w2`: for i in 0..n-2, pairs with
+    * tokens j in (i, i+window]. The NUL separator makes binary string
+    * order on the encoded pair identical to lexicographic (w1, w2) tuple
+    * order (0x00 sorts below every code point), so a downstream
+    * ORDER BY (count, pair) reproduces ORDER BY (count, w1, w2) exactly —
+    * callers split the winner rows back into (w1, w2) AFTER the top-k.
+    * Tokens containing a literal NUL would alias across the separator;
+    * acceptable for the whitespace/BPE tokenizers, which never emit one. */
+  def skipgramConcat(toks: ArrayData, window: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(new Array[AnyRef](0))
+    val sep = UTF8String.fromBytes(Array[Byte](0))
+    var count = 0
+    var i = 0
+    while (i < n - 1) { count += math.min(window, n - 1 - i); i += 1 }
+    val out = new Array[AnyRef](count)
+    var p = 0
+    i = 0
+    while (i < n - 1) {
+      val hi = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= hi) {
+        out(p) = UTF8String.concat(toks.getUTF8String(i), sep, toks.getUTF8String(j))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Containment |A∩B|/|A| of two sorted distinct long arrays, with a
     * threshold-aware early exit: bail (-1.0) once the best-still-achievable
     * intersection `inter + remaining(A)` cannot reach `t·na` (containment

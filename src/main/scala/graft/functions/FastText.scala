@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SortedLongContains, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -79,6 +79,13 @@ object FastText {
     * for call sites that filter `>= t` afterwards. */
   def jaccardSortedLongBounded(a: Column, b: Column, t: Double): Column =
     B.column(JaccardSortedLongBounded(B.expression(a), B.expression(b), t))
+
+  /** Forward-window skip-gram pairs as NUL-joined strings — the codegen'd
+    * replacement for TextFunctions.skipgramPairs' interpreted HOF tree on
+    * the co-occurrence hot path (value-equal modulo encoding; binary order
+    * of the encoded pair == (w1, w2) tuple order). */
+  def skipgramConcat(toks: Column, window: Int): Column =
+    B.column(SkipgramConcat(B.expression(toks), window))
 
   /** Threshold-aware containment |A∩B|/|A|: -1.0 for pairs provably below
     * `t` (early exit), exact value otherwise. Only for call sites that
