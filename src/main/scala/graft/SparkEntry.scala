@@ -1851,7 +1851,105 @@ object SparkEntry {
     // (graft.functions.Audit).
     "fk_audit" -> ((s, dir) =>
       graft.functions.Audit.fkAudit(
-        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+        t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")),
+
+    // "Bought X, also bought Y": top co-purchased part pairs by distinct
+    // shared orders, with exact-Jaccard affinity. Pair fan-out is bounded
+    // by ORDER size (C(|order|,2), never item popularity); the self-join
+    // plans the distinct-(order, part) pipeline once (ReusedExchange) and
+    // the top-k is a TakeOrderedAndProject (graft.functions.Affinity).
+    "covisit_topk" -> ((s, dir) =>
+      graft.functions.Affinity.copresencePairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .orderBy(col("n_both").desc, col("p1"), col("p2"))
+        .limit(25)),
+
+    // Triangle census of the support->=2 co-purchase graph (the local
+    // clustering signal recommender pipelines threshold on). Support
+    // thresholding keeps the edge set sparse and scale-stable (~3.4k at
+    // sf0.01, ~3.6k at sf0.1 — flat across 10×); counting is the
+    // degree-ordered node-iterator with the O(m^{3/2}) wedge bound, so a
+    // power-law hub can't quadratically flood one task
+    // (graft.functions.Graph.triangleCounts scaladoc).
+    "graph_triangles" -> ((s, dir) =>
+      graft.functions.Graph.triangleCounts(
+          graft.functions.Affinity.copresenceGraph(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+          "u", "v")
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(20)),
+
+    // Connected components of the same co-purchase graph (product-family
+    // discovery): component id = min node id, with node and edge counts.
+    // Labeling reuses the dedup family's two-phase union-find contraction
+    // — ONE lazy plan, no driver loop or blocking action
+    // (graft.functions.Graph.componentStats; Dedup.duplicateClusters
+    // scaladoc has the 100 TB argument). Oracle is a recursive-CTE
+    // min-label fixpoint over the identical edge set.
+    "graph_cc" -> ((s, dir) =>
+      graft.functions.Graph.componentStats(
+          graft.functions.Affinity.copresenceGraph(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+          "u", "v")
+        .orderBy(col("n_nodes").desc, col("component"))
+        .limit(20)),
+
+    // Rolling 7-day distinct active users per day — the sliding
+    // DAU/WAU counter, computed by the dedup-then-replicate reshape
+    // (ONE corpus-sized distinct, then ×7 map-side replication of the
+    // per-day survivors) instead of a per-day corpus rescan or a
+    // one-task-per-day distinct window
+    // (graft.functions.TimeSeries.rollingDistinct scaladoc).
+    "rolling_active" -> ((s, dir) =>
+      graft.functions.TimeSeries.rollingDistinct(
+        t(s, dir, "events").select(col("ts"), col("user_id")),
+        "ts", "user_id", bucketNanos = 86400000000000L, windowBuckets = 7)
+        .select(col("bucket").as("day"), col("n_active"))),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent strictly-earlier non-purchase event type ("direct" when
+    // none); credit rolls up per touch channel with the exact decimal
+    // value sum. The marker is one strictly-preceding per-user ROWS
+    // frame — the same single exchange shape as the funnel cascade
+    // (graft.streaming.Funnel.withLastTouch).
+    "attribution" -> ((s, dir) =>
+      graft.streaming.Funnel.withLastTouch(
+          t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              col("value")),
+          "user_id", "ts", "event_id", "event_type", convType = "purchase")
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("value_sum"))),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // ("what happens after X"): exact counts from one lag window on the
+    // user exchange, probabilities = one IEEE division over the
+    // |states|²-row metadata matrix (graft.functions.Markov scaladoc).
+    "markov_trans" -> ((s, dir) =>
+      graft.functions.Markov.transitionMatrix(
+        t(s, dir, "events")
+          .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "event_type", orderCols = Seq("ts", "event_id"))),
+
+    // Winnowing fingerprint census (Schleimer-Wilkerson-Aiken MOSS
+    // selector): per document, the distinct per-window minima of
+    // positional 4-gram hashes — every shared substring of length >= 7
+    // is guaranteed a shared hash, unlike the global k-min sketch
+    // (`fingerprint`). Entirely map-side HOFs; the XOR digest is
+    // order-independent so the result hashes identically regardless of
+    // selection order. Each HOF stage MATERIALIZES before the next
+    // references it — inlining would re-evaluate the md5 gram array per
+    // window, O(n²) per doc (TF.winnowMinima scaladoc).
+    "winnow_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TF.positionalShingleHashes(col("text"), 4).as("hs"))
+        .select(col("doc_id"), TF.winnowMinima(col("hs"), w = 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          aggregate(col("fp"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor")))
   )
 
   // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
@@ -3396,6 +3494,89 @@ object SparkEntry {
         |ps AS (SELECT count(*)::BIGINT AS n_parent FROM p),
         |cl AS (SELECT count(*)::BIGINT AS n_childless_parents FROM p
         |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE ck IS NOT NULL AND ck = pk))
-        |SELECT * FROM cs CROSS JOIN os CROSS JOIN ps CROSS JOIN cl""".stripMargin
+        |SELECT * FROM cs CROSS JOIN os CROSS JOIN ps CROSS JOIN cl""".stripMargin,
+    "covisit_topk" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |n AS (SELECT it, count(*) AS n FROM bi GROUP BY 1),
+        |p AS (SELECT a.it AS p1, bb.it AS p2, count(*) AS n_both
+        |      FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2)
+        |SELECT p1, p2, n_both, CAST(n_both AS DOUBLE) / (n1.n + n2.n - n_both) AS jaccard
+        |FROM p JOIN n n1 ON n1.it = p1 JOIN n n2 ON n2.it = p2
+        |ORDER BY n_both DESC, p1, p2 LIMIT 25""".stripMargin,
+    // The oracle enumerates each triangle once as a < b2 < c via the
+    // id-oriented triple join — orientation changes WHICH wedge finds a
+    // triangle, never the triangle set, so it matches the engine's
+    // degree-ordered census exactly.
+    "graph_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c FROM e e1
+        |        JOIN e e2 ON e2.u = e1.v
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b2 FROM tri
+        |          UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_tri FROM nodes
+        |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+    // Min-label fixpoint over the symmetric closure (the dedup_clusters
+    // oracle pattern): cc holds every (node, reachable id); min per node
+    // is the component minimum.
+    "graph_cc" ->
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |se AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e),
+        |cc(id, lbl) AS (SELECT DISTINCT s, s FROM se
+        |  UNION SELECT se.t, cc.lbl FROM cc JOIN se ON se.s = cc.id),
+        |m AS (SELECT id, min(lbl) AS component FROM cc GROUP BY 1),
+        |nn AS (SELECT component, count(*) AS n_nodes FROM m GROUP BY 1),
+        |ne AS (SELECT m.component, count(*) AS n_edges FROM e JOIN m ON m.id = e.u GROUP BY 1)
+        |SELECT component, n_nodes, n_edges FROM nn JOIN ne USING (component)
+        |ORDER BY n_nodes DESC, component LIMIT 20""".stripMargin,
+    // The oracle may rescan per day (join on the 7-day band) — DuckDB is
+    // single-node; only the VALUES must match the engine's
+    // dedup-then-replicate reshape.
+    "rolling_active" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT days.day, count(DISTINCT du.user_id) AS n_active
+        |FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
+        |GROUP BY 1""".stripMargin,
+    "attribution" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ts,
+        |    event_id, event_type, value FROM events),
+        |lt AS (SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, 'direct') AS touch, count(*) AS n_conv,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM lt WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "markov_trans" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ts,
+        |    event_id, event_type FROM events),
+        |pr AS (SELECT user_id, event_type AS next_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM e)
+        |SELECT prev_type, next_type, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+        |FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // Positional (non-distinct) 4-gram hashes, then min per 4-window, then
+    // distinct — mirrors TF.winnowFingerprint exactly (1-based indexing;
+    // DuckDB range() is end-exclusive and list slicing truncates like
+    // Spark's slice()).
+    "winnow_fingerprint" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(text) - 2, 2)), i ->
+        |    ('0x' || substr(md5(substr(text, i, 4)), 1, 8))::BIGINT) AS hs
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 2)), j ->
+        |    list_min(hs[j:j+3]))) AS fp FROM h)
+        |SELECT doc_id, len(fp) AS n_fp, list_aggregate(fp, 'bit_xor') AS fp_xor
+        |FROM w""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Item-affinity mining over (basket, item) co-presence — the
+ * collaborative-filtering / market-basket prep stage ("customers who
+ * bought X also bought Y"), and the edge generator for the co-purchase
+ * graph queries ([[Graph.triangleCounts]] / [[Graph.componentStats]]
+ * consume its support-thresholded output).
+ *
+ * Scale shape: the pair generator is a self-join on the BASKET key, so
+ * per-basket fan-out is C(|basket|, 2) — bounded by real basket sizes
+ * (an order has a handful of lines), never by item popularity. Both join
+ * sides are the identical distinct-(basket, item) child, so the plan
+ * carries ONE exchange (ReusedExchange) for the pair stage; the pair
+ * count aggregation map-side combines; and the two per-item frequency
+ * joins are left un-hinted so AQE broadcasts a catalog-sized item table
+ * and shuffles a pathological one. A degenerate mega-basket (one basket
+ * holding a large fraction of the catalog) is the one input this layout
+ * cannot bound — cap basket size upstream if the domain allows it.
+ *
+ * Affinity score: exact Jaccard over basket sets,
+ * `n_both / (n1 + n2 - n_both)` — one IEEE division of exact 64-bit
+ * counts, bitwise-identical across engines and partition orders (no
+ * sqrt/log drift as cosine/lift would have).
+ */
+object Affinity {
+
+  /** Co-presence pair counts with Jaccard affinity. Output:
+    * `(p1, p2, n_both, jaccard)` with `p1 < p2`, one row per item pair
+    * sharing ≥ 1 basket; `n_both` = distinct baskets containing both. */
+  def copresencePairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val bi = df.select(col(basketCol).cast(LongType).as("b"),
+      col(itemCol).cast(LongType).as("it")).distinct()
+    val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val pairs = bi.as("a")
+      .join(bi.as("bb"), col("a.b") === col("bb.b") && col("a.it") < col("bb.it"))
+      .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(itemN.select(col("it").as("p1"), col("n").as("n1")), "p1")
+      .join(itemN.select(col("it").as("p2"), col("n").as("n2")), "p2")
+      .select(col("p1"), col("p2"), col("n_both"),
+        (col("n_both").cast(DoubleType) / (col("n1") + col("n2") - col("n_both")))
+          .as("jaccard"))
+  }
+
+  /** The support-thresholded co-presence graph: distinct undirected edges
+    * `(u, v)`, `u < v`, between items sharing ≥ `minSupport` baskets.
+    * Support thresholding is what keeps this graph SPARSE as the corpus
+    * grows: random co-presence stays below the threshold, so edge count
+    * tracks genuine affinity structure, not corpus size (on the synthetic
+    * testdata the ≥2-support edge set is ~3.4k at sf0.01 and ~3.6k at
+    * sf0.1 — flat across a 10× scale-up). */
+  def copresenceGraph(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val bi = df.select(col(basketCol).cast(LongType).as("b"),
+      col(itemCol).cast(LongType).as("it")).distinct()
+    bi.as("a")
+      .join(bi.as("bb"), col("a.b") === col("bb.b") && col("a.it") < col("bb.it"))
+      .groupBy(col("a.it").as("u"), col("bb.it").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select(col("u"), col("v"))
+  }
+}

@@ -50,4 +50,68 @@ object Graph {
           call_function("div", lit(850000L) * col("mass"), lit(1000000L)))
           .as("score_ppm"))
   }
+
+  /** Per-node triangle counts via the degree-ordered node-iterator
+    * (Schank–Wagner orientation; the MapReduce form is Suri &
+    * Vassilvitskii, WWW'11). Input: distinct undirected edges with
+    * `uCol < vCol`. Each edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, so every triangle is generated exactly once —
+    * at the wedge whose center is the triangle's LOWEST-rank vertex — and
+    * the wedge count is bounded by O(m^{3/2}) regardless of degree skew
+    * (a hub of degree d contributes wedges only toward its ≤ √(2m)
+    * higher-rank neighbors, never d² pairs). That bound is what makes
+    * this survive a power-law graph at 100 TB; the naive u<v-id
+    * orientation puts all of a low-id hub's d² wedges in one task.
+    *
+    * Plan shape: one degree aggregation (map-side combining), the wedge
+    * self-join on `src` plans the oriented-edge pipeline ONCE
+    * (ReusedExchange — both sides are the identical child), and the
+    * closing check is a semi-join on (dst₁, dst₂) — candidates carry two
+    * longs, never adjacency lists. Output: `(node, n_tri)`, one row per
+    * vertex on ≥ 1 triangle; counts are exact.
+    */
+  def triangleCounts(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // Orient lower-(deg, id) -> higher; carry the head's (deg, id) rank so
+    // the wedge join can order its two heads without re-joining degrees.
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val headLt = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") && headLt)
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    // rank(y) < rank(z), so a closing edge is oriented y -> z by
+    // construction: one semi-join against the oriented set decides it.
+    val tri = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Connected-component roll-up: `(component, n_nodes, n_edges)` where
+    * `component` is the minimum node id of the component. Labeling is
+    * [[Dedup.duplicateClusters]]'s two-phase union-find contraction — ONE
+    * lazy plan, no driver loop, no blocking action (see its scaladoc for
+    * the 100 TB argument); this wrapper adds the node roll-up and one
+    * u-keyed edge→label join for the edge counts. Input: distinct
+    * undirected edges with `uCol < vCol`. */
+  def componentStats(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
+    val labels = Dedup.duplicateClusters(e.select(col("u").as("i"), col("v").as("j")))
+    val nNodes = labels.groupBy(col("cluster_id").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // Both edge endpoints share a component; counting by u's label is exact.
+    val nEdges = e.join(labels.select(col("id").as("u"), col("cluster_id").as("component")), "u")
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    nNodes.join(nEdges, "component")
+  }
 }

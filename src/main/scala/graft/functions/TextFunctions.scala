@@ -233,4 +233,39 @@ object TextFunctions {
     * most 8-grams share most fingerprint slots. */
   def kMinFingerprint(c: Column, k: Int): Column =
     slice(array_sort(shingleHashes(c, 8)), 1, k)
+
+  /** POSITIONAL (non-distinct, in-order) hashed character k-grams — the
+    * sequence representation winnowing needs; [[shingleHashes]] is the SET
+    * representation the dedup operators use. */
+  def positionalShingleHashes(c: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => xhash32(c.substr(i, lit(k))))
+
+  /** Winnowing window-minima selector (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS selector): the distinct set of per-window
+    * minima over `w` consecutive entries of a POSITIONAL hash array
+    * ([[positionalShingleHashes]]). Winnowing guarantees every shared
+    * substring of length >= w + k - 1 contributes a shared fingerprint
+    * hash, while keeping the selected set a ~2/(w+1) fraction of all
+    * grams — the position-robust plagiarism/attribution fingerprint
+    * [[kMinFingerprint]]'s global k-min sketch cannot give (a k-min slot
+    * says nothing about WHERE the overlap is, and local edits shift
+    * which grams win globally). Map-side HOFs over the document — the
+    * fingerprint never shuffles more than its distinct minima.
+    *
+    * `hs` MUST be a MATERIALIZED column (its own projection step), not
+    * the gram-hash expression inlined: this lambda references `hs` once
+    * per window, and Catalyst re-evaluates a non-attribute subexpression
+    * at every reference — inlining [[positionalShingleHashes]] here
+    * turns O(n) md5s per document into O(n²) (measured: a single-core
+    * multi-minute stall at sf0.1 vs sub-second materialized).
+    * CollapseProject will NOT fold a multiply-referenced non-cheap
+    * projection back in, so a two-step select is safe. */
+  def winnowMinima(hs: Column, w: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        j => array_min(slice(hs, j, lit(w)))))
 }

@@ -85,6 +85,44 @@ object TimeSeries {
         when(col("active_s") > 0, intDiv(col("tw_cents_s"), col("active_s"))))
   }
 
+  /** Rolling distinct actives (the sliding DAU/WAU/MAU counter): for each
+    * bucket `b` present in the data, the EXACT count of distinct `idCol`
+    * values seen in buckets `[b - windowBuckets + 1, b]`.
+    *
+    * The naive form — per-day self-join or a range-frame
+    * `count(DISTINCT)` window — rescans the corpus once per bucket (or
+    * funnels it through one task per day). This is the reshape that
+    * scales instead: dedup to (bucket, id) FIRST (the one corpus-sized
+    * shuffle; map-side combining distinct), then each surviving row
+    * replicates map-side to the `windowBuckets` target buckets it serves
+    * (sequence+explode — ×W on the already-deduped row count, not the
+    * corpus), a second distinct collapses multi-day actives, and the
+    * final per-bucket count is calendar-sized. Buckets beyond the
+    * observed range are clipped with a broadcast semi-join against the
+    * distinct observed buckets (calendar-sized by construction).
+    * Everything is exact 64-bit arithmetic on `tsNanos div bucketNanos`
+    * — no timestamp/double rounding can move a row across a bucket
+    * boundary. */
+  def rollingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      idCol: String,
+      bucketNanos: Long,
+      windowBuckets: Int): DataFrame = {
+    require(windowBuckets > 0, "window must span at least one bucket")
+    val perBucket = df
+      .select(intDiv(col(tsCol), lit(bucketNanos)).as("bucket"), col(idCol).as("id"))
+      .distinct()
+    val observed = perBucket.select(col("bucket")).distinct()
+    perBucket
+      .select(explode(sequence(col("bucket"),
+        col("bucket") + lit(windowBuckets - 1L))).as("bucket"), col("id"))
+      .distinct()
+      .join(broadcast(observed), Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Integral division on longs — SQL `div`, NOT Column `/` (double
     * division: a numerator past 2^53, e.g. an epoch-nanos timestamp,
     * rounds before the divide and can land in the wrong bucket). */

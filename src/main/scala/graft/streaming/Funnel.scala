@@ -92,6 +92,29 @@ object Funnel {
       .drop("__s1_recent", "__s2_recent")
   }
 
+  /** Last-touch attribution marker: on every row, `touch` = the
+    * `typeCol` of the user's most recent STRICTLY earlier event whose
+    * type differs from `convType` (null when no prior touch exists — the
+    * "direct" conversion). One `last(..., ignoreNulls)` over the same
+    * strictly-preceding (user, ts, id) ROWS frame the funnel cascade
+    * uses, so attribution and funnel stages can ride one exchange when
+    * composed. The caller filters to `typeCol === convType` rows and
+    * rolls credit up per touch — per-user window, never a global one. */
+  def withLastTouch(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      convType: String): DataFrame = {
+    val prior = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("touch",
+      last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+        .over(prior))
+  }
+
   /** Fold a user's in-order events into their funnel flags. */
   private[graft] def fold(
       s1: Boolean, s2: Boolean, s3: Boolean,

@@ -86,6 +86,33 @@ class FunnelPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("last-touch attribution equals a brute-force scan on random sequences") {
+    // Replica: for each purchase, walk the user's events in (ts, event_id)
+    // order and take the type of the latest strictly-earlier non-purchase
+    // event ("direct" when none) — recomputed per row, so an off-by-one in
+    // the window frame (UNBOUNDED..0 vs ..-1) cannot cancel out.
+    val seqs = Iterator.from(0)
+      .map(i => eventsGen.apply(Gen.Parameters.default, rng.Seed(4242L + i)))
+      .flatten.take(15).toSeq
+    for ((events, i) <- seqs.zipWithIndex) {
+      val expected = events.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        val ordered = es.sortBy(e => (e.ts, e.event_id))
+        ordered.zipWithIndex.collect { case (e, k) if e.event_type == "purchase" =>
+          ordered.take(k).reverse.find(_.event_type != "purchase")
+            .map(_.event_type).getOrElse("direct")
+        }
+      }.groupBy(identity).map { case (touch, v) => touch -> v.size.toLong }
+      val out = Funnel.withLastTouch(
+          events.toDF().repartition(1 + (i % 4)),
+          "user_id", "ts", "event_id", "event_type", convType = "purchase")
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"case $i: $events")
+    }
+  }
+
   test("window-cascade funnel equals the sequential fold on random sequences") {
     val seqs = Iterator.from(0)
       .map(i => eventsGen.apply(Gen.Parameters.default, rng.Seed(777L + i)))

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Affinity, Graph}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("triangleCounts: K4 plus a disjoint triangle plus a pendant edge") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node on 3.
+    // Triangle {10,11,12}: each node on 1. Edge {20,21}: no triangles.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("u", "v")
+    val out = Graph.triangleCounts(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("triangleCounts: seeded random graph matches the brute-force census") {
+    val rnd = new Random(42)
+    val n = 40
+    val edgeSet = (for {
+      u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.15
+    } yield (u.toLong, v.toLong)).toSet
+    val adj = edgeSet ++ edgeSet.map { case (a, b) => (b, a) }
+    val expected = (for {
+      (a, b) <- edgeSet; c <- 0L until n.toLong
+      if c > b && adj((a, c)) && adj((b, c))
+    } yield Seq(a, b, c)).toSeq.flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = Graph.triangleCounts(edgeSet.toSeq.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+  }
+
+  test("triangleCounts: count is partitioning-invariant") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 4L))
+    val one = Graph.triangleCounts(edges.toDF("u", "v").repartition(1), "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val many = Graph.triangleCounts(edges.toDF("u", "v").repartition(7), "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(one === many)
+  }
+
+  test("componentStats: sizes and edge counts per component, min-id labels") {
+    // Path 1-2-3-4 (3 edges), triangle 10-11-12 (3 edges), pair 20-21.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("u", "v")
+    val out = Graph.componentStats(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((4L, 3L)), 10L -> ((3L, 3L)), 20L -> ((2L, 1L))))
+  }
+
+  test("copresencePairs: exact counts and Jaccard over shared baskets") {
+    // item 1 in baskets {1,2,3}; item 2 in {1,2}; item 3 in {3}.
+    // (1,2): both in 2 baskets, union 3 -> J = 2/3.
+    // (1,3): both in 1, union 3 -> J = 1/3. (2,3): no shared basket.
+    val bi = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (1L, 1L) // duplicate line: distinct() must collapse it
+    ).toDF("basket", "item")
+    val out = Affinity.copresencePairs(bi, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      (1L, 2L) -> ((2L, 2.0 / 3.0)),
+      (1L, 3L) -> ((1L, 1.0 / 3.0))))
+  }
+
+  test("copresenceGraph: support threshold keeps only repeated pairs") {
+    val bi = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), // pair (1,2) support 2
+      (3L, 1L), (3L, 3L) // pair (1,3) support 1
+    ).toDF("basket", "item")
+    val out = Affinity.copresenceGraph(bi, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

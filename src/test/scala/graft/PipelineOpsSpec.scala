@@ -113,6 +113,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == all -- nonCanonical)
   }
 
+  test("winnowFingerprint: matches a scalar replica; shared-substring guarantee holds") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    // Scalar replica of the whole selector: positional 4-gram md5 hashes,
+    // min per 4-window, distinct — independently recomputed, so an
+    // off-by-one in either the gram or the window sequence can't cancel.
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    def replica(text: String, k: Int, w: Int): Seq[Long] = {
+      val grams = (1 to math.max(text.length - (k - 1), 1))
+        .map(i => text.substring(i - 1, math.min(i - 1 + k, text.length)))
+      val hs = grams.map(h32)
+      (1 to math.max(hs.size - (w - 1), 1))
+        .map(j => hs.slice(j - 1, j - 1 + w).min).distinct
+    }
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a COMPLETELY different document SHARING brown fox jumps words",
+      "tiny", "ab", // shorter than k: the guarded sequence must not blow up
+      "aaaaaaaaaaaa" // degenerate: all grams identical -> 1 fingerprint
+    )
+    val out = docs.toDF("text")
+      .select(TF.positionalShingleHashes(col("text"), 4).as("hs"))
+      .select(TF.winnowMinima(col("hs"), w = 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    for ((d, got) <- docs.zip(out))
+      assert(got.sorted === replica(d, 4, 4).sorted, s"doc: '$d'")
+    // Winnowing guarantee: a shared substring of length >= w + k - 1 = 7
+    // ("brown fox jumps") forces >= 1 shared fingerprint hash.
+    assert(out(0).toSet.intersect(out(1).toSet).nonEmpty)
+  }
+
+  test("markov_trans: counts match a scalar fold; rows normalize to 1 per prev state") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: a -> b -> b -> c ; user 2: a -> c ; user 3: b (no pair)
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "b"), (1L, 30L, 4L, "c"),
+      (2L, 5L, 5L, "a"), (2L, 6L, 6L, "c"),
+      (3L, 1L, 7L, "b"))
+    val out = graft.functions.Markov.transitionMatrix(
+        events.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "event_type", orderCols = Seq("ts", "event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5)), ("b", "c") -> ((1L, 0.5))))
+  }
+
   test("skipgramPairs: window-2 pairs match the positional definition; short docs are safe") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}

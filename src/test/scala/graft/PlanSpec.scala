@@ -566,4 +566,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!e.output.exists(_.name == "text"),
         s"exchange carries document text:\n$e")
   }
+
+  test("covisit_topk: basket self-join plans the distinct pipeline once; bounded top-k") {
+    val df = SparkEntry.queries("covisit_topk")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      df.queryExecution.executedPlan.toString)
+    // AQE finalizes exchange reuse at materialization: both sides of the
+    // pair self-join are the identical distinct-(basket, item) child, so
+    // the corpus pays that distinct (and its shuffle) exactly once.
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("graph_triangles: wedge self-join reuses the oriented-edge exchange") {
+    val df = SparkEntry.queries("graph_triangles")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("rolling_active: observed-bucket clip is a broadcast semi-join (calendar-scale build)") {
+    val p = plan("rolling_active")
+    val semis = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(semis.exists(_.joinType.toString.contains("LeftSemi")), p.toString)
+  }
+
+  test("attribution: one per-user exchange feeds the last-touch window") {
+    // The window partitions by user_id; the final per-touch rollup is
+    // channel-cardinality metadata. Exactly two non-AQE exchanges total.
+    val shuffles = collectAll(plan("attribution")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2, planString("attribution"))
+  }
 }

@@ -35,6 +35,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out((d0 + 1, "A")) === ((4.0, 4.0, 4.0, 4.0, 1L)))
   }
 
+  test("rollingDistinct: sliding window counts, clipped to observed buckets") {
+    // Users per day: d0 {1,2}, d1 {2}, d3 {3}. Window = 2 days.
+    // d0 -> {1,2} = 2; d1 -> {1,2} = 2 (union d0 ∪ d1); d3 -> {3} = 1
+    // (d2 is unobserved -> no output row; d3's window [d2,d3] sees only d3).
+    val d0 = T0 - (T0 % Day)
+    val rows = Seq(
+      (d0 + 5L, 1L), (d0 + 9L, 2L), (d0 + 9L, 2L), // dup (day, user) collapses
+      (d0 + Day + 1L, 2L),
+      (d0 + 3 * Day + 7L, 3L)
+    ).toDF("ts", "user_id")
+    val out = TimeSeries.rollingDistinct(rows, "ts", "user_id", Day, windowBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = d0 / Day
+    assert(out === Map(b0 -> 2L, (b0 + 1) -> 2L, (b0 + 3) -> 1L))
+  }
+
+  test("rollingDistinct: window of 1 equals plain per-bucket distinct counts") {
+    val d0 = T0 - (T0 % Day)
+    val rows = Seq(
+      (d0 + 1L, 1L), (d0 + 2L, 2L), (d0 + Day, 1L), (d0 + Day + 1L, 1L)
+    ).toDF("ts", "user_id")
+    val out = TimeSeries.rollingDistinct(rows, "ts", "user_id", Day, windowBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = d0 / Day
+    assert(out === Map(b0 -> 2L, (b0 + 1) -> 1L))
+  }
+
   test("timeWeighted: step-function integral, integer-exact; last event holds zero time") {
     val rows = Seq(
       // user 1: 2.00 for 10s, then 4.00 for 5s, then last (no hold)
