@@ -1938,18 +1938,44 @@ object SparkEntry {
     // selector): per document, the distinct per-window minima of
     // positional 4-gram hashes — every shared substring of length >= 7
     // is guaranteed a shared hash, unlike the global k-min sketch
-    // (`fingerprint`). Entirely map-side HOFs; the XOR digest is
+    // (`fingerprint`). One codegen'd pass (TFast.winnowDigest:
+    // monotonic-deque sliding minima, O(n)/doc); the XOR digest is
     // order-independent so the result hashes identically regardless of
-    // selection order. Each HOF stage MATERIALIZES before the next
-    // references it — inlining would re-evaluate the md5 gram array per
-    // window, O(n²) per doc (TF.winnowMinima scaladoc).
+    // selection order. The HOF reference (TF.positionalShingleHashes →
+    // winnowMinima, each stage MATERIALIZED — inlining re-evaluates the
+    // md5 gram array per window, O(n²)/doc) is pinned equal in
+    // FastKernelSpec.
     "winnow_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), TF.positionalShingleHashes(col("text"), 4).as("hs"))
-        .select(col("doc_id"), TF.winnowMinima(col("hs"), w = 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          aggregate(col("fp"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor")))
+        .select(col("doc_id"), TFast.winnowDigest(col("text"), k = 4, w = 4).as("wd"))
+        .select(col("doc_id"), col("wd").getItem(0).as("n_fp"),
+          col("wd").getItem(1).as("fp_xor"))),
+
+    // Top session event-type paths (clickstream path mining): events get
+    // per-event session ids (Sessionize.withSessionIds — the 30-min gap
+    // rule sessionize/streamingSessions share), each session folds to its
+    // ordered type path map-side of the path census, and the top-k is a
+    // TakeOrderedAndProject. Lag, running sum, AND the per-session fold
+    // ride ONE user exchange; only path-cardinality count rows shuffle
+    // again. Path order pinned by sort_array over (ts, event_id, type)
+    // structs — collect_list order is not deterministic, the sort is.
+    "session_paths" -> ((s, dir) =>
+      graft.streaming.Sessionize.withSessionIds(
+          t(s, dir, "events")
+            .withColumn("ts", expr("(ts div 1000) * 1000")) // ns -> us grid (oracle precision)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          "user_id", "ts", gapNanos = 30L * 60 * 1000000000L,
+          orderCols = Seq("ts", "event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            st => st.getField("event_type")),
+          ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20))
   )
 
   // ---- shared DuckDB oracle fragments (mirror TextFunctions exactly) ----
@@ -3577,6 +3603,22 @@ object SparkEntry {
         |w AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 2)), j ->
         |    list_min(hs[j:j+3]))) AS fp FROM h)
         |SELECT doc_id, len(fp) AS n_fp, list_aggregate(fp, 'bit_xor') AS fp_xor
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+    // Same gap rule as the sessionize oracle, with the (ts, event_id)
+    // tiebreak made explicit because paths (unlike session aggregates)
+    // are order-sensitive.
+    "session_paths" ->
+      """WITH e AS (SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS ts,
+        |    event_id, event_type FROM events),
+        |w AS (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+        |     THEN 1 ELSE 0 END AS ns FROM e),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM w),
+        |p AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
   )
 }

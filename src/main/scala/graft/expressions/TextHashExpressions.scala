@@ -226,6 +226,22 @@ case class DotSeq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** winnowDigest(text, k, w): [n_fp, fp_xor] — one-pass winnowing
+  * fingerprint census (monotonic-deque sliding minima over positional
+  * k-gram hashes). */
+case class WinnowDigest(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCall {
+  require(k > 0 && w > 0, "gram and window lengths must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowDigest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.winnowDigest($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowDigest =
+    copy(child = newChild)
+}
+
 /** Jaccard coefficient of two sorted distinct string arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {

@@ -380,6 +380,41 @@ object TextKernels {
     acc
   }
 
+  /** Winnowing fingerprint digest in ONE pass (mirrors the HOF composition
+    * positionalShingleHashes(k) → winnowMinima(w) → [size, xor-fold]):
+    * positional k-gram xhash32 stream → sliding-window minima via a
+    * monotonic deque (O(n) total, vs O(n·w) slice+array_min — and vs the
+    * O(n²) md5 re-evaluation the inlined HOF form pays) → distinct set →
+    * `[n_fp, fp_xor]`. XOR is order-independent, so the digest is
+    * identical whichever window first surfaces a minimum. Short inputs
+    * (fewer than w gram positions) collapse to the single truncated
+    * window, exactly like `slice` past the array end. */
+  def winnowDigest(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numChars()
+    val m = math.max(n - k + 1, 1)
+    val hs = new Array[Long](m)
+    var i = 1
+    while (i <= m) { hs(i - 1) = xhash32(s.substringSQL(i, k)); i += 1 }
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var xor = 0L
+    var j = 0
+    while (j < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      while (deque(head) <= j - w) head += 1
+      if (j >= w - 1 || (j == m - 1 && m < w)) {
+        val mn = hs(deque(head))
+        if (seen.add(mn)) xor ^= mn
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(Array(seen.size.toLong, xor))
+  }
+
   /** Lowercase hex of the md5 digest of `bytes` — table-driven, reusing the
     * thread-local digest (no per-call Formatter/MessageDigest churn). */
   def md5Hex(bytes: Array[Byte]): String = {

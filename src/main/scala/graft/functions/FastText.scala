@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, XHash32Array}
+import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, WinnowDigest, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -92,4 +92,10 @@ object FastText {
     * filter `>= t` afterwards. */
   def containmentSortedLongBounded(a: Column, b: Column, t: Double): Column =
     B.column(ContainmentSortedLongBounded(B.expression(a), B.expression(b), t))
+
+  /** [n_fp, fp_xor] — one-pass winnowing fingerprint digest, value-equal
+    * to size/xor-fold over TextFunctions.positionalShingleHashes(k) →
+    * winnowMinima(w) (FastKernelSpec asserts it). */
+  def winnowDigest(c: Column, k: Int, w: Int): Column =
+    B.column(WinnowDigest(B.expression(c), k, w))
 }

@@ -145,4 +145,45 @@ object Funnel {
           next
       }
   }
+
+  /** Streaming face of [[withLastTouch]]: per-user state is ONE string —
+    * the type of the last non-`convType` event seen so far (the smallest
+    * state last-touch attribution can carry). Each micro-batch folds its
+    * events in (ts, event_id) order and EMITS one credit row per
+    * conversion (Append semantics via `flatMapGroupsWithState`):
+    * `(user_id, event_id, touch)` with touch = "direct" when no prior
+    * touch exists — exactly the batch operator's per-purchase rows
+    * whenever each user's events arrive in order (the Kafka
+    * partitioned-by-user posture the other faces assume; replays
+    * re-emit, keyed by the conversion's unique event_id so downstream
+    * dedup is a key filter). */
+  def lastTouchStream(events: Dataset[FunnelEvent], convType: String)
+      : Dataset[TouchCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouchState, TouchCredit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[LastTouchState]) =>
+          var touch = state.getOption.flatMap(_.touch)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+          for (e <- batch.toSeq.sortBy(e => (e.ts, e.event_id))) {
+            if (e.event_type == convType)
+              out += TouchCredit(user, e.event_id, touch.getOrElse("direct"))
+            else touch = Some(e.event_type)
+          }
+          state.update(LastTouchState(touch))
+          out.iterator
+      }
+  }
 }
+
+/** [[Funnel.lastTouchStream]] state: the user's most recent non-conversion
+  * event type (None before any touch). */
+final case class LastTouchState(touch: Option[String])
+
+/** One attributed conversion: `event_id` is the conversion event's unique
+  * id (the replay-dedup key); `touch` the credited channel. */
+final case class TouchCredit(user_id: Long, event_id: Long, touch: String)

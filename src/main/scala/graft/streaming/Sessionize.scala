@@ -63,6 +63,33 @@ object Sessionize {
         max(col("ts")).as("end_ts"))
   }
 
+  /** Per-event session assignment: adds `session_id` (1-based per user,
+    * same 30-min-gap rule as [[batchSessions]]) while KEEPING every input
+    * column — for consumers that need the events themselves (path mining,
+    * per-session features), where batchSessions collapses to aggregates.
+    * `orderCols` must totally order a user's events (include a unique
+    * tiebreaker); session BOUNDARIES are tie-insensitive (equal-ts events
+    * have gap 0), the explicit order matters only for downstream
+    * order-sensitive consumers. Lag, running sum, and any later
+    * groupBy(user, session) all ride ONE user exchange. */
+  def withSessionIds(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapNanos: Long,
+      orderCols: Seq[String]): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    df
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn(
+        "__new_s",
+        when(col("__prev_ts").isNull || col(tsCol) - col("__prev_ts") > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ts", "__new_s")
+  }
+
   /** Streaming sessionization over an event-time watermarked stream.
     * Emits a session when `gap` passes with no new event for the user
     * (event-time timeout driven by the watermark). */

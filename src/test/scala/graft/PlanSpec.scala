@@ -599,4 +599,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val shuffles = collectAll(plan("attribution")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size == 2, planString("attribution"))
   }
+
+  test("session_paths: session windows and the per-session fold share the user exchange") {
+    // HashPartitioning(user_id) satisfies the (user_id, session_id)
+    // grouping (subset key), so lag + running sum + the path fold are ONE
+    // exchange; the path census is the second; the top-k bounds the rest.
+    val p = plan("session_paths")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2, p.toString)
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
 }

@@ -594,6 +594,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(expected(3L) === ((true, false, false)))
   }
 
+  test("Funnel.lastTouchStream: per-purchase credits match the batch last-touch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // User 1: view -> purchase (credit view), then click -> purchase in a
+    // LATER batch (credit click — state carries the touch across batches).
+    // User 2: purchase with no prior touch -> "direct". User 3: the touch
+    // arrives in batch 1, the purchase in batch 2 -> credit crosses the
+    // batch boundary via state.
+    val b1 = Seq(
+      FunnelEvent(1L, T0, 10L, "view"), FunnelEvent(1L, T0 + Min, 11L, "purchase"),
+      FunnelEvent(2L, T0, 20L, "purchase"),
+      FunnelEvent(3L, T0, 30L, "signup"))
+    val b2 = Seq(
+      FunnelEvent(1L, T0 + 2 * Min, 12L, "click"),
+      FunnelEvent(1L, T0 + 3 * Min, 13L, "purchase"),
+      FunnelEvent(3L, T0 + Min, 31L, "purchase"))
+    val in = MemoryStream[FunnelEvent]
+    val q = Funnel.lastTouchStream(in.toDS(), convType = "purchase").writeStream
+      .format("memory").queryName("touch_credits").outputMode("append").start()
+    runToCompletion(q, () => in.addData(b1), () => in.addData(b2))
+    val streamed = spark.table("touch_credits").as[graft.streaming.TouchCredit]
+      .collect().map(c => (c.user_id, c.event_id, c.touch)).toSet
+    // Batch operator over the full history = the parity oracle.
+    val batch = Funnel.withLastTouch(
+        (b1 ++ b2).toDF(), "user_id", "ts", "event_id", "event_type", "purchase")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("touch"), lit("direct")).as("touch"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(
+      (1L, 11L, "view"), (1L, 13L, "click"), (2L, 20L, "direct"), (3L, 31L, "signup")))
+  }
+
   test("Kafka source contract: binary key/value expand; topic/partition/offset pass through") {
     // The exact frame the Kafka DataSource presents (no broker in this
     // container — DESIGN.md; this pins the column contract KafkaJson.expand
