@@ -572,7 +572,18 @@ object Dedup {
     * entirely; a strictly-contained doc drops regardless of id order.
     * The drop set is metadata-scale (ids only), and the final anti join is
     * deliberately un-hinted — AQE broadcasts it while it fits and falls
-    * back to shuffle on a quote-heavy corpus (the dedup_keep lesson). */
+    * back to shuffle on a quote-heavy corpus (the dedup_keep lesson).
+    *
+    * Mutuality is decided by ONE groupBy on the canonicalized
+    * (min, max) pair — per (a, b), a backward row (i > j) exists iff the
+    * max-id member must drop (mutual pairs drop max; a backward-only row
+    * IS its max-id member contained), else the pair's only row is forward
+    * and its min-id member drops. The previous formulation joined the
+    * pair set against its own REVERSAL, and since the reversed side
+    * projects swapped columns below its join exchange, no ReusedExchange
+    * applies — the entire containment pipeline planned and ran TWICE
+    * (measured: quote_clean 11.5 s vs contain_ngram 6.2 s at sf0.1;
+    * 6.0 s with the groupBy). */
   def dropContained(
       df: DataFrame,
       idCol: String,
@@ -582,11 +593,10 @@ object Dedup {
       minShingles: Int = 8): DataFrame = {
     val p = containmentPairs(df, idCol, textCol, shingleK, threshold, minShingles)
       .select(col("i"), col("j"))
-    val rev = p.select(col("j").as("i"), col("i").as("j"), lit(1).as("__mutual"))
-    val drops = p.join(rev, Seq("i", "j"), "left")
-      .filter(col("__mutual").isNull || col("j") < col("i"))
-      .select(col("i").as("__drop_id"))
-      .distinct()
+    val drops = p
+      .groupBy(least(col("i"), col("j")).as("a"), greatest(col("i"), col("j")).as("b"))
+      .agg(max(when(col("i") > col("j"), 1).otherwise(0)).as("bwd"))
+      .select(when(col("bwd") === 1, col("b")).otherwise(col("a")).as("__drop_id"))
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 

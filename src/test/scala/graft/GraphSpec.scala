@@ -61,6 +61,32 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(1L -> ((4L, 3L)), 10L -> ((3L, 3L)), 20L -> ((2L, 1L))))
   }
 
+  test("componentStats: seeded random graphs match a scalar union-find") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new Random(seed)
+      val n = 60
+      // Sparse: ~n*0.8 edges -> many small components + the odd chain.
+      val edges = (for (_ <- 0 until (n * 4 / 5)) yield {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a < b) (a.toLong, b.toLong) else (b.toLong, a.toLong)
+      }).filter(e => e._1 != e._2).distinct
+      // Scalar union-find reference.
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+      val touched = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+      val byRoot = touched.groupBy(find)
+      val expected = byRoot.map { case (_, ns) =>
+        val comp = ns.map(_.toLong).min
+        comp -> ((ns.size.toLong,
+          edges.count { case (a, b) => find(a.toInt) == find(ns.head) }.toLong))
+      }
+      val out = Graph.componentStats(edges.toDF("u", "v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out === expected, s"seed=$seed")
+    }
+  }
+
   test("copresencePairs: exact counts and Jaccard over shared baskets") {
     // item 1 in baskets {1,2,3}; item 2 in {1,2}; item 3 in {3}.
     // (1,2): both in 2 baskets, union 3 -> J = 2/3.

@@ -51,6 +51,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out === Map(b0 -> 2L, (b0 + 1) -> 2L, (b0 + 3) -> 1L))
   }
 
+  test("rollingDistinct: seeded random histories match a brute-force band count") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3; w <- Seq(2, 7)) {
+      val rows = Seq.fill(120)((T0 + rnd.nextInt(20).toLong * Day + rnd.nextInt(1000).toLong,
+        rnd.nextInt(8).toLong))
+      val byDay = rows.map { case (ts, u) => (ts / Day, u) }.distinct
+      val days = byDay.map(_._1).distinct
+      val expected = days.map(d =>
+        d -> byDay.filter { case (bd, _) => bd >= d - (w - 1) && bd <= d }
+          .map(_._2).distinct.size.toLong).toMap
+      val out = TimeSeries.rollingDistinct(
+          rows.toDF("ts", "user_id"), "ts", "user_id", Day, windowBuckets = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === expected, s"trial=$trial w=$w")
+    }
+  }
+
   test("rollingDistinct: window of 1 equals plain per-bucket distinct counts") {
     val d0 = T0 - (T0 % Day)
     val rows = Seq(
