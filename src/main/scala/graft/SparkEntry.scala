@@ -1602,6 +1602,13 @@ object SparkEntry {
       Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, dim = 64)),
 
+    // One matrix-free power-iteration step toward the top principal
+    // direction (p = Aᵀ(A·v₀), never materializing AᵀA or collecting A):
+    // one fused-dot corpus pass, dim-keyed metadata shuffle, fixed-point
+    // per-dimension accumulation (Similarity.pcaPowerStep scaladoc).
+    "pca_power_step" -> ((s, dir) =>
+      Similarity.pcaPowerStep(t(s, dir, "embeddings"), "embedding", dim = 64)),
+
     // Embedding-pipeline capstone — the vector twin of
     // pipeline_train_prep: semantic dedup (cluster-then-prune, 0.4) ->
     // embedding decontamination vs the held-out eval set (0.3) ->
@@ -3078,6 +3085,20 @@ object SparkEntry {
         |SELECT cell, dim, count(*) AS n,
         |  sum(floor(x * 1048576.0))::BIGINT::DOUBLE / (count(*) * 1048576.0) AS c
         |FROM x GROUP BY cell, dim""".stripMargin,
+    // Same md5-seeded start vector, sequential-fold dot, and fixed-point
+    // accumulation as the engine (the kmeans_step parity family).
+    "pca_power_step" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |v0 AS (SELECT list_transform(range(0, 64), d ->
+        |    ('0x' || substr(md5('pca_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS v0),
+        |dt AS (SELECT v, list_sum(list_transform(list_zip(v, v0), pr -> pr[1] * pr[2])) AS dot
+        |  FROM e CROSS JOIN v0),
+        |x AS (SELECT dd.d AS dim, v[dd.d + 1] AS x, dot
+        |  FROM dt CROSS JOIN range(0, 64) dd(d))
+        |SELECT dim, count(*) AS n,
+        |  sum(floor(x * dot * 1048576.0))::BIGINT::DOUBLE / 1048576.0 AS p
+        |FROM x GROUP BY dim""".stripMargin,
     // kmeans_step's cell CTEs + the quality expression + a fixed-point
     // mean (the kmeans_step mean trick).
     "cluster_profile" ->

@@ -204,6 +204,46 @@ object Similarity {
         (col("s_fp").cast(DoubleType) / (col("n") * lit(1048576.0))).as("c"))
   }
 
+  /** Seed component for [[pcaPowerStep]]'s start vector — same md5
+    * formula family as [[centroidComponent]], so the oracle rebuilds it
+    * in SQL bit-for-bit. */
+  private[graft] def pcaComponent(d: Int): Double =
+    graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"pca_$d")) / 2147483648.0 - 1.0
+
+  /** One MATRIX-FREE power-iteration step toward the top principal
+    * direction of the (un-centered) embedding matrix A: p = Aᵀ(A·v₀),
+    * without ever materializing AᵀA (dim² entries) or collecting A.
+    * N iterations = N chained calls, the [[Graph.pushRound]] posture;
+    * normalization between iterations is the caller's (it needs a sqrt,
+    * which is exactly what the oracle-exact core avoids).
+    *
+    * Determinism: the per-row dot ⟨v, v₀⟩ is the sequential-fold double
+    * both engines share (dotSeq/list_sum — the emb_pairs argument); the
+    * per-dimension accumulation Σᵢ vᵢ[d]·dotᵢ is FIXED-POINT — each term
+    * floors at 2⁻²⁰ and sums as a long (exact, order-independent;
+    * overflow at ~2⁶² term-sum, far past any corpus) — the
+    * [[kmeansStep]] mean trick.
+    *
+    * Scale: one narrow corpus pass (a single fused dot kernel), then a
+    * dim-keyed shuffle AFTER map-side partial aggregation — only
+    * dim-cardinality rows move. Output: (dim, n, p). */
+  def pcaPowerStep(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val v0 = Seq.tabulate(dim)(pcaComponent)
+    df
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("v"), dotSeq(col(vecCol), typedLit(v0)).as("dot"))
+      .select(col("dot"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast(DoubleType) * col("dot") * lit(1048576.0))
+          .cast(LongType)).as("s_fp"))
+      .select(col("dim"), col("n"),
+        (col("s_fp").cast(DoubleType) / lit(1048576.0)).as("p"))
+  }
+
   /** Public face of the cell assignment: (idCol, cell) for every vector —
     * "which semantic cluster is each row in", the join key for
     * cross-modal cluster audits and cell-keyed storage layouts. One

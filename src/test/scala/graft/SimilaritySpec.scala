@@ -143,6 +143,24 @@ class SimilaritySpec extends SparkSpec {
     assert(step.size == byCell.size * 64)
   }
 
+  test("pcaPowerStep: matches the driver-side p = At(Av0) with fixed-point sums") {
+    val out = Similarity.pcaPowerStep(emb, "embedding", dim = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val v0 = Array.tabulate(64)(Similarity.pcaComponent)
+    val vecs = emb.select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    for (d <- 0 until 64) {
+      val sFp = vecs.map { v =>
+        val dot = v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * v0(i))
+        math.floor(v(d).toDouble * dot * 1048576.0).toLong
+      }.sum
+      val (n, p) = out(d.toLong)
+      assert(n == vecs.length, s"dim $d n")
+      assert(p == sFp.toDouble / 1048576.0, s"dim $d value")
+    }
+    // The step must actually move mass: p is not the zero vector.
+    assert(out.values.exists { case (_, p) => p != 0.0 })
+  }
+
   test("semDedupKeep: survivors are exactly the no-lower-id-near-dup-in-cell set") {
     val out = Similarity.semDedupKeep(emb, "vec_id", "embedding",
       k = 8, dim = 64, threshold = 0.4)
