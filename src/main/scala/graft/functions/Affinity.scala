@@ -29,18 +29,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
  */
 object Affinity {
 
+  /** Distinct (basket, item) frame — the shared root of both operators. */
+  private def basketItems(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.select(col(basketCol).cast(LongType).as("b"),
+      col(itemCol).cast(LongType).as("it")).distinct()
+
+  /** Co-presence pair support counts `(p1, p2, c)`, `p1 < p2` — ONE
+    * implementation of the distinct + basket self-join + count pipeline,
+    * shared by [[copresencePairs]] and [[copresenceGraph]] so a pair-
+    * generator fix (e.g. a basket-size cap) cannot drift between them. */
+  private def pairCounts(bi: DataFrame): DataFrame =
+    bi.as("a")
+      .join(bi.as("bb"), col("a.b") === col("bb.b") && col("a.it") < col("bb.it"))
+      .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
+      .agg(count(lit(1)).as("c"))
+
   /** Co-presence pair counts with Jaccard affinity. Output:
     * `(p1, p2, n_both, jaccard)` with `p1 < p2`, one row per item pair
     * sharing ≥ 1 basket; `n_both` = distinct baskets containing both. */
   def copresencePairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val bi = df.select(col(basketCol).cast(LongType).as("b"),
-      col(itemCol).cast(LongType).as("it")).distinct()
+    val bi = basketItems(df, basketCol, itemCol)
     val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n"))
-    val pairs = bi.as("a")
-      .join(bi.as("bb"), col("a.b") === col("bb.b") && col("a.it") < col("bb.it"))
-      .groupBy(col("a.it").as("p1"), col("bb.it").as("p2"))
-      .agg(count(lit(1)).as("n_both"))
-    pairs
+    pairCounts(bi).withColumnRenamed("c", "n_both")
       .join(itemN.select(col("it").as("p1"), col("n").as("n1")), "p1")
       .join(itemN.select(col("it").as("p2"), col("n").as("n2")), "p2")
       .select(col("p1"), col("p2"), col("n_both"),
@@ -56,14 +66,8 @@ object Affinity {
     * testdata the ≥2-support edge set is ~3.4k at sf0.01 and ~3.6k at
     * sf0.1 — flat across a 10× scale-up). */
   def copresenceGraph(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
-    val bi = df.select(col(basketCol).cast(LongType).as("b"),
-      col(itemCol).cast(LongType).as("it")).distinct()
-    bi.as("a")
-      .join(bi.as("bb"), col("a.b") === col("bb.b") && col("a.it") < col("bb.it"))
-      .groupBy(col("a.it").as("u"), col("bb.it").as("v"))
-      .agg(count(lit(1)).as("c"))
+      minSupport: Long): DataFrame =
+    pairCounts(basketItems(df, basketCol, itemCol))
       .filter(col("c") >= minSupport)
-      .select(col("u"), col("v"))
-  }
+      .select(col("p1").as("u"), col("p2").as("v"))
 }

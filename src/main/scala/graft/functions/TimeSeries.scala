@@ -109,16 +109,22 @@ object TimeSeries {
       idCol: String,
       bucketNanos: Long,
       windowBuckets: Int): DataFrame = {
+    require(bucketNanos > 0, "bucket width must be positive")
     require(windowBuckets > 0, "window must span at least one bucket")
     val perBucket = df
       .select(intDiv(col(tsCol), lit(bucketNanos)).as("bucket"), col(idCol).as("id"))
       .distinct()
     val observed = perBucket.select(col("bucket")).distinct()
+    // The clip join is deliberately UN-hinted (the keepCanonical lesson):
+    // observed is calendar-sized for day/hour buckets and AQE broadcasts
+    // it, but a caller bucketing at millisecond grain over a long range
+    // would make a hard broadcast a driver OOM — AQE falls back to a
+    // shuffle semi-join there.
     perBucket
       .select(explode(sequence(col("bucket"),
         col("bucket") + lit(windowBuckets - 1L))).as("bucket"), col("id"))
       .distinct()
-      .join(broadcast(observed), Seq("bucket"), "left_semi")
+      .join(observed, Seq("bucket"), "left_semi")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_active"))
   }

@@ -47,21 +47,18 @@ object Sessionize {
       df: DataFrame,
       userCol: String,
       tsCol: String,
-      gapNanos: Long): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    df.select(col(userCol).cast("long").as("user_id"), col(tsCol).cast("long").as("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn(
-        "new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapNanos: Long): DataFrame =
+    // ONE implementation of the gap rule: withSessionIds is the shared
+    // session-numbering core (a boundary edit there cannot desynchronize
+    // this aggregate face from session_paths' per-event face).
+    withSessionIds(
+        df.select(col(userCol).cast("long").as("user_id"), col(tsCol).cast("long").as("ts")),
+        "user_id", "ts", gapNanos, orderCols = Seq("ts"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("ts")).as("start_ts"),
         max(col("ts")).as("end_ts"))
-  }
 
   /** Per-event session assignment: adds `session_id` (1-based per user,
     * same 30-min-gap rule as [[batchSessions]]) while KEEPING every input

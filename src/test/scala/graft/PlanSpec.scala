@@ -587,10 +587,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s)
   }
 
-  test("rolling_active: observed-bucket clip is a broadcast semi-join (calendar-scale build)") {
-    val p = plan("rolling_active")
-    val semis = collectAll(p) { case b: BroadcastHashJoinExec => b }
-    assert(semis.exists(_.joinType.toString.contains("LeftSemi")), p.toString)
+  test("rolling_active: observed-bucket clip is an AQE-broadcast semi-join (calendar-scale build)") {
+    // The clip join is un-hinted (driver-OOM safety for fine-grained
+    // buckets); AQE must still pick a broadcast semi-join at calendar
+    // scale — materialize so the adaptive plan is final.
+    val df = SparkEntry.queries("rolling_active")(spark, sf)
+    df.collect()
+    // String-match: after materialization the join lives inside a
+    // QueryStageExec, which plain collect() does not descend into.
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
   }
 
   test("attribution: one per-user exchange feeds the last-touch window") {
