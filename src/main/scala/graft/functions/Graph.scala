@@ -71,7 +71,15 @@ object Graph {
     * vertex on ≥ 1 triangle; counts are exact.
     */
   def triangleCounts(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    // Exchange barrier on the (tiny, support-thresholded) edge set: this
+    // operator consumes it from FOUR subtrees (degree agg, the main
+    // degree-join path, both wedge sides, the closing check). Without
+    // the barrier each consumer re-merges whatever expensive pipeline
+    // produced the edges past its last exchange (for the co-purchase
+    // graph: the corpus-sized pair aggregation, merged 4x); with it,
+    // every consumer is a ReusedExchange of edge-set-sized data.
     val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
+      .repartition(col("u"), col("v"))
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -105,7 +113,10 @@ object Graph {
     * u-keyed edge→label join for the edge counts. Input: distinct
     * undirected edges with `uCol < vCol`. */
   def componentStats(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    // Same edge-set exchange barrier as triangleCounts: consumed by both
+    // the union-find labeling and the per-component edge count.
     val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
+      .repartition(col("u"), col("v"))
     val labels = Dedup.duplicateClusters(e.select(col("u").as("i"), col("v").as("j")))
     val nNodes = labels.groupBy(col("cluster_id").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
