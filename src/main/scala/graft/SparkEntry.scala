@@ -170,9 +170,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
     }),
 
-    // Anti join: customers with no orders (NOT EXISTS).
+    // Anti join: customers with no HIGH-VALUE order (NOT EXISTS). The
+    // build side is predicated so the result is non-empty at sf0.001 AND
+    // sf0.01 (20 / 202 rows) — in this testdata every customer has SOME
+    // order, so an unpredicated anti-join returns 0 rows and its oracle
+    // compares empty sets, proving nothing (r7 verdict).
     "q6_anti" -> ((s, dir) => {
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -192,10 +197,15 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
     }),
 
-    // Set operation: EXCEPT (hash-based, shuffles on full row).
+    // Set operation: EXCEPT (hash-based, shuffles on full row). The value
+    // domain is deliberately ASYMMETRIC — key buckets 100..199 exist only
+    // on the customer side (suppkeys stop at 99) — so the result is
+    // non-empty (140 / 100 rows at sf0.001 / sf0.01) and EXCEPT semantics
+    // are actually exercised; nationkey EXCEPT nationkey was vacuous
+    // (both sides cover 0..24 → 0 rows, r7 verdict).
     "q9_except" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val c = t(s, dir, "customer").select((col("c_custkey") % 200).as("key_bucket"))
+      val sup = t(s, dir, "supplier").select((col("s_suppkey") % 200).as("key_bucket"))
       c.except(sup)
     }),
 
@@ -2108,7 +2118,8 @@ object SparkEntry {
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
     "q6_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "q7_semi" ->
       """SELECT c_custkey FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 1000)""".stripMargin,
@@ -2116,8 +2127,8 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q9_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+      """SELECT c_custkey % 200 AS key_bucket FROM customer
+        |EXCEPT SELECT s_suppkey % 200 AS key_bucket FROM supplier""".stripMargin,
     "q10_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_cust

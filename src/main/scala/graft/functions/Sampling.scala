@@ -206,13 +206,20 @@ object Sampling {
     // are integers by contract (scaladoc); a fractional weight in (0, 1)
     // is excluded too, not rounded up to one draw.
     val w = weightCol.cast("long")
-    val guarded = when(w <= lit(maxWeight.toLong), w).otherwise(raise_error(concat(
+    // The guard is kept OUT of the sequence bound: the bound itself is the
+    // branch-free `least(w, max)` (so the array codegen sees a simple
+    // arithmetic expression, r7 had the CaseWhen+raise_error as the bound
+    // and bench-regressed), and the contract error rides as a separate
+    // additive term that is the constant 0 on every valid row and raises
+    // before a too-large row could materialize its draw array.
+    val maxW = lit(maxWeight.toLong)
+    val guardTerm = when(w <= maxW, lit(0L)).otherwise(raise_error(concat(
       lit(s"weightedQuota: weight "), w.cast("string"),
       lit(s" exceeds maxWeight=$maxWeight for key "), keyCol.cast("string"))))
     quotaByDraw(df.filter(weightCol.isNotNull && weightCol >= 1), stratumCol, keyCol,
       array_min(transform(
-        sequence(lit(0L), guarded - 1L),
-        c => xhash32(concat(lit(salt), keyCol, lit("_"), c.cast("string"))))),
+        sequence(lit(0L), least(w, maxW) - 1L),
+        c => xhash32(concat(lit(salt), keyCol, lit("_"), c.cast("string"))))) + guardTerm,
       quota, preBuckets)
   }
 
