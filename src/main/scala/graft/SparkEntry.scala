@@ -1313,6 +1313,26 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct(),
         "l_partkey", "l_suppkey")),
 
+    // THREE chained PageRank push rounds over the symmetrized part<->
+    // supplier graph (suppliers offset by 100000 into a disjoint id
+    // space) — the "N restartable jobs" chaining posture made an oracle
+    // fact: initScores is round 0, each pushRoundFrom is one
+    // self-contained job whose (node, score_ppm) output feeds the next,
+    // and the integer fixed-point arithmetic keeps all three rounds
+    // bit-exact in DuckDB. The edge set gets one exchange barrier so the
+    // six per-round consumers reuse a single scan+shuffle.
+    "pagerank_k3" -> ((s, dir) => {
+      import graft.functions.Graph
+      val fwd = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().repartition(col("src"))
+      val s0 = Graph.initScores(e, "src", "dst")
+      val s1 = Graph.pushRoundFrom(e, "src", "dst", s0)
+      val s2 = Graph.pushRoundFrom(e, "src", "dst", s1)
+      Graph.pushRoundFrom(e, "src", "dst", s2)
+    }),
+
     // Length-bucketed inference/training batch planning: exact global
     // token-length order (shortest first) chopped into fixed-size batches,
     // with the integer-exact padding waste each batch would pay at
@@ -1618,6 +1638,18 @@ object SparkEntry {
     // per-dimension accumulation (Similarity.pcaPowerStep scaladoc).
     "pca_power_step" -> ((s, dir) =>
       Similarity.pcaPowerStep(t(s, dir, "embeddings"), "embedding", dim = 64)),
+
+    // THREE chained power-iteration steps (p = Aᵀ(A·v), L∞ rescale
+    // between rounds — no sqrt anywhere, so every arithmetic op is
+    // bit-reproducible in DuckDB): the multi-round posture of
+    // pca_power_step as ONE lazy plan — each round's dim-row direction
+    // broadcasts into the next corpus pass; no driver state, no collect.
+    "pca_power_k3" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val p1 = Similarity.pcaPowerStep(emb, "embedding", dim = 64)
+      val p2 = Similarity.pcaPowerStepFrom(emb, "embedding", 64, p1)
+      Similarity.pcaPowerStepFrom(emb, "embedding", 64, p2)
+    }),
 
     // Embedding-pipeline capstone — the vector twin of
     // pipeline_train_prep: semantic dedup (cluster-then-prune, 0.4) ->
@@ -2878,6 +2910,28 @@ object SparkEntry {
         |SELECT user_id, tw_cents_s, active_s, n_events,
         |  CASE WHEN active_s > 0 THEN tw_cents_s // active_s END AS tw_avg_cents
         |FROM a""".stripMargin,
+    // Three chained fixed-point rounds: each round's CTE triple is the
+    // graph_pagerank formula re-applied to the previous round's scores.
+    "pagerank_k3" -> {
+      def rnd(i: Int, prev: String) =
+        s"""c$i AS (SELECT e.dst, s.score_ppm // o.outdeg AS contrib
+           |  FROM e JOIN o USING (src) JOIN $prev s ON s.node = e.src),
+           |g$i AS (SELECT dst AS node, count(*) AS in_edges,
+           |  CAST(sum(contrib) AS BIGINT) AS mass FROM c$i GROUP BY 1),
+           |s$i AS (SELECT n.node, CAST(150000 +
+           |    (850000 * coalesce(g.mass, 0)) // 1000000 AS BIGINT) AS score_ppm,
+           |  coalesce(g.in_edges, CAST(0 AS BIGINT)) AS in_edges
+           |  FROM n LEFT JOIN g$i g USING (node))"""
+      s"""WITH f AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score_ppm FROM n),
+         |${rnd(1, "s0")},
+         |${rnd(2, "s1")},
+         |${rnd(3, "s2")}
+         |SELECT node, in_edges, score_ppm FROM s3""".stripMargin
+    },
     "graph_pagerank" ->
       """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
         |o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
@@ -3110,6 +3164,31 @@ object SparkEntry {
         |SELECT dim, count(*) AS n,
         |  sum(floor(x * dot * 1048576.0))::BIGINT::DOUBLE / 1048576.0 AS p
         |FROM x GROUP BY dim""".stripMargin,
+    // pca_power_step's round formula chained three times; between rounds
+    // the direction is L∞-normalized (p / max|p| — one IEEE division,
+    // no sqrt) and re-packed as a dim-ordered list.
+    "pca_power_k3" -> {
+      def rnd(i: Int, vcte: String) =
+        s"""d$i AS (SELECT v, list_sum(list_transform(list_zip(v, vv), pr -> pr[1] * pr[2])) AS dot
+           |  FROM e CROSS JOIN $vcte),
+           |x$i AS (SELECT dd.d AS dim, v[dd.d + 1] AS x, dot FROM d$i CROSS JOIN range(0, 64) dd(d)),
+           |p$i AS (SELECT dim, count(*) AS n,
+           |  sum(floor(x * dot * 1048576.0))::BIGINT::DOUBLE / 1048576.0 AS p
+           |  FROM x$i GROUP BY dim)"""
+      def nrm(i: Int) =
+        s"""m$i AS (SELECT max(abs(p)) AS mx FROM p$i),
+           |v$i AS (SELECT list(p / mx ORDER BY dim) AS vv FROM p$i, m$i)"""
+      s"""WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |v0 AS (SELECT list_transform(range(0, 64), d ->
+         |    ('0x' || substr(md5('pca_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS vv),
+         |${rnd(1, "v0")},
+         |${nrm(1)},
+         |${rnd(2, "v1")},
+         |${nrm(2)},
+         |${rnd(3, "v2")}
+         |SELECT dim, n, p FROM p3""".stripMargin
+    },
     // kmeans_step's cell CTEs + the quality expression + a fixed-point
     // mean (the kmeans_step mean trick).
     "cluster_profile" ->

@@ -51,6 +51,54 @@ object Graph {
           .as("score_ppm"))
   }
 
+  /** The round-0 input to [[pushRoundFrom]]: every node of the edge set
+    * with the uniform unit start mass (1.0 = 1,000,000 ppm). */
+  def initScores(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), lit(1000000L).as("score_ppm"))
+  }
+
+  /** One push round FROM a given score distribution — the chaining form of
+    * [[pushRound]]: `scores` carries (node, score_ppm), typically the
+    * previous round's output (extra columns such as `in_edges` are
+    * ignored), and the round computes
+    * `score'_ppm = 150000 + (850000 * Σ_{(s,node)∈E} (score_ppm(s) div
+    * outdeg(s))) div 1000000` in the same exact 64-bit fixed-point
+    * arithmetic. Unlike [[pushRound]], EVERY node of `scores` survives —
+    * a node receiving no mass keeps the 0.15 teleport floor with
+    * `in_edges = 0` — so N chained calls compute the N-iteration PageRank
+    * over a stable node universe ([[initScores]] is round 0), each round
+    * a self-contained restartable job: the driver persists round N's
+    * (node, score_ppm) frame and feeds it to round N+1, holding no other
+    * state. Per round: one map-side-combining outdegree aggregation, one
+    * src-keyed join (scores and edges co-partition on src — AQE splits
+    * skewed hubs), one dst-keyed partial-agg gather, one node-keyed left
+    * join against the universe. Nothing corpus-sized reaches the driver. */
+  def pushRoundFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      scores: DataFrame): DataFrame = {
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val s = scores.select(col("node").cast(LongType).as("node"),
+      col("score_ppm").cast(LongType).as("score_ppm"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val gathered = e.join(outdeg, "src")
+      .join(s.select(col("node").as("src"), col("score_ppm")), "src")
+      .withColumn("contrib", call_function("div", col("score_ppm"), col("outdeg")))
+      .groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_edges"), sum(col("contrib")).as("mass"))
+    s.select(col("node"))
+      .join(gathered, Seq("node"), "left")
+      .select(
+        col("node"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        (lit(150000L) + call_function("div",
+          lit(850000L) * coalesce(col("mass"), lit(0L)), lit(1000000L)))
+          .as("score_ppm"))
+  }
+
   /** Per-node triangle counts via the degree-ordered node-iterator
     * (Schank–Wagner orientation; the MapReduce form is Suri &
     * Vassilvitskii, WWW'11). Input: distinct undirected edges with

@@ -244,6 +244,38 @@ object Similarity {
         (col("s_fp").cast(DoubleType) / lit(1048576.0)).as("p"))
   }
 
+  /** [[pcaPowerStep]] FROM a given direction frame — the chaining form:
+    * `dirDf` is a previous step's (dim, p) output; it is L∞-normalized
+    * (p / max|p| — one exact max and one IEEE division per component,
+    * deliberately NO sqrt so the rescale is bit-reproducible across
+    * engines) and packed into a dim-ordered array on a ONE-ROW frame that
+    * broadcasts into the corpus pass; then the usual fixed-point Aᵀ(A·v)
+    * step runs. N chained calls = the N-iteration power method toward the
+    * top principal direction, all composable into ONE lazy plan with no
+    * driver state (the direction is metadata-scale — dim rows — and the
+    * rescale bounds the fixed-point magnitudes so no round overflows).
+    * Output: (dim, n, p), the [[pcaPowerStep]] contract. */
+  def pcaPowerStepFrom(
+      df: DataFrame, vecCol: String, dim: Int, dirDf: DataFrame): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val packed = dirDf
+      .select(col("dim").cast(LongType).as("d"), col("p").cast(DoubleType).as("p"))
+      .agg(max(abs(col("p"))).as("mx"),
+        array_sort(collect_list(struct(col("d"), col("p")))).as("ps"))
+      .select(transform(col("ps"), s => s.getField("p") / col("mx")).as("v1"))
+    df.filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(packed))
+      .select(col(vecCol).as("v"), dotSeq(col(vecCol), col("v1")).as("dot"))
+      .select(col("dot"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast(DoubleType) * col("dot") * lit(1048576.0))
+          .cast(LongType)).as("s_fp"))
+      .select(col("dim"), col("n"),
+        (col("s_fp").cast(DoubleType) / lit(1048576.0)).as("p"))
+  }
+
   /** Public face of the cell assignment: (idCol, cell) for every vector —
     * "which semantic cluster is each row in", the join key for
     * cross-modal cluster audits and cell-keyed storage layouts. One

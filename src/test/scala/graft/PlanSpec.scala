@@ -81,10 +81,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //  - fk_audit: four 1-row aggregates cross-combined metadata-side (the
   //    corpus-scale work — the anti joins — happens below them as equi
   //    joins).
+  //  - pca_power_k3: each chained round cross-joins the previous round's
+  //    direction — a ONE-ROW broadcast (the dim-array packed by a global
+  //    aggregate) — onto the corpus pass; the q14_subq shape, per round.
   private val nljWhitelist =
     Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
-      "q34_gapfill", "bm25_topk", "fk_audit")
+      "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -614,5 +617,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size == 2, p.toString)
     assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
+  test("pagerank_k3: every round's mass gather partial-aggregates before its shuffle") {
+    // Each chained push round must combine (count, sum contrib) map-side so
+    // the dst-keyed exchange carries one row per (partition, node), never
+    // one row per edge.
+    val s = planString("pagerank_k3")
+    assert(s.contains("partial_sum(contrib"), s)
+    // The symmetrized edge set rides its own exchange barrier so per-round
+    // consumers can reuse it instead of re-merging the distinct pipeline.
+    assert(s.contains("REPARTITION_BY_COL"), s)
+  }
+
+  test("pca_power_k3: three corpus passes; chained directions are one-row broadcasts") {
+    // Driver-state-free chaining: each round re-scans the corpus once and
+    // receives the previous direction as a broadcast 1-row array — no
+    // collect between rounds, no corpus-sized shuffle anywhere (the only
+    // aggregations are dim-keyed after map-side partial sums).
+    val s = planString("pca_power_k3")
+    assert("FileScan parquet \\[embedding".r.findAllIn(s).size == 3, s)
+    assert("IdentityBroadcastMode".r.findAllIn(s).size == 2, s)
   }
 }
