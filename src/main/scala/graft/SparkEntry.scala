@@ -563,6 +563,16 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
+    // IVF-PQ: candidate generation scores 4-byte PQ codes (asymmetric
+    // distance vs hash-derived codebook reconstructions) inside the probed
+    // IVF cells, then exact re-rank of the top-40 candidates — the
+    // compressed-index ANN memory story; final scores are exact cosines.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2453,6 +2463,70 @@ object SparkEntry {
          |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2]))
          |      / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) * sqrt(list_sum(list_transform(ce.v, x -> x * x)))) AS score
          |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin,
+    // Replicates the full IVF-PQ pipeline: the ann_ivf cell/probe CTEs, the
+    // md5-derived codebook (Similarity.pqComponent, disjoint 'pq_' salt),
+    // the ||s||²-2<s,c>+||c||² per-subspace argmin with (dist, j)
+    // tie-break, codeword-concatenation reconstruction, ADC top-20 with
+    // (adc DESC, vec_id) tie-break, and the exact-cosine re-rank (identical
+    // to ann_topk's scoring). Every float is a sequential double fold in
+    // both engines, so cells, codes, candidate sets, and final scores are
+    // all value-exact.
+    "ann_ivfpq" ->
+      s"""WITH e AS ($embCast),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
+         |aff AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
+         |  FROM e CROSS JOIN cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
+         |cb AS (
+         |  SELECT m, j, list_transform(range(0, 16), d ->
+         |    ('0x' || substr(md5('pq_' || m::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cw
+         |  FROM range(0, 4) mm(m) CROSS JOIN range(0, 16) jj(j)),
+         |cbn AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM cb),
+         |sub AS (
+         |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS s FROM e CROSS JOIN range(0, 4) mm(m)),
+         |sd AS (SELECT vec_id, m, s, list_sum(list_transform(s, x -> x * x)) AS ss FROM sub),
+         |dist AS (
+         |  SELECT sd.vec_id, sd.m, cbn.j,
+         |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cbn.cw), pr -> pr[1] * pr[2])) + cbn.cc AS dist
+         |  FROM sd JOIN cbn ON sd.m = cbn.m),
+         |code AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |recon AS (
+         |  SELECT code.vec_id, flatten(list(cbn.cw ORDER BY code.m)) AS rv
+         |  FROM code JOIN cbn ON code.m = cbn.m AND code.j = cbn.j GROUP BY code.vec_id),
+         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM recon),
+         |cand AS (
+         |  SELECT probe.query_id, assign.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, r.rv), pr -> pr[1] * pr[2])) / (qe.nrm * r.nr) AS adc
+         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
+         |  JOIN e qe ON qe.vec_id = probe.query_id
+         |  JOIN rcn r ON r.vec_id = assign.vec_id),
+         |top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 40),
+         |scored AS (
+         |  SELECT top.query_id, top.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
          |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
          |  SELECT query_id, vec_id, score,
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk

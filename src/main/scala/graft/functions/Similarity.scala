@@ -839,4 +839,188 @@ object Similarity {
       .distinct() // a pair can collide in several tables
       .transform(rankTopK(k))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (IVF-PQ)
+  // ---------------------------------------------------------------------
+
+  /** PQ codebook component (subspace m, codeword j, within-subspace dim d)
+    * = xhash32("pq_m_j_d")/2^31 - 1 ∈ [-1, 1) — the same cross-engine md5
+    * construction as [[planeComponent]]/[[projComponent]] under a disjoint
+    * salt, so any engine with md5 rebuilds the codebook bit-for-bit. A
+    * hash-derived codebook trades recall for exact oracle replicability;
+    * swapping in trained codewords (per-subspace [[kmeansStep]] over
+    * `slice`d vectors) changes recall, not the plan or storage shape. */
+  private[graft] def pqComponent(m: Int, j: Int, d: Int): Double =
+    graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"pq_${m}_${j}_${d}")) / 2147483648.0 - 1.0
+
+  /** Deterministic PQ codebook: `numSub` subspaces × `codesPerSub` codewords
+    * of `subDim` components each. Metadata-scale by construction
+    * (4·16·16 = 1024 doubles at the defaults) — rides every plan as a
+    * literal, never a join side. */
+  def pqCodebook(numSub: Int, codesPerSub: Int, subDim: Int): Array[Array[Vector[Double]]] =
+    Array.tabulate(numSub)(m =>
+      Array.tabulate(codesPerSub)(j =>
+        Vector.tabulate(subDim)(d => pqComponent(m, j, d))))
+
+  /** Per-subspace nearest-codeword encoding: `array<int>` of `numSub` codes.
+    * The L2 argmin expands to `||s||² − 2⟨s,c⟩ + ||c||²` so the hot term is
+    * one codegen'd [[dotSeq]] kernel per codeword (||c||² folds driver-side
+    * into a literal, ||s||² is computed once per subspace); ties break
+    * toward the lower code. Map-side only — encoding never shuffles. */
+  def pqEncode(vec: Column, cb: Array[Array[Vector[Double]]], subDim: Int): Column = {
+    val codes = cb.indices.map { m =>
+      val sub = slice(vec, m * subDim + 1, subDim)
+      val ss = dotSeq(sub, sub)
+      val entries = cb(m).zipWithIndex.map { case (cw, j) =>
+        // Sequential left fold, matching the oracle's list_sum of c·c.
+        val cc = cw.foldLeft(0.0)((a, x) => a + x * x)
+        struct((ss - lit(2.0) * dotSeq(sub, typedLit(cw)) + lit(cc)).as("dist"),
+          lit(j).as("j"))
+      }
+      element_at(sort_array(array(entries.toIndexedSeq: _*)), 1).getField("j")
+    }
+    array(codes: _*)
+  }
+
+  /** Decode `codes` back to the `array<double>` reconstruction ṽ (codeword
+    * concatenation) — a pure lookup into the literal codebook, the ADC
+    * scoring face: score(q, v) ≈ cos(q, ṽ) touches only `numSub` bytes of
+    * index per vector, never the float vector. */
+  def pqReconstruct(codes: Column, cb: Array[Array[Vector[Double]]]): Column =
+    concat(cb.indices.map { m =>
+      element_at(typedLit(cb(m).toSeq.map(_.toSeq)), element_at(codes, m + 1) + 1)
+    }: _*)
+
+  /**
+   * IVF-PQ approximate top-k — the 100 TB ANN memory story: the index holds
+   * `(vec_id, cell, numSub codes)` per vector (~id + a few bytes, vs
+   * dim×4 B of floats), candidate generation scores PQ reconstructions
+   * (asymmetric distance), and only the `candN` survivors per query are
+   * re-ranked against their true vectors. Exact re-rank keeps the result
+   * deterministic AND metadata-scale: the second corpus join's probe side
+   * is `queries × candN` ids, broadcast.
+   *
+   * Plan shape: one corpus scan to build the compressed index (map-side
+   * cell argmax + PQ argmin, no shuffle), candidate equi-join on cell with
+   * the probed queries broadcast, bounded top-candN aggregation, then one
+   * id-equi-join fetch for re-rank. Output: (query_id, rank, vec_id, score)
+   * with exact cosine scores.
+   */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 2,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      candN: Int = 40): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val cents = sampledIvfCentroids(corpus, idCol, vecCol, numCentroids)
+    require(cents.nonEmpty, "no centroids selected — empty corpus?")
+    val cb = pqCodebook(numSub, codesPerSub, dim / numSub)
+    val enc = pqIndex(corpus, idCol, vecCol, cents, cb, dim / numSub)
+    ivfPqSearch(enc, corpus, queries, idCol, vecCol, k, cb, cents, nProbe, candN)
+  }
+
+  /** The compressed index face: `(vec_id, cell, codes)` — the float vector
+    * is DROPPED here; everything until re-rank reads codes only. */
+  private def pqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .withColumn("cell",
+        element_at(probeCells(cents, col("v"), col("n_v"), 1), 1).getField("cid"))
+      .select(col("vec_id"), col("cell"), pqEncode(col("v"), cb, subDim).as("codes"))
+
+  /** Candidate generation over a `(vec_id, cell, codes)` index + exact
+    * re-rank against the corpus. Shared by [[ivfPqTopK]] and the persisted
+    * [[ivfPqTopKFromIndex]] path. */
+  private def ivfPqSearch(
+      enc: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      nProbe: Int,
+      candN: Int): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+      .select(col("query_id"), col("qv"), col("n_qv"),
+        explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
+    // ADC: cos(q, ṽ) from codes alone. Reconstruction is projected once so
+    // the dot and its norm share the lookup.
+    val cand = enc
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rv", pqReconstruct(col("codes"), cb))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("rv")) / (col("n_qv") * norm2(col("rv")))).as("score"))
+      .transform(rankTopK(candN))
+      .select(col("query_id"), col("vec_id"))
+    // Exact re-rank: the candidate set (queries × candN ids + query vectors)
+    // is metadata-scale — broadcast it against one corpus fetch.
+    val qv = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .transform(rankTopK(k))
+  }
+
+  /** Materialize the PQ index partitioned by IVF cell
+    * (`<path>/cell=<cid>/`): probing prunes FILE SCANS of an index that is
+    * already ~50× smaller than the vectors — the at-rest face of the PQ
+    * memory story (SimilaritySpec asserts pruned-scan parity). */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      path: String): Unit =
+    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a [[writeIvfPqIndex]] layout: probed cell ids push down as
+    * a partition filter on the index scan; the corpus is touched only by
+    * the broadcast-probe re-rank fetch. */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      nProbe: Int = 2,
+      candN: Int = 40): DataFrame = {
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+      .select(col("query_id"),
+        explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
+    val cells = probed.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val enc = spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    ivfPqSearch(enc, corpus, queries, idCol, vecCol, k, cb, cents, nProbe, candN)
+  }
 }

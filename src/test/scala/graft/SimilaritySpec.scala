@@ -353,6 +353,72 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqEncode/pqReconstruct: codes are the driver-side L2 argmin; recon concatenates codewords") {
+    import spark.implicits._
+    val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.pqEncode(col("embedding"), cb, 16).as("codes"),
+        Similarity.pqReconstruct(Similarity.pqEncode(col("embedding"), cb, 16), cb).as("rv"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    for ((_, v, codes, rv) <- rows) {
+      assert(codes.length == 4 && codes.forall(j => j >= 0 && j < 16))
+      val expect = (0 until 4).map { m =>
+        val sub = v.slice(m * 16, m * 16 + 16).map(_.toDouble)
+        (0 until 16).minBy(j =>
+          (sub.zip(cb(m)(j)).foldLeft(0.0) { case (a, (x, c)) => a + (x - c) * (x - c) }, j))
+      }
+      assert(codes == expect, s"codes $codes != brute argmin $expect")
+      assert(rv == codes.zipWithIndex.flatMap { case (j, m) => cb(m)(j) },
+        "reconstruction is not the codeword concatenation")
+    }
+  }
+
+  test("ivfPqTopK: recall floor vs brute force; exact scores on returned hits") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exactDf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val exact = exactDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    // Recall floor: IVF nProbe=2/16 alone measures ~0.30 here (see the
+    // trained-centroids test); candN=40 PQ pruning costs a little on top
+    // (measured 0.24 at sf0.001; 0.30 = the IVF ceiling at candN=60).
+    // Chance is ~0.125.
+    val recall = pq.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"IVF-PQ recall $recall below the 0.2 floor")
+    // Re-rank is EXACT: every returned (query, hit) that brute force also
+    // ranked must carry a bitwise-identical cosine.
+    for ((pair, score) <- pq if exact.contains(pair))
+      assert(score == exact(pair), s"pair $pair: pq score $score != exact ${exact(pair)}")
+  }
+
+  test("persisted IVF-PQ index: partition-pruned scan, same results as in-memory") {
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
+    val queries = emb.filter(col("vec_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, cb, 16, dir)
+      // The at-rest index is codes-only: no float vector column survives.
+      val idxSchema = spark.read.parquet(dir).schema.fieldNames.toSet
+      assert(idxSchema == Set("vec_id", "cell", "codes"), idxSchema.toString)
+      val fromIdx = Similarity.ivfPqTopKFromIndex(
+        spark, dir, emb, queries, "vec_id", "embedding", k = 5, cb, cents)
+      val plain = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(fromIdx) == rows(plain))
+      // Probing prunes index FILE SCANS: nProbe=2 of the cells on disk.
+      val planStr = fromIdx.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: [cell"), planStr)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
