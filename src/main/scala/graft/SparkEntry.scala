@@ -1051,6 +1051,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Apply a learned BPE merge table: the top-8 pairs from the bpe_pairs
+    // training step become merge rules, applied greedily left-to-right by
+    // a codegen kernel (one map-side pass, merge table rides the plan as a
+    // literal) — the actual tokenizer stage whose output feeds token
+    // counting and packing. Output: per-doc token counts before/after and
+    // a cross-engine fingerprint of the merged sequence.
+    "bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TF.learnBpeMerges(docs, col("text"), n = 8)
+      docs
+        .select(col("doc_id"), TF.bpeTokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), TF.bpeApply(col("tk"), merges).as("mtk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_base_tokens"),
+          size(col("mtk")).cast(LongType).as("n_tokens"),
+          TF.xhash32(concat_ws("\u001f", col("mtk"))).as("tok_sig"))
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -2116,6 +2134,58 @@ object SparkEntry {
       .mkString(" + ")
 
   /** Sequential-fold cosine pieces — mirrors Similarity.dotSeq/norm2. */
+  /** Generated oracle for `bpe_apply`: the merge table is re-derived in SQL
+    * (the bpe_pairs aggregation, top-8 by count DESC / pair ASC), then each
+    * merge is one row-level pass — match flags via lead(), greedy
+    * left-to-right non-overlap as run-parity selection (inside a run of
+    * consecutive matches, only possible when a == b, every other pair
+    * merges starting at the run head; gaps-and-islands rn arithmetic),
+    * absorbed tokens dropped via lag(sel). Validated against a driver-side
+    * greedy reference on the full sf0.001 corpus, including a self-pair
+    * (a == a) merge rule. */
+  private val bpeApplySql: String = {
+    val steps = (0 until 8).map { i =>
+      val k = i + 1
+      s"""m$i AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN tok = (SELECT a FROM mg WHERE rnk = $k)
+         |          AND lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT b FROM mg WHERE rnk = $k)
+         |         THEN 1 ELSE 0 END AS mt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM t$i),
+         |i$i AS (SELECT *, rn - row_number() OVER (PARTITION BY doc_id, mt ORDER BY rn) AS isl FROM m$i),
+         |r$i AS (
+         |  SELECT doc_id, pos, tok, mt,
+         |    row_number() OVER (PARTITION BY doc_id, mt, isl ORDER BY rn) AS runpos,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY rn) AS ntok
+         |  FROM i$i),
+         |s$i AS (
+         |  SELECT doc_id, pos, tok, ntok,
+         |    CASE WHEN mt = 1 AND runpos % 2 = 1 THEN 1 ELSE 0 END AS sel
+         |  FROM r$i),
+         |t${i + 1} AS (
+         |  SELECT doc_id, pos, CASE WHEN sel = 1 THEN tok || ntok ELSE tok END AS tok
+         |  FROM (SELECT *, lag(sel) OVER (PARTITION BY doc_id ORDER BY pos) AS psel FROM s$i)
+         |  WHERE coalesce(psel, 0) = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(text, '${TF.TokenPattern}') AS tk
+       |  FROM documents WHERE text IS NOT NULL),
+       |pl AS (SELECT list_transform(range(1, len(tk)), i -> [tk[i], tk[i + 1]]) AS ps FROM tk),
+       |p AS (SELECT unnest(ps) AS pr FROM pl),
+       |mg AS (SELECT a, b, rnk FROM (
+       |  SELECT pr[1] AS a, pr[2] AS b,
+       |    row_number() OVER (ORDER BY count(*) DESC, pr[1], pr[2]) AS rnk
+       |  FROM p GROUP BY pr[1], pr[2]) WHERE rnk <= 8),
+       |t0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok FROM tk),
+       |$steps,
+       |agg AS (SELECT doc_id, count(*) AS n_tokens,
+       |  string_agg(tok, chr(31) ORDER BY pos) AS joined FROM t8 GROUP BY doc_id)
+       |SELECT tk.doc_id AS doc_id, len(tk.tk)::BIGINT AS n_base_tokens,
+       |  coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS tok_sig
+       |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
+  }
+
   private val embCast =
     "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, sqrt(list_sum(list_transform(list_transform(embedding, x -> x::DOUBLE), x -> x * x))) AS nrm FROM embeddings"
 
@@ -2599,6 +2669,7 @@ object SparkEntry {
          |p AS (SELECT unnest(ps) AS pr FROM pl)
          |SELECT pr[1] AS a, pr[2] AS b, count(*) AS n_pairs
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
+    "bpe_apply" -> bpeApplySql,
     // The oracle may use the global-order window Spark avoids — DuckDB is
     // single-node; only the VALUES must match.
     "pack_sequences" ->

@@ -242,6 +242,31 @@ case class WinnowDigest(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** bpeApply(tokens, merges): greedy left-to-right application of a learned
+  * BPE merge table. The table rides the expression as a literal
+  * (metadata-scale by construction: a top-N pair list from one
+  * [[TextKernels.bpeApplyMerges]] training step), registered as a codegen
+  * reference object — the tokenizer stage is map-side, broadcast-free,
+  * shuffle-free. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with KernelCall {
+  @transient private lazy val mergeArr: Array[Array[org.apache.spark.unsafe.types.UTF8String]] =
+    merges.map { case (a, b) =>
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    }.toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeApplyMerges(input.asInstanceOf[ArrayData], mergeArr)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.bpeApplyMerges($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
 /** Jaccard coefficient of two sorted distinct string arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {

@@ -449,4 +449,36 @@ object TextKernels {
     }
     inter.toDouble / (na + nb - inter)
   }
+
+  /** Greedy BPE merge-table application: for each merge (a, b) in priority
+    * order, ONE left-to-right pass replacing non-overlapping adjacent
+    * (a, b) token pairs with their concatenation — the classical tokenizer
+    * apply step (merge #1's output is visible to merge #2). Equivalent to
+    * the oracle's run-parity selection: inside a run of consecutive
+    * matches (only possible when a == b), every other pair merges,
+    * starting at the run head. O(n_tokens × n_merges), no allocation
+    * beyond the two ping-pong arrays. */
+  def bpeApplyMerges(toks: ArrayData, merges: Array[Array[UTF8String]]): ArrayData = {
+    var n = toks.numElements()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = toks.getUTF8String(i); i += 1 }
+    var mi = 0
+    while (mi < merges.length) {
+      val a = merges(mi)(0)
+      val b = merges(mi)(1)
+      val out = new Array[UTF8String](n)
+      var r = 0
+      var w = 0
+      while (r < n) {
+        if (r + 1 < n && a.equals(cur(r)) && b.equals(cur(r + 1))) {
+          out(w) = UTF8String.concat(a, b); w += 1; r += 2
+        } else { out(w) = cur(r); w += 1; r += 1 }
+      }
+      cur = out
+      n = w
+      mi += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(cur.asInstanceOf[Array[AnyRef]], n))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -129,6 +129,36 @@ object TextFunctions {
 
   /** Whitespace tokens (the cheap path). */
   def wsTokens(c: Column): Column = split(c, " ")
+
+  /** Learn a BPE merge table: the top-`n` adjacent [[bpeTokens]] pairs by
+    * corpus count (ties on binary pair order), in rank order — the
+    * merge-table face of the `bpe_pairs` training step. One tokenize +
+    * pair-count aggregation (the shuffle carries one row per DISTINCT
+    * pair, Zipf-bounded) + a bounded TakeOrderedAndProject top-n; the
+    * result is metadata-scale (n rows) and rides subsequent plans as a
+    * literal — the same collect posture as IVF centroids. */
+  def learnBpeMerges(df: DataFrame, textCol: Column, n: Int): Seq[(String, String)] = {
+    val cnt = greatest(size(col("tk")) - 1, lit(0))
+    df.select(bpeTokens(textCol).as("tk"))
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), cnt), slice(col("tk"), lit(2), cnt),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .limit(n)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Apply a learned merge table to a token array: greedy left-to-right
+    * non-overlapping pair merges, one merge rule after another (kernel-
+    * backed, [[graft.expressions.BpeApply]]) — turns [[bpeTokens]] +
+    * [[learnBpeMerges]] into an actual tokenizer stage whose output ids
+    * feed token counting and sequence packing. Map-side, shuffle-free. */
+  def bpeApply(tokens: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BpeApply(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens), merges))
 
   /** Directional skip-gram pairs within a forward window: for each token
     * position i, pairs (tok[i], tok[j]) for j in (i, i+window]. Generated
