@@ -99,6 +99,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Nested-field expansion: the target JSON column lives INSIDE a struct
+    // (`env.props`); the struct is rebuilt in place with sibling order
+    // preserved — the extension past the reference's root-level-only
+    // contract (its open TODO). Sibling passthrough is observable:
+    // event_type is read back out of the rebuilt struct.
+    "ej_nested" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), struct(col("event_type"), col("props")).as("env"))
+        .transform(ExpandJson.onFields(Seq("env.props")))
+        .select(col("event_id"), col("env.event_type").as("event_type"),
+          col("env.props.k").as("k"))
+    }),
+
     // Per-record dynamic schema (variant mode): the reference's cache-free
     // schemaless path — each row self-describes its type; extraction via
     // variant_get. parse_json is the expensive per-row stage here, so the
@@ -2202,6 +2215,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "ej_variant" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    // The struct wrap/unwrap is a no-op observationally: the oracle checks
+    // the parsed nested field plus the preserved sibling.
+    "ej_nested" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

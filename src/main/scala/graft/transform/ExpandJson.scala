@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
  *    value — a struct for JSON objects, or a correctly typed scalar for bare
  *    JSON scalars ("\"key\"" -> string "key", 42 -> int 42).
  *  - '''per-field''' (with-schema path, ExpandJson.java:106-129): each listed
- *    root-level column is replaced by its parsed struct; all sibling columns
- *    pass through untouched, column order preserved.
+ *    column is replaced by its parsed struct; all sibling columns pass
+ *    through untouched, column order preserved. Dotted names descend
+ *    through struct fields (`a.b` parses field `b` inside struct `a`,
+ *    rebuilding the struct in place with sibling order intact) — an
+ *    extension past the reference's root-level-only contract (its open
+ *    TODO, ExpandJson.java:42-44); a literal root column named "a.b"
+ *    still wins.
  *  - '''whole-value variant''' (`variantMode`): the faithful analogue of the
  *    reference's per-record inference — the schemaless path has NO schema
  *    cache, every record is inferred independently (ExpandJson.java:100-101).
@@ -91,19 +96,42 @@ final case class ExpandJson(
       expand(df, fields, allowScalar = false)
   }
 
+  /** Does `parts` resolve to a field by walking struct nesting? Root-level
+    * names always resolve as themselves first (a literal column named
+    * "a.b" keeps the reference's root-level semantics; only otherwise are
+    * dots read as struct descent — the extension past the reference's
+    * root-level-only contract, its open TODO at ExpandJson.java:42-44). */
+  private def resolves(schema: StructType, parts: Seq[String]): Boolean = parts match {
+    case Seq(last) => schema.fieldNames.contains(last)
+    case head +: rest =>
+      schema.fields.find(_.name == head).exists(_.dataType match {
+        case st: StructType => resolves(st, rest)
+        case _              => false
+      })
+    case _ => false
+  }
+
+  /** Root-level column reference by LITERAL name (backtick-quoted so a
+    * name containing dots is not parsed as struct descent). */
+  private def rootCol(name: String): Column = col(s"`${name.replace("`", "``")}`")
+
   private def expand(df: DataFrame, targets: Seq[String], allowScalar: Boolean): DataFrame = {
     val present = df.schema.fieldNames.toSet
-    val missing = targets.filterNot(present)
+    // Literal root-level column first; otherwise a dotted struct path.
+    val (rootTargets, nested) = targets.partition(present)
+    val missing = nested.filterNot(t => resolves(df.schema, t.split('.').toSeq))
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
-        s"Target field(s) not found: ${missing.mkString(", ")} (have: ${present.mkString(", ")})")
+        s"Target field(s) not found: ${missing.mkString(", ")} (have: ${present.mkString(", ")}; " +
+          "dotted names descend through struct fields)")
 
     // One naming state shared across all target fields, mirroring the
     // reference's per-instance accumulation (ExpandJson.java:70, 80).
     val naming = schemaNamePrefix.filter(_.trim.nonEmpty).map(new NamingState(_))
 
     val resolved: Map[String, (DataType, Option[String])] = targets.map { t =>
-      val raw = schemaOverrides.getOrElse(t, inferColumn(df, t))
+      val source = if (present(t)) rootCol(t) else col(t)
+      val raw = schemaOverrides.getOrElse(t, inferColumn(df, source, t))
       val (named, rootName) = naming match {
         case Some(st) => JsonSchemaInference.assignSchemaNames(raw, st)
         case None     => (raw, None)
@@ -111,32 +139,52 @@ final case class ExpandJson(
       t -> (named, rootName)
     }.toMap
 
+    def nameKey(dt: DataType): Option[String] = dt match {
+      case _: StructType => Some(JsonSchemaInference.SchemaNameKey)
+      case _: ArrayType  => Some(JsonSchemaInference.ElementSchemaNameKey)
+      case _             => None
+    }
+
+    val nestedByRoot: Map[String, Seq[String]] = nested.groupBy(_.split('.').head)
+
     val outCols: Seq[Column] = df.schema.fields.toSeq.map { f =>
-      if (resolved.contains(f.name)) {
+      if (rootTargets.contains(f.name)) {
         val (dt, rootName) = resolved(f.name)
-        val parsed = parseColumn(col(f.name).cast(StringType), dt, allowScalar, f.name)
+        val parsed = parseColumn(rootCol(f.name).cast(StringType), dt, allowScalar, f.name)
         val mb = new MetadataBuilder().withMetadata(f.metadata)
-        rootName.foreach { n =>
-          dt match {
-            case _: StructType => mb.putString(JsonSchemaInference.SchemaNameKey, n)
-            case _: ArrayType  => mb.putString(JsonSchemaInference.ElementSchemaNameKey, n)
-            case _             => ()
-          }
-        }
+        rootName.foreach(n => nameKey(dt).foreach(k => mb.putString(k, n)))
         parsed.as(f.name, mb.build())
-      } else col(f.name)
+      } else if (nestedByRoot.contains(f.name)) {
+        // Rewrite INSIDE the struct: `withField` replaces the target leaf
+        // in place, so sibling fields and their order are preserved — the
+        // reference's sibling-preservation contract, one level down. A
+        // null ancestor struct stays null (the same null-passthrough
+        // divergence as root-level targets). Generated schema names ride
+        // the ROOT ancestor field's metadata under a path-qualified key
+        // ("connect.schema.name.<relative.path>"): nested StructField
+        // metadata does not survive Column-level struct rebuilds.
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        val rebuilt = nestedByRoot(f.name).foldLeft(rootCol(f.name)) { (c, t) =>
+          val rel = t.split('.').drop(1).mkString(".")
+          val (dt, rootName) = resolved(t)
+          val parsed = parseColumn(col(t).cast(StringType), dt, allowScalar, t)
+          rootName.foreach(n => nameKey(dt).foreach(k => mb.putString(s"$k.$rel", n)))
+          c.withField(rel, parsed)
+        }
+        rebuilt.as(f.name, mb.build())
+      } else rootCol(f.name)
     }
     df.select(outCols: _*)
   }
 
   /** Driver-side inference pass over a bounded sample of the column. */
-  private def inferColumn(df: DataFrame, name: String): DataType = {
+  private def inferColumn(df: DataFrame, source: Column, name: String): DataType = {
     if (df.isStreaming)
       throw new IllegalArgumentException(
         s"Cannot infer a schema for column '$name' on a streaming DataFrame; " +
           "pass schemaOverrides, or infer per-microbatch via ExpandJsonStreaming.")
     val n = if (inferenceMode == JsonSchemaInference.FirstRow) 1 else sampleSize
-    val sample = df.select(col(name).cast(StringType)).na.drop().limit(n)
+    val sample = df.select(source.cast(StringType)).na.drop().limit(n)
       .collect().map(_.getString(0))
     JsonSchemaInference.inferFromSample(sample.toSeq, inferenceMode).getOrElse(
       throw new IllegalArgumentException(
@@ -207,8 +255,8 @@ object ExpandJson {
     * `schema.name.prefix`), so a connector config migrates verbatim.
     * `target` plays the Key/Value subclass role: in whole-value mode it
     * names the column to expand; in fields mode the listed names are the
-    * frame's root-level columns, exactly the reference's root-level-only
-    * contract (its nested-field support is an open TODO,
+    * frame's columns — root-level exactly as the reference, plus dotted
+    * struct descent (closing the reference's nested-field TODO,
     * ExpandJson.java:42-44). */
   def fromConfig(props: Map[String, String], target: String = "value"): ExpandJson = {
     val fields = props.get("fields").toSeq

@@ -81,6 +81,65 @@ class ExpandJsonSpec extends SparkSpec {
     assert(r.getBoolean(2) === true)
   }
 
+  test("nested target: struct rebuilt in place, siblings and order preserved") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val df = Seq(("e1", "click", SIMPLE_JSON)).toDF("id", "etype", "payload")
+      .select(col("id"), struct(col("etype"), col("payload")).as("env"))
+    val out = df.transform(ExpandJson.onFields(Seq("env.payload")))
+    assert(out.columns.toSeq === Seq("id", "env"))
+    val env = out.schema("env").dataType.asInstanceOf[StructType]
+    assert(env.fieldNames.toSeq === Seq("etype", "payload"), "sibling order inside the struct")
+    assert(env("etype").dataType === StringType)
+    assert(env("payload").dataType === StructType(Seq(
+      StructField("stringValue", StringType),
+      StructField("numberValue", IntegerType),
+      StructField("booleanValue", BooleanType))))
+    val r = out.collect().head.getStruct(1)
+    assert(r.getString(0) === "click")
+    assert(r.getStruct(1) === Row("String value", 42, true))
+  }
+
+  test("nested target: two levels down; null ancestor struct passes through as null") {
+    import org.apache.spark.sql.functions.{col, struct, when, lit}
+    val df = Seq(("a", SIMPLE_JSON, true), ("b", SIMPLE_JSON, false))
+      .toDF("id", "payload", "keep")
+      .select(col("id"),
+        when(col("keep"), struct(struct(col("payload")).as("inner")).as("outer"))
+          .otherwise(lit(null)).as("outer"))
+    val out = df.transform(ExpandJson.onFields(Seq("outer.inner.payload")))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getStruct(1).getStruct(0).getStruct(0).getInt(1) === 42)
+    assert(rows("b").isNullAt(1), "null ancestor stays null, no NPE")
+  }
+
+  test("nested target: a literal root column named 'a.b' wins over struct descent") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(SIMPLE_JSON).toDF("a.b")
+    val out = df.transform(ExpandJson.onFields(Seq("a.b")))
+    assert(out.schema.fields.head.dataType.isInstanceOf[StructType])
+    assert(out.select(col("`a.b`.numberValue")).collect().head.getInt(0) === 42)
+  }
+
+  test("nested target: dotted path through a non-struct -> error") {
+    val df = Seq(SIMPLE_JSON).toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      df.transform(ExpandJson.onFields(Seq("value.inner")))
+    }
+    assert(e.getMessage.contains("value.inner"))
+  }
+
+  test("nested target: schema name rides the root ancestor under a path-qualified key") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val df = Seq(("x", SIMPLE_JSON)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload")).as("env"))
+    val out = df.transform(
+      ExpandJson.onFields(Seq("env.payload"), schemaNamePrefix = Some("com.acme.Rec")))
+    val md = out.schema("env").metadata
+    val key = s"${JsonSchemaInference.SchemaNameKey}.payload"
+    assert(md.contains(key), out.schema("env").metadata.json)
+    assert(md.getString(key) === "com.acme.Rec")
+  }
+
   test("per-field: missing target -> error") {
     val df = Seq(SIMPLE_JSON).toDF("value")
     val e = intercept[IllegalArgumentException] {
