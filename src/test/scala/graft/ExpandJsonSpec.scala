@@ -140,6 +140,16 @@ class ExpandJsonSpec extends SparkSpec {
     assert(md.getString(key) === "com.acme.Rec")
   }
 
+  test("Avro schema reconstructs from ExpandJson output metadata (SURVEY 1.3 loop closed)") {
+    val out = Seq(SIMPLE_JSON).toDF("value")
+      .transform(ExpandJson.whole("value", schemaNamePrefix = Some("com.acme.Env")))
+    val avro = graft.schema.AvroSchema.forField(out.schema("value"))
+    val rec = new com.fasterxml.jackson.databind.ObjectMapper().readTree(avro).get(1)
+    assert(rec.get("type").asText() == "record")
+    assert(rec.get("name").asText() == "com.acme.Env")
+    assert(rec.get("fields").size() == 3)
+  }
+
   test("per-field: missing target -> error") {
     val df = Seq(SIMPLE_JSON).toDF("value")
     val e = intercept[IllegalArgumentException] {

@@ -118,4 +118,46 @@ class JsonSchemaInferenceSpec extends AnyFunSuite {
       Some(StructType(Seq(StructField("a", DoubleType), StructField("b", StringType)))))
     assert(inferFromSample(Nil) === None)
   }
+
+  test("Avro reconstruction: named records from metadata, counter semantics, shared defs") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val dt = infer(
+      """{"a": {"x": 1}, "b": {"x": 2}, "c": {"y": "s"}, "arr": [{"x": 3}]}""")
+    val (named, rootName) = JsonSchemaInference.assignSchemaNames(dt, "com.acme.Rec")
+    // Counter: innermost-first (bottom-up), identical field lists share,
+    // no "1" suffix: {x} -> Rec, {y} -> Rec2, root -> Rec3.
+    assert(rootName === Some("com.acme.Rec3"))
+    val field = StructField("value", named, nullable = true,
+      new MetadataBuilder()
+        .putString(JsonSchemaInference.SchemaNameKey, rootName.get).build())
+    val json = graft.schema.AvroSchema.forField(field)
+    val root = new ObjectMapper().readTree(json)
+    // Nullable top level -> ["null", record]
+    assert(root.isArray && root.get(0).asText() == "null")
+    val rec = root.get(1)
+    assert(rec.get("type").asText() == "record")
+    assert(rec.get("name").asText() == "com.acme.Rec3")
+    val fields = rec.get("fields")
+    def fieldType(i: Int) = fields.get(i).get("type").get(1) // strip "null"
+    // a: first occurrence -> full record definition named Rec
+    assert(fieldType(0).get("type").asText() == "record")
+    assert(fieldType(0).get("name").asText() == "com.acme.Rec")
+    assert(fieldType(0).get("fields").get(0).get("name").asText() == "x")
+    assert(fieldType(0).get("fields").get(0).get("type").get(1).asText() == "int")
+    // b: structurally identical -> a NAME REFERENCE, not a second definition
+    assert(fieldType(1).asText() == "com.acme.Rec")
+    // c: distinct field list -> Rec2
+    assert(fieldType(2).get("name").asText() == "com.acme.Rec2")
+    // arr: array whose element struct shares Rec by reference
+    assert(fieldType(3).get("type").asText() == "array")
+    assert(fieldType(3).get("items").get(1).asText() == "com.acme.Rec")
+  }
+
+  test("Avro reconstruction: unnamed struct -> clear error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.schema.AvroSchema.forField(
+        StructField("v", StructType(Seq(StructField("x", IntegerType)))))
+    }
+    assert(e.getMessage.contains("schemaNamePrefix"))
+  }
 }
