@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -29,10 +29,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
  */
 object Affinity {
 
+  /** Key columns must be numeric ids: a failed cast RAISES a named
+    * diagnostic with the offending value instead of becoming a null that
+    * silently vanishes from the equi-join and groupBy (a caller with
+    * string SKUs would otherwise get an empty result under non-ANSI
+    * casts, or a generic CAST_INVALID_INPUT under ANSI). try_cast makes
+    * the behavior setting-independent; the raise rides the otherwise
+    * branch of the projection itself (an ADDITIVE guard term would never
+    * fire here — `null + x` short-circuits before evaluating x). */
+  private def keyAsLong(c: Column, what: String): Column = {
+    val k = c.try_cast(LongType)
+    when(c.isNull || k.isNotNull, k).otherwise(raise_error(
+      concat(lit(s"Affinity: non-numeric $what id: "), c.cast("string"))).cast(LongType))
+  }
+
   /** Distinct (basket, item) frame — the shared root of both operators. */
   private def basketItems(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
-    df.select(col(basketCol).cast(LongType).as("b"),
-      col(itemCol).cast(LongType).as("it")).distinct()
+    df.select(keyAsLong(col(basketCol), "basket").as("b"),
+      keyAsLong(col(itemCol), "item").as("it")).distinct()
 
   /** Co-presence pair support counts `(p1, p2, c)`, `p1 < p2` — ONE
     * implementation of the distinct + basket self-join + count pipeline,

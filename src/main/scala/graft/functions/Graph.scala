@@ -99,10 +99,26 @@ object Graph {
           .as("score_ppm"))
   }
 
+  /** Defensive enforcement of the undirected edge-set contract (distinct,
+    * u < v) shared by [[triangleCounts]] and [[componentStats]]: duplicate
+    * or reversed input edges would silently inflate degrees, wedge counts,
+    * and n_edges. least/greatest orientation and the self-loop drop are
+    * map-side; the distinct rides the exchange barrier the operators
+    * already need (the aggregate reuses the repartition's hash
+    * partitioning on (u, v) — no additional shuffle). */
+  private def normalizedEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    edges.select(
+        least(col(uCol).cast(LongType), col(vCol).cast(LongType)).as("u"),
+        greatest(col(uCol).cast(LongType), col(vCol).cast(LongType)).as("v"))
+      .filter(col("u") < col("v"))
+      .repartition(col("u"), col("v"))
+      .distinct()
+
   /** Per-node triangle counts via the degree-ordered node-iterator
     * (Schank–Wagner orientation; the MapReduce form is Suri &
-    * Vassilvitskii, WWW'11). Input: distinct undirected edges with
-    * `uCol < vCol`. Each edge is oriented from its lower-(degree, id)
+    * Vassilvitskii, WWW'11). Input: undirected edges — normalized
+    * defensively to the distinct-u<v contract (reversed/duplicate/self
+    * edges cannot inflate counts). Each edge is oriented from its lower-(degree, id)
     * endpoint to the higher, so every triangle is generated exactly once —
     * at the wedge whose center is the triangle's LOWEST-rank vertex — and
     * the wedge count is bounded by O(m^{3/2}) regardless of degree skew
@@ -126,8 +142,7 @@ object Graph {
     // produced the edges past its last exchange (for the co-purchase
     // graph: the corpus-sized pair aggregation, merged 4x); with it,
     // every consumer is a ReusedExchange of edge-set-sized data.
-    val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
-      .repartition(col("u"), col("v"))
+    val e = normalizedEdges(edges, uCol, vCol)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -158,13 +173,13 @@ object Graph {
     * [[Dedup.duplicateClusters]]'s two-phase union-find contraction — ONE
     * lazy plan, no driver loop, no blocking action (see its scaladoc for
     * the 100 TB argument); this wrapper adds the node roll-up and one
-    * u-keyed edge→label join for the edge counts. Input: distinct
-    * undirected edges with `uCol < vCol`. */
+    * u-keyed edge→label join for the edge counts. Input: undirected
+    * edges, normalized defensively like [[triangleCounts]]. */
   def componentStats(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    // Same edge-set exchange barrier as triangleCounts: consumed by both
-    // the union-find labeling and the per-component edge count.
-    val e = edges.select(col(uCol).cast(LongType).as("u"), col(vCol).cast(LongType).as("v"))
-      .repartition(col("u"), col("v"))
+    // Same edge-set exchange barrier as triangleCounts (inside
+    // normalizedEdges): consumed by both the union-find labeling and the
+    // per-component edge count.
+    val e = normalizedEdges(edges, uCol, vCol)
     val labels = Dedup.duplicateClusters(e.select(col("u").as("i"), col("v").as("j")))
     val nNodes = labels.groupBy(col("cluster_id").as("component"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -660,9 +660,13 @@ object Similarity {
       iters: Int = 3): Array[(Long, Vector[Double])] = {
     var cents = sampledIvfCentroids(corpus, idCol, vecCol, numCentroids)
     require(cents.nonEmpty, "no seed centroids selected — empty corpus?")
+    // Each Lloyd iteration is a blocking collect over `base`; cache it so
+    // training reads the corpus once, not `iters` times (unpersisted on
+    // exit — query-time plans never depend on this cache).
     val base = corpus.select(
       col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
-    for (_ <- 0 until iters) {
+      .persist()
+    try for (_ <- 0 until iters) {
       val assigned = base.withColumn(
         "cell", element_at(probeCells(cents, col("v"), col("n_v"), 1), 1).getField("cid"))
       // Per-(cell, dim) partial sums combine map-side; the collect is
@@ -684,7 +688,7 @@ object Similarity {
           case None => (cid, old) // empty cell: keep previous centroid
         }
       }
-    }
+    } finally base.unpersist()
     cents
   }
 

@@ -129,6 +129,10 @@ object Funnel {
     (a, b, c)
   }
 
+  /** Funnel flags are CUMULATIVE lifetime state (a user who viewed last
+    * month still counts as s1), so state here deliberately has no TTL —
+    * expiring it would change the semantics, not just bound memory; cap
+    * the user universe upstream if it is genuinely unbounded. */
   def stageStream(events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -156,27 +160,65 @@ object Funnel {
     * whenever each user's events arrive in order (the Kafka
     * partitioned-by-user posture the other faces assume; replays
     * re-emit, keyed by the conversion's unique event_id so downstream
-    * dedup is a key filter). */
-  def lastTouchStream(events: Dataset[FunnelEvent], convType: String)
-      : Dataset[TouchCredit] = {
+    * dedup is a key filter).
+    *
+    * Unlike [[stageStream]]'s cumulative flags, touch state goes STALE
+    * once the attribution window closes, and the user population is
+    * unbounded — so `idleTtl` (a duration string, e.g. "30 days") bounds
+    * state with a processing-time timeout: a user idle past the TTL has
+    * their one-string state dropped and their next conversion attributes
+    * as "direct", which is the correct semantics for an expired window.
+    * None keeps the unbounded posture for bounded user universes.
+    *
+    * With `idleTtl` set, run the query with an explicit trigger interval
+    * (e.g. `Trigger.ProcessingTime("1 minute")`): processing-time
+    * timeouts make every trigger run a state-check micro-batch, so the
+    * default as-fast-as-possible trigger degenerates into a busy loop of
+    * empty batches (observed: ~14 batches/s on an idle MemoryStream). */
+  def lastTouchStream(events: Dataset[FunnelEvent], convType: String,
+      idleTtl: Option[String] = None): Dataset[TouchCredit] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastTouchState, TouchCredit](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        timeoutConf) {
         (user: Long, batch: Iterator[FunnelEvent], state: GroupState[LastTouchState]) =>
-          var touch = state.getOption.flatMap(_.touch)
-          val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
-          for (e <- batch.toSeq.sortBy(e => (e.ts, e.event_id))) {
-            if (e.event_type == convType)
-              out += TouchCredit(user, e.event_id, touch.getOrElse("direct"))
-            else touch = Some(e.event_type)
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL: drop the stale touch
+            Iterator.empty
+          } else {
+            val (credits, touch) = lastTouchFold(
+              user, state.getOption.flatMap(_.touch), convType,
+              batch.toSeq.sortBy(e => (e.ts, e.event_id)))
+            state.update(LastTouchState(touch))
+            idleTtl.foreach(state.setTimeoutDuration)
+            credits.iterator
           }
-          state.update(LastTouchState(touch))
-          out.iterator
       }
+  }
+
+  /** One micro-batch of the last-touch fold — the pure core of
+    * [[lastTouchStream]], extracted so the TTL semantics (timeout drops
+    * state → `prior = None` → "direct") are unit-testable without a live
+    * timeout-triggering query. Returns (credits to emit, next touch). */
+  private[graft] def lastTouchFold(
+      user: Long,
+      prior: Option[String],
+      convType: String,
+      ordered: Seq[FunnelEvent]): (Seq[TouchCredit], Option[String]) = {
+    var touch = prior
+    val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+    for (e <- ordered) {
+      if (e.event_type == convType)
+        out += TouchCredit(user, e.event_id, touch.getOrElse("direct"))
+      else touch = Some(e.event_type)
+    }
+    (out.toSeq, touch)
   }
 }
 

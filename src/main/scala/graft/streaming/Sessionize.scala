@@ -68,13 +68,20 @@ object Sessionize {
     * tiebreaker); session BOUNDARIES are tie-insensitive (equal-ts events
     * have gap 0), the explicit order matters only for downstream
     * order-sensitive consumers. Lag, running sum, and any later
-    * groupBy(user, session) all ride ONE user exchange. */
+    * groupBy(user, session) all ride ONE user exchange.
+    *
+    * `session_id` (output) and `__prev_ts`/`__new_s` (scratch) are
+    * RESERVED names: `withColumn` replaces by name, so a pre-existing
+    * column would be silently overwritten — guarded with a require. */
   def withSessionIds(
       df: DataFrame,
       userCol: String,
       tsCol: String,
       gapNanos: Long,
       orderCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__prev_ts", "__new_s", "session_id").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"withSessionIds reserves column name(s) ${reserved.mkString(", ")} — rename them on the input frame")
     val byUser = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
     df
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))

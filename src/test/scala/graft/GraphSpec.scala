@@ -49,6 +49,35 @@ class GraphSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("edge normalization: reversed, duplicate, and self edges cannot inflate counts") {
+    val clean = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), // triangle
+      (10L, 11L)).toDF("u", "v")
+    val messy = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), // reversed + duplicate
+      (3L, 1L), (2L, 3L), (2L, 3L),
+      (10L, 11L), (11L, 10L),
+      (5L, 5L) // self loop: dropped, contributes nothing
+    ).toDF("u", "v")
+    def tri(df: org.apache.spark.sql.DataFrame) = Graph.triangleCounts(df, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri(messy) === tri(clean))
+    def cc(df: org.apache.spark.sql.DataFrame) = Graph.componentStats(df, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cc(messy) === cc(clean))
+    assert(cc(clean) === Set((1L, 3L, 3L), (10L, 2L, 1L)))
+  }
+
+  test("Affinity: non-numeric item ids raise instead of silently vanishing") {
+    val df = Seq((1L, "SKU-9"), (1L, "SKU-7"), (2L, "SKU-9")).toDF("basket", "item")
+    val e = intercept[Exception] {
+      Affinity.copresencePairs(df, "basket", "item").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-numeric item id")), e.toString)
+  }
+
   test("componentStats: sizes and edge counts per component, min-id labels") {
     // Path 1-2-3-4 (3 edges), triangle 10-11-12 (3 edges), pair 20-21.
     val edges = Seq(

@@ -24,6 +24,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("withSessionIds: reserved column names on the input are rejected, not overwritten") {
+    import spark.implicits._
+    val df = Seq((1L, 100L, 7L)).toDF("user_id", "ts", "session_id")
+    val e = intercept[IllegalArgumentException] {
+      Sessionize.withSessionIds(df, "user_id", "ts", 1000L, Seq("ts"))
+    }
+    assert(e.getMessage.contains("session_id"))
+  }
+
   test("streamingSessions emits the same sessions as batchSessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -626,6 +635,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
     assert(streamed === Set(
       (1L, 11L, "view"), (1L, 13L, "click"), (2L, 20L, "direct"), (3L, 31L, "signup")))
+  }
+
+  test("Funnel.lastTouchFold: TTL expiry semantics — dropped state attributes direct") {
+    // The pure per-batch core of lastTouchStream (a live
+    // ProcessingTimeTimeout query busy-loops under the test harness's
+    // interval-0 trigger — see the scaladoc's explicit-trigger note).
+    val batch = Seq(
+      FunnelEvent(1L, T0, 10L, "ad"), FunnelEvent(1L, T0 + Min, 11L, "purchase"),
+      FunnelEvent(1L, T0 + 2 * Min, 12L, "purchase"))
+    // Live state: touch carries across and within batches.
+    val (credits, touch) = Funnel.lastTouchFold(1L, None, "purchase", batch)
+    assert(credits.map(c => (c.event_id, c.touch)) === Seq((11L, "ad"), (12L, "ad")))
+    assert(touch === Some("ad"))
+    // After a TTL timeout the state is REMOVED (prior = None): the next
+    // conversion attributes "direct" — the expired-window semantics.
+    val (after, _) = Funnel.lastTouchFold(
+      1L, None, "purchase", Seq(FunnelEvent(1L, T0 + 3 * Min, 13L, "purchase")))
+    assert(after.map(c => (c.event_id, c.touch)) === Seq((13L, "direct")))
+    // Un-expired prior state attributes the remembered touch.
+    val (kept, _) = Funnel.lastTouchFold(
+      1L, Some("email"), "purchase", Seq(FunnelEvent(1L, T0 + 3 * Min, 14L, "purchase")))
+    assert(kept.map(c => (c.event_id, c.touch)) === Seq((14L, "email")))
   }
 
   test("Kafka source contract: binary key/value expand; topic/partition/offset pass through") {
