@@ -370,7 +370,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // codec metadata) must stay narrow: a shuffle here would cost a full
     // corpus pass at 100 TB for no semantic reason.
     for (q <- Seq("sample_split", "redact_pii", "quality_repeat", "mm_audio", "mm_meta",
-        "repetition_strip")) {
+        "repetition_strip", "ej_nested")) {
       val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty, s"$q shuffles:\n${planString(q)}")
     }
@@ -424,6 +424,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, plan)
     assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("ann_ivfpq: compressed-index shape — floats stay out of every hash exchange") {
+    val p = plan("ann_ivfpq")
+    // Two bounded partial-top-k groupBys (ADC candidates, exact re-rank)
+    // are the only hash exchanges; probe and candidate sets ride
+    // broadcasts. No exchange may carry a vector/reconstruction/codes
+    // column — the index-scan side must collapse to (query_id, vec_id,
+    // score) partials before anything shuffles.
+    val ps = p.toString
+    assert(ps.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, ps)
+    assert(ps.contains("BroadcastExchange"), ps)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    for (e <- shuffles)
+      assert(!e.output.exists(a => Set("v", "qv", "rv", "codes", "embedding")(a.name)),
+        s"exchange carries vector data:\n$e")
+  }
+
+  test("bpe_apply: merge table as a literal; the apply pass is shuffle-free") {
+    // learnBpeMerges collects the 8-row table BEFORE the plan exists (the
+    // IVF-centroid posture); the tokenizer stage itself must be one
+    // narrow map-side pass — a shuffle here would re-pay the corpus at
+    // every tokenization.
+    val shuffles = collectAll(plan("bpe_apply")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, planString("bpe_apply"))
   }
 
   test("lm_coverage: the corpus never shuffles (doc rows stay out of every exchange)") {
