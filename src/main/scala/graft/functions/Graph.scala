@@ -105,7 +105,12 @@ object Graph {
     * and n_edges. least/greatest orientation and the self-loop drop are
     * map-side; the distinct rides the exchange barrier the operators
     * already need (the aggregate reuses the repartition's hash
-    * partitioning on (u, v) — no additional shuffle). */
+    * partitioning on (u, v) — no additional shuffle). Deliberate
+    * tradeoff: the distinct sits ABOVE the reused exchange, so each
+    * consumer subtree re-runs it — but it is partition-local CPU over
+    * the (tiny, support-thresholded) edge set; the alternative
+    * (.distinct().repartition(...)) dedups once below the barrier at
+    * the price of a second full exchange of the same data. */
   private def normalizedEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
     edges.select(
         least(col(uCol).cast(LongType), col(vCol).cast(LongType)).as("u"),

@@ -210,8 +210,12 @@ object Sampling {
     // branch-free `least(w, max)` (so the array codegen sees a simple
     // arithmetic expression, r7 had the CaseWhen+raise_error as the bound
     // and bench-regressed), and the contract error rides as a separate
-    // additive term that is the constant 0 on every valid row and raises
-    // before a too-large row could materialize its draw array.
+    // additive term that is the constant 0 on every valid row. NOTE the
+    // ordering: Add evaluates its left operand first, so an over-weight
+    // row DOES materialize its (maxWeight-capped) draw array before the
+    // guard raises — `least` is the actual OOM protection; the guard
+    // only reports the contract breach. Do not remove the cap believing
+    // the guard pre-empts materialization.
     val maxW = lit(maxWeight.toLong)
     val guardTerm = when(w <= maxW, lit(0L)).otherwise(raise_error(concat(
       lit(s"weightedQuota: weight "), w.cast("string"),

@@ -929,8 +929,22 @@ object Similarity {
     require(cents.nonEmpty, "no centroids selected — empty corpus?")
     val cb = pqCodebook(numSub, codesPerSub, dim / numSub)
     val enc = pqIndex(corpus, idCol, vecCol, cents, cb, dim / numSub)
-    ivfPqSearch(enc, corpus, queries, idCol, vecCol, k, cb, cents, nProbe, candN)
+    val qv = queryProjection(queries, idCol, vecCol)
+    ivfPqSearch(enc, corpus, idCol, vecCol, qv,
+      probedQueries(qv, cents, nProbe), k, cb, candN)
   }
+
+  /** One shared (query_id, qv, n_qv) projection — built once per search so
+    * the norm kernel and probe expressions are defined a single time. */
+  private def queryProjection(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+
+  /** The probed-cell explode over [[queryProjection]] output. */
+  private def probedQueries(
+      qv: DataFrame, cents: Array[(Long, Vector[Double])], nProbe: Int): DataFrame =
+    qv.select(col("query_id"), col("qv"), col("n_qv"),
+      explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
 
   /** The compressed index face: `(vec_id, cell, codes)` — the float vector
     * is DROPPED here; everything until re-rank reads codes only. */
@@ -953,18 +967,13 @@ object Similarity {
   private def ivfPqSearch(
       enc: DataFrame,
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
+      qv: DataFrame,
+      q: DataFrame,
       k: Int,
       cb: Array[Array[Vector[Double]]],
-      cents: Array[(Long, Vector[Double])],
-      nProbe: Int,
       candN: Int): DataFrame = {
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
-      .select(col("query_id"), col("qv"), col("n_qv"),
-        explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
     // ADC: cos(q, ṽ) from codes alone. Reconstruction is projected once so
     // the dot and its norm share the lookup.
     val cand = enc
@@ -977,8 +986,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     // Exact re-rank: the candidate set (queries × candN ids + query vectors)
     // is metadata-scale — broadcast it against one corpus fetch.
-    val qv = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
     corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
       .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("vec_id"))
@@ -1017,14 +1024,14 @@ object Similarity {
       cents: Array[(Long, Vector[Double])],
       nProbe: Int = 2,
       candN: Int = 40): DataFrame = {
-    val probed = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
-      .select(col("query_id"),
-        explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
-    val cells = probed.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val qv = queryProjection(queries, idCol, vecCol)
+    val q = probedQueries(qv, cents, nProbe)
+    // One probe pass serves both the driver-side cell collect (partition
+    // pruning) and the candidate join's broadcast side.
+    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     val enc = spark.read.parquet(indexPath)
       .where(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("vec_id"), col("cell"), col("codes"))
-    ivfPqSearch(enc, corpus, queries, idCol, vecCol, k, cb, cents, nProbe, candN)
+    ivfPqSearch(enc, corpus, idCol, vecCol, qv, q, k, cb, candN)
   }
 }

@@ -100,7 +100,13 @@ final case class ExpandJson(
     * names always resolve as themselves first (a literal column named
     * "a.b" keeps the reference's root-level semantics; only otherwise are
     * dots read as struct descent — the extension past the reference's
-    * root-level-only contract, its open TODO at ExpandJson.java:42-44). */
+    * root-level-only contract, its open TODO at ExpandJson.java:42-44).
+    * Matching is EXACT (case-sensitive) at every level, regardless of
+    * spark.sql.caseSensitive — deliberate reference parity: the SMT's
+    * `Struct.get(field)` lookup is case-sensitive, so a config that
+    * names fields by the wrong case fails fast here exactly as it would
+    * in the Connect pipeline (the divergence from Spark's default
+    * case-insensitive resolution is fail-safe: a throw, never a miss). */
   private def resolves(schema: StructType, parts: Seq[String]): Boolean = parts match {
     case Seq(last) => schema.fieldNames.contains(last)
     case head +: rest =>

@@ -637,6 +637,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       (1L, 11L, "view"), (1L, 13L, "click"), (2L, 20L, "direct"), (3L, 31L, "signup")))
   }
 
+  test("Funnel.lastTouchStream idleTtl live: timeout drops state, later conversion is direct") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    // Explicit trigger: processing-time timeouts make every trigger run a
+    // state-check batch, so the interval bounds the churn (the default
+    // as-fast-as-possible trigger busy-loops — see the scaladoc).
+    val in = MemoryStream[FunnelEvent]
+    val q = Funnel.lastTouchStream(in.toDS(), convType = "purchase",
+        idleTtl = Some("200 milliseconds"))
+      .writeStream.format("memory").queryName("touch_ttl_live")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def credits(): Set[(Long, Long, String)] =
+      spark.table("touch_ttl_live").as[graft.streaming.TouchCredit]
+        .collect().map(c => (c.user_id, c.event_id, c.touch)).toSet
+    def await(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(cond, s"timed out waiting; have ${credits()}")
+    }
+    try {
+      in.addData(FunnelEvent(1L, T0, 10L, "ad"), FunnelEvent(1L, T0 + Min, 11L, "purchase"))
+      await(credits().contains((1L, 11L, "ad")))
+      // Idle well past the TTL: a timeout batch removes user 1's state
+      // (timeouts never fire early; with 100ms triggers they fire within
+      // a few intervals after the 200ms TTL).
+      Thread.sleep(1500)
+      in.addData(FunnelEvent(1L, T0 + 2 * Min, 12L, "purchase"))
+      await(credits().exists(_._2 == 12L))
+      assert(credits() === Set((1L, 11L, "ad"), (1L, 12L, "direct")),
+        "expired state must attribute the post-idle conversion as direct")
+    } finally q.stop()
+  }
+
   test("Funnel.lastTouchFold: TTL expiry semantics — dropped state attributes direct") {
     // The pure per-batch core of lastTouchStream (a live
     // ProcessingTimeTimeout query busy-loops under the test harness's
