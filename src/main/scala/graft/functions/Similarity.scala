@@ -946,6 +946,75 @@ object Similarity {
     qv.select(col("query_id"), col("qv"), col("n_qv"),
       explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
 
+  /** [[ivfPqTopK]] with an explicit codebook — identical plan, only the
+    * codeword literals differ (the hash codebook's determinism buys the
+    * oracle; a trained codebook buys recall). */
+  def ivfPqTopKWithCodebook(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      nProbe: Int = 2,
+      candN: Int = 40): DataFrame = {
+    val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+    val qv = queryProjection(queries, idCol, vecCol)
+    ivfPqSearch(enc, corpus, idCol, vecCol, qv,
+      probedQueries(qv, cents, nProbe), k, cb, candN)
+  }
+
+  /** Train the PQ codebook with `iters` distributed Lloyd iterations of
+    * per-subspace L2 k-means, seeded from the deterministic hash codebook.
+    * ONE corpus pass per iteration covers every subspace at once (codes
+    * are assigned map-side, then the per-(subspace, code, dim) partial
+    * sums shuffle — numSub × codesPerSub × subDim rows reach the driver,
+    * codebook metadata, never corpus data). Empty cells keep their
+    * previous codeword. Same query-time plan as the hash codebook; better
+    * quantization error / recall. */
+  def trainPqCodebook(
+      corpus: DataFrame,
+      vecCol: String,
+      dim: Int,
+      numSub: Int = 4,
+      codesPerSub: Int = 16,
+      iters: Int = 3): Array[Array[Vector[Double]]] = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val subDim = dim / numSub
+    var cb = pqCodebook(numSub, codesPerSub, subDim)
+    // Each iteration is a blocking collect; cache the projection so
+    // training reads the corpus once (the trainIvfCentroids posture).
+    val base = corpus.select(col(vecCol).as("v")).persist()
+    try {
+      for (_ <- 0 until iters) {
+        val stats = base
+          .withColumn("codes", pqEncode(col("v"), cb, subDim))
+          .select(col("codes"), posexplode(col("v")).as(Seq("d", "x")))
+          .select(
+            (col("d") / subDim).cast(IntegerType).as("m"),
+            (col("d") % subDim).as("dd"),
+            col("x").cast(DoubleType).as("x"),
+            col("codes"), col("d"))
+          .withColumn("code", element_at(col("codes"), col("m") + 1))
+          .groupBy(col("m"), col("code"), col("dd"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3) / r.getLong(4)))
+          .toMap
+        cb = cb.zipWithIndex.map { case (codewords, m) =>
+          codewords.zipWithIndex.map { case (old, j) =>
+            if (stats.contains((m, j, 0)))
+              Vector.tabulate(old.length)(d => stats((m, j, d)))
+            else old // empty cell: keep previous codeword
+          }
+        }
+      }
+      cb
+    } finally base.unpersist()
+  }
+
   /** The compressed index face: `(vec_id, cell, codes)` — the float vector
     * is DROPPED here; everything until re-rank reads codes only. */
   private def pqIndex(

@@ -394,6 +394,30 @@ class SimilaritySpec extends SparkSpec {
       assert(score == exact(pair), s"pair $pair: pq score $score != exact ${exact(pair)}")
   }
 
+  test("trained PQ codebook: recall vs brute force >= hash codebook; shape preserved") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    def recall(cb: Array[Array[Vector[Double]]]): Double = {
+      val pq = Similarity.ivfPqTopKWithCodebook(
+          emb, queries, "vec_id", "embedding", 5, cents, cb, 16)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (pq & exact).size.toDouble / exact.size
+    }
+    val hash = Similarity.pqCodebook(4, 16, 16)
+    val trained = Similarity.trainPqCodebook(emb, "embedding", dim = 64, iters = 2)
+    // Shape: subspaces × codewords × subDim unchanged; training moved at
+    // least one codeword off its hash seed.
+    assert(trained.length == 4 && trained.forall(_.length == 16)
+      && trained.forall(_.forall(_.length == 16)))
+    assert(trained.zip(hash).exists { case (t, h) => t.toSeq != h.toSeq })
+    val (rh, rt) = (recall(hash), recall(trained))
+    // Measured 0.24 hash vs 0.26 trained at sf0.001 (IVF ceiling 0.30 at
+    // nProbe=2): Lloyd-fit codewords may only help candidate quality.
+    assert(rt >= rh, s"trained recall $rt < hash recall $rh")
+  }
+
   test("persisted IVF-PQ index: partition-pruned scan, same results as in-memory") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
