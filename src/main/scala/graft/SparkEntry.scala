@@ -1082,6 +1082,33 @@ object SparkEntry {
           TF.xhash32(concat_ws("\u001f", col("mtk"))).as("tok_sig"))
     }),
 
+    // Encode merged tokens to vocab ids — the id-space face of the
+    // tokenizer: vocab = top-64 merged tokens by (count DESC, token),
+    // ids 0-based, OOV -> 64. Vocab is collected (metadata-scale, same
+    // posture as the merge table) and rides the encode projection as a
+    // literal map — the encode pass itself is map-side, shuffle-free.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TF.learnBpeMerges(docs, col("text"), n = 8)
+      val merged = docs
+        .select(col("doc_id"), TF.bpeApply(TF.bpeTokens(col("text")), merges).as("mtk"))
+      val vocab: Map[String, Int] = merged
+        .select(explode(col("mtk")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(64)
+        .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+      val unk = 64
+      val ids = transform(col("mtk"), t =>
+        coalesce(element_at(typedLit(vocab), t), lit(unk)))
+      merged
+        .select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast(LongType).as("n_tokens"),
+          size(filter(col("ids"), i => i === unk)).cast(LongType).as("n_unk"),
+          TF.xhash32(concat_ws(",", col("ids"))).as("ids_sig"))
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -2156,7 +2183,11 @@ object SparkEntry {
     * absorbed tokens dropped via lag(sel). Validated against a driver-side
     * greedy reference on the full sf0.001 corpus, including a self-pair
     * (a == a) merge rule. */
-  private val bpeApplySql: String = {
+  private lazy val bpeApplySql: String = bpeMergedCtes + bpeApplyTail
+
+  /** Shared CTE prefix: tokenize, derive the top-8 merge table, replay the
+    * eight merges; `t8` holds the merged (doc_id, pos, tok) rows. */
+  private lazy val bpeMergedCtes: String = {
     val steps = (0 until 8).map { i =>
       val k = i + 1
       s"""m$i AS (
@@ -2190,14 +2221,34 @@ object SparkEntry {
        |    row_number() OVER (ORDER BY count(*) DESC, pr[1], pr[2]) AS rnk
        |  FROM p GROUP BY pr[1], pr[2]) WHERE rnk <= 8),
        |t0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok FROM tk),
-       |$steps,
-       |agg AS (SELECT doc_id, count(*) AS n_tokens,
-       |  string_agg(tok, chr(31) ORDER BY pos) AS joined FROM t8 GROUP BY doc_id)
-       |SELECT tk.doc_id AS doc_id, len(tk.tk)::BIGINT AS n_base_tokens,
-       |  coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
-       |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS tok_sig
-       |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private lazy val bpeApplyTail: String =
+    """,
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |  string_agg(tok, chr(31) ORDER BY pos) AS joined FROM t8 GROUP BY doc_id)
+      |SELECT tk.doc_id AS doc_id, len(tk.tk)::BIGINT AS n_base_tokens,
+      |  coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+      |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS tok_sig
+      |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
+
+  /** Generated oracle for `bpe_encode`: vocab = merged tokens ranked by
+    * (count DESC, token), ids 0-based, OOV -> id 64; per-doc id sequence
+    * fingerprinted in position order. */
+  private lazy val bpeEncodeSql: String = bpeMergedCtes +
+    """,
+      |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS INT) AS id
+      |  FROM t8 GROUP BY tok QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 64),
+      |enc AS (SELECT t8.doc_id, t8.pos, coalesce(vocab.id, 64) AS id
+      |  FROM t8 LEFT JOIN vocab ON t8.tok = vocab.tok),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |  sum(CASE WHEN id = 64 THEN 1 ELSE 0 END) AS n_unk,
+      |  string_agg(id::VARCHAR, ',' ORDER BY pos) AS joined FROM enc GROUP BY doc_id)
+      |SELECT tk.doc_id AS doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+      |  coalesce(agg.n_unk, 0)::BIGINT AS n_unk,
+      |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS ids_sig
+      |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
 
   private val embCast =
     "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, sqrt(list_sum(list_transform(list_transform(embedding, x -> x::DOUBLE), x -> x * x))) AS nrm FROM embeddings"
@@ -2689,6 +2740,7 @@ object SparkEntry {
          |SELECT pr[1] AS a, pr[2] AS b, count(*) AS n_pairs
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     "bpe_apply" -> bpeApplySql,
+    "bpe_encode" -> bpeEncodeSql,
     // The oracle may use the global-order window Spark avoids — DuckDB is
     // single-node; only the VALUES must match.
     "pack_sequences" ->

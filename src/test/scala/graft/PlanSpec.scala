@@ -442,13 +442,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"exchange carries vector data:\n$e")
   }
 
-  test("bpe_apply: merge table as a literal; the apply pass is shuffle-free") {
-    // learnBpeMerges collects the 8-row table BEFORE the plan exists (the
-    // IVF-centroid posture); the tokenizer stage itself must be one
-    // narrow map-side pass — a shuffle here would re-pay the corpus at
-    // every tokenization.
-    val shuffles = collectAll(plan("bpe_apply")) { case e: ShuffleExchangeExec => e }
-    assert(shuffles.isEmpty, planString("bpe_apply"))
+  test("bpe_apply/bpe_encode: merge table and vocab as literals; the passes are shuffle-free") {
+    // learnBpeMerges / the vocab ranking collect their metadata BEFORE
+    // the plan exists (the IVF-centroid posture); the tokenizer and
+    // encode stages themselves must be narrow map-side passes — a
+    // shuffle here would re-pay the corpus at every tokenization.
+    for (q <- Seq("bpe_apply", "bpe_encode")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"$q:\n" + planString(q))
+    }
   }
 
   test("lm_coverage: the corpus never shuffles (doc rows stay out of every exchange)") {
