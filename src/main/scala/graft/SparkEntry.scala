@@ -1393,11 +1393,16 @@ object SparkEntry {
       import graft.functions.Graph
       val fwd = t(s, dir, "lineitem")
         .select(col("l_partkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      // The documented production posture made concrete: the edge set and
+      // each round's scores are PERSISTED between rounds (the driver
+      // checkpoints; round N+1 reads round N's frame, not its lineage).
+      // Without this, the lazily-chained 3-round plan re-plans the edge
+      // pipeline multiplicatively (36 lineitem scans measured for k=3).
       val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src"))
+        .distinct().repartition(col("src")).persist()
       val s0 = Graph.initScores(e, "src", "dst")
-      val s1 = Graph.pushRoundFrom(e, "src", "dst", s0)
-      val s2 = Graph.pushRoundFrom(e, "src", "dst", s1)
+      val s1 = Graph.pushRoundFrom(e, "src", "dst", s0).persist()
+      val s2 = Graph.pushRoundFrom(e, "src", "dst", s1).persist()
       Graph.pushRoundFrom(e, "src", "dst", s2)
     }),
 
