@@ -1109,6 +1109,19 @@ object SparkEntry {
           TF.xhash32(concat_ws(",", col("ids"))).as("ids_sig"))
     }),
 
+    // Pack by REAL tokenizer counts: the post-merge BPE token count per
+    // doc (what the trained model actually consumes) feeds the
+    // three-level prefix-sum packer — the id pipeline closing into the
+    // training-batch layout. Counts come from one map-side kernel pass.
+    "pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TF.learnBpeMerges(docs, col("text"), n = 8)
+      graft.functions.Packing.packSequences(
+        docs.select(col("doc_id"),
+          size(TF.bpeApply(TF.bpeTokens(col("text")), merges)).cast(LongType).as("n_tok")),
+        "doc_id", "n_tok", packLen = 512)
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -2746,6 +2759,17 @@ object SparkEntry {
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     "bpe_apply" -> bpeApplySql,
     "bpe_encode" -> bpeEncodeSql,
+    // Merged-count packing over the shared merge-replay CTEs; the oracle
+    // may use the global-order window Spark avoids (single-node DuckDB).
+    "pack_bpe" -> (bpeMergedCtes +
+      """,
+        |cnt AS (SELECT tk.doc_id AS doc_id, coalesce(agg.n, 0)::BIGINT AS n_tokens
+        |  FROM tk LEFT JOIN (SELECT doc_id, count(*) AS n FROM t8 GROUP BY doc_id) agg
+        |  ON tk.doc_id = agg.doc_id),
+        |c AS (SELECT doc_id, n_tokens,
+        |  (sum(n_tokens) OVER (ORDER BY doc_id))::BIGINT - n_tokens AS bef FROM cnt)
+        |SELECT doc_id, n_tokens, bef // 512 AS pack_id, bef % 512 AS pack_offset
+        |FROM c""".stripMargin),
     // The oracle may use the global-order window Spark avoids — DuckDB is
     // single-node; only the VALUES must match.
     "pack_sequences" ->
