@@ -136,6 +136,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq((-2, "b"), (7, "a")))
   }
 
+  test("expandFields: nested dotted target works on a stream via schema overrides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    implicit val sq = spark.sqlContext
+    // No inference on streams (guarded); the dotted path + override goes
+    // through the same in-place struct rebuild as batch.
+    val schema = JsonTestSchemas.kv
+    val in = MemoryStream[(String, String)]
+    val framed = in.toDF().toDF("id", "payload")
+      .select(col("id"), struct(col("payload")).as("env"))
+    val out = ExpandJsonStreaming.expandFields(framed, Map("env.payload" -> schema))
+    val q = out.writeStream.format("memory").queryName("expand_nested_stream")
+      .outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData(("a", """{"k": 7, "tag": "x"}""")))
+    val rows = spark.table("expand_nested_stream")
+      .select("id", "env.payload.k", "env.payload.tag")
+      .as[(String, Int, String)].collect()
+    assert(rows.toSeq === Seq(("a", 7, "x")))
+  }
+
   test("streaming decontamination filters quoting docs against a persisted eval shingle set") {
     import graft.functions.Contamination
     import spark.implicits._
