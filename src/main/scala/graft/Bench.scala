@@ -48,6 +48,12 @@ object Bench {
       System.gc()
       val fn = SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
+        // Drop caches a prior iteration registered (e.g. the chained
+        // PageRank checkpoint persists): every iteration pays its own
+        // materialization, and cached frames cannot flatter later
+        // iterations or leak memory into later queries. Outside the
+        // timed region.
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val ok = Try(fn(spark, sfDir).write.format("noop").mode("overwrite").save()).isSuccess
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
