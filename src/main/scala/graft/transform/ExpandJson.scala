@@ -84,8 +84,20 @@ final case class ExpandJson(
         // Per-record inference with no cache: parse_json gives each row its
         // own self-describing typed value. FAILFAST <-> parse_json throwing
         // on malformed input; permissive <-> try_parse_json yielding null.
-        val c = col(colName).cast(StringType)
-        df.withColumn(colName, if (permissive) try_parse_json(c) else parse_json(c))
+        // Dotted names descend like per-field mode (withColumn would
+        // otherwise CREATE a literal-named top-level column, silently).
+        def parsed(c: Column) =
+          if (permissive) try_parse_json(c.cast(StringType)) else parse_json(c.cast(StringType))
+        if (df.schema.fieldNames.contains(colName))
+          df.withColumn(colName, parsed(rootCol(colName)))
+        else if (resolves(df.schema, colName.split('.').toSeq)) {
+          val root = colName.split('.').head
+          val rel = colName.split('.').drop(1).mkString(".")
+          df.withColumn(root, col(root).withField(rel, parsed(col(colName))))
+        } else
+          throw new IllegalArgumentException(
+            s"Target field not found: $colName (have: ${df.schema.fieldNames.mkString(", ")}; " +
+              "dotted names descend through struct fields)")
       } else expand(df, Seq(colName), allowScalar = true)
     case None =>
       // With-schema path guard (ExpandJson.java:107-110)

@@ -150,6 +150,21 @@ class ExpandJsonSpec extends SparkSpec {
     assert(rec.get("fields").size() == 3)
   }
 
+  test("variant mode: nested dotted target rebuilds the struct; bogus path errors") {
+    import org.apache.spark.sql.functions.{col, struct, variant_get}
+    val df = Seq(("a", SIMPLE_JSON)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload")).as("env"))
+    val out = df.transform(ExpandJson.wholeVariant("env.payload"))
+    assert(out.columns.toSeq === Seq("id", "env"), "no literal-named column appears")
+    val got = out.select(variant_get(col("env.payload"), "$.numberValue", "int"))
+      .collect().head.getInt(0)
+    assert(got === 42)
+    val e = intercept[IllegalArgumentException] {
+      df.transform(ExpandJson.wholeVariant("env.nope"))
+    }
+    assert(e.getMessage.contains("env.nope"))
+  }
+
   test("per-field: missing target -> error") {
     val df = Seq(SIMPLE_JSON).toDF("value")
     val e = intercept[IllegalArgumentException] {
