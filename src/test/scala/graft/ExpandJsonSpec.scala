@@ -99,6 +99,21 @@ class ExpandJsonSpec extends SparkSpec {
     assert(r.getStruct(1) === Row("String value", 42, true))
   }
 
+  test("nested targets: TWO JSON fields under one root struct, both rebuilt in place") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val df = Seq(("e1", """{"k": 1}""", """{"v": "x"}""", 9))
+      .toDF("id", "a", "b", "keep")
+      .select(col("id"), struct(col("a"), col("keep"), col("b")).as("env"))
+    val out = df.transform(ExpandJson.onFields(Seq("env.a", "env.b")))
+    val env = out.schema("env").dataType.asInstanceOf[StructType]
+    assert(env.fieldNames.toSeq === Seq("a", "keep", "b"), "sibling order preserved")
+    assert(env("a").dataType === StructType(Seq(StructField("k", IntegerType))))
+    assert(env("keep").dataType === IntegerType)
+    assert(env("b").dataType === StructType(Seq(StructField("v", StringType))))
+    val r = out.collect().head.getStruct(1)
+    assert(r.getStruct(0) === Row(1) && r.getInt(1) === 9 && r.getStruct(2) === Row("x"))
+  }
+
   test("nested target: two levels down; null ancestor struct passes through as null") {
     import org.apache.spark.sql.functions.{col, struct, when, lit}
     val df = Seq(("a", SIMPLE_JSON, true), ("b", SIMPLE_JSON, false))
