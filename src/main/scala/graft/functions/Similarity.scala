@@ -960,6 +960,9 @@ object Similarity {
       subDim: Int,
       nProbe: Int = 2,
       candN: Int = 40): DataFrame = {
+    require(cents.nonEmpty, "no centroids — empty corpus?")
+    require(cb.nonEmpty && cb.forall(_.forall(_.length == subDim)),
+      s"codebook subvector length must be subDim=$subDim")
     val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
     val qv = queryProjection(queries, idCol, vecCol)
     ivfPqSearch(enc, corpus, idCol, vecCol, qv,

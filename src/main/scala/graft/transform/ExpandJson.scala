@@ -88,13 +88,17 @@ final case class ExpandJson(
         // otherwise CREATE a literal-named top-level column, silently).
         def parsed(c: Column) =
           if (permissive) try_parse_json(c.cast(StringType)) else parse_json(c.cast(StringType))
+        // Single-target descent; expand() below implements the same
+        // literal-root-wins / resolves / withField rules with the
+        // multi-target + naming-metadata machinery variant mode doesn't
+        // need — keep the two in step if descent semantics change.
+        val parts = colName.split('.').toSeq
         if (df.schema.fieldNames.contains(colName))
           df.withColumn(colName, parsed(rootCol(colName)))
-        else if (resolves(df.schema, colName.split('.').toSeq)) {
-          val root = colName.split('.').head
-          val rel = colName.split('.').drop(1).mkString(".")
-          df.withColumn(root, col(root).withField(rel, parsed(col(colName))))
-        } else
+        else if (resolves(df.schema, parts))
+          df.withColumn(parts.head,
+            col(parts.head).withField(parts.tail.mkString("."), parsed(col(colName))))
+        else
           throw new IllegalArgumentException(
             s"Target field not found: $colName (have: ${df.schema.fieldNames.mkString(", ")}; " +
               "dotted names descend through struct fields)")
