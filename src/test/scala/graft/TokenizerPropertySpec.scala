@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{Similarity, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized property coverage for the round-8 kernels. Each property
+ * pits the distributed implementation against a deliberately different
+ * driver-side reference (a direct fold / brute-force argmin), on random
+ * inputs under random partitioning, so a shared systematic bug can't
+ * cancel out:
+ *
+ *  - `bpeApplyMerges` (the greedy merge kernel) vs a per-rule scan fold —
+ *    low-alphabet token streams make self-pair runs (the run-parity edge
+ *    the oracle SQL also has to get right) and rule-chaining frequent;
+ *  - merge LEARNING determinism: the top-n table is a pure function of
+ *    the corpus, stable under repartitioning;
+ *  - `pqEncode`/`pqReconstruct` vs brute-force L2 argmin + concatenation
+ *    on random float vectors (including ties-by-construction corners like
+ *    all-zero and constant vectors).
+ */
+class TokenizerPropertySpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  // ---- BPE ----
+
+  private def refApply(tk: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(tk) { case (cur, (a, b)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < cur.length) {
+        if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += cur(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+  // Alphabet of TWO symbols: adjacent repeats (self-pair runs) and deep
+  // rule chaining are the norm, not the exception.
+  private val docsGen: Gen[Seq[Seq[String]]] = for {
+    nDocs <- Gen.chooseNum(1, 12)
+    docs <- Gen.listOfN(nDocs, for {
+      len <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(len, Gen.oneOf("a", "b"))
+    } yield ts)
+  } yield docs
+
+  private val mergesGen: Gen[Seq[(String, String)]] = for {
+    n <- Gen.chooseNum(0, 6)
+    ms <- Gen.listOfN(n, for {
+      a <- Gen.oneOf("a", "b", "ab", "ba", "aa", "bb")
+      b <- Gen.oneOf("a", "b", "ab", "ba", "aa", "bb")
+    } yield (a, b))
+  } yield ms
+
+  test("bpeApply kernel equals the greedy reference on random low-alphabet streams") {
+    for (i <- 0 until 30) {
+      val seed = rng.Seed(9000L + i)
+      val docs = docsGen(Gen.Parameters.default, seed).get
+      val merges = mergesGen(Gen.Parameters.default, rng.Seed(7000L + i)).get
+      val got = docs.zipWithIndex.map { case (d, j) => (j.toLong, d) }
+        .toDF("id", "tk")
+        .repartition(1 + (i % 5))
+        .select(col("id"), TF.bpeApply(col("tk"), merges).as("m"))
+        .as[(Long, Seq[String])].collect().toMap
+      for ((d, j) <- docs.zipWithIndex)
+        assert(got(j.toLong) == refApply(d, merges),
+          s"case $i doc $j: tokens=$d merges=$merges")
+    }
+  }
+
+  test("learnBpeMerges is a pure function of the corpus under repartitioning") {
+    for (i <- 0 until 5) {
+      val docs = docsGen(Gen.Parameters.default, rng.Seed(400L + i)).get
+        .map(_.mkString(" "))
+      val df = docs.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val base = TF.learnBpeMerges(df, col("text"), n = 5)
+      assert(base == TF.learnBpeMerges(df.repartition(7), col("text"), n = 5), s"case $i")
+      // Rank order really is (count DESC, pair ASC): recompute driver-side.
+      val pairs = docs.flatMap { t =>
+        val tk = t.split(" ").filter(_.nonEmpty).toSeq
+        tk.zip(tk.drop(1))
+      }
+      val expect = pairs.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.map(_._1).take(5)
+      assert(base == expect, s"case $i: $docs")
+    }
+  }
+
+  // ---- PQ ----
+
+  private val vecGen: Gen[Seq[Float]] = Gen.oneOf(
+    Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_ / 16.0f)),
+    Gen.const(List.fill(8)(0.0f)), // all-zero: every codeword ties on -2<s,c>+|c|2? no — dist=|c|2, unique min
+    Gen.const(List.fill(8)(1.0f)))
+
+  test("pqEncode/pqReconstruct equal the brute-force argmin on random vectors") {
+    val cb = Similarity.pqCodebook(numSub = 2, codesPerSub = 8, subDim = 4)
+    val vecs = (0 until 40).map(i => vecGen(Gen.Parameters.default, rng.Seed(50L + i)).get)
+    val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .repartition(3)
+      .select(col("id"), Similarity.pqEncode(col("v"), cb, 4).as("codes"),
+        Similarity.pqReconstruct(Similarity.pqEncode(col("v"), cb, 4), cb).as("rv"))
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((v, i) <- vecs.zipWithIndex) {
+      val expect = (0 until 2).map { m =>
+        val sub = v.slice(m * 4, m * 4 + 4).map(_.toDouble)
+        (0 until 8).minBy(j =>
+          (sub.zip(cb(m)(j)).foldLeft(0.0) { case (acc, (x, c)) => acc + (x - c) * (x - c) }, j))
+      }
+      val (codes, rv) = got(i.toLong)
+      assert(codes == expect, s"vec $i: $v")
+      assert(rv == codes.zipWithIndex.flatMap { case (j, m) => cb(m)(j) }, s"vec $i recon")
+    }
+  }
+}
