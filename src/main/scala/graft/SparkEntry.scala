@@ -112,6 +112,21 @@ object SparkEntry {
           col("env.props.k").as("k"))
     }),
 
+    // Array descent: the JSON column lives inside array<struct> elements
+    // (event envelopes); ONE parse expression maps over every element of
+    // every row's array (transform + withField rebuild — no explode/
+    // re-group round trip), siblings preserved per element. The wrap/
+    // unwrap makes it observationally checkable against the flat parse.
+    "ej_array" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("props")))).as("events"))
+        .transform(ExpandJson.onFields(Seq("events.props")))
+        .select(col("user_id"), explode(col("events")).as("ev"))
+        .select(col("user_id"), col("ev.event_id").as("event_id"),
+          col("ev.props.k").as("k"))
+    }),
+
     // Per-record dynamic schema (variant mode): the reference's cache-free
     // schemaless path — each row self-describes its type; extraction via
     // variant_get. parse_json is the expensive per-row stage here, so the
@@ -2284,6 +2299,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "ej_variant" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
+        |FROM events""".stripMargin,
+    // The array wrap/unwrap is a no-op observationally: per-element parse
+    // must equal the flat parse of every event row.
+    "ej_array" ->
+      """SELECT user_id, event_id,
+        |  CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
         |FROM events""".stripMargin,
     // The struct wrap/unwrap is a no-op observationally: the oracle checks
     // the parsed nested field plus the preserved sibling.

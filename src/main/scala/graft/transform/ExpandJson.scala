@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
  *    column is replaced by its parsed struct; all sibling columns pass
  *    through untouched, column order preserved. Dotted names descend
  *    through struct fields (`a.b` parses field `b` inside struct `a`,
- *    rebuilding the struct in place with sibling order intact) — an
- *    extension past the reference's root-level-only contract (its open
- *    TODO, ExpandJson.java:42-44); a literal root column named "a.b"
- *    still wins.
+ *    rebuilding the struct in place with sibling order intact) AND
+ *    transparently through arrays of structs (`events.payload` parses the
+ *    field in every element of every row's array — one `transform`-mapped
+ *    parse expression, no explode/re-group round trip) — extensions past
+ *    the reference's root-level-only contract (its open TODO,
+ *    ExpandJson.java:42-44); a literal root column named "a.b" still
+ *    wins.
  *  - '''whole-value variant''' (`variantMode`): the faithful analogue of the
  *    reference's per-record inference — the schemaless path has NO schema
  *    cache, every record is inferred independently (ExpandJson.java:100-101).
@@ -126,11 +129,54 @@ final case class ExpandJson(
   private def resolves(schema: StructType, parts: Seq[String]): Boolean = parts match {
     case Seq(last) => schema.fieldNames.contains(last)
     case head +: rest =>
-      schema.fields.find(_.name == head).exists(_.dataType match {
-        case st: StructType => resolves(st, rest)
-        case _              => false
+      schema.fields.find(_.name == head).exists(f => elementStruct(f.dataType) match {
+        case Some(st) => resolves(st, rest)
+        case None     => false
       })
     case _ => false
+  }
+
+  /** The struct a path segment descends INTO: a struct itself, or the
+    * element struct of (arbitrarily nested) arrays of structs — array
+    * levels are transparent to dotted paths; the rewrite maps over them
+    * with `transform`, so one parse expression serves every element of
+    * every row's array. */
+  private def elementStruct(dt: DataType): Option[StructType] = dt match {
+    case st: StructType   => Some(st)
+    case ArrayType(et, _) => elementStruct(et)
+    case _                => None
+  }
+
+  /** Rewrite the leaf at `parts` inside the struct-typed `parent` column,
+    * applying `mk` to the leaf: structs rebuild in place (`withField`,
+    * sibling order kept), arrays of structs map over their elements. */
+  private def rewriteIn(
+      parent: Column, st: StructType, parts: Seq[String], mk: Column => Column): Column =
+    parts match {
+      case Seq(last) => parent.withField(last, mk(parent.getField(last)))
+      case head +: rest =>
+        def into(dt: DataType, c: Column): Column = dt match {
+          case child: StructType => rewriteIn(c, child, rest, mk)
+          case ArrayType(et, _)  => transform(c, x => into(et, x))
+          case other => throw new IllegalArgumentException(
+            s"Cannot descend through $other at '$head'")
+        }
+        parent.withField(head, into(st(head).dataType, parent.getField(head)))
+      case _ => throw new IllegalArgumentException("empty path")
+    }
+
+  /** Number of array levels a resolved path crosses (flattening count for
+    * the inference sample). */
+  private def arrayDepth(schema: StructType, parts: Seq[String]): Int = parts match {
+    case Seq(_) => 0
+    case head +: rest =>
+      def depth(d: DataType): Int = d match {
+        case ArrayType(et, _) => 1 + depth(et)
+        case _                => 0
+      }
+      val dt = schema(head).dataType
+      depth(dt) + arrayDepth(elementStruct(dt).get, rest)
+    case _ => 0
   }
 
   /** Root-level column reference by LITERAL name (backtick-quoted so a
@@ -152,7 +198,16 @@ final case class ExpandJson(
     val naming = schemaNamePrefix.filter(_.trim.nonEmpty).map(new NamingState(_))
 
     val resolved: Map[String, (DataType, Option[String])] = targets.map { t =>
-      val source = if (present(t)) rootCol(t) else col(t)
+      val source =
+        if (present(t)) rootCol(t)
+        else {
+          // A path crossing k array levels resolves to a k-nested array
+          // of strings: flatten k-1 levels, then explode once, so the
+          // inference sample rows are the leaf strings themselves.
+          val k = arrayDepth(df.schema, t.split('.').toSeq)
+          if (k == 0) col(t)
+          else explode((1 until k).foldLeft(col(t))((c, _) => flatten(c)))
+        }
       val raw = schemaOverrides.getOrElse(t, inferColumn(df, source, t))
       val (named, rootName) = naming match {
         case Some(st) => JsonSchemaInference.assignSchemaNames(raw, st)
@@ -177,21 +232,30 @@ final case class ExpandJson(
         rootName.foreach(n => nameKey(dt).foreach(k => mb.putString(k, n)))
         parsed.as(f.name, mb.build())
       } else if (nestedByRoot.contains(f.name)) {
-        // Rewrite INSIDE the struct: `withField` replaces the target leaf
-        // in place, so sibling fields and their order are preserved — the
-        // reference's sibling-preservation contract, one level down. A
-        // null ancestor struct stays null (the same null-passthrough
-        // divergence as root-level targets). Generated schema names ride
-        // the ROOT ancestor field's metadata under a path-qualified key
+        // Rewrite INSIDE the container: structs rebuild in place via
+        // withField (sibling fields and order preserved — the reference's
+        // sibling-preservation contract, one level down); array-of-struct
+        // levels map over their elements via transform. A null ancestor
+        // (struct or array) stays null; an empty array stays empty.
+        // Generated schema names ride the ROOT ancestor field's metadata
+        // under a path-qualified key
         // ("connect.schema.name.<relative.path>"): nested StructField
         // metadata does not survive Column-level struct rebuilds.
         val mb = new MetadataBuilder().withMetadata(f.metadata)
         val rebuilt = nestedByRoot(f.name).foldLeft(rootCol(f.name)) { (c, t) =>
-          val rel = t.split('.').drop(1).mkString(".")
+          val rel = t.split('.').drop(1).toSeq
           val (dt, rootName) = resolved(t)
-          val parsed = parseColumn(col(t).cast(StringType), dt, allowScalar, t)
-          rootName.foreach(n => nameKey(dt).foreach(k => mb.putString(s"$k.$rel", n)))
-          c.withField(rel, parsed)
+          rootName.foreach(n =>
+            nameKey(dt).foreach(k => mb.putString(s"$k.${rel.mkString(".")}", n)))
+          def over(d: DataType, cc: Column): Column = d match {
+            case rootSt: StructType =>
+              rewriteIn(cc, rootSt, rel,
+                leaf => parseColumn(leaf.cast(StringType), dt, allowScalar, t))
+            case ArrayType(et, _) => transform(cc, x => over(et, x))
+            case other => throw new IllegalArgumentException(
+              s"Cannot descend through $other at '${f.name}'")
+          }
+          over(f.dataType, c)
         }
         rebuilt.as(f.name, mb.build())
       } else rootCol(f.name)
@@ -206,7 +270,11 @@ final case class ExpandJson(
         s"Cannot infer a schema for column '$name' on a streaming DataFrame; " +
           "pass schemaOverrides, or infer per-microbatch via ExpandJsonStreaming.")
     val n = if (inferenceMode == JsonSchemaInference.FirstRow) 1 else sampleSize
-    val sample = df.select(source.cast(StringType)).na.drop().limit(n)
+    // Two projections: `source` may be a generator (explode over an
+    // array-crossing path), which must sit at the top level of its own
+    // select — the cast rides a second one.
+    val sample = df.select(source.as("__leaf"))
+      .select(col("__leaf").cast(StringType)).na.drop().limit(n)
       .collect().map(_.getString(0))
     JsonSchemaInference.inferFromSample(sample.toSeq, inferenceMode).getOrElse(
       throw new IllegalArgumentException(

@@ -114,6 +114,45 @@ class ExpandJsonSpec extends SparkSpec {
     assert(r.getStruct(0) === Row(1) && r.getInt(1) === 9 && r.getStruct(2) === Row("x"))
   }
 
+  test("array descent: JSON field inside array<struct> parses per element, siblings kept") {
+    import org.apache.spark.sql.functions.{col, struct, array}
+    val df = Seq(("u1", 11, """{"k": 1}""", 12, """{"k": 2}"""))
+      .toDF("id", "e1", "p1", "e2", "p2")
+      .select(col("id"), array(
+        struct(col("e1").as("eid"), col("p1").as("payload")),
+        struct(col("e2").as("eid"), col("p2").as("payload"))).as("events"))
+    val out = df.transform(ExpandJson.onFields(Seq("events.payload")))
+    val et = out.schema("events").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(et.fieldNames.toSeq === Seq("eid", "payload"), "element sibling order")
+    assert(et("payload").dataType === StructType(Seq(StructField("k", IntegerType))))
+    val evs = out.collect().head.getSeq[Row](1)
+    assert(evs.map(e => (e.getInt(0), e.getStruct(1).getInt(0))) === Seq((11, 1), (12, 2)))
+  }
+
+  test("array descent: inference merges across elements; empty and null arrays pass through") {
+    import org.apache.spark.sql.functions.{col, struct, array, lit, when}
+    // Row 1: two elements with drifting shapes (k int vs k long) -> merged
+    // long. Row 2: empty array. Row 3: null array.
+    val df = Seq(
+      ("a", Seq("""{"k": 1}""", """{"k": 5000000000}"""), false),
+      ("b", Seq.empty[String], false),
+      ("c", Seq.empty[String], true))
+      .toDF("id", "ps", "nul")
+      .select(col("id"),
+        when(!col("nul"),
+          org.apache.spark.sql.functions.transform(col("ps"), p => struct(p.as("payload"))))
+          .as("events"))
+    val out = df.transform(ExpandJson.onFields(Seq("events.payload")))
+    val et = out.schema("events").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(et("payload").dataType === StructType(Seq(StructField("k", LongType))))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getSeq[Row](1).map(_.getStruct(0).getLong(0)) === Seq(1L, 5000000000L))
+    assert(rows("b").getSeq[Row](1).isEmpty, "empty array stays empty")
+    assert(rows("c").isNullAt(1), "null array stays null")
+  }
+
   test("nested target: two levels down; null ancestor struct passes through as null") {
     import org.apache.spark.sql.functions.{col, struct, when, lit}
     val df = Seq(("a", SIMPLE_JSON, true), ("b", SIMPLE_JSON, false))
