@@ -157,6 +157,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq === Seq(("a", 7, "x")))
   }
 
+  test("expandFields: array-descent target works on a stream via schema overrides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct, array}
+    implicit val sq = spark.sqlContext
+    val schema = JsonTestSchemas.kv
+    val in = MemoryStream[(String, String, String)]
+    val framed = in.toDF().toDF("id", "p1", "p2")
+      .select(col("id"), array(struct(col("p1").as("payload")),
+        struct(col("p2").as("payload"))).as("events"))
+    val out = ExpandJsonStreaming.expandFields(framed, Map("events.payload" -> schema))
+    val q = out.writeStream.format("memory").queryName("expand_array_stream")
+      .outputMode("append").start()
+    runToCompletion(q,
+      () => in.addData(("a", """{"k": 1, "tag": "x"}""", """{"k": 2, "tag": "y"}""")))
+    val rows = spark.table("expand_array_stream")
+      .selectExpr("id", "events[0].payload.k", "events[1].payload.tag")
+      .as[(String, Int, String)].collect()
+    assert(rows.toSeq === Seq(("a", 1, "y")))
+  }
+
   test("streaming decontamination filters quoting docs against a persisted eval shingle set") {
     import graft.functions.Contamination
     import spark.implicits._
