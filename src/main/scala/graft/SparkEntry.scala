@@ -601,6 +601,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
+    // SQ8 scalar-quantized ANN: the candidate scan reads one BYTE per
+    // dimension (4x shrink vs floats; no cells, so no probe misses),
+    // ranks by cosine against the dequantized reconstruction, and the
+    // top-40 fetch true vectors for exact re-rank. Min/max "training" is
+    // one aggregation; codes/reconstructions are deterministic floors.
+    "ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sqTopK(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2698,6 +2709,47 @@ object SparkEntry {
          |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
          |  JOIN e qe ON qe.vec_id = probe.query_id
          |  JOIN rcn r ON r.vec_id = assign.vec_id),
+         |top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 40),
+         |scored AS (
+         |  SELECT top.query_id, top.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin,
+    // Replicates SQ8 end to end: per-dim min/max lists, the clamped
+    // floor encode, the min+code*scale/255 decode, ADC ranking with
+    // (score DESC, vec_id) ties, exact re-rank — every float a
+    // sequential double fold, codes integer-exact, so the compare is
+    // value-exact.
+    "ann_sq8" ->
+      s"""WITH e AS ($embCast),
+         |mm AS (
+         |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
+         |    SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d FROM e)
+         |  GROUP BY d),
+         |mml AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+         |enc AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN mxs[d] = mns[d] THEN 0
+         |         ELSE greatest(0, least(255, CAST(floor((v[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS INT))) END) AS codes
+         |  FROM e CROSS JOIN mml),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN mxs[d] = mns[d] THEN mns[d]
+         |         ELSE mns[d] + codes[d] * ((mxs[d] - mns[d]) / 255.0) END) AS rv
+         |  FROM enc CROSS JOIN mml),
+         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM rec),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT q.query_id, r.vec_id,
+         |    list_sum(list_transform(list_zip(q.qv, r.rv), pr -> pr[1] * pr[2])) / (q.nq * r.nr) AS adc
+         |  FROM q JOIN rcn r ON r.vec_id <> q.query_id),
          |top AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn

@@ -1066,6 +1066,89 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar quantization (SQ8)
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension (min, max) over the corpus — the SQ8 "training" pass:
+    * one posexplode aggregation, 2·dim doubles to the driver (codebook
+    * metadata, never corpus data). Exact min/max, so deterministic under
+    * any partitioning and reproducible in any engine. */
+  def sqTrain(corpus: DataFrame, vecCol: String, dim: Int): (Vector[Double], Vector[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"), max(col("x").cast(DoubleType)).as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    require(rows.size == dim, s"corpus vectors have ${rows.size} dims, expected $dim")
+    (Vector.tabulate(dim)(d => rows(d)._1), Vector.tabulate(dim)(d => rows(d)._2))
+  }
+
+  /** Quantize to one byte per dimension: code_d = floor((x−min_d)·255 /
+    * (max_d−min_d)), clamped to [0, 255]; a constant dimension encodes 0.
+    * Integer-exact floors of double expressions — any engine reproduces
+    * the codes bitwise. Map-side only. */
+  def sqEncode(vec: Column, mins: Vector[Double], maxs: Vector[Double]): Column = {
+    val entries = mins.indices.map { d =>
+      val x = element_at(vec, d + 1).cast(DoubleType)
+      val scale = maxs(d) - mins(d)
+      if (scale == 0.0) lit(0)
+      else greatest(lit(0), least(lit(255),
+        floor((x - lit(mins(d))) * lit(255.0) / lit(scale)).cast(IntegerType)))
+    }
+    array(entries: _*)
+  }
+
+  /** Dequantize: x̃_d = min_d + code_d·(max_d−min_d)/255 (a constant
+    * dimension decodes to its min). The ~1/255-resolution reconstruction
+    * ADC scoring reads instead of the float vector. */
+  def sqDecode(codes: Column, mins: Vector[Double], maxs: Vector[Double]): Column = {
+    val entries = mins.indices.map { d =>
+      val scale = maxs(d) - mins(d)
+      if (scale == 0.0) lit(mins(d))
+      else lit(mins(d)) + element_at(codes, d + 1).cast(DoubleType) * lit(scale / 255.0)
+    }
+    array(entries: _*)
+  }
+
+  /**
+   * SQ8 approximate top-k with exact re-rank — the whole-corpus
+   * scan-compression story (no cells): the scan reads dim BYTES per
+   * vector instead of dim floats (4× shrink at rest and in cache),
+   * candidates rank by cos(q, x̃) against the dequantized
+   * reconstruction, and the top-candN fetch their true vectors for the
+   * exact cosine. Complements IVF-PQ: SQ8 keeps full recall headroom
+   * (every vector is scored — no probe misses) at a milder compression.
+   * Output: (query_id, rank, vec_id, score) with exact cosine scores.
+   */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      candN: Int = 40): DataFrame = {
+    val (mins, maxs) = sqTrain(corpus, vecCol, dim)
+    val enc = corpus.select(
+      col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
+    val qv = queryProjection(queries, idCol, vecCol)
+    val cand = enc
+      .join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .withColumn("rv", sqDecode(col("codes"), mins, maxs))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("rv")) / (col("n_qv") * norm2(col("rv")))).as("score"))
+      .transform(rankTopK(candN))
+      .select(col("query_id"), col("vec_id"))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .transform(rankTopK(k))
+  }
+
   /** Materialize the PQ index partitioned by IVF cell
     * (`<path>/cell=<cid>/`): probing prunes FILE SCANS of an index that is
     * already ~50× smaller than the vectors — the at-rest face of the PQ

@@ -85,7 +85,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    direction — a ONE-ROW broadcast (the dim-array packed by a global
   //    aggregate) — onto the corpus pass; the q14_subq shape, per round.
   private val nljWhitelist =
-    Set("ann_topk", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
+    Set("ann_topk", "ann_sq8", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
       "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3")
 

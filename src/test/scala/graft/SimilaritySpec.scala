@@ -443,6 +443,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: codes/decodes match the driver reference; near-full recall with exact scores") {
+    import spark.implicits._
+    val (mins, maxs) = Similarity.sqTrain(emb, "embedding", 64)
+    assert(mins.length == 64 && maxs.length == 64 && mins.zip(maxs).forall(t => t._1 <= t._2))
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.sqEncode(col("embedding"), mins, maxs).as("codes"),
+        Similarity.sqDecode(Similarity.sqEncode(col("embedding"), mins, maxs), mins, maxs).as("rv"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    for ((_, v, codes, rv) <- rows; d <- 0 until 64) {
+      val scale = maxs(d) - mins(d)
+      val expect = if (scale == 0.0) 0
+        else math.max(0, math.min(255, math.floor((v(d).toDouble - mins(d)) * 255.0 / scale).toInt))
+      assert(codes(d) == expect, s"dim $d code")
+      val dec = if (scale == 0.0) mins(d) else mins(d) + codes(d) * (scale / 255.0)
+      assert(rv(d) == dec, s"dim $d decode")
+      // Quantization error bound: one step of the 255-level grid.
+      assert(math.abs(rv(d) - v(d)) <= scale / 255.0 + 1e-12, s"dim $d error")
+    }
+    // 8-bit quantization barely perturbs cosine order; candN=40 >> k=5
+    // absorbs swaps (measured recall 1.0 at sf0.001, floor left slack).
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val sq = Similarity.sqTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val recall = sq.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+    for ((pair, score) <- sq if exact.contains(pair))
+      assert(score == exact(pair), s"pair $pair: re-ranked score differs from exact")
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
