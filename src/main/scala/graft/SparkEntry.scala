@@ -1148,6 +1148,27 @@ object SparkEntry {
         "doc_id", "n_tok", packLen = 512)
     }),
 
+    // Three chained perceptron training rounds (the kmeans_step /
+    // pca_power_step restartable-jobs posture, classifier face): integer
+    // stopword-count features, +1/-1 label (lang == 'en'), w += y*x over
+    // misclassified rows — all 64-bit-exact, so the weight trajectory is
+    // bit-identical in any engine. One partial aggregation per round;
+    // only the weight vector reaches the driver. Output: one row per
+    // feature with the weights after each round, plus the -1 row carrying
+    // the per-round mistake counts (verifying the margin rule itself).
+    "perceptron_k3" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val feats = graft.functions.Classifier.stopwordFeatures(col("text"))
+      val label = when(col("lang") === "en", 1L).otherwise(-1L)
+      val (hist, mis) =
+        graft.functions.Classifier.perceptronTrain(docs, feats, label, rounds = 3)
+      (feats.indices.map(i => (i.toLong, hist(0)(i), hist(1)(i), hist(2)(i))) :+
+        ((-1L, mis(0), mis(1), mis(2))))
+        .toDF("feature_id", "w_r1", "w_r2", "w_r3")
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -2763,6 +2784,48 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5""".stripMargin,
+    // Replicates the 3-round perceptron trajectory: same features (the
+    // lang_id stopword-hit construction), same y*margin <= 0 mistake
+    // rule, same integer w += y*x updates, chained through one CTE pair
+    // per round. All arithmetic is 64-bit-exact in both engines.
+    "perceptron_k3" -> {
+      val hitCols = TF.Stopwords
+        .map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+        }
+        .mkString(",\n    ")
+      val nf = 5
+      def margin(w: String) = (0 until nf).map(i => s"$w.v$i * x$i").mkString(" + ")
+      val rounds = (1 to 3).map { r =>
+        val prevM = if (r == 1) "0" else margin(s"w${r - 1}")
+        val prevJoin = if (r == 1) "" else s" CROSS JOIN w${r - 1}"
+        val ds = (0 until nf).map(i =>
+          s"coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN y * x$i END), 0)::BIGINT AS d$i")
+          .mkString(",\n    ") + s",\n    coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN 1 END), 0)::BIGINT AS m"
+        val ws = (0 until nf).map(i =>
+          if (r == 1) s"s$r.d$i AS v$i" else s"w${r - 1}.v$i + s$r.d$i AS v$i")
+          .mkString(", ") + s", s$r.m AS m"
+        val wJoin = if (r == 1) s"s$r" else s"w${r - 1} CROSS JOIN s$r"
+        s"""s$r AS (
+  SELECT
+    $ds
+  FROM f$prevJoin),
+w$r AS (SELECT $ws FROM $wJoin)"""
+      }.mkString(",\n")
+      val out = (0 until nf).map(i =>
+        s"SELECT ${i}::BIGINT AS feature_id, w1.v$i AS w_r1, w2.v$i AS w_r2, w3.v$i AS w_r3 FROM w1 CROSS JOIN w2 CROSS JOIN w3")
+        .mkString("\nUNION ALL\n") +
+        "\nUNION ALL\nSELECT -1::BIGINT, w1.m, w2.m, w3.m FROM w1 CROSS JOIN w2 CROSS JOIN w3"
+      s"""WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+    1 AS x0, en AS x1, de AS x2, fr AS x3, es AS x4
+  FROM (SELECT lang,
+    $hitCols
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)),
+$rounds
+$out"""
+    },
     "lang_id" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Distributed linear-classifier training in the single-step, restartable
+ * rounds posture of [[Similarity.kmeansStep]] / `pcaPowerStep` /
+ * `Graph.pushRoundFrom`: each call is ONE pass over the corpus computing
+ * one exact update; N training rounds are N chained jobs, the driver
+ * holding only the (tiny) weight vector between them.
+ *
+ * The update rule is the classical perceptron — `w += y·x` over the rows
+ * the current weights misclassify (`y·⟨w,x⟩ <= 0`) — chosen over logistic
+ * gradients deliberately: with INTEGER features and integer weights every
+ * margin, comparison, and delta is exact 64-bit arithmetic, so the
+ * trained weights are bit-identical across engines, partitionings, and
+ * summation orders (a sigmoid's `exp` drifts in the last ulp per engine —
+ * unverifiable). This is the trainable face of the quality/language
+ * gating family: cheap count features (stopword hits, char classes) are
+ * exactly the integer features the rule wants.
+ *
+ * Scale shape: the margin and per-feature deltas fold in ONE partial
+ * aggregation (map-side combine; the shuffle carries |features|+1 longs
+ * per partition); only the weight vector reaches the driver.
+ */
+object Classifier {
+
+  /** One perceptron round. `features` must be integer-valued columns
+    * (cast to long), `label` must evaluate to +1 / -1. Returns the
+    * updated weights and the round's mistake count. */
+  def perceptronStep(
+      df: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      weights: Seq[Long]): (Seq[Long], Long) = {
+    require(features.nonEmpty && weights.length == features.length,
+      s"got ${weights.length} weights for ${features.length} features")
+    val xs = features.map(_.cast(LongType))
+    val y = label.cast(LongType)
+    val margin = xs.zip(weights).map { case (x, w) => x * lit(w) }.reduce(_ + _)
+    val mis = y * margin <= 0 // a zero margin counts as a mistake (w0 = 0 learns)
+    val aggs = xs.zipWithIndex.map { case (x, i) =>
+      coalesce(sum(when(mis, y * x)), lit(0L)).as(s"d$i")
+    } :+ coalesce(sum(when(mis, 1L)), lit(0L)).as("n_mis")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val next = weights.zipWithIndex.map { case (w, i) => w + row.getLong(i) }
+    (next, row.getLong(features.length))
+  }
+
+  /** `rounds` chained perceptron rounds from zero weights. Returns the
+    * weight vector AFTER each round (rounds+0 history, index 0 = after
+    * round 1) and the per-round mistake counts. */
+  def perceptronTrain(
+      df: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      rounds: Int): (Seq[Seq[Long]], Seq[Long]) = {
+    require(rounds >= 1, "at least one round")
+    var w: Seq[Long] = Seq.fill(features.length)(0L)
+    val hist = Seq.newBuilder[Seq[Long]]
+    val mistakes = Seq.newBuilder[Long]
+    for (_ <- 1 to rounds) {
+      val (next, nMis) = perceptronStep(df, features, label, w)
+      w = next
+      hist += next
+      mistakes += nMis
+    }
+    (hist.result(), mistakes.result())
+  }
+
+  /** The integer count features the language/quality perceptron trains
+    * on: bias + one stopword-hit count per [[TextFunctions.Stopwords]]
+    * language (the same split-lower tokenization as `lang_id`). */
+  def stopwordFeatures(text: Column): Seq[Column] = {
+    val toks = split(lower(text), " ")
+    lit(1L) +: TextFunctions.Stopwords.map { case (_, words) =>
+      size(filter(toks, t => t.isin(words: _*))).cast(LongType)
+    }
+  }
+}
