@@ -1169,6 +1169,19 @@ object SparkEntry {
         .toDF("feature_id", "w_r1", "w_r2", "w_r3")
     }),
 
+    // The trained gate applied: confusion counts of the round-3 weights
+    // over the training frame — the train -> apply loop closed, still
+    // integer-exact end to end.
+    "perceptron_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val feats = graft.functions.Classifier.stopwordFeatures(col("text"))
+      val label = when(col("lang") === "en", 1L).otherwise(-1L)
+      val (hist, _) =
+        graft.functions.Classifier.perceptronTrain(docs, feats, label, rounds = 3)
+      graft.functions.Classifier.confusionMatrix(docs, feats, label, hist.last)
+    }),
+
     // Deterministic corpus shuffle into training shards with a stable
     // intra-shard order (Sampling.shards): reproducible example order
     // under repartitioning/retries/engines; one partitioned window, no
@@ -2248,6 +2261,51 @@ object SparkEntry {
     * absorbed tokens dropped via lag(sel). Validated against a driver-side
     * greedy reference on the full sf0.001 corpus, including a self-pair
     * (a == a) merge rule. */
+  /** Shared perceptron-oracle CTE chain: features `f`, per-round delta
+    * aggregations `s1..s3`, weight states `w1..w3`. */
+  private lazy val perceptronCtes: String = {
+    val hitCols = TF.Stopwords
+      .map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+      }
+      .mkString(",\n    ")
+    val nf = 5
+    def margin(w: String) = (0 until nf).map(i => s"$w.v$i * x$i").mkString(" + ")
+    val rounds = (1 to 3).map { r =>
+      val prevM = if (r == 1) "0" else margin(s"w${r - 1}")
+      val prevJoin = if (r == 1) "" else s" CROSS JOIN w${r - 1}"
+      val ds = (0 until nf).map(i =>
+        s"coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN y * x$i END), 0)::BIGINT AS d$i")
+        .mkString(",\n    ") + s",\n    coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN 1 END), 0)::BIGINT AS m"
+      val ws = (0 until nf).map(i =>
+        if (r == 1) s"s$r.d$i AS v$i" else s"w${r - 1}.v$i + s$r.d$i AS v$i")
+        .mkString(", ") + s", s$r.m AS m"
+      val wJoin = if (r == 1) s"s$r" else s"w${r - 1} CROSS JOIN s$r"
+      s"""s$r AS (
+  SELECT
+    $ds
+  FROM f$prevJoin),
+w$r AS (SELECT $ws FROM $wJoin)"""
+    }.mkString(",\n")
+    s"""WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+    1 AS x0, en AS x1, de AS x2, fr AS x3, es AS x4
+  FROM (SELECT lang,
+    $hitCols
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)),
+$rounds
+"""
+  }
+
+  /** perceptron_k3 output tail: weights after each round + the -1 row of
+    * per-round mistake counts. */
+  private lazy val perceptronWeightsTail: String =
+    (0 until 5).map(i =>
+      s"SELECT ${i}::BIGINT AS feature_id, w1.v$i AS w_r1, w2.v$i AS w_r2, w3.v$i AS w_r3 FROM w1 CROSS JOIN w2 CROSS JOIN w3")
+      .mkString("\nUNION ALL\n") +
+      "\nUNION ALL\nSELECT -1::BIGINT, w1.m, w2.m, w3.m FROM w1 CROSS JOIN w2 CROSS JOIN w3"
+
   private lazy val bpeApplySql: String = bpeMergedCtes + bpeApplyTail
 
   /** Shared CTE prefix: tokenize, derive the top-8 merge table, replay the
@@ -2788,44 +2846,14 @@ object SparkEntry {
     // lang_id stopword-hit construction), same y*margin <= 0 mistake
     // rule, same integer w += y*x updates, chained through one CTE pair
     // per round. All arithmetic is 64-bit-exact in both engines.
-    "perceptron_k3" -> {
-      val hitCols = TF.Stopwords
-        .map { case (lang, words) =>
-          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
-        }
-        .mkString(",\n    ")
-      val nf = 5
-      def margin(w: String) = (0 until nf).map(i => s"$w.v$i * x$i").mkString(" + ")
-      val rounds = (1 to 3).map { r =>
-        val prevM = if (r == 1) "0" else margin(s"w${r - 1}")
-        val prevJoin = if (r == 1) "" else s" CROSS JOIN w${r - 1}"
-        val ds = (0 until nf).map(i =>
-          s"coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN y * x$i END), 0)::BIGINT AS d$i")
-          .mkString(",\n    ") + s",\n    coalesce(sum(CASE WHEN y * ($prevM) <= 0 THEN 1 END), 0)::BIGINT AS m"
-        val ws = (0 until nf).map(i =>
-          if (r == 1) s"s$r.d$i AS v$i" else s"w${r - 1}.v$i + s$r.d$i AS v$i")
-          .mkString(", ") + s", s$r.m AS m"
-        val wJoin = if (r == 1) s"s$r" else s"w${r - 1} CROSS JOIN s$r"
-        s"""s$r AS (
-  SELECT
-    $ds
-  FROM f$prevJoin),
-w$r AS (SELECT $ws FROM $wJoin)"""
-      }.mkString(",\n")
-      val out = (0 until nf).map(i =>
-        s"SELECT ${i}::BIGINT AS feature_id, w1.v$i AS w_r1, w2.v$i AS w_r2, w3.v$i AS w_r3 FROM w1 CROSS JOIN w2 CROSS JOIN w3")
-        .mkString("\nUNION ALL\n") +
-        "\nUNION ALL\nSELECT -1::BIGINT, w1.m, w2.m, w3.m FROM w1 CROSS JOIN w2 CROSS JOIN w3"
-      s"""WITH f AS (
-  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-    1 AS x0, en AS x1, de AS x2, fr AS x3, es AS x4
-  FROM (SELECT lang,
-    $hitCols
-  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)),
-$rounds
-$out"""
-    },
+    "perceptron_k3" -> (perceptronCtes + perceptronWeightsTail),
+    // Same round chain, applied: confusion counts of sign(<w3, x>) > 0
+    // vs the true label over the training frame.
+    "perceptron_confusion" -> (perceptronCtes + """
+SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END::INT AS actual,
+  CASE WHEN (""" + (0 until 5).map(i => s"w3.v$i * x$i").mkString(" + ") + """) > 0 THEN 1 ELSE 0 END::INT AS pred,
+  count(*)::BIGINT AS n
+FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     "lang_id" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>

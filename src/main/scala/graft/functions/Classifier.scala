@@ -70,6 +70,26 @@ object Classifier {
     (hist.result(), mistakes.result())
   }
 
+  /** Apply trained weights as a gate and tally the confusion counts:
+    * (actual, pred, n) with pred = ⟨w,x⟩ > 0 (a zero margin predicts
+    * negative — the decision rule's strict side). One aggregation pass;
+    * the weights ride as literals. */
+  def confusionMatrix(
+      df: DataFrame,
+      features: Seq[Column],
+      label: Column,
+      weights: Seq[Long]): DataFrame = {
+    require(weights.length == features.length,
+      s"got ${weights.length} weights for ${features.length} features")
+    val margin = features.zip(weights)
+      .map { case (f, w) => f.cast(LongType) * lit(w) }.reduce(_ + _)
+    df.select(
+        when(label.cast(LongType) === 1L, 1).otherwise(0).as("actual"),
+        when(margin > 0, 1).otherwise(0).as("pred"))
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The integer count features the language/quality perceptron trains
     * on: bias + one stopword-hit count per [[TextFunctions.Stopwords]]
     * language (the same split-lower tokenization as `lang_id`). */
