@@ -1109,8 +1109,11 @@ object SparkEntry {
     }),
 
     // Encode merged tokens to vocab ids — the id-space face of the
-    // tokenizer: vocab = top-64 merged tokens by (count DESC, token),
-    // ids 0-based, OOV -> 64. Vocab is collected (metadata-scale, same
+    // tokenizer: vocab = top-16 merged tokens by (count DESC, token),
+    // ids 0-based, OOV -> 16 (16 keeps the UNK path live: this corpus has
+    // only ~31 distinct base tokens, so a larger vocab would never see an
+    // out-of-vocabulary token and the n_unk check would be vacuous).
+    // Vocab is collected (metadata-scale, same
     // posture as the merge table) and rides the encode projection as a
     // literal map — the encode pass itself is map-side, shuffle-free.
     "bpe_encode" -> ((s, dir) => {
@@ -1122,9 +1125,9 @@ object SparkEntry {
         .select(explode(col("mtk")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok"))
-        .limit(64)
+        .limit(16)
         .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
-      val unk = 64
+      val unk = 16
       val ids = transform(col("mtk"), t =>
         coalesce(element_at(typedLit(vocab), t), lit(unk)))
       merged
@@ -1133,6 +1136,40 @@ object SparkEntry {
           size(col("ids")).cast(LongType).as("n_tokens"),
           size(filter(col("ids"), i => i === unk)).cast(LongType).as("n_unk"),
           TF.xhash32(concat_ws(",", col("ids"))).as("ids_sig"))
+    }),
+
+    // Decode vocab ids back to tokens — the inverse-map face closing the
+    // tokenizer round-trip: ids from the encode pass map through the
+    // inverted vocab (OOV id 16 -> "<unk>"), and the query counts
+    // positions where decode(encode(tok)) != tok (exactly the OOV
+    // positions, unless the source token was literally "<unk>"). The
+    // inverse vocab rides the projection as a literal — decode is
+    // map-side, shuffle-free, same posture as encode.
+    "bpe_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TF.learnBpeMerges(docs, col("text"), n = 8)
+      val merged = docs
+        .select(col("doc_id"), TF.bpeApply(TF.bpeTokens(col("text")), merges).as("mtk"))
+      val vocab: Map[String, Int] = merged
+        .select(explode(col("mtk")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(16)
+        .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+      val inv: Map[Int, String] = vocab.map(_.swap)
+      val unk = 16
+      val ids = transform(col("mtk"), t =>
+        coalesce(element_at(typedLit(vocab), t), lit(unk)))
+      val dec = transform(col("ids"), i =>
+        coalesce(element_at(typedLit(inv), i), lit("<unk>")))
+      merged
+        .select(col("doc_id"), col("mtk"), ids.as("ids"))
+        .select(col("doc_id"), col("mtk"), dec.as("dtk"))
+        .select(col("doc_id"),
+          size(col("dtk")).cast(LongType).as("n_tokens"),
+          size(filter(zip_with(col("dtk"), col("mtk"), (a, b) => a =!= b),
+            x => x)).cast(LongType).as("n_mismatch"),
+          TF.xhash32(concat_ws("\u001f", col("dtk"))).as("dec_sig"))
     }),
 
     // Pack by REAL tokenizer counts: the post-merge BPE token count per
@@ -2357,20 +2394,39 @@ $rounds
       |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
 
   /** Generated oracle for `bpe_encode`: vocab = merged tokens ranked by
-    * (count DESC, token), ids 0-based, OOV -> id 64; per-doc id sequence
+    * (count DESC, token), ids 0-based, OOV -> id 16; per-doc id sequence
     * fingerprinted in position order. */
   private lazy val bpeEncodeSql: String = bpeMergedCtes +
     """,
       |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS INT) AS id
-      |  FROM t8 GROUP BY tok QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 64),
-      |enc AS (SELECT t8.doc_id, t8.pos, coalesce(vocab.id, 64) AS id
+      |  FROM t8 GROUP BY tok QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 16),
+      |enc AS (SELECT t8.doc_id, t8.pos, coalesce(vocab.id, 16) AS id
       |  FROM t8 LEFT JOIN vocab ON t8.tok = vocab.tok),
       |agg AS (SELECT doc_id, count(*) AS n_tokens,
-      |  sum(CASE WHEN id = 64 THEN 1 ELSE 0 END) AS n_unk,
+      |  sum(CASE WHEN id = 16 THEN 1 ELSE 0 END) AS n_unk,
       |  string_agg(id::VARCHAR, ',' ORDER BY pos) AS joined FROM enc GROUP BY doc_id)
       |SELECT tk.doc_id AS doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
       |  coalesce(agg.n_unk, 0)::BIGINT AS n_unk,
       |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS ids_sig
+      |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
+
+  /** Generated oracle for `bpe_decode`: decode(encode(tok)) = tok for
+    * in-vocab tokens and "<unk>" for OOV, so the decoded stream is a CASE
+    * over vocab membership; mismatches are exactly the OOV positions
+    * (unless the source token was literally "<unk>"). */
+  private lazy val bpeDecodeSql: String = bpeMergedCtes +
+    """,
+      |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS INT) AS id
+      |  FROM t8 GROUP BY tok QUALIFY row_number() OVER (ORDER BY count(*) DESC, tok) <= 16),
+      |dec AS (SELECT t8.doc_id, t8.pos, t8.tok,
+      |  CASE WHEN vocab.id IS NULL THEN '<unk>' ELSE t8.tok END AS dtok
+      |  FROM t8 LEFT JOIN vocab ON t8.tok = vocab.tok),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |  sum(CASE WHEN dtok <> tok THEN 1 ELSE 0 END) AS n_mismatch,
+      |  string_agg(dtok, chr(31) ORDER BY pos) AS joined FROM dec GROUP BY doc_id)
+      |SELECT tk.doc_id AS doc_id, coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+      |  coalesce(agg.n_mismatch, 0)::BIGINT AS n_mismatch,
+      |  ('0x' || substr(md5(coalesce(agg.joined, '')), 1, 8))::BIGINT AS dec_sig
       |FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""".stripMargin
 
   private val embCast =
@@ -2923,6 +2979,7 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     "bpe_apply" -> bpeApplySql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_decode" -> bpeDecodeSql,
     // Merged-count packing over the shared merge-replay CTEs; the oracle
     // may use the global-order window Spark avoids (single-node DuckDB).
     "pack_bpe" -> (bpeMergedCtes +

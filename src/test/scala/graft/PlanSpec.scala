@@ -442,12 +442,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"exchange carries vector data:\n$e")
   }
 
-  test("bpe_apply/bpe_encode: merge table and vocab as literals; the passes are shuffle-free") {
+  test("bpe_apply/bpe_encode/bpe_decode: merge table and vocab as literals; the passes are shuffle-free") {
     // learnBpeMerges / the vocab ranking collect their metadata BEFORE
-    // the plan exists (the IVF-centroid posture); the tokenizer and
-    // encode stages themselves must be narrow map-side passes — a
-    // shuffle here would re-pay the corpus at every tokenization.
-    for (q <- Seq("bpe_apply", "bpe_encode")) {
+    // the plan exists (the IVF-centroid posture); the tokenizer,
+    // encode, and decode stages themselves must be narrow map-side
+    // passes — a shuffle here would re-pay the corpus at every
+    // tokenization.
+    for (q <- Seq("bpe_apply", "bpe_encode", "bpe_decode")) {
       val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty, s"$q:\n" + planString(q))
     }
