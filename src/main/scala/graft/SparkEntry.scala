@@ -1128,10 +1128,8 @@ object SparkEntry {
         .limit(16)
         .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
       val unk = 16
-      val ids = transform(col("mtk"), t =>
-        coalesce(element_at(typedLit(vocab), t), lit(unk)))
       merged
-        .select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"), TF.bpeEncodeIds(col("mtk"), vocab, unk).as("ids"))
         .select(col("doc_id"),
           size(col("ids")).cast(LongType).as("n_tokens"),
           size(filter(col("ids"), i => i === unk)).cast(LongType).as("n_unk"),
@@ -1156,15 +1154,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(16)
         .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
-      val inv: Map[Int, String] = vocab.map(_.swap)
       val unk = 16
-      val ids = transform(col("mtk"), t =>
-        coalesce(element_at(typedLit(vocab), t), lit(unk)))
-      val dec = transform(col("ids"), i =>
-        coalesce(element_at(typedLit(inv), i), lit("<unk>")))
       merged
-        .select(col("doc_id"), col("mtk"), ids.as("ids"))
-        .select(col("doc_id"), col("mtk"), dec.as("dtk"))
+        .select(col("doc_id"), col("mtk"),
+          TF.bpeEncodeIds(col("mtk"), vocab, unk).as("ids"))
+        .select(col("doc_id"), col("mtk"),
+          TF.bpeDecodeIds(col("ids"), vocab).as("dtk"))
         .select(col("doc_id"),
           size(col("dtk")).cast(LongType).as("n_tokens"),
           size(filter(zip_with(col("dtk"), col("mtk"), (a, b) => a =!= b),

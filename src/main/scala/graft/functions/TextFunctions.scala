@@ -160,6 +160,24 @@ object TextFunctions {
       graft.expressions.BpeApply(
         org.apache.spark.sql.GraftColumnBridge.expression(tokens), merges))
 
+  /** Encode merged tokens to vocab ids: in-vocab tokens map through the
+    * literal vocab (collected driver-side, metadata-scale — the
+    * IVF-centroid posture), OOV -> `unkId`. The map rides the projection
+    * as a literal, so the pass is map-side and shuffle-free. */
+  def bpeEncodeIds(tokens: Column, vocab: Map[String, Int], unkId: Int): Column =
+    transform(tokens, t => coalesce(element_at(typedLit(vocab), t), lit(unkId)))
+
+  /** Decode vocab ids back to tokens through the inverted vocab; any id
+    * outside the table (the unk id included) -> `unkToken`. Same
+    * literal-map shuffle-free posture as [[bpeEncodeIds]] — together they
+    * are the tokenizer round-trip: decode(encode(tok)) == tok exactly for
+    * in-vocab tokens. */
+  def bpeDecodeIds(ids: Column, vocab: Map[String, Int],
+      unkToken: String = "<unk>"): Column = {
+    val inv: Map[Int, String] = vocab.map(_.swap)
+    transform(ids, i => coalesce(element_at(typedLit(inv), i), lit(unkToken)))
+  }
+
   /** Directional skip-gram pairs within a forward window: for each token
     * position i, pairs (tok[i], tok[j]) for j in (i, i+window]. Generated
     * MAP-SIDE by higher-order functions — no positional self-join, so the

@@ -90,6 +90,31 @@ class TokenizerPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bpeEncodeIds/bpeDecodeIds: decode(encode) == source with OOV -> <unk>, exactly") {
+    // Random token streams over a 6-word alphabet; vocab covers only 3 of
+    // them, so the round-trip restores in-vocab tokens verbatim and maps
+    // every OOV position to the sentinel — the bpe_decode contract.
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val vocab = Map("aa" -> 0, "bb" -> 1, "cc" -> 2)
+    val unk = vocab.size
+    val docs = (0 until 30).map { i =>
+      val n = 1 + (i * 7) % 12
+      (i.toLong, (0 until n).map(j => words((i * 31 + j * 17) % words.size)))
+    }
+    val got = docs.toDF("id", "tk")
+      .repartition(3)
+      .select(col("id"),
+        TF.bpeDecodeIds(TF.bpeEncodeIds(col("tk"), vocab, unk), vocab).as("dtk"),
+        TF.bpeEncodeIds(col("tk"), vocab, unk).as("ids"))
+      .as[(Long, Seq[String], Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, tk) <- docs) {
+      val (dtk, ids) = got(id)
+      assert(ids == tk.map(t => vocab.getOrElse(t, unk)), s"doc $id ids")
+      assert(dtk == tk.map(t => if (vocab.contains(t)) t else "<unk>"), s"doc $id round-trip")
+    }
+  }
+
   // ---- PQ ----
 
   private val vecGen: Gen[Seq[Float]] = Gen.oneOf(
