@@ -612,6 +612,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
+    // k-NN label-vote classification (leave-one-out): the first consumer
+    // of embeddings.label — each query takes the majority label of its 5
+    // nearest cosine neighbors, ties toward the smallest label, scored
+    // against its own true label. Weak supervision / eval labeling over
+    // the same top-k contract every ANN face shares.
+    "knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pred = Similarity.knnClassify(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      pred
+        .join(e.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"),
+          col("pred_label").cast(IntegerType).as("pred_label"),
+          col("votes").cast(LongType).as("votes"),
+          (col("pred_label") === col("true_label")).cast(IntegerType).as("is_correct"))
+    }),
+
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2674,6 +2692,29 @@ $rounds
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5""".stripMargin,
+    // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
+    // joined in, majority by (votes DESC, label) row_number.
+    "knn_classify" ->
+      s"""WITH e AS ($embCast),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |s AS (SELECT query_id, e.vec_id,
+         |        list_sum(list_transform(list_zip(qv, e.v), p -> p[1] * p[2])) / (nq * e.nrm) AS score
+         |      FROM q JOIN e ON e.vec_id <> query_id),
+         |nn AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM s) WHERE rnk <= 5),
+         |votes AS (SELECT nn.query_id, emb.label, count(*) AS votes
+         |  FROM nn JOIN embeddings emb ON nn.vec_id = emb.vec_id
+         |  GROUP BY nn.query_id, emb.label),
+         |win AS (SELECT query_id, label AS pred_label, votes,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT w.query_id, CAST(w.pred_label AS INT) AS pred_label,
+         |  CAST(w.votes AS BIGINT) AS votes,
+         |  CAST(CASE WHEN w.pred_label = tl.label THEN 1 ELSE 0 END AS INT) AS is_correct
+         |FROM win w JOIN embeddings tl ON w.query_id = tl.vec_id
+         |WHERE w.rn = 1""".stripMargin,
     // Same bucket-replication idea as ann_lsh below: 16 tables x 2 planes,
     // candidates from shared (table, bucket), exact cosine verify at 0.4.
     "emb_pairs" ->

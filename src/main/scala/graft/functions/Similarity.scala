@@ -105,6 +105,44 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** k-NN label-vote classification over an embedding corpus: each query
+    * takes the majority label of its k nearest neighbors by cosine
+    * (leave-one-out — a query never votes for itself), ties broken toward
+    * the smallest label. The weak-supervision / eval-labeling stage of an
+    * embedding pipeline, and the first consumer of the corpus label column.
+    *
+    * Scale posture: the neighbor search is whichever top-k face fits the
+    * corpus (brute here; [[ivfTopKFromBucketed]] / [[sqTopK]] /
+    * [[ivfPqTopK]] share the (query_id, vec_id) contract and drop in); the
+    * label join keys the queries x k hit set against corpus (id, label)
+    * pairs un-hinted, so AQE broadcasts the hit side while it is small; the
+    * vote and the argmax are two map-side-combining aggregations over <= k
+    * rows per query — no window, no whole-group state. Output:
+    * (query_id, pred_label, votes).
+    */
+  def knnClassify(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val hits = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+    val labels = corpus.select(col(idCol).as("vec_id"), col(labelCol).as("__nl"))
+    hits
+      .join(labels, "vec_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+      // Majority with smallest-label tie-break as ONE bounded max: the
+      // (votes, -label) struct orders lexicographically, so max = highest
+      // vote count, then smallest label — no per-query window.
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("votes"), (-col("__nl")).as("nl"))).as("w"))
+      .select(col("query_id"), (-col("w.nl")).as("pred_label"),
+        col("w.votes").as("votes"))
+  }
+
   /** Projection direction component (j, d) = xhash32("proj_j_d")/2^31 - 1 ∈
     * [-1, 1) — the same cross-engine construction as [[planeComponent]]
     * under a disjoint salt, so any engine with md5 rebuilds the projection

@@ -475,6 +475,26 @@ class SimilaritySpec extends SparkSpec {
       assert(score == exact(pair), s"pair $pair: re-ranked score differs from exact")
   }
 
+  test("knnClassify: majority vote, leave-one-out, smallest-label tie-break") {
+    import spark.implicits._
+    // 1 query at the origin-adjacent point; 4 unit-ish neighbors arranged so
+    // cosine ranks them 1..4; labels force a 2-2 tie between labels 7 and 3
+    // in the top-4 -> tie must break to label 3. k=4 exactly.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),       // the query (label 9 must never vote)
+      (1L, Seq(1.0f, 0.01f), 7),      // rank 1
+      (2L, Seq(1.0f, 0.02f), 3),      // rank 2
+      (3L, Seq(1.0f, 0.03f), 7),      // rank 3
+      (4L, Seq(1.0f, 0.04f), 3),      // rank 4
+      (5L, Seq(-1.0f, 0.0f), 7))      // outside top-4
+    val df = rows.toDF("vec_id", "embedding", "label").repartition(3)
+    val got = Similarity.knnClassify(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((0L, 3, 2L)),
+      s"expected tie 2-2 to break to smaller label 3, got ${got.toSeq}")
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
