@@ -630,6 +630,16 @@ object SparkEntry {
           (col("pred_label") === col("true_label")).cast(IntegerType).as("is_correct"))
     }),
 
+    // Per-class embedding centroids in exact 2^-20 fixed-point — the
+    // nearest-class-mean training stage (Classifier.classCentroids):
+    // components floor to integers before aggregation, so the per-cell
+    // sums are order-independent and the mean is one IEEE division of
+    // exact integers. The exchange carries at most |classes| x dim cells
+    // per task (map-side combine) — corpus rows never shuffle.
+    "class_centroids" -> ((s, dir) =>
+      graft.functions.Classifier.classCentroids(
+        t(s, dir, "embeddings"), "label", "embedding")),
+
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2692,6 +2702,17 @@ $rounds
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          |  FROM s)
          |WHERE rnk <= 5""".stripMargin,
+    // Fixed-point replica: parallel unnest zips (component, 0-based dim),
+    // floor to 2^-20 integers, exact integer sums, one final division.
+    "class_centroids" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS comp,
+        |    unnest(range(0, len(embedding))) AS dim_idx
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |f AS (SELECT label, dim_idx,
+        |  CAST(floor(CAST(comp AS DOUBLE) * 1048576.0) AS BIGINT) AS fp FROM x)
+        |SELECT label, CAST(dim_idx AS INT) AS dim_idx, count(*) AS n,
+        |  CAST(sum(fp) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS centroid
+        |FROM f GROUP BY label, dim_idx""".stripMargin,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->

@@ -99,4 +99,34 @@ object Classifier {
       size(filter(toks, t => t.isin(words: _*))).cast(LongType)
     }
   }
+  /** Per-class embedding centroids in exact fixed-point — the training
+    * stage of a nearest-class-mean classifier (and the labeled sibling of
+    * [[Similarity.kmeansStep]]'s centroid update): every (label, dim)
+    * cell averages that class's component values. Components are floored
+    * to 2^-20 fixed-point BEFORE aggregation (a float times a power of
+    * two is an exact exponent shift), so the sums are order-independent
+    * 64-bit integer arithmetic and the final mean is one IEEE division of
+    * exact integers — bit-identical across engines and partitionings.
+    *
+    * Scale shape: posexplode fans each vector into dim rows, but the
+    * groupBy partial-aggregates map-side, so the exchange carries at most
+    * |classes| x dim cells per task (the kmeans_step combine posture) —
+    * corpus rows never shuffle. Output: (label, dim_idx, n, centroid).
+    */
+  def classCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim_idx", "comp")))
+      .select(col("label"), col("dim_idx"),
+        floor(col("comp").cast(org.apache.spark.sql.types.DoubleType) * lit(1048576.0))
+          .cast(LongType).as("fp"))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("sum_fp"))
+      .select(col("label"), col("dim_idx"), col("n"),
+        (col("sum_fp").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("n") * lit(1048576L)).cast(org.apache.spark.sql.types.DoubleType))
+          .as("centroid"))
+  }
+
 }

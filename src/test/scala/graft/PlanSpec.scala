@@ -84,8 +84,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //  - pca_power_k3: each chained round cross-joins the previous round's
   //    direction — a ONE-ROW broadcast (the dim-array packed by a global
   //    aggregate) — onto the corpus pass; the q14_subq shape, per round.
+  //  - knn_classify: the brute top-k face underneath is ann_topk's
+  //    broadcast-NLJ (tiny query set, non-equi self-exclusion); the vote
+  //    stages above it are equi-only.
   private val nljWhitelist =
-    Set("ann_topk", "ann_sq8", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
+    Set("ann_topk", "ann_sq8", "knn_classify", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
       "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3")
 
@@ -473,6 +476,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 1, p)
     assert(!p.contains("Exchange hashpartitioning(v"), p)
+  }
+
+  test("class_centroids: one exchange, carrying (label, dim) partials — never components") {
+    // The posexplode fan-out partial-aggregates map-side, so the single
+    // combine exchange moves at most |classes| x dim cells per task; a
+    // raw component (comp / fp) in any exchange would mean the corpus
+    // rides the shuffle (the kmeans_step contract, labeled).
+    val shuffles = collectAll(plan("class_centroids")) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, planString("class_centroids"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => Set("comp", "fp", "embedding")(a.name)),
+        s"exchange carries raw components: $e")
   }
 
   test("q34_gapfill: only aggregated hourly rows ever shuffle (the corpus moves once)") {
