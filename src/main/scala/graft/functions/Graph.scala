@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -27,6 +27,19 @@ import org.apache.spark.sql.types.LongType
  */
 object Graph {
 
+  /** Defensive endpoint cast shared by every operator here: a null or
+    * non-numeric node id would otherwise become a SQL NULL that the
+    * downstream groupBy/join/filter silently drops — shrinking degrees,
+    * wedge counts, and components with no diagnostic (the Affinity
+    * keyAsLong posture). try_cast + raise_error names the offending
+    * value; only the deliberate self-loop drop stays silent. */
+  private def nodeAsLong(c: Column, what: String): Column = {
+    val k = c.try_cast(LongType)
+    when(k.isNotNull, k).otherwise(raise_error(
+      concat(lit(s"Graph: null or non-numeric $what node id: "),
+        coalesce(c.cast("string"), lit("NULL")))).cast(LongType))
+  }
+
   /** One degree-normalized push round with uniform initial mass.
     * Output: (dst-keyed) `node`, `in_edges`, `score_ppm` where
     * score_ppm = 150000 + (850000 * Σ_{(s,node)∈E} (1000000 div outdeg(s)))
@@ -36,8 +49,8 @@ object Graph {
     * edges to carry multiplicity — for citation/link dedup you usually
     * want them collapsed). */
   def pushRound(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+    val e = edges.select(nodeAsLong(col(srcCol), "src").as("src"),
+      nodeAsLong(col(dstCol), "dst").as("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     e.join(outdeg, "src")
       .withColumn("contrib", call_function("div", lit(1000000L), col("outdeg")))
@@ -54,8 +67,8 @@ object Graph {
   /** The round-0 input to [[pushRoundFrom]]: every node of the edge set
     * with the uniform unit start mass (1.0 = 1,000,000 ppm). */
   def initScores(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+    val e = edges.select(nodeAsLong(col(srcCol), "src").as("src"),
+      nodeAsLong(col(dstCol), "dst").as("dst"))
     e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
       .distinct()
       .select(col("node"), lit(1000000L).as("score_ppm"))
@@ -79,8 +92,8 @@ object Graph {
     * join against the universe. Nothing corpus-sized reaches the driver. */
   def pushRoundFrom(edges: DataFrame, srcCol: String, dstCol: String,
       scores: DataFrame): DataFrame = {
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+    val e = edges.select(nodeAsLong(col(srcCol), "src").as("src"),
+      nodeAsLong(col(dstCol), "dst").as("dst"))
     val s = scores.select(col("node").cast(LongType).as("node"),
       col("score_ppm").cast(LongType).as("score_ppm"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -113,8 +126,8 @@ object Graph {
     * the price of a second full exchange of the same data. */
   private def normalizedEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
     edges.select(
-        least(col(uCol).cast(LongType), col(vCol).cast(LongType)).as("u"),
-        greatest(col(uCol).cast(LongType), col(vCol).cast(LongType)).as("v"))
+        least(nodeAsLong(col(uCol), "u"), nodeAsLong(col(vCol), "v")).as("u"),
+        greatest(nodeAsLong(col(uCol), "u"), nodeAsLong(col(vCol), "v")).as("v"))
       .filter(col("u") < col("v"))
       .repartition(col("u"), col("v"))
       .distinct()

@@ -134,13 +134,16 @@ object Similarity {
       .join(labels, "vec_id")
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("votes"))
-      // Majority with smallest-label tie-break as ONE bounded max: the
-      // (votes, -label) struct orders lexicographically, so max = highest
-      // vote count, then smallest label — no per-query window.
+      // Majority with smallest-label tie-break as ONE bounded min: the
+      // (-votes, label) struct orders lexicographically, so min = highest
+      // vote count, then smallest label — no per-query window, and the
+      // label rides UN-NEGATED (negating a string label would null-cast
+      // under non-ANSI semantics and silently zero every prediction), so
+      // any orderable label type works and keeps its type in the output.
       .groupBy(col("query_id"))
-      .agg(max(struct(col("votes"), (-col("__nl")).as("nl"))).as("w"))
-      .select(col("query_id"), (-col("w.nl")).as("pred_label"),
-        col("w.votes").as("votes"))
+      .agg(min(struct((-col("votes")).as("nv"), col("__nl").as("nl"))).as("w"))
+      .select(col("query_id"), col("w.nl").as("pred_label"),
+        (-col("w.nv")).as("votes"))
   }
 
   /** Projection direction component (j, d) = xhash32("proj_j_d")/2^31 - 1 ∈

@@ -28,12 +28,60 @@ object AvroSchema {
 
   /** Avro schema JSON for a field produced by ExpandJson with a
     * `schemaNamePrefix` (or any field whose metadata carries the naming
-    * keys). Top-level nullability follows the field's `nullable` flag. */
+    * keys). Top-level nullability follows the field's `nullable` flag.
+    * For a NESTED expand target (the container struct around it has no
+    * generated name) use [[forPath]] on the expanded leaf instead. */
   def forField(f: StructField): String = {
     val defined = mutable.Set.empty[String]
     val t = walk(f.dataType, nameFor(f), defined)
     if (f.nullable) s"""["null", $t]""" else t
   }
+
+  /** Avro schema JSON for the expanded LEAF at dotted `path` inside a root
+    * field produced by a NESTED-target ExpandJson. Generated names for
+    * nested targets ride the ROOT field's metadata under path-qualified
+    * keys (`connect.schema.name.<rel.path>` /
+    * `connect.element.schema.name.<rel.path>` — nested StructField
+    * metadata does not survive Column-level struct rebuilds), so the
+    * leaf's ROOT record name resolves from the qualified key while inner
+    * record names come from the leaf type's own nested StructField
+    * metadata (preserved intact through `withField`/`transform`, which
+    * carry the parse expression's DataType wholesale). The pre-existing
+    * container structs around the leaf are anonymous Spark structs with no
+    * Connect name — they are deliberately NOT emitted; the Avro loop
+    * closes for the expanded subtree, which is what the reference's SMT
+    * names in the first place. Array levels in `path` are transparent
+    * (matching ExpandJson descent); leaf nullability follows the leaf
+    * StructField's flag. */
+  def forPath(root: StructField, path: String): String = {
+    val leaf = descend(root.dataType, path.split('.').toSeq, root.name, path)
+    val qualifiedKey = leaf.dataType match {
+      case _: StructType => Some(s"${JsonSchemaInference.SchemaNameKey}.$path")
+      case _: ArrayType  => Some(s"${JsonSchemaInference.ElementSchemaNameKey}.$path")
+      case _             => None // scalar leaf — primitives carry no name
+    }
+    val name = qualifiedKey.filter(root.metadata.contains).map(root.metadata.getString)
+      .orElse(nameFor(leaf))
+    val t = walk(leaf.dataType, name, mutable.Set.empty[String])
+    if (leaf.nullable) s"""["null", $t]""" else t
+  }
+
+  /** The StructField at `parts` under `dt`, descending through structs and
+    * (transparently) arrays of structs — the same descent contract as
+    * ExpandJson target resolution. */
+  private def descend(
+      dt: DataType, parts: Seq[String], rootName: String, full: String): StructField =
+    dt match {
+      case st: StructType =>
+        val f = st.fields.find(_.name == parts.head).getOrElse(
+          throw new IllegalArgumentException(
+            s"No field '${parts.head}' under '$rootName' walking path '$full' " +
+              s"(have: ${st.fieldNames.mkString(", ")})"))
+        if (parts.sizeIs == 1) f else descend(f.dataType, parts.tail, rootName, full)
+      case ArrayType(et, _) => descend(et, parts, rootName, full)
+      case other => throw new IllegalArgumentException(
+        s"Cannot descend through $other at '${parts.head}' walking path '$full'")
+    }
 
   /** The name the enclosing field's metadata assigns to its (struct or
     * array-element-struct) type, if any. */
@@ -51,7 +99,10 @@ object AvroSchema {
       case st: StructType =>
         val n = name.getOrElse(throw new IllegalArgumentException(
           "Struct carries no generated schema name — run ExpandJson with a " +
-            "schemaNamePrefix (or assignSchemaNames) before Avro reconstruction"))
+            "schemaNamePrefix (or assignSchemaNames) before Avro reconstruction; " +
+            "for a NESTED expand target the names ride the root field's metadata " +
+            "under path-qualified keys (connect.schema.name.<rel.path>) — use " +
+            "AvroSchema.forPath(rootField, path) on the expanded leaf"))
         if (defined.contains(n)) quote(n) // structural sharing → name reference
         else {
           defined += n

@@ -91,17 +91,25 @@ final case class ExpandJson(
         // otherwise CREATE a literal-named top-level column, silently).
         def parsed(c: Column) =
           if (permissive) try_parse_json(c.cast(StringType)) else parse_json(c.cast(StringType))
-        // Single-target descent; expand() below implements the same
-        // literal-root-wins / resolves / withField rules with the
-        // multi-target + naming-metadata machinery variant mode doesn't
-        // need — keep the two in step if descent semantics change.
+        // Single-target descent through the SAME rewriteIn/transform
+        // machinery expand() uses (structs rebuild in place, array-of-
+        // struct levels map over their elements) — resolves() is array-
+        // transparent, so a bare withField here would accept an array-
+        // crossing path it cannot rewrite and die later with a raw
+        // AnalysisException. Keep the two branches in step if descent
+        // semantics change.
         val parts = colName.split('.').toSeq
         if (df.schema.fieldNames.contains(colName))
           df.withColumn(colName, parsed(rootCol(colName)))
-        else if (resolves(df.schema, parts))
-          df.withColumn(parts.head,
-            col(parts.head).withField(parts.tail.mkString("."), parsed(col(colName))))
-        else
+        else if (resolves(df.schema, parts)) {
+          def over(d: DataType, cc: Column): Column = d match {
+            case rootSt: StructType => rewriteIn(cc, rootSt, parts.tail, leaf => parsed(leaf))
+            case ArrayType(et, _)   => transform(cc, x => over(et, x))
+            case other => throw new IllegalArgumentException(
+              s"Cannot descend through $other at '${parts.head}'")
+          }
+          df.withColumn(parts.head, over(df.schema(parts.head).dataType, rootCol(parts.head)))
+        } else
           throw new IllegalArgumentException(
             s"Target field not found: $colName (have: ${df.schema.fieldNames.mkString(", ")}; " +
               "dotted names descend through struct fields)")

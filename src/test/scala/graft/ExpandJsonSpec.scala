@@ -204,6 +204,42 @@ class ExpandJsonSpec extends SparkSpec {
     assert(rec.get("fields").size() == 3)
   }
 
+  test("AvroSchema.forPath closes the Avro loop for a nested expand target") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // Inner object -> the leaf's OWN nested record names survive the
+    // Column-level rebuild (they live inside the parse expression's
+    // DataType); only the leaf's root name needs the path-qualified key.
+    val j = """{"a": {"b": 1}, "s": "x"}"""
+    val df = Seq(("x", j)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload")).as("env"))
+    val out = df.transform(
+      ExpandJson.onFields(Seq("env.payload"), schemaNamePrefix = Some("com.acme.R")))
+    val avro = graft.schema.AvroSchema.forPath(out.schema("env"), "payload")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(avro)
+    val rec = if (node.isArray) node.get(1) else node
+    assert(rec.get("type").asText() == "record")
+    // Bottom-up counter (reference parity): the DEEPEST record takes the
+    // bare prefix, the leaf root gets the next number.
+    assert(rec.get("name").asText() == "com.acme.R2", avro)
+    val fields = rec.get("fields")
+    assert(fields.size() == 2)
+    val inner = fields.get(0).get("type").get(1) // nullable union -> [null, record]
+    assert(inner.get("type").asText() == "record", avro)
+    assert(inner.get("name").asText() == "com.acme.R", avro)
+  }
+
+  test("AvroSchema.forField on a nested-expand container points at forPath") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val df = Seq(("x", SIMPLE_JSON)).toDF("id", "payload")
+      .select(col("id"), struct(col("payload")).as("env"))
+    val out = df.transform(
+      ExpandJson.onFields(Seq("env.payload"), schemaNamePrefix = Some("com.acme.R")))
+    val e = intercept[IllegalArgumentException](
+      graft.schema.AvroSchema.forField(out.schema("env")))
+    assert(e.getMessage.contains("forPath"), e.getMessage)
+  }
+
   test("variant mode: nested dotted target rebuilds the struct; bogus path errors") {
     import org.apache.spark.sql.functions.{col, struct, variant_get}
     val df = Seq(("a", SIMPLE_JSON)).toDF("id", "payload")

@@ -68,6 +68,22 @@ class GraphSpec extends SparkSpec {
     assert(cc(clean) === Set((1L, 3L, 3L), (10L, 2L, 1L)))
   }
 
+  test("Graph: null or non-numeric node ids raise instead of silently vanishing") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // A string endpoint would cast to NULL and the edge would vanish from
+    // degrees/wedges/components with no diagnostic (the Affinity posture).
+    val strEdges = Seq(("1", "2"), ("node-x", "3")).toDF("u", "v")
+    val e1 = intercept[Exception](Graph.triangleCounts(strEdges, "u", "v").collect())
+    assert(messages(e1).exists(m => m.contains("node id") && m.contains("node-x")), e1.toString)
+    // A null endpoint likewise raises (filter(u < v) would silently drop it).
+    val nullEdges = Seq((Option(1L), Option(2L)), (None, Option(3L))).toDF("u", "v")
+    val e2 = intercept[Exception](Graph.componentStats(nullEdges, "u", "v").collect())
+    assert(messages(e2).exists(_.contains("node id")), e2.toString)
+    val e3 = intercept[Exception](Graph.pushRound(strEdges, "u", "v").collect())
+    assert(messages(e3).exists(_.contains("node id")), e3.toString)
+  }
+
   test("Affinity: non-numeric item ids raise instead of silently vanishing") {
     val df = Seq((1L, "SKU-9"), (1L, "SKU-7"), (2L, "SKU-9")).toDF("basket", "item")
     val e = intercept[Exception] {

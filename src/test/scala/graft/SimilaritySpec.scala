@@ -495,6 +495,26 @@ class SimilaritySpec extends SparkSpec {
       s"expected tie 2-2 to break to smaller label 3, got ${got.toSeq}")
   }
 
+  test("knnClassify: string labels vote; ties break to the lexicographically smallest") {
+    import spark.implicits._
+    // Same geometry as the numeric-tie test, but labels are strings — the
+    // r8 tie-break negated the label arithmetically, which null-casts a
+    // string under non-ANSI semantics and silently zeroed every prediction.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), "query"),
+      (1L, Seq(1.0f, 0.01f), "cat"),
+      (2L, Seq(1.0f, 0.02f), "ant"),
+      (3L, Seq(1.0f, 0.03f), "cat"),
+      (4L, Seq(1.0f, 0.04f), "ant"),
+      (5L, Seq(-1.0f, 0.0f), "cat"))
+    val df = rows.toDF("vec_id", "embedding", "label").repartition(3)
+    val got = Similarity.knnClassify(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "label", k = 4)
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq == Seq((0L, "ant", 2L)),
+      s"expected tie 2-2 to break to 'ant', got ${got.toSeq}")
+  }
+
   test("cosinePairsLsh scores are bitwise equal to brute force on shared pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -54,6 +54,21 @@ class VariantSpec extends AnyFunSuite with SparkSpec {
       ExpandJson(fields = Seq("f"), variantMode = true))
   }
 
+  test("dotted target crossing array<struct> parses each element (rewriteIn parity)") {
+    val df = Seq(("u1", """{"k": 1}""", """{"k": 2}""")).toDF("id", "p1", "p2")
+      .select(col("id"), array(
+        struct(lit(11).as("eid"), col("p1").as("payload")),
+        struct(lit(12).as("eid"), col("p2").as("payload"))).as("events"))
+    val out = df.transform(ExpandJson.wholeVariant("events.payload"))
+    assert(out.columns.toSeq === Seq("id", "events"), "rebuilt in place, no new column")
+    val row = out.select(
+      expr("transform(events, e -> e.eid)").as("eids"),
+      expr("transform(events, e -> variant_get(e.payload, '$.k', 'int'))").as("ks"))
+      .collect().head
+    assert(row.getSeq[Int](0) === Seq(11, 12), "sibling fields kept per element")
+    assert(row.getSeq[Int](1) === Seq(1, 2), "each element parsed to its own variant")
+  }
+
   test("sibling columns and column order are preserved") {
     val df = Seq((1L, """{"k": 5}""", "keep")).toDF("id", "props", "tag")
     val out = df.transform(ExpandJson.wholeVariant("props"))
