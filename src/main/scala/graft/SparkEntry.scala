@@ -1830,6 +1830,40 @@ object SparkEntry {
         .withColumn("coverage", col("n_hits").cast(DoubleType) / col("n_grams"))
     }),
 
+    // Bigram stupid-backoff LM over the held-out tenth — the trained-model
+    // face of the CCNet-style perplexity filter (LangModel scaladoc):
+    // surprisal is quantized to WHOLE BITS (flog2 via bin-string length),
+    // so every score is exact integer math in both engines. Training is
+    // one pair-count aggregation (one row per DISTINCT bigram in the
+    // exchange — Zipf-bounded) + a context sum over the aggregated pairs.
+    "lm_bigrams" -> ((s, dir) =>
+      graft.functions.LangModel.bigramLm(
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .orderBy(col("n").desc, col("prev"), col("cur"))
+        .limit(25)),
+
+    // Per-document surprisal under the tenth-trained LM: two un-hinted
+    // left joins of the transition stream against the LM tables (AQE
+    // broadcasts them at this vocabulary; token-keyed shuffle joins at web
+    // scale) + one integer per-doc aggregation. The only double is the
+    // final bits / n_trans division.
+    "lm_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.LangModel.surprisal(
+        docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // The filter face: drop the high-perplexity tail (> 4.8 bits/token
+    // under the reference tenth — garbled/atypical text), keep unscorable
+    // short docs for the length gates downstream.
+    "lm_ppl_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.LangModel.perplexityGate(
+          docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          maxBitsPerToken = 4.8)
+        .select(col("doc_id"), col("n_trans"), col("bits"), col("bits_per_token"))
+    }),
+
     // One exact Lloyd iteration over the embeddings — the IVF-centroid
     // training step (Similarity.kmeansStep): md5-seeded centroids, k dot
     // kernels fused into the scan, fixed-point (2^-20) exact means; only
@@ -3653,6 +3687,79 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |  len(list_intersect(sh, rl))::BIGINT AS n_hits,
         |  len(list_intersect(sh, rl))::BIGINT::DOUBLE / len(sh) AS coverage
         |FROM d CROSS JOIN refl""".stripMargin,
+    // Bigram LM family: flog2(n) = length(bin(n)) - 1 is the same pure
+    // string/integer computation in DuckDB, so surprisal bits are exact.
+    "lm_bigrams" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |big AS (SELECT prev, cur, count(*) AS n FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM big GROUP BY 1)
+        |SELECT b.prev, b.cur, b.n,
+        |  ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
+        |FROM big b JOIN ctx USING (prev)
+        |ORDER BY n DESC, prev, cur LIMIT 25""".stripMargin,
+    "lm_surprisal" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |big AS (SELECT prev, cur, count(*) AS n FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM big GROUP BY 1),
+        |bigb AS (SELECT b.prev, b.cur,
+        |    ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
+        |  FROM big b JOIN ctx USING (prev)),
+        |unib AS (SELECT cur, (length(bin(count(*))) - 1)::BIGINT AS u_flog2
+        |  FROM tr WHERE doc_id % 10 = 0 GROUP BY cur),
+        |tot AS (SELECT ((length(bin(count(*))) - 1) + 2)::BIGINT AS oov_base
+        |  FROM tr WHERE doc_id % 10 = 0),
+        |sc AS (SELECT tr.doc_id,
+        |    coalesce(bigb.bits,
+        |      (SELECT oov_base FROM tot) - coalesce(unib.u_flog2, 0)) AS b
+        |  FROM tr LEFT JOIN bigb ON tr.prev = bigb.prev AND tr.cur = bigb.cur
+        |          LEFT JOIN unib ON tr.cur = unib.cur),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, sum(b)::BIGINT AS bits
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_trans, 0)::BIGINT AS n_trans,
+        |  coalesce(agg.bits, 0)::BIGINT AS bits,
+        |  CASE WHEN agg.n_trans > 0 THEN agg.bits::DOUBLE / agg.n_trans END
+        |    AS bits_per_token
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "lm_ppl_gate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |big AS (SELECT prev, cur, count(*) AS n FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM big GROUP BY 1),
+        |bigb AS (SELECT b.prev, b.cur,
+        |    ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
+        |  FROM big b JOIN ctx USING (prev)),
+        |unib AS (SELECT cur, (length(bin(count(*))) - 1)::BIGINT AS u_flog2
+        |  FROM tr WHERE doc_id % 10 = 0 GROUP BY cur),
+        |tot AS (SELECT ((length(bin(count(*))) - 1) + 2)::BIGINT AS oov_base
+        |  FROM tr WHERE doc_id % 10 = 0),
+        |sc AS (SELECT tr.doc_id,
+        |    coalesce(bigb.bits,
+        |      (SELECT oov_base FROM tot) - coalesce(unib.u_flog2, 0)) AS b
+        |  FROM tr LEFT JOIN bigb ON tr.prev = bigb.prev AND tr.cur = bigb.cur
+        |          LEFT JOIN unib ON tr.cur = unib.cur),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, sum(b)::BIGINT AS bits
+        |  FROM sc GROUP BY 1),
+        |sur AS (SELECT d.doc_id, coalesce(agg.n_trans, 0)::BIGINT AS n_trans,
+        |    coalesce(agg.bits, 0)::BIGINT AS bits,
+        |    CASE WHEN agg.n_trans > 0 THEN agg.bits::DOUBLE / agg.n_trans END
+        |      AS bits_per_token
+        |  FROM documents d LEFT JOIN agg USING (doc_id))
+        |SELECT doc_id, n_trans, bits, bits_per_token FROM sur
+        |WHERE n_trans = 0 OR bits_per_token <= 4.8""".stripMargin,
     // Same md5-derived centroid seed, same left-fold dot order, same
     // fixed-point mean accumulation as Similarity.kmeansStep.
     "kmeans_step" ->

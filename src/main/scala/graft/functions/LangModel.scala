@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * N-gram language-model quality filtering — the CCNet-style "how typical is
+ * this document under a reference LM" stage of a training-data pipeline
+ * (reference pipelines score documents with a small LM and drop the
+ * high-perplexity tail; here the LM is a bigram stupid-backoff model
+ * trained on a held-out slice of the corpus itself).
+ *
+ * Arithmetic is QUANTIZED TO WHOLE BITS deliberately: per-token surprisal
+ * uses floor(log2 n) = length(bin(n)) - 1 — a pure integer/string
+ * computation both Spark and DuckDB evaluate identically — so per-document
+ * bit totals are exact order-independent integer sums and the only double
+ * is one final division (bits / n_trans). A float log would differ between
+ * engines in the last ulp and be unverifiable (the fixed-point PageRank /
+ * 2^-20 k-means convention, DESIGN.md "exactness").
+ *
+ * Model: for transition prev→cur,
+ *   - observed bigram:  bits = flog2(c(prev·)) − flog2(c(prev,cur))
+ *   - backoff (unseen bigram, seen unigram):
+ *                       bits = flog2(T) − flog2(c(cur)) + backoffBits
+ *   - OOV:              bits = flog2(T) + backoffBits        (c := 1)
+ * where c(prev·) is prev's transition-context count, T the reference
+ * corpus token total, and backoffBits the integer analogue of stupid
+ * backoff's α discount (2 bits ≈ α 0.25).
+ *
+ * 100 TB shape: training is one explode + pair-count aggregation (the
+ * shuffle carries one row per DISTINCT bigram — Zipf-bounded, corpus-
+ * sublinear) plus a prev-keyed context sum over the already-aggregated
+ * pairs. Scoring is two UN-HINTED left equi-joins of the transition stream
+ * against the LM tables (AQE broadcasts them while the vocabulary is
+ * small; at web scale they shuffle-join on token keys) and one integer
+ * per-document aggregation — no window, no driver-side loop. The single
+ * driver action is the 1-row reference token total (metadata-scale by
+ * construction, the sampledIvfCentroids / lm_coverage convention), inlined
+ * as a literal so the scoring plan stays one lazy pipeline.
+ */
+object LangModel {
+
+  /** floor(log2 n) for a positive count, as the engine-portable
+    * length-of-binary-string computation (DuckDB: `length(bin(n)) - 1`). */
+  private def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast(LongType)
+
+  private def flog2Driver(n: Long): Long = {
+    require(n > 0, s"flog2 of non-positive count $n")
+    63L - java.lang.Long.numberOfLeadingZeros(n)
+  }
+
+  /** Whitespace-token transition stream `(id, prev, cur)` — one row per
+    * adjacent token pair per document, generated narrowly with
+    * slice + arrays_zip + explode (no positional self-join). Documents
+    * with null text or fewer than two tokens contribute no rows. */
+  private def transitions(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.wsTokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(tk, lit(1), size(tk) - 1).as("prev"),
+          slice(tk, lit(2), size(tk) - 1).as("cur"))).as("t"))
+      .select(col(idCol), col("t.prev").as("prev"), col("t.cur").as("cur"))
+  }
+
+  /** Distinct observed transitions of `ref` with their counts
+    * `(prev, cur, n)` — the ONE corpus-scanning aggregation of training;
+    * contexts, unigram targets, and the token total all derive from this
+    * (Zipf-bounded) frame, so its exchange is shared across every consumer
+    * in one plan (ReusedExchange) instead of re-scanning the corpus. */
+  private def pairCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    transitions(ref, idCol, textCol)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The trained bigram table `(prev, cur, n, bits)`: every transition
+    * observed in `ref` with its count and quantized surprisal
+    * flog2(c(prev·)) − flog2(n). Two aggregations, the second over the
+    * already-distinct pair frame (corpus rows shuffle once). */
+  def bigramLm(ref: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = pairCounts(ref, idCol, textCol)
+    val ctx = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
+    pairs.join(ctx, "prev")
+      .select(col("prev"), col("cur"), col("n"),
+        (flog2(col("n_prev")) - flog2(col("n"))).as("bits"))
+  }
+
+  /** Per-document surprisal under the stupid-backoff bigram LM trained on
+    * `ref`: `(idCol, n_trans, bits, bits_per_token)`. Every document of
+    * `docs` survives — a doc with < 2 tokens (or null text) scores
+    * (0, 0, null). `bits_per_token` is the one double (a single exact
+    * division), everything upstream is integer. */
+  def surprisal(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      backoffBits: Int = 2): DataFrame = {
+    require(backoffBits >= 0, "backoffBits must be non-negative")
+    val pairs = pairCounts(ref, idCol, textCol)
+    val ctx = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
+    val big = pairs.join(ctx, "prev")
+      .select(col("prev"), col("cur"),
+        (flog2(col("n_prev")) - flog2(col("n"))).as("__bg_bits"))
+    // Transition-target unigram counts = Σ_prev c(prev, cur): derived from
+    // the pair frame so big and uni share ONE corpus scan + exchange in
+    // the scoring plan.
+    val uni = pairs.groupBy(col("cur")).agg(sum(col("n")).as("un"))
+      .select(col("cur"), flog2(col("un")).as("__u_flog2"))
+    // The ONE driver action: the reference transition total (a 1-row
+    // aggregate over the distinct-pair frame), inlined so OOV/backoff
+    // bits are literals in the plan.
+    val total = pairs.agg(sum(col("n"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    require(total > 0, "reference corpus has no token transitions to train on")
+    val oovBase = flog2Driver(total) + backoffBits
+    val scored = transitions(docs, idCol, textCol)
+      .join(big, Seq("prev", "cur"), "left")
+      .join(uni, Seq("cur"), "left")
+      .select(col(idCol),
+        coalesce(col("__bg_bits"),
+          lit(oovBase) - coalesce(col("__u_flog2"), lit(0L))).as("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__b")).as("bits"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        when(col("n_trans") > 0,
+          col("bits").cast(DoubleType) / col("n_trans")).as("bits_per_token"))
+  }
+
+  /** The filter face: documents of `docs` whose per-token surprisal under
+    * the `ref`-trained LM is at most `maxBitsPerToken` (unusually
+    * high-perplexity text — boilerplate soup, wrong-language, garbled
+    * encodings — is the drop set). Documents too short to score (< 2
+    * tokens) pass through: shortness is [[TextFunctions]] quality-gate
+    * territory, not an LM judgment. Output: the full `docs` columns plus
+    * `(n_trans, bits, bits_per_token)`. */
+  def perplexityGate(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBitsPerToken: Double,
+      backoffBits: Int = 2): DataFrame =
+    docs.join(
+        surprisal(docs, ref, idCol, textCol, backoffBits)
+          .filter(col("n_trans") === 0 || col("bits_per_token") <= maxBitsPerToken)
+          .select(col(idCol), col("n_trans"), col("bits"), col("bits_per_token")),
+        Seq(idCol))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.LangModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Bigram stupid-backoff LM surprisal (the CCNet-style perplexity filter),
+ * checked against hand-computed whole-bit scores.
+ *
+ * Reference doc "a b a b c": transitions (a,b)x2, (b,a), (b,c);
+ * contexts a:2 b:2; transition-target unigrams b:2 a:1 c:1; T=4.
+ * flog2: 1->0, 2->1, 4->2. backoffBits=2 -> oovBase = 2+2 = 4.
+ */
+class LangModelSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val ref = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+
+  test("bigramLm: counts and quantized surprisal bits") {
+    val got = LangModel.bigramLm(ref, "doc_id", "text")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 2L, 0L), // flog2(2) - flog2(2)
+      ("b", "a", 1L, 1L), // flog2(2) - flog2(1)
+      ("b", "c", 1L, 1L)))
+  }
+
+  test("surprisal: bigram hit, backoff, OOV, and too-short docs") {
+    val docs = Seq(
+      (1L, "a b c z"), // (a,b)=0 bits, (b,c)=1, (c,z) OOV=4 -> 5 bits / 3
+      (2L, "q a"),     // (q,a) backoff on a: 4 - flog2(1) = 4 -> 4 bits / 1
+      (3L, "x"),       // single token: unscorable
+      (4L, null.asInstanceOf[String])) // null text: unscorable
+      .toDF("doc_id", "text")
+    val got = LangModel.surprisal(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 5L, Some(5.0 / 3)),
+      (2L, 1L, 4L, Some(4.0)),
+      (3L, 0L, 0L, None),
+      (4L, 0L, 0L, None)))
+  }
+
+  test("surprisal: backoff uses the unigram count (seen-but-new transition)") {
+    // (c,b): bigram unseen, cur=b seen twice -> oovBase - flog2(2) = 3.
+    val docs = Seq((1L, "c b")).toDF("doc_id", "text")
+    val got = LangModel.surprisal(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq === Seq((1L, 1L, 3L, Some(3.0))))
+  }
+
+  test("perplexityGate: keeps low-surprisal and unscorable docs, drops the tail") {
+    val docs = Seq(
+      (1L, "a b c z"), // 5/3 bits/token -> keep at 1.7
+      (2L, "q a"),     // 4.0 -> drop
+      (3L, "x"))       // unscorable -> pass through
+      .toDF("doc_id", "text")
+    val kept = LangModel.perplexityGate(docs, ref, "doc_id", "text", maxBitsPerToken = 1.7)
+    assert(kept.columns.toSeq ===
+      Seq("doc_id", "text", "n_trans", "bits", "bits_per_token"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("surprisal is partitioning-invariant (integer bit sums)") {
+    val docs = (1L to 40L).map(i => (i, s"a b c token$i a b")).toDF("doc_id", "text")
+    val a = LangModel.surprisal(docs.repartition(7), ref, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val b = LangModel.surprisal(docs.coalesce(1), ref, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+}
