@@ -2183,6 +2183,24 @@ object SparkEntry {
         .orderBy(col("n_nodes").desc, col("component"))
         .limit(20)),
 
+    // Three synchronous label-propagation rounds over the same co-purchase
+    // graph — community detection (Raghavan et al. LPA) in the chained
+    // restartable-rounds posture: each round ONE nbr-keyed join + bounded
+    // argmax (min over (-votes, label)), rounds persisted like pagerank_k3
+    // (lazy chaining re-plans the edge pipeline multiplicatively). The
+    // deterministic synchronous + smallest-label-tie variant is exactly
+    // replayable in SQL; the oracle replicates all three rounds.
+    "labelprop_k3" -> ((s, dir) => {
+      import graft.functions.Graph
+      val e = graft.functions.Affinity.copresenceGraph(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .repartition(col("u")).persist()
+      val l0 = Graph.initLabels(e, "u", "v")
+      val l1 = Graph.labelPropRound(e, "u", "v", l0).persist()
+      val l2 = Graph.labelPropRound(e, "u", "v", l1).persist()
+      Graph.labelPropRound(e, "u", "v", l2)
+    }),
+
     // Rolling 7-day distinct active users per day — the sliding
     // DAU/WAU counter, computed by the dedup-then-replicate reshape
     // (ONE corpus-sized distinct, then ×7 map-side replication of the
@@ -4302,6 +4320,35 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |ne AS (SELECT m.component, count(*) AS n_edges FROM e JOIN m ON m.id = e.u GROUP BY 1)
         |SELECT component, n_nodes, n_edges FROM nn JOIN ne USING (component)
         |ORDER BY n_nodes DESC, component LIMIT 20""".stripMargin,
+    "labelprop_k3" ->
+      ("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |se AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS label FROM se),
+        |v1 AS (SELECT se.node, l0.label AS nl, count(*) AS c
+        |  FROM se JOIN l0 ON l0.node = se.nbr GROUP BY 1, 2),
+        |w1 AS (SELECT node, nl AS label FROM (SELECT node, nl,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT l0.node, coalesce(w1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN w1 USING (node)),
+        |v2 AS (SELECT se.node, l1.label AS nl, count(*) AS c
+        |  FROM se JOIN l1 ON l1.node = se.nbr GROUP BY 1, 2),
+        |w2 AS (SELECT node, nl AS label FROM (SELECT node, nl,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT l1.node, coalesce(w2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN w2 USING (node)),
+        |v3 AS (SELECT se.node, l2.label AS nl, count(*) AS c
+        |  FROM se JOIN l2 ON l2.node = se.nbr GROUP BY 1, 2),
+        |w3 AS (SELECT node, nl AS label FROM (SELECT node, nl,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, nl) AS rn FROM v3)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label
+        |  FROM l2 LEFT JOIN w3 USING (node))
+        |SELECT node::BIGINT AS node, label::BIGINT AS label FROM l3""").stripMargin,
     // The oracle may rescan per day (join on the 7-day band) — DuckDB is
     // single-node; only the VALUES must match the engine's
     // dedup-then-replicate reshape.

@@ -206,4 +206,48 @@ object Graph {
       .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
     nNodes.join(nEdges, "component")
   }
+
+  /** Round-0 input to [[labelPropRound]]: every node of the (normalized)
+    * edge set labeled with itself. */
+  def initLabels(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = normalizedEdges(edges, uCol, vCol)
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+  }
+
+  /** One SYNCHRONOUS label-propagation round (Raghavan et al. 2007, the
+    * community-detection sibling of [[pushRoundFrom]]): every node adopts
+    * the most frequent label among its neighbors' PREVIOUS labels, ties
+    * toward the smallest label; a node with no neighbors keeps its label.
+    * Deterministic by construction (synchronous update + ordered
+    * tie-break), unlike the async/randomized textbook variant — which
+    * also means bipartite structures can oscillate rather than converge:
+    * k chained rounds are the contract, a fixpoint is not promised
+    * (community detection runs a fixed small k in practice).
+    *
+    * 100 TB shape: one nbr-keyed equi-join of the doubled edge frame
+    * against the label frame (both sides key-partitioned, AQE splits
+    * hub skew), one map-side-combining (node, label) vote count, one
+    * bounded argmax per node (min over the (−votes, label) struct — no
+    * window), one node-keyed left join back to the universe. Labels are
+    * long-cast with the same raise-on-bad-id guard as the edges. As with
+    * PageRank, the driver should persist each round's output — chaining
+    * k lazy rounds re-plans the edge pipeline multiplicatively. */
+  def labelPropRound(
+      edges: DataFrame, uCol: String, vCol: String, labels: DataFrame): DataFrame = {
+    val e = normalizedEdges(edges, uCol, vCol)
+    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val l = labels.select(nodeAsLong(col("node"), "label-frame").as("node"),
+      nodeAsLong(col("label"), "label-value").as("label"))
+    val votes = nbrs
+      .join(l.select(col("node").as("v"), col("label").as("nl")), "v")
+      .groupBy(col("u"), col("nl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("w"))
+      .select(col("u").as("node"), col("w.l").as("new_label"))
+    l.join(votes, Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+  }
 }

@@ -84,6 +84,46 @@ class GraphSpec extends SparkSpec {
     assert(messages(e3).exists(_.contains("node id")), e3.toString)
   }
 
+  test("labelPropRound: matches a scalar reference over seeded random graphs") {
+    // Synchronous LPA reference: every node takes the most frequent label
+    // among its neighbors' previous labels, ties to the smallest label.
+    def reference(edges: Seq[(Long, Long)], labels: Map[Long, Long]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).filter(p => p._1 != p._2)
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      labels.map { case (n, old) =>
+        adj.get(n) match {
+          case None => n -> old
+          case Some(nbrs) =>
+            val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val eDf = edges.toDF("u", "v").repartition(5)
+      var labels = Graph.initLabels(eDf, "u", "v")
+      var ref = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (round <- 1 to 3) {
+        labels = Graph.labelPropRound(eDf, "u", "v", labels)
+        ref = reference(edges, ref)
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === ref, s"trial $trial round $round")
+      }
+    }
+  }
+
+  test("labelPropRound: isolated node in the label frame keeps its label") {
+    val eDf = Seq((1L, 2L)).toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 2L), (99L, 7L)).toDF("node", "label")
+    val got = Graph.labelPropRound(eDf, "u", "v", labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 99L -> 7L))
+  }
+
   test("Affinity: non-numeric item ids raise instead of silently vanishing") {
     val df = Seq((1L, "SKU-9"), (1L, "SKU-7"), (2L, "SKU-9")).toDF("basket", "item")
     val e = intercept[Exception] {
