@@ -86,43 +86,68 @@ object LangModel {
         (flog2(col("n_prev")) - flog2(col("n"))).as("bits"))
   }
 
-  /** Per-document surprisal under the stupid-backoff bigram LM trained on
-    * `ref`: `(idCol, n_trans, bits, bits_per_token)`. Every document of
-    * `docs` survives — a doc with < 2 tokens (or null text) scores
-    * (0, 0, null). `bits_per_token` is the one double (a single exact
-    * division), everything upstream is integer. */
-  def surprisal(
-      docs: DataFrame,
-      ref: DataFrame,
-      idCol: String,
-      textCol: String,
-      backoffBits: Int = 2): DataFrame = {
+  /** A trained stupid-backoff bigram LM: the two reference tables plus the
+    * OOV-base literal (flog2 of the transition total + the backoff
+    * penalty). Pure reference STATE — persist with [[writeLm]], reload
+    * with [[readLm]]; the streaming face holds it in storage, never in
+    * the state store (the MinhashIndex convention). */
+  final case class Lm(bigrams: DataFrame, unigrams: DataFrame, oovBase: Long)
+
+  /** Train the LM on `ref`: one distinct-bigram aggregation; contexts,
+    * target unigrams, and the transition total all derive from the pair
+    * frame (shared exchange — one corpus scan), the total being the ONE
+    * driver action (a 1-row aggregate, inlined as the OOV literal). */
+  def trainLm(
+      ref: DataFrame, idCol: String, textCol: String, backoffBits: Int = 2): Lm = {
     require(backoffBits >= 0, "backoffBits must be non-negative")
     val pairs = pairCounts(ref, idCol, textCol)
     val ctx = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
     val big = pairs.join(ctx, "prev")
       .select(col("prev"), col("cur"),
         (flog2(col("n_prev")) - flog2(col("n"))).as("__bg_bits"))
-    // Transition-target unigram counts = Σ_prev c(prev, cur): derived from
-    // the pair frame so big and uni share ONE corpus scan + exchange in
-    // the scoring plan.
+    // Transition-target unigram counts = Σ_prev c(prev, cur).
     val uni = pairs.groupBy(col("cur")).agg(sum(col("n")).as("un"))
       .select(col("cur"), flog2(col("un")).as("__u_flog2"))
-    // The ONE driver action: the reference transition total (a 1-row
-    // aggregate over the distinct-pair frame), inlined so OOV/backoff
-    // bits are literals in the plan.
     val total = pairs.agg(sum(col("n"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0)
     }
     require(total > 0, "reference corpus has no token transitions to train on")
-    val oovBase = flog2Driver(total) + backoffBits
+    Lm(big, uni, flog2Driver(total) + backoffBits)
+  }
+
+  /** Persist a trained LM as three parquet tables (`bigrams`, `unigrams`,
+    * `meta`) — the train-once / score-forever storage layout the stream
+    * face reads. Bigrams are the big side; they land partition-friendly
+    * for the scoring equi-join. */
+  def writeLm(lm: Lm, path: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    lm.bigrams.sparkSession.range(1)
+      .select(lit(lm.oovBase).as("oov_base"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readLm(spark: org.apache.spark.sql.SparkSession, path: String): Lm =
+    Lm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/meta").collect()(0).getLong(0))
+
+  /** Score `docs` against an already-trained [[Lm]]:
+    * `(idCol, n_trans, bits, bits_per_token)`. Every document survives —
+    * a doc with < 2 tokens (or null text) scores (0, 0, null).
+    * `bits_per_token` is the one double (a single exact division),
+    * everything upstream is integer. Two un-hinted left equi-joins (AQE
+    * broadcasts small LM tables; token-keyed shuffle joins at web scale)
+    * + one integer per-doc aggregation. */
+  def surprisalWith(docs: DataFrame, lm: Lm, idCol: String, textCol: String): DataFrame = {
     val scored = transitions(docs, idCol, textCol)
-      .join(big, Seq("prev", "cur"), "left")
-      .join(uni, Seq("cur"), "left")
+      .join(lm.bigrams, Seq("prev", "cur"), "left")
+      .join(lm.unigrams, Seq("cur"), "left")
       .select(col(idCol),
         coalesce(col("__bg_bits"),
-          lit(oovBase) - coalesce(col("__u_flog2"), lit(0L))).as("__b"))
+          lit(lm.oovBase) - coalesce(col("__u_flog2"), lit(0L))).as("__b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trans"), sum(col("__b")).as("bits"))
     docs.select(col(idCol))
@@ -133,6 +158,17 @@ object LangModel {
         when(col("n_trans") > 0,
           col("bits").cast(DoubleType) / col("n_trans")).as("bits_per_token"))
   }
+
+  /** Per-document surprisal under the stupid-backoff bigram LM trained on
+    * `ref` — [[trainLm]] + [[surprisalWith]] in one call (the
+    * oracle-checked batch face). */
+  def surprisal(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      backoffBits: Int = 2): DataFrame =
+    surprisalWith(docs, trainLm(ref, idCol, textCol, backoffBits), idCol, textCol)
 
   /** The filter face: documents of `docs` whose per-token surprisal under
     * the `ref`-trained LM is at most `maxBitsPerToken` (unusually

@@ -508,6 +508,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(survived.size == survived.toSet.size) // no doc emitted twice
   }
 
+  test("LmStream.perplexityGateStream: parity with the batch gate off a persisted model") {
+    import graft.functions.LangModel
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Train once on the historical tenth, persist, reload — the stream
+    // scores against the STORED model, so its verdicts must equal the
+    // oracle-checked batch gate's on the same rows (per-doc transitions
+    // live within the row; nothing depends on batch boundaries).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val live = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("lm_stream").toString
+    LangModel.writeLm(LangModel.trainLm(ref, "doc_id", "text"), dir)
+    val lm = LangModel.readLm(spark, dir)
+    val expected = LangModel.perplexityGate(live, ref, "doc_id", "text", maxBitsPerToken = 4.8)
+      .select("doc_id").as[Long].collect().toSet
+    val liveRows = live.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(expected.nonEmpty && expected.size < liveRows.length,
+      s"fixture must gate non-trivially: kept ${expected.size} of ${liveRows.length}")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val writer = graft.streaming.LmStream.perplexityGateStream(
+      in.toDF().toDF("doc_id", "text"), lm, "doc_id", "text", maxBitsPerToken = 4.8) {
+      (batch, _) =>
+        got.synchronized { got ++= batch.select("doc_id").collect().map(_.getLong(0)) }
+    }
+    val q = writer.queryName("lm_gate_stream").start()
+    val (b1, b2) = liveRows.splitAt(liveRows.length / 2)
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq))
+    assert(got.toSet === expected)
+    assert(got.size === got.toSet.size, "no doc emitted twice")
+  }
+
   test("hashRange split/sample are stateless and stream-safe (same verdict per row as batch)") {
     import graft.functions.Sampling
     import spark.implicits._
