@@ -2192,13 +2192,19 @@ object SparkEntry {
     // replayable in SQL; the oracle replicates all three rounds.
     "labelprop_k3" -> ((s, dir) => {
       import graft.functions.Graph
-      val e = graft.functions.Affinity.copresenceGraph(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
-        .repartition(col("u")).persist()
-      val l0 = Graph.initLabels(e, "u", "v")
-      val l1 = Graph.labelPropRound(e, "u", "v", l0).persist()
-      val l2 = Graph.labelPropRound(e, "u", "v", l1).persist()
-      Graph.labelPropRound(e, "u", "v", l2)
+      // The PREPARED adjacency is what persists between rounds (not the
+      // raw copresence edges): re-normalizing per round would pay k
+      // redundant full-graph shuffles, and the frame's nbr-keyed layout
+      // is exactly what each round's label join wants.
+      val nbrs = Graph.neighborFrame(
+        graft.functions.Affinity.copresenceGraph(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+        "u", "v").persist()
+      val l0 = nbrs.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val l1 = Graph.labelPropRoundOn(nbrs, l0).persist()
+      val l2 = Graph.labelPropRoundOn(nbrs, l1).persist()
+      Graph.labelPropRoundOn(nbrs, l2)
     }),
 
     // Rolling 7-day distinct active users per day — the sliding

@@ -235,18 +235,40 @@ object Graph {
     * PageRank, the driver should persist each round's output — chaining
     * k lazy rounds re-plans the edge pipeline multiplicatively. */
   def labelPropRound(
-      edges: DataFrame, uCol: String, vCol: String, labels: DataFrame): DataFrame = {
-    val e = normalizedEdges(edges, uCol, vCol)
-    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      edges: DataFrame, uCol: String, vCol: String, labels: DataFrame): DataFrame =
+    labelPropRoundOn(neighborFrame(edges, uCol, vCol), labels)
+
+  /** The doubled, deduped adjacency `(node, nbr)` [[labelPropRound]]
+    * iterates over — build it ONCE, persist it, and feed
+    * [[labelPropRoundOn]] per round (re-normalizing the raw edge set
+    * every round is k redundant full-graph shuffles). Reversed/duplicate
+    * raw edges collapse (both directions double to the same pairs), self
+    * loops drop. The distinct is partitioned by the NBR side: a subset
+    * hash partitioning satisfies the (node, nbr) clustering, and the
+    * per-round label join keys on nbr — so the round's join reuses this
+    * frame's layout instead of adding its own exchange. */
+  def neighborFrame(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val g = edges.select(nodeAsLong(col(uCol), "u").as("node"),
+        nodeAsLong(col(vCol), "v").as("nbr"))
+      .filter(col("node") =!= col("nbr"))
+    g.unionAll(g.select(col("nbr").as("node"), col("node").as("nbr")))
+      .repartition(col("nbr"))
+      .distinct()
+  }
+
+  /** One synchronous label-propagation round over a prepared
+    * [[neighborFrame]] — the chaining form ([[labelPropRound]] scaladoc
+    * has the semantics and the 100 TB shape). */
+  def labelPropRoundOn(nbrs: DataFrame, labels: DataFrame): DataFrame = {
     val l = labels.select(nodeAsLong(col("node"), "label-frame").as("node"),
       nodeAsLong(col("label"), "label-value").as("label"))
     val votes = nbrs
-      .join(l.select(col("node").as("v"), col("label").as("nl")), "v")
-      .groupBy(col("u"), col("nl"))
+      .join(l.select(col("node").as("nbr"), col("label").as("nl")), "nbr")
+      .groupBy(col("node"), col("nl"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("u"))
+      .groupBy(col("node"))
       .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("w"))
-      .select(col("u").as("node"), col("w.l").as("new_label"))
+      .select(col("node"), col("w.l").as("new_label"))
     l.join(votes, Seq("node"), "left")
       .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
   }
