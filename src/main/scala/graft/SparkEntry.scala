@@ -1853,6 +1853,16 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
     }),
 
+    // Trigram stupid-backoff surprisal (the order-3 generalization —
+    // CCNet's KenLM plays this role at order 5): backoff chain trigram ->
+    // bigram -> unigram -> OOV, one 2-bit penalty per level; three
+    // un-hinted left joins + one integer per-doc aggregation.
+    "lm3_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.LangModel.surprisal3(
+        docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
     // The filter face: drop the high-perplexity tail (> 4.8 bits/token
     // under the reference tenth — garbled/atypical text), keep unscorable
     // short docs for the length gates downstream.
@@ -3747,6 +3757,46 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |      (SELECT oov_base FROM tot) - coalesce(unib.u_flog2, 0)) AS b
         |  FROM tr LEFT JOIN bigb ON tr.prev = bigb.prev AND tr.cur = bigb.cur
         |          LEFT JOIN unib ON tr.cur = unib.cur),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, sum(b)::BIGINT AS bits
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.n_trans, 0)::BIGINT AS n_trans,
+        |  coalesce(agg.bits, 0)::BIGINT AS bits,
+        |  CASE WHEN agg.n_trans > 0 THEN agg.bits::DOUBLE / agg.n_trans END
+        |    AS bits_per_token
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "lm3_surprisal" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |tr3 AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2, pr[3] AS w3 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> [tk[i], tk[i+1], tk[i+2]])) AS pr FROM tk)),
+        |tri AS (SELECT w1, w2, w3, count(*) AS n FROM tr3
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT w1, w2, sum(n)::BIGINT AS nc FROM tri GROUP BY 1, 2),
+        |trib AS (SELECT t.w1, t.w2, t.w3,
+        |    ((length(bin(nc)) - 1) - (length(bin(t.n)) - 1))::BIGINT AS bits
+        |  FROM tri t JOIN ctx3 USING (w1, w2)),
+        |big AS (SELECT prev, cur, count(*) AS n FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM big GROUP BY 1),
+        |bigb AS (SELECT b.prev, b.cur,
+        |    ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
+        |  FROM big b JOIN ctx USING (prev)),
+        |unib AS (SELECT cur, (length(bin(count(*))) - 1)::BIGINT AS u_flog2
+        |  FROM tr WHERE doc_id % 10 = 0 GROUP BY cur),
+        |tot AS (SELECT ((length(bin(count(*))) - 1) + 2)::BIGINT AS oov_base
+        |  FROM tr WHERE doc_id % 10 = 0),
+        |sc AS (SELECT tr3.doc_id, coalesce(
+        |    trib.bits,
+        |    bigb.bits + 2,
+        |    (SELECT oov_base FROM tot) + 2 - coalesce(unib.u_flog2, 0)) AS b
+        |  FROM tr3
+        |  LEFT JOIN trib ON tr3.w1 = trib.w1 AND tr3.w2 = trib.w2 AND tr3.w3 = trib.w3
+        |  LEFT JOIN bigb ON tr3.w2 = bigb.prev AND tr3.w3 = bigb.cur
+        |  LEFT JOIN unib ON tr3.w3 = unib.cur),
         |agg AS (SELECT doc_id, count(*) AS n_trans, sum(b)::BIGINT AS bits
         |  FROM sc GROUP BY 1)
         |SELECT d.doc_id, coalesce(agg.n_trans, 0)::BIGINT AS n_trans,

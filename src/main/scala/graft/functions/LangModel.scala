@@ -170,6 +170,89 @@ object LangModel {
       backoffBits: Int = 2): DataFrame =
     surprisalWith(docs, trainLm(ref, idCol, textCol, backoffBits), idCol, textCol)
 
+  /** Order-3 transition stream `(id, w1, w2, w3)` — one row per adjacent
+    * token triple. Documents with fewer than three tokens contribute no
+    * rows. */
+  private def transitions3(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.wsTokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(tk, lit(1), size(tk) - 2).as("w1"),
+          slice(tk, lit(2), size(tk) - 2).as("w2"),
+          slice(tk, lit(3), size(tk) - 2).as("w3"))).as("t"))
+      .select(col(idCol),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+  }
+
+  /** A trigram stupid-backoff LM: the trigram table stacked on the full
+    * bigram [[Lm]] (the backoff chain trigram → bigram → unigram → OOV,
+    * one `backoffBits` penalty per level — the order-n generalization of
+    * the bigram model; CCNet's KenLM plays this role at order 5). */
+  final case class Lm3(trigrams: DataFrame, base: Lm, backoffBits: Int)
+
+  /** Train the trigram layer (one distinct-triple aggregation + a
+    * (w1, w2)-context sum over it) plus the bigram base. Two corpus
+    * scans — the two explode shapes (pairs, triples) cannot share one
+    * aggregation — both with Zipf-bounded exchanges. */
+  def trainLm3(
+      ref: DataFrame, idCol: String, textCol: String, backoffBits: Int = 2): Lm3 = {
+    val tri = transitions3(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nc"))
+    val trigrams = tri.join(ctx, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (flog2(col("nc")) - flog2(col("n"))).as("__t_bits"))
+    Lm3(trigrams, trainLm(ref, idCol, textCol, backoffBits), backoffBits)
+  }
+
+  /** Score `docs` against a trained [[Lm3]]:
+    * `(idCol, n_trans, bits, bits_per_token)` over token TRIPLES
+    * (n_trans = tokens − 2; docs with < 3 tokens score (0, 0, null)).
+    * Per-triple bits, the backoff chain:
+    *   - trigram hit:  flog2(c(w1 w2 ·)) − flog2(c(w1 w2 w3))
+    *   - bigram hit:   flog2(c(w2 ·)) − flog2(c(w2 w3)) + backoffBits
+    *   - unigram hit:  flog2(T) − flog2(c(w3)) + 2·backoffBits
+    *   - OOV:          flog2(T) + 2·backoffBits
+    * Three un-hinted left equi-joins + one integer per-doc aggregation —
+    * the same scale shape as the bigram face, one join deeper. */
+  def surprisal3With(docs: DataFrame, lm: Lm3, idCol: String, textCol: String): DataFrame = {
+    val scored = transitions3(docs, idCol, textCol)
+      .join(lm.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(lm.base.bigrams
+          .select(col("prev").as("w2"), col("cur").as("w3"), col("__bg_bits")),
+        Seq("w2", "w3"), "left")
+      .join(lm.base.unigrams.select(col("cur").as("w3"), col("__u_flog2")),
+        Seq("w3"), "left")
+      .select(col(idCol),
+        coalesce(
+          col("__t_bits"),
+          col("__bg_bits") + lit(lm.backoffBits.toLong),
+          // base.oovBase = flog2(T) + backoffBits, so + one more level:
+          lit(lm.base.oovBase + lm.backoffBits) -
+            coalesce(col("__u_flog2"), lit(0L))).as("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"), sum(col("__b")).as("bits"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        when(col("n_trans") > 0,
+          col("bits").cast(DoubleType) / col("n_trans")).as("bits_per_token"))
+  }
+
+  /** Trigram surprisal trained on `ref` — [[trainLm3]] + [[surprisal3With]]
+    * (the oracle-checked batch face). */
+  def surprisal3(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      backoffBits: Int = 2): DataFrame =
+    surprisal3With(docs, trainLm3(ref, idCol, textCol, backoffBits), idCol, textCol)
+
   /** The filter face: documents of `docs` whose per-token surprisal under
     * the `ref`-trained LM is at most `maxBitsPerToken` (unusually
     * high-perplexity text — boilerplate soup, wrong-language, garbled

@@ -63,6 +63,25 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("surprisal3: trigram hit, bigram backoff, double-backoff OOV, short docs") {
+    // Ref "a b a b c" triples: (a,b,a),(b,a,b),(a,b,c) each once;
+    // contexts (a,b):2, (b,a):1 -> t_bits 1, 0, 1. Bigram/unigram layers
+    // as in the bigram spec; oovBase=4, backoff penalty 2 per level.
+    val docs = Seq(
+      (1L, "a b a b c z"), // 1 + 0 + 1 + [(b,c,z): OOV 4+2=6] = 8 bits / 4
+      (2L, "x b c"),       // (x,b,c): tri miss, bigram (b,c)=1 + 2 -> 3 / 1
+      (3L, "q c a"),       // (q,c,a): tri+bigram miss, unigram a: 4+2-0=6 / 1
+      (4L, "a b"))         // < 3 tokens: unscorable
+      .toDF("doc_id", "text")
+    val got = LangModel.surprisal3(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 4L, 8L, Some(2.0)),
+      (2L, 1L, 3L, Some(3.0)),
+      (3L, 1L, 6L, Some(6.0)),
+      (4L, 0L, 0L, None)))
+  }
+
   test("surprisal is partitioning-invariant (integer bit sums)") {
     val docs = (1L to 40L).map(i => (i, s"a b c token$i a b")).toDF("doc_id", "text")
     val a = LangModel.surprisal(docs.repartition(7), ref, "doc_id", "text")
