@@ -93,19 +93,19 @@ object LangModel {
     * the state store (the MinhashIndex convention). */
   final case class Lm(bigrams: DataFrame, unigrams: DataFrame, oovBase: Long)
 
-  /** Train the LM on `ref`: one distinct-bigram aggregation; contexts,
-    * target unigrams, and the transition total all derive from the pair
-    * frame (shared exchange — one corpus scan), the total being the ONE
-    * driver action (a 1-row aggregate, inlined as the OOV literal). */
-  def trainLm(
-      ref: DataFrame, idCol: String, textCol: String, backoffBits: Int = 2): Lm = {
+  /** Build an [[Lm]] from a bigram COUNT frame `(prev, cur, n)`: contexts,
+    * target unigrams (Σ_prev c(prev, cur)), and the transition total all
+    * derive from it (shared exchange — the corpus scans once in the
+    * scoring plan), the total being the ONE driver action (a 1-row
+    * aggregate, inlined as the OOV literal). Counts, not bits, are the
+    * model's canonical form — counts ADD, so snapshots merge
+    * ([[appendLmCounts]]); bits are a derived view. */
+  def lmFromPairs(pairs: DataFrame, backoffBits: Int = 2): Lm = {
     require(backoffBits >= 0, "backoffBits must be non-negative")
-    val pairs = pairCounts(ref, idCol, textCol)
     val ctx = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
     val big = pairs.join(ctx, "prev")
       .select(col("prev"), col("cur"),
         (flog2(col("n_prev")) - flog2(col("n"))).as("__bg_bits"))
-    // Transition-target unigram counts = Σ_prev c(prev, cur).
     val uni = pairs.groupBy(col("cur")).agg(sum(col("n")).as("un"))
       .select(col("cur"), flog2(col("un")).as("__u_flog2"))
     val total = pairs.agg(sum(col("n"))).collect()(0) match {
@@ -116,23 +116,47 @@ object LangModel {
     Lm(big, uni, flog2Driver(total) + backoffBits)
   }
 
-  /** Persist a trained LM as three parquet tables (`bigrams`, `unigrams`,
-    * `meta`) — the train-once / score-forever storage layout the stream
-    * face reads. Bigrams are the big side; they land partition-friendly
-    * for the scoring equi-join. */
-  def writeLm(lm: Lm, path: String): Unit = {
-    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    lm.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
-    lm.bigrams.sparkSession.range(1)
-      .select(lit(lm.oovBase).as("oov_base"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+  /** Train the LM on `ref`: one distinct-bigram aggregation feeding
+    * [[lmFromPairs]]. */
+  def trainLm(
+      ref: DataFrame, idCol: String, textCol: String, backoffBits: Int = 2): Lm =
+    lmFromPairs(pairCounts(ref, idCol, textCol), backoffBits)
 
-  def readLm(spark: org.apache.spark.sql.SparkSession, path: String): Lm =
-    Lm(
-      spark.read.parquet(s"$path/bigrams"),
-      spark.read.parquet(s"$path/unigrams"),
-      spark.read.parquet(s"$path/meta").collect()(0).getLong(0))
+  /** Persist the LM's bigram counts — the train-once / score-forever
+    * storage. LOG-STRUCTURED: [[appendLmCounts]] adds a daily increment as
+    * a new partition and [[readLm]] re-aggregates on load (merge-on-read,
+    * the additive-counts property), so increments never rewrite the
+    * store — the MinhashIndex daily-increments posture for models.
+    * [[compactLm]] rewrites the merged view to a fresh path when the
+    * partition count grows. */
+  def writeLmCounts(ref: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    pairCounts(ref, idCol, textCol).write.mode("overwrite").parquet(s"$path/pairs")
+
+  /** Append a new corpus slice's counts as a delta partition (see
+    * [[writeLmCounts]]); the merged model equals one trained on the union
+    * of all slices — exactly, counts being additive integers. */
+  def appendLmCounts(ref: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    pairCounts(ref, idCol, textCol).write.mode("append").parquet(s"$path/pairs")
+
+  /** Load the merged model: re-aggregate the stored count partitions
+    * (merge-on-read) and derive the bit tables. */
+  def readLm(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      backoffBits: Int = 2): Lm =
+    lmFromPairs(
+      spark.read.parquet(s"$path/pairs")
+        .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n")),
+      backoffBits)
+
+  /** Rewrite the merged count view to a fresh store (compaction — run when
+    * appended deltas accumulate; `dest` must differ from `src`). */
+  def compactLm(spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit = {
+    require(src != dest, "compaction writes a FRESH store; cannot overwrite the source in place")
+    spark.read.parquet(s"$src/pairs")
+      .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n"))
+      .write.mode("overwrite").parquet(s"$dest/pairs")
+  }
 
   /** Score `docs` against an already-trained [[Lm]]:
     * `(idCol, n_trans, bits, bits_per_token)`. Every document survives —

@@ -82,6 +82,31 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
       (4L, 0L, 0L, None)))
   }
 
+  test("incremental counts: append + merge-on-read equals training on the union") {
+    // Counts are additive integers, so a store built as snapshot + delta
+    // must score IDENTICALLY to a model trained on the union — the exact
+    // guarantee a daily-increment pipeline needs. Compaction preserves it.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref1 = docs.filter(col("doc_id") % 20 === 0)
+    val ref2 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    val refAll = docs.filter(col("doc_id") % 10 === 0)
+    val live = docs.filter(col("doc_id") % 10 =!= 0).limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("lm_inc").toString
+    LangModel.writeLmCounts(ref1, "doc_id", "text", dir)
+    LangModel.appendLmCounts(ref2, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val merged = rows(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, dir), "doc_id", "text"))
+    val union = rows(LangModel.surprisal(live, refAll, "doc_id", "text"))
+    assert(merged === union)
+    val dir2 = java.nio.file.Files.createTempDirectory("lm_inc2").toString
+    LangModel.compactLm(spark, dir, dir2)
+    assert(rows(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, dir2), "doc_id", "text")) === union)
+    assertThrows[IllegalArgumentException](LangModel.compactLm(spark, dir, dir))
+  }
+
   test("surprisal is partitioning-invariant (integer bit sums)") {
     val docs = (1L to 40L).map(i => (i, s"a b c token$i a b")).toDF("doc_id", "text")
     val a = LangModel.surprisal(docs.repartition(7), ref, "doc_id", "text")

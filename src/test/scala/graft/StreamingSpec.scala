@@ -520,7 +520,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val ref = docs.filter(col("doc_id") % 10 === 0)
     val live = docs.filter(col("doc_id") % 10 =!= 0)
     val dir = java.nio.file.Files.createTempDirectory("lm_stream").toString
-    LangModel.writeLm(LangModel.trainLm(ref, "doc_id", "text"), dir)
+    LangModel.writeLmCounts(ref, "doc_id", "text", dir)
     val lm = LangModel.readLm(spark, dir)
     val expected = LangModel.perplexityGate(live, ref, "doc_id", "text", maxBitsPerToken = 4.8)
       .select("doc_id").as[Long].collect().toSet
