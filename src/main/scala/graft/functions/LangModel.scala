@@ -221,15 +221,20 @@ object LangModel {
     * aggregation — both with Zipf-bounded exchanges. */
   def trainLm3(
       ref: DataFrame, idCol: String, textCol: String, backoffBits: Int = 2): Lm3 = {
-    val tri = transitions3(ref, idCol, textCol)
-      .groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n"))
+    val tri = tripleCounts(ref, idCol, textCol)
     val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nc"))
     val trigrams = tri.join(ctx, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"),
         (flog2(col("nc")) - flog2(col("n"))).as("__t_bits"))
     Lm3(trigrams, trainLm(ref, idCol, textCol, backoffBits), backoffBits)
   }
+
+  /** Distinct observed triples of `ref` with counts `(w1, w2, w3, n)` —
+    * the trigram layer's canonical (additive, mergeable) form. */
+  private def tripleCounts(ref: DataFrame, idCol: String, textCol: String): DataFrame =
+    transitions3(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
 
   /** Score `docs` against a trained [[Lm3]]:
     * `(idCol, n_trans, bits, bits_per_token)` over token TRIPLES
@@ -290,10 +295,42 @@ object LangModel {
       idCol: String,
       textCol: String,
       maxBitsPerToken: Double,
-      backoffBits: Int = 2): DataFrame =
+      backoffBits: Int = 2): DataFrame = {
+    // Fail fast on collisions instead of silently producing duplicate
+    // output columns (the Ranks clash-guard convention).
+    val clash = Seq("n_trans", "bits", "bits_per_token").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"input columns collide with surprisal outputs: ${clash.mkString(", ")}")
     docs.join(
         surprisal(docs, ref, idCol, textCol, backoffBits)
           .filter(col("n_trans") === 0 || col("bits_per_token") <= maxBitsPerToken)
           .select(col(idCol), col("n_trans"), col("bits"), col("bits_per_token")),
         Seq(idCol))
+  }
+
+  /** Persist the trigram layer's counts next to the bigram store (same
+    * log-structured merge-on-read contract as [[writeLmCounts]] /
+    * [[appendLmCounts]]); [[readLm3]] re-aggregates both layers. */
+  def writeLm3Counts(ref: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    writeLmCounts(ref, idCol, textCol, path)
+    tripleCounts(ref, idCol, textCol).write.mode("overwrite").parquet(s"$path/triples")
+  }
+
+  def appendLm3Counts(ref: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    appendLmCounts(ref, idCol, textCol, path)
+    tripleCounts(ref, idCol, textCol).write.mode("append").parquet(s"$path/triples")
+  }
+
+  def readLm3(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      backoffBits: Int = 2): Lm3 = {
+    val tri = spark.read.parquet(s"$path/triples")
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n"))
+    val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nc"))
+    val trigrams = tri.join(ctx, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (flog2(col("nc")) - flog2(col("n"))).as("__t_bits"))
+    Lm3(trigrams, readLm(spark, path, backoffBits), backoffBits)
+  }
 }

@@ -107,6 +107,29 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](LangModel.compactLm(spark, dir, dir))
   }
 
+  test("trigram store: append + merge-on-read equals training on the union") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref1 = docs.filter(col("doc_id") % 20 === 0)
+    val ref2 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    val refAll = docs.filter(col("doc_id") % 10 === 0)
+    val live = docs.filter(col("doc_id") % 10 =!= 0).limit(60)
+    val dir = java.nio.file.Files.createTempDirectory("lm3_inc").toString
+    LangModel.writeLm3Counts(ref1, "doc_id", "text", dir)
+    LangModel.appendLm3Counts(ref2, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows(LangModel.surprisal3With(
+      live, LangModel.readLm3(spark, dir), "doc_id", "text")) ===
+      rows(LangModel.surprisal3(live, refAll, "doc_id", "text")))
+  }
+
+  test("perplexityGate fails fast on output-column collisions") {
+    val docs = Seq((1L, "a b", 9L)).toDF("doc_id", "text", "bits")
+    val e = intercept[IllegalArgumentException](
+      LangModel.perplexityGate(docs, ref, "doc_id", "text", 4.0))
+    assert(e.getMessage.contains("bits"))
+  }
+
   test("surprisal is partitioning-invariant (integer bit sums)") {
     val docs = (1L to 40L).map(i => (i, s"a b c token$i a b")).toDF("doc_id", "text")
     val a = LangModel.surprisal(docs.repartition(7), ref, "doc_id", "text")
