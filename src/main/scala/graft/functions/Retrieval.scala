@@ -70,4 +70,94 @@ object Retrieval {
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Persist the corpus as a BM25 inverted index — the retrieval story at
+    * storage scale: a query should read the QUERY TERMS' postings, not
+    * the corpus. Layout (the writeIvfPqIndex / MinhashIndex posture):
+    *
+    *  - `postings/` — (word, doc_id, tf, dl), PARTITIONED BY a
+    *    `bucket = xxhash64(word) mod buckets` column, so a term lookup
+    *    directory-prunes to ≤ |terms| buckets of ~vocab/buckets words
+    *    each (a raw partitionBy(word) would mint one directory per vocab
+    *    entry);
+    *  - `stats/` — one (n_docs, sum_dl) row. LOG-STRUCTURED:
+    *    [[appendBm25Index]] lands a NEW corpus slice's postings + stats
+    *    delta and [[bm25TopKFromIndex]] sums stats on read (additive
+    *    integers, the LM-counts convention). Per-term df is derived at
+    *    query time from the pruned postings — no separate table to keep
+    *    consistent across increments.
+    *
+    * Append slices must be DISJOINT from what the index already holds
+    * (re-indexing a document double-counts it — the same caller contract
+    * as the MinHash index increments). */
+  def writeBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 256): Unit =
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = true)
+
+  /** Add a disjoint corpus slice to an existing index (see
+    * [[writeBm25Index]]). */
+  def appendBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 256): Unit =
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false)
+
+  private def writeIndexSlice(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int, overwrite: Boolean): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val mode = if (overwrite) "overwrite" else "append"
+    val d = docs.filter(col(textCol).isNotNull)
+    d.agg(
+        count(lit(1)).cast(LongType).as("n_docs"),
+        sum(size(wsTok(col(textCol))).cast(LongType)).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
+    d.select(col(idCol).as("doc_id"),
+        size(wsTok(col(textCol))).cast(LongType).as("dl"),
+        explode(wsTok(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("word")), lit(buckets.toLong)))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Top-k BM25 against the PERSISTED index: the postings scan
+    * directory-prunes to the query terms' buckets (plus a pushed `word`
+    * filter inside them), stats merge on read, df derives from the pruned
+    * hits — so query cost scales with the terms' posting lists, never the
+    * corpus. Scores are bit-identical to [[bm25TopK]] over the same
+    * corpus (RetrievalSpec pins the parity). */
+  def bm25TopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      topK: Int,
+      buckets: Int = 256): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    // Term -> bucket via the SAME engine hash the writer used: a
+    // metadata-scale local job, not a driver-side hash reimplementation
+    // that could drift from xxhash64's seed/variant.
+    import spark.implicits._
+    val bucketIds = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(buckets.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(bucketIds) && col("word").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("word"), col("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("df"))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    tf.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * norm * lit(Median.Scale)).cast(LongType).as("s_fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Retrieval
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BM25 top-k: engine output vs a from-first-principles driver-side
@@ -56,6 +57,27 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     // ranks the heavy-tf docs above the single-mention long doc.
     assert(!got.exists(_._1 == 4L))
     assert(got.map(_._1).indexOf(6L) > got.map(_._1).indexOf(1L))
+  }
+
+  test("persisted index: pruned-scan scores equal the direct scorer; increments merge") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val terms = Seq("the", "order", "hash")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    Retrieval.writeBm25Index(half1, "doc_id", "text", dir, buckets = 16)
+    Retrieval.appendBm25Index(half2, "doc_id", "text", dir, buckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    val fromIndex = rows(Retrieval.bm25TopKFromIndex(spark, dir, terms, 25, buckets = 16))
+    val direct = rows(Retrieval.bm25TopK(docs, "doc_id", "text", terms, 25))
+    assert(fromIndex === direct, "index-backed scores/ranks must be bit-identical")
+    // The pruning contract: the postings scan must carry a bucket
+    // partition filter (directory pruning), not read the whole index.
+    val plan = Retrieval.bm25TopKFromIndex(spark, dir, terms, 25, buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
   }
 
   test("topK bounds the result; unmatched terms contribute nothing") {
