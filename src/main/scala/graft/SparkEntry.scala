@@ -1863,6 +1863,15 @@ object SparkEntry {
         docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
     }),
 
+    // Per-source surprisal report — which sources the reference LM finds
+    // atypical (the observability face: corpus-wide bits/token as one
+    // exact division of integer sums).
+    "lm_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.LangModel.surprisalReport(
+        docs, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", "source")
+    }),
+
     // The filter face: drop the high-perplexity tail (> 4.8 bits/token
     // under the reference tenth — garbled/atypical text), keep unscorable
     // short docs for the length gates downstream.
@@ -3804,6 +3813,39 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |  CASE WHEN agg.n_trans > 0 THEN agg.bits::DOUBLE / agg.n_trans END
         |    AS bits_per_token
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "lm_report" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |big AS (SELECT prev, cur, count(*) AS n FROM tr
+        |  WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM big GROUP BY 1),
+        |bigb AS (SELECT b.prev, b.cur,
+        |    ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
+        |  FROM big b JOIN ctx USING (prev)),
+        |unib AS (SELECT cur, (length(bin(count(*))) - 1)::BIGINT AS u_flog2
+        |  FROM tr WHERE doc_id % 10 = 0 GROUP BY cur),
+        |tot AS (SELECT ((length(bin(count(*))) - 1) + 2)::BIGINT AS oov_base
+        |  FROM tr WHERE doc_id % 10 = 0),
+        |sc AS (SELECT tr.doc_id,
+        |    coalesce(bigb.bits,
+        |      (SELECT oov_base FROM tot) - coalesce(unib.u_flog2, 0)) AS b
+        |  FROM tr LEFT JOIN bigb ON tr.prev = bigb.prev AND tr.cur = bigb.cur
+        |          LEFT JOIN unib ON tr.cur = unib.cur),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, sum(b)::BIGINT AS bits
+        |  FROM sc GROUP BY 1)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN coalesce(agg.n_trans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_scored,
+        |  sum(coalesce(agg.n_trans, 0))::BIGINT AS n_trans,
+        |  sum(coalesce(agg.bits, 0))::BIGINT AS bits,
+        |  CASE WHEN sum(coalesce(agg.n_trans, 0)) > 0
+        |    THEN sum(coalesce(agg.bits, 0))::BIGINT::DOUBLE /
+        |         sum(coalesce(agg.n_trans, 0))::BIGINT END AS bits_per_token
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     "lm_ppl_gate" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents WHERE text IS NOT NULL),

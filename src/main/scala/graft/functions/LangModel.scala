@@ -308,6 +308,31 @@ object LangModel {
         Seq(idCol))
   }
 
+  /** Per-group surprisal report `(groupCol, n_docs, n_scored, n_trans,
+    * bits, bits_per_token)` — the observability face (which sources/
+    * languages does the reference LM find atypical, and how much would a
+    * gate drop?). One extra groupCol join + one bounded aggregation on
+    * top of [[surprisal]]; the corpus-wide bits_per_token is again a
+    * single exact division of order-independent integer sums. */
+  def surprisalReport(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      backoffBits: Int = 2): DataFrame =
+    surprisal(docs, ref, idCol, textCol, backoffBits)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_trans") > 0).cast(LongType)).as("n_scored"),
+        sum(col("n_trans")).as("n_trans"),
+        sum(col("bits")).as("bits"))
+      .withColumn("bits_per_token",
+        when(col("n_trans") > 0,
+          col("bits").cast(DoubleType) / col("n_trans")))
+
   /** Persist the trigram layer's counts next to the bigram store (same
     * log-structured merge-on-read contract as [[writeLmCounts]] /
     * [[appendLmCounts]]); [[readLm3]] re-aggregates both layers. */
