@@ -209,6 +209,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         s"exchange carries document text:\n$e")
   }
 
+  test("LM family: no exchange carries document text (tokens only past the scan)") {
+    // The transition stream projects (id, prev, cur) before anything
+    // shuffles: exchanges carry short tokens and integer bits, never the
+    // full text column — the dedup_exact posture for the LM scorer.
+    for (q <- Seq("lm_bigrams", "lm_surprisal", "lm3_surprisal", "lm_report")) {
+      val shuffles = collectAll(plan(q)) { case e: ShuffleExchangeExec => e }
+      for (e <- shuffles)
+        assert(!e.output.exists(_.name == "text"),
+          s"$q: exchange carries document text: $e")
+    }
+  }
+
   test("every production query has an oracle (the driver's correctness gate covers the full map)") {
     // A queries entry without oracleSql silently downgrades to a weaker
     // rows-only driver check; an oracle without a query never runs at all.
