@@ -100,10 +100,18 @@ object LangModel {
     * aggregate, inlined as the OOV literal). Counts, not bits, are the
     * model's canonical form — counts ADD, so snapshots merge
     * ([[appendLmCounts]]); bits are a derived view. */
-  def lmFromPairs(pairs: DataFrame, backoffBits: Int = 2): Lm = {
+  def lmFromPairs(pairs: DataFrame, backoffBits: Int = 2, minPairCount: Long = 1L): Lm = {
     require(backoffBits >= 0, "backoffBits must be non-negative")
+    require(minPairCount >= 1, "minPairCount must be at least 1")
     val ctx = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
-    val big = pairs.join(ctx, "prev")
+    // Hapax pruning bounds the bigram table at web scale (the long tail of
+    // once-seen pairs dominates its row count); pruned transitions fall
+    // back to the unigram level, whose counts — like the contexts and the
+    // total — stay UNPRUNED (probability mass is conserved; only the
+    // bigram-level resolution coarsens).
+    val kept =
+      if (minPairCount > 1) pairs.filter(col("n") >= minPairCount) else pairs
+    val big = kept.join(ctx, "prev")
       .select(col("prev"), col("cur"),
         (flog2(col("n_prev")) - flog2(col("n"))).as("__bg_bits"))
     val uni = pairs.groupBy(col("cur")).agg(sum(col("n")).as("un"))

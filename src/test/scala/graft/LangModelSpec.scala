@@ -123,6 +123,20 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
       rows(LangModel.surprisal3(live, refAll, "doc_id", "text")))
   }
 
+  test("minPairCount pruning: dropped bigrams fall back to the unigram level") {
+    // Ref transitions (a,b)x2, (b,a), (b,c): minPairCount=2 keeps only
+    // (a,b); contexts/unigrams/total stay unpruned. Doc "a b c":
+    // (a,b) bigram 0 bits; (b,c) now backs off on cur=c (unigram count
+    // 1): oovBase - flog2(1) = 4. Total 4 bits / 2 transitions.
+    val pairs = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
+      .toDF("prev", "cur", "n")
+    val lm = LangModel.lmFromPairs(pairs, backoffBits = 2, minPairCount = 2)
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = LangModel.surprisalWith(docs, lm, "doc_id", "text")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq === Seq((1L, 2L, 4L, Some(2.0))))
+  }
+
   test("perplexityGate fails fast on output-column collisions") {
     val docs = Seq((1L, "a b", 9L)).toDF("doc_id", "text", "bits")
     val e = intercept[IllegalArgumentException](
