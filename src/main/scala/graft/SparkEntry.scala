@@ -379,6 +379,36 @@ object SparkEntry {
           countDistinct(col("user_id")).as("exact_users"))
     }),
 
+    // Per-day distinct-user HyperLogLog (m = 64 registers/day) — the
+    // register-based sibling of q19_kmv: registers merge by MAX, so day
+    // sketches union losslessly across increments/engines, and each
+    // day's shuffle rows are bounded by m at any corpus size. Raw
+    // estimator only, every term dyadic-exact — hash-compares against
+    // DuckDB (Sketches.hllDistinct scaladoc).
+    "hll_daily_users" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinct(
+        t(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("user_id")),
+        col("user_id"), Seq("day"), m = 64, salt = "hll")),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 and the semantic ANN top-20 for one query (terms + its
+    // embedding) — integer fixed-point contributions (2^20 div
+    // (60 + rank)), no join (union + one doc-keyed aggregation), bounded
+    // top-k cut (Retrieval.rrfFuse scaladoc).
+    "rrf_hybrid" -> ((s, dir) => {
+      import graft.functions.Retrieval
+      val lex = Retrieval.bm25TopKRanked(
+          t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("vector", "query", "spark"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), k0 = 60, topK = 10)
+    }),
+
     // As-of join (graft.operators.AsOfJoin): each event enriched with the
     // most recent prior purchase of the same user — one shuffle on the key
     // via the union+window composition; DuckDB's native ASOF JOIN is the
@@ -1240,6 +1270,28 @@ object SparkEntry {
       val (hist, _) =
         graft.functions.Classifier.perceptronTrain(docs, feats, label, rounds = 3)
       graft.functions.Classifier.confusionMatrix(docs, feats, label, hist.last)
+    }),
+
+    // Multinomial naive Bayes language-ID: train whole-bit add-one-
+    // smoothed token counts on the 9/10 train slice, classify the
+    // held-out tenth, and report confusion counts (actual lang vs
+    // predicted). The matched-token join only materializes (token, class)
+    // hits that exist in the model (unseen pairs contribute 0 bits by the
+    // smoothing identity); the class frame rides an explicit broadcast —
+    // label-cardinality rows, metadata-scale by construction
+    // (graft.functions.NaiveBayes scaladoc has the 100 TB shape).
+    "nb_confusion" -> ((s, dir) => {
+      import graft.functions.Sampling
+      val docs = t(s, dir, "documents")
+      val key = col("doc_id").cast(StringType)
+      // Disjoint hash split (the sample_split discipline — a modulus
+      // split would alias against the generator's own doc_id-derived
+      // columns): train on ~9/10, score the held-out slice.
+      val model = graft.functions.NaiveBayes.train(
+        docs.filter(Sampling.hashRange(key, 0.1, 1.0, "nb9")), "lang", "text")
+      graft.functions.NaiveBayes.confusion(
+        docs.filter(Sampling.hashRange(key, 0.0, 0.1, "nb9")),
+        model, "doc_id", "lang", "text")
     }),
 
     // Deterministic corpus shuffle into training shards with a stable
@@ -2226,6 +2278,25 @@ object SparkEntry {
       Graph.labelPropRoundOn(nbrs, l2)
     }),
 
+    // Three bulk-synchronous k-core peeling rounds (k = 3) over the same
+    // co-purchase graph — Matula–Beck degeneracy peeling in the chained
+    // restartable-rounds posture: each round ONE doubled-endpoint degree
+    // aggregation + two un-hinted semi-joins against the survivor set;
+    // the round's SURVIVING edge frame is what persists (each round
+    // strictly shrinks it — lazy chaining would re-plan the corpus-sized
+    // pair aggregation multiplicatively). Result: per-node degree inside
+    // the thrice-peeled graph. All-integer, exactly SQL-replayable.
+    "kcore_k3" -> ((s, dir) => {
+      import graft.functions.Graph
+      val e0 = Graph.kcoreEdges(
+        graft.functions.Affinity.copresenceGraph(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+        "u", "v").persist()
+      val e1 = Graph.kcoreRound(e0, 3).persist()
+      val e2 = Graph.kcoreRound(e1, 3).persist()
+      Graph.degreeFrame(Graph.kcoreRound(e2, 3))
+    }),
+
     // Rolling 7-day distinct active users per day — the sliding
     // DAU/WAU counter, computed by the dedup-then-replicate reshape
     // (ONE corpus-sized distinct, then ×7 map-side replication of the
@@ -2704,6 +2775,52 @@ $rounds
         |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT e.user_id, e.ts, e.event_id, p.ts AS next_purchase_ts, p.pv AS next_purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+    "hll_daily_users" ->
+      """WITH k AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    ('0x' || substr(md5('hll' || user_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT day, h % 64 AS bucket,
+        |    CASE WHEN h // 64 = 0 THEN 27
+        |         ELSE 26 - (length(bin(h // 64)) - 1) END AS rho
+        |  FROM k),
+        |regs AS (SELECT day, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+        |z AS (SELECT day, count(*) AS nb,
+        |    sum(1.0::DOUBLE / (1::BIGINT << reg)) AS zp FROM regs GROUP BY 1)
+        |SELECT day, (64 - nb)::BIGINT AS n_empty,
+        |  (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE))
+        |    * 64.0::DOUBLE * 64.0::DOUBLE
+        |    / (zp + (64 - nb)::DOUBLE) AS est
+        |FROM z""".stripMargin,
+    "rrf_hybrid" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS sum_dl FROM d),
+        |t AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS word FROM d),
+        |tf AS (SELECT doc_id, dl, word, count(*)::BIGINT AS tf FROM t
+        |  WHERE word IN ('vector', 'query', 'spark') GROUP BY 1, 2, 3),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |sc AS (SELECT doc_id,
+        |  floor(((n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (sum_dl / n_docs)))))
+        |    * 1048576.0)::BIGINT AS s_fp
+        |  FROM tf JOIN df USING (word) CROSS JOIN st),
+        |bt AS (SELECT doc_id, sum(s_fp)::BIGINT AS score_fp FROM sc GROUP BY doc_id
+        |  ORDER BY score_fp DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank FROM bt),
+        |e AS ($embCast),
+        |q AS (SELECT v AS qv, nrm AS nq FROM e WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(qv, e.v), p -> p[1] * p[2]))
+        |      / (nq * e.nrm) AS score
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+        |sem AS (SELECT vec_id AS doc_id, rnk AS rank FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rnk
+        |  FROM s) WHERE rnk <= 20),
+        |u AS (SELECT doc_id, 1048576 // (60 + rank) AS c FROM lex
+        |      UNION ALL SELECT doc_id, 1048576 // (60 + rank) FROM sem)
+        |SELECT doc_id, count(*)::BIGINT AS n_lists, sum(c)::BIGINT AS rrf_fp
+        |FROM u GROUP BY 1 ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin,
     "q19_kmv" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type, user_id,
@@ -3044,6 +3161,45 @@ SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END::INT AS actual,
   CASE WHEN (""" + (0 until 5).map(i => s"w3.v$i * x$i").mkString(" + ") + """) > 0 THEN 1 ELSE 0 END::INT AS pred,
   count(*)::BIGINT AS n
 FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
+    "nb_confusion" -> {
+      // Eighth-bit log2: l8(n) = 8*msb + ((8n) >> msb) - 8 with
+      // msb = length(bin(n)) - 1 (NaiveBayes.l8, evaluated verbatim here).
+      def l8(x: String) =
+        s"(8 * (length(bin($x)) - 1) + ((8 * ($x)) >> (length(bin($x)) - 1)) - 8)"
+      s"""WITH base AS (SELECT doc_id, lang, text,
+        |    ('0x' || substr(md5('nb9' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, lang, text FROM base
+        |  WHERE h >= CAST(floor(0.1 * 4294967296.0) AS BIGINT)),
+        |te AS (SELECT doc_id, lang, text FROM base
+        |  WHERE h < CAST(floor(0.1 * 4294967296.0) AS BIGINT)),
+        |tok AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS w FROM tr),
+        |cnt AS (SELECT label, w, count(*) AS n FROM tok GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT w) AS vs FROM cnt),
+        |nd AS (SELECT count(*) AS n FROM tr),
+        |cdocs AS (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+        |ctot AS (SELECT label, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1),
+        |cls AS (SELECT label,
+        |    (${l8("(SELECT n FROM nd)")} - ${l8("n_docs")})::BIGINT AS prior8,
+        |    ${l8("tot + (SELECT vs FROM v)")}::BIGINT AS base8
+        |  FROM cdocs JOIN ctot USING (label)),
+        |qtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM te),
+        |qstat AS (SELECT doc_id, count(*) AS n_tok FROM qtok GROUP BY 1),
+        |hits AS (SELECT q.doc_id, c.label,
+        |    sum(${l8("c.n + 1")})::BIGINT AS msum
+        |  FROM qtok q JOIN cnt c ON c.w = q.w GROUP BY 1, 2),
+        |sc AS (SELECT s.doc_id, cls.label,
+        |    (cls.prior8 + s.n_tok * cls.base8
+        |     - coalesce(h.msum, 0))::BIGINT AS bits8
+        |  FROM qstat s CROSS JOIN cls
+        |  LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.label = cls.label),
+        |pred AS (SELECT doc_id, label AS pred FROM (
+        |    SELECT doc_id, label,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY bits8, label) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT te.lang AS actual, pred.pred AS pred, count(*)::BIGINT AS n
+        |FROM te JOIN pred USING (doc_id) GROUP BY 1, 2""".stripMargin
+    },
     "lang_id" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>
@@ -4447,6 +4603,29 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label
         |  FROM l2 LEFT JOIN w3 USING (node))
         |SELECT node::BIGINT AS node, label::BIGINT AS label FROM l3""").stripMargin,
+    "kcore_k3" ->
+      ("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e0 AS (SELECT u, v FROM pc WHERE c >= 2),
+        |d1 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM d1 WHERE deg >= 3)
+        |    AND v IN (SELECT node FROM d1 WHERE deg >= 3)),
+        |d2 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT node FROM d2 WHERE deg >= 3)
+        |    AND v IN (SELECT node FROM d2 WHERE deg >= 3)),
+        |d3 AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT node FROM d3 WHERE deg >= 3)
+        |    AND v IN (SELECT node FROM d3 WHERE deg >= 3))
+        |SELECT node::BIGINT AS node, count(*)::BIGINT AS deg FROM
+        |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY 1""").stripMargin,
     // The oracle may rescan per day (join on the 7-day band) — DuckDB is
     // single-node; only the VALUES must match the engine's
     // dedup-then-replicate reshape.

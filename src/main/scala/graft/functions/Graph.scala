@@ -256,6 +256,49 @@ object Graph {
       .distinct()
   }
 
+  /** Round-0 input to [[kcoreRound]]: the defensively normalized
+    * (distinct, u < v, self-loop-free) undirected edge set. Build it
+    * ONCE and persist it — each peeling round consumes the previous
+    * round's SURVIVING edges, so re-normalizing per round would be k
+    * redundant full-graph shuffles (the [[neighborFrame]] argument). */
+  def kcoreEdges(edges: DataFrame, uCol: String, vCol: String): DataFrame =
+    normalizedEdges(edges, uCol, vCol)
+
+  /** One bulk-synchronous k-core peeling round (the parallel form of
+    * Matula–Beck degeneracy peeling): drop every node whose degree in
+    * the CURRENT surviving graph is < k, keep only edges with both
+    * endpoints surviving. The fixpoint of repeated rounds is the k-core;
+    * as with [[labelPropRoundOn]], N chained restartable rounds are the
+    * contract (each round strictly shrinks the edge set, so the chain is
+    * monotone — a round that removes nothing has converged), the driver
+    * persists each round's edge frame and holds no other state.
+    *
+    * 100 TB shape: one map-side-combining degree aggregation over the
+    * doubled endpoints (the shuffle carries one row per node), then two
+    * UN-HINTED left-semi joins of the edge frame against the survivor
+    * set — AQE broadcasts the survivors while they fit and
+    * shuffle-joins on the endpoint key when they don't; hub skew splits
+    * under AQE like every other node-keyed join here. No window, no
+    * driver-side state, nothing corpus-sized collected. Input must
+    * already satisfy the [[kcoreEdges]] contract (distinct u < v) or
+    * duplicate edges inflate degrees. */
+  def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    val keep = degreeFrame(edges).filter(col("deg") >= k)
+    edges
+      .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+  }
+
+  /** Per-node degrees `(node, deg)` of an undirected (u < v, distinct)
+    * edge frame — the reporting face after k chained [[kcoreRound]]s,
+    * and the survivor test inside each round. One doubled-endpoint
+    * map-side-combining aggregation. */
+  def degreeFrame(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node")).unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
   /** One synchronous label-propagation round over a prepared
     * [[neighborFrame]] — the chaining form ([[labelPropRound]] scaladoc
     * has the semantics and the 100 TB shape). */

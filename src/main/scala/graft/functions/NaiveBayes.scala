@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/**
+ * Multinomial naive Bayes over whitespace tokens — the generative sibling
+ * of the discriminative classifiers ([[Classifier]]'s perceptron,
+ * `Similarity.knnClassify`, `classCentroids`): the standard cheap
+ * language-ID / domain-ID stage of a training-data pipeline (fastText-class
+ * models are linear over n-gram counts; this is the count-only core with
+ * add-one smoothing).
+ *
+ * Arithmetic is QUANTIZED TO EIGHTH-BITS: every log2 is the piecewise-
+ * linear integer approximation l8(n) = 8·msb + ((8n) >> msb) − 8 with
+ * msb = floor(log2 n) = length(bin(n)) − 1 — monotone, within 0.086 bits
+ * of 8·log2(n)/8, and a pure integer/string computation Spark and DuckDB
+ * evaluate identically — so per-document class scores are exact integer
+ * sums (order-independent) and the argmin is deterministic (ties toward
+ * the smaller label). Whole-bit floors (the [[LangModel]] convention) are
+ * NOT enough here: the per-class constant l8(tot_c + V) jumps in powers of
+ * two under flog2, which over-penalizes large classes by up to a full bit
+ * per token — more than the per-token signal between languages — and the
+ * classifier collapses to the smallest class. The LM keeps whole bits
+ * because its scores are only THRESHOLDED per doc; a classifier COMPARES
+ * scores across classes, so the quantization error must sit well under
+ * the class gap. The scoring decomposition keeps smoothing integer-exact:
+ * with add-one smoothing, −8·log2 p(w|c) ≈ l8(tot_c + V) − l8(cnt_c(w)+1),
+ * and the first term is per-CLASS constant, so
+ *
+ *   bits8(d, c) = prior8(c) + n_tok(d)·base8(c) − Σ_{w∈d, cnt_c(w)>0}
+ *                 l8(cnt_c(w) + 1)
+ *
+ * — unseen tokens contribute l8(0 + 1) = 0 and vanish from the sum, so
+ * the matched-token join only materializes (token, class) hits that exist
+ * in the model (Zipf-bounded), never the |tokens|·|classes| grid.
+ *
+ * 100 TB shape: training is ONE explode + (label, token) count aggregation
+ * (the shuffle carries one row per distinct pair per class — Zipf-bounded)
+ * plus two 1-row driver aggregates (vocabulary size, doc total — the
+ * lm_coverage metadata-collect convention) inlined as literals. Scoring is
+ * one un-hinted token-keyed equi-join of the query token stream against the
+ * model (AQE broadcasts small models, shuffle-joins web-scale ones), one
+ * (doc, label) partial aggregation, and one explicitly-broadcast cross join
+ * of per-doc stats against the CLASS frame — label-cardinality rows,
+ * metadata-scale by construction (the duplicateClusters boundary-roots
+ * posture), so the nested-loop is bounded at any corpus size. The argmin is
+ * a bounded per-doc `min(struct(bits8, label))` — no window, no driver
+ * loop.
+ */
+object NaiveBayes {
+
+  /** 8·log2(n) to eighth-bit precision as the engine-portable integer
+    * computation 8·msb + ((8n) >> msb) − 8, msb = length(bin(n)) − 1
+    * (DuckDB evaluates the same expression verbatim). Monotone; exact at
+    * powers of two; chord error < 0.7 eighth-bits. Overflows only past
+    * n ≥ 2^60 (the 8n product). */
+  private def l8(c: Column): Column = {
+    val n = c.cast(LongType)
+    val msb = (length(bin(n)) - lit(1)).cast(IntegerType)
+    (lit(8L) * msb.cast(LongType) +
+      call_function("shiftright", lit(8L) * n, msb) - lit(8L)).cast(LongType)
+  }
+
+  /** A trained model: `tokenCounts` (label, w, n) — the Zipf-bounded count
+    * table — and `classFrame` (label, prior8, base8) — one row per class
+    * with the two per-class constants of the scoring decomposition. Both
+    * are pure reference STATE (persist/reload like the LM counts). */
+  final case class NbModel(tokenCounts: DataFrame, classFrame: DataFrame)
+
+  /** Train on `docs` (null-text rows are not documents): one corpus-scan
+    * count aggregation + two metadata-scale 1-row collects (vocab size V,
+    * doc total N) inlined as literals into the class frame. */
+  def train(docs: DataFrame, labelCol: String, textCol: String): NbModel = {
+    val tr = docs.filter(col(textCol).isNotNull)
+    val cnt = tr
+      .select(col(labelCol).as("label"),
+        explode(TextFunctions.wsTokens(col(textCol))).as("w"))
+      .groupBy(col("label"), col("w")).agg(count(lit(1)).as("n"))
+    val vocabSize = cnt.select(countDistinct(col("w"))).collect()(0).getLong(0)
+    val nDocs = tr.count()
+    val cdocs = tr.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+    val ctot = cnt.groupBy(col("label")).agg(sum(col("n")).as("tot"))
+    val classFrame = cdocs.join(ctot, "label")
+      .select(col("label"),
+        (l8(lit(nDocs)) - l8(col("n_docs"))).as("prior8"),
+        l8(col("tot") + lit(vocabSize)).as("base8"))
+    NbModel(cnt, classFrame)
+  }
+
+  /** Classify every non-null-text doc: `(doc_id, pred, bits8)` with
+    * bits8 = the winning class's integer score in eighth-bits (smaller =
+    * more likely), ties toward the smaller label. A doc whose tokens are
+    * all unseen is still classified (prior + n_tok·base8 — the smoothed
+    * floor). */
+  def classify(docs: DataFrame, model: NbModel, idCol: String, textCol: String): DataFrame = {
+    val qtok = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wsTokens(col(textCol))).as("w"))
+    val qstat = qtok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    // Matched-hit sums only — unseen (token, class) pairs contribute 0
+    // eighth-bits by the smoothing identity, so nothing grid-shaped exists.
+    val hits = qtok.join(model.tokenCounts, "w")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(l8(col("n") + lit(1))).as("msum"))
+    qstat.crossJoin(broadcast(model.classFrame))
+      .join(hits, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("prior8") + col("n_tok") * col("base8")
+          - coalesce(col("msum"), lit(0L))).as("bits8"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("bits8"), col("label"))).as("w"))
+      .select(col("doc_id"), col("w.label").as("pred"), col("w.bits8").as("bits8"))
+  }
+
+  /** Confusion counts `(actual, pred, n)` of [[classify]] against the
+    * docs' own labels — the evaluation face (the perceptron_confusion
+    * convention: assert the trained model moves, not just runs). */
+  def confusion(
+      docs: DataFrame, model: NbModel,
+      idCol: String, labelCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(labelCol).as("actual"))
+      .join(classify(docs, model, idCol, textCol), "doc_id")
+      .groupBy(col("actual"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+}

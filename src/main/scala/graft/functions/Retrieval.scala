@@ -160,4 +160,54 @@ object Retrieval {
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** [[bm25TopK]] with an explicit 1-based `rank` column (score desc,
+    * doc_id tie-break — the ann rank contract), the shape [[rrfFuse]]
+    * consumes. Rank assignment is one bounded TopKByScore aggregation
+    * over the ALREADY-limited top-k frame (≤ topK rows) — no window
+    * (partitioned or otherwise) and no self-join ever exists in the
+    * plan; score_fp < 2^53 so the Double round-trip through the
+    * aggregator buffer is exact. */
+  def bm25TopKRanked(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new Similarity.TopKByScore(topK),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    bm25TopK(docs, idCol, textCol, terms, topK)
+      .agg(topk(col("doc_id"), col("score_fp").cast("double")).as("top"))
+      .select(posexplode(col("top")).as(Seq("r", "hit")))
+      .select((col("r") + 1).cast(LongType).as("rank"),
+        col("hit._1").as("doc_id"),
+        col("hit._2").cast(LongType).as("score_fp"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    * rankings — the hybrid-retrieval combiner (lexical BM25 + semantic
+    * ANN is the canonical pair): each list contributes
+    * `2^20 div (k0 + rank)` to its documents, fused docs order by summed
+    * contribution. INTEGER fixed-point, not 1/(k0+rank) doubles — the
+    * sum is order-independent and the DuckDB oracle reproduces it
+    * exactly (`1048576 // (k0 + rank)`); k0 = 60 is the paper's
+    * constant. Rankings need (doc_id, rank); rank ≥ 1.
+    *
+    * 100 TB shape: no join at all — the lists union (map-side), one
+    * doc-keyed partial aggregation sums contributions, and the final cut
+    * is a bounded TakeOrderedAndProject. Fusing k-bounded lists means
+    * every frame here is lists·k rows — but the same plan fuses
+    * corpus-sized rankings (e.g. full quality orderings) unchanged,
+    * which is why nothing assumes the input fits anywhere. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1, "k0 must be positive")
+    rankings
+      .map(_.select(col("doc_id"),
+        call_function("div", lit(1048576L),
+          lit(k0.toLong) + col("rank").cast(LongType)).as("c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

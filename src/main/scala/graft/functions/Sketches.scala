@@ -106,4 +106,59 @@ object Sketches {
       .groupBy(words.columns.map(col).toIndexedSeq: _*)
       .agg(min(col("c")).as("n_est"))
   }
+
+  // ---- HyperLogLog -----------------------------------------------------
+
+  /** Per-group HyperLogLog distinct estimate (Flajolet et al. 2007) with
+    * ENGINE-REPRODUCIBLE semantics — the register-based complement to
+    * [[kmvDistinct]]: state is m integer registers per group (vs KMV's k
+    * hashes), registers merge by MAX (so sketches union losslessly across
+    * partitions, engines, and increments), and the per-group shuffle rows
+    * are bounded by m at any corpus size.
+    *
+    * Built on the portable `xhash32` (a 32-bit value): bucket = h mod m,
+    * the remaining w = 32 − log2(m) bits give
+    * rho = w − floor(log2 rest) (rest > 0; rest = 0 → w + 1) — the
+    * leading-zero rank as a pure integer/length-of-bin computation, so
+    * DuckDB reproduces every register. The estimate keeps the raw HLL
+    * form alpha_m·m²/Z with Z = Σ_j 2^−M[j]: each 2^−M is 1.0/(1<<M)
+    * (an EXACT IEEE double), and the dyadic exponents span < 53 bits, so
+    * Z is exact and order-independent — the whole estimate hash-compares
+    * across engines. DELIBERATELY no ln-based small-range correction
+    * (linear counting): ln is not bit-portable; callers needing the
+    * small-range regime have `n_empty` (the linear-counting input) and
+    * the exact [[kmvDistinct]] / COUNT DISTINCT below ~2.5·m anyway.
+    * Standard error 1.04/sqrt(m) (~13% at m = 64).
+    *
+    * Output: groupCols ++ (n_empty, est). */
+  def hllDistinct(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      m: Int = 64, salt: String = "hll"): DataFrame = {
+    require(m >= 4 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m must be a power of two in [4, 65536], got $m")
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val w = 32 - b
+    val g = groupCols.map(col)
+    val h = TextFunctions.xhash32(concat(lit(salt), keyCol.cast("string")))
+    val rest = call_function("div", h, lit(m.toLong))
+    val rho = when(rest === 0, lit((w + 1).toLong))
+      .otherwise(lit(w.toLong) - (length(bin(rest)) - lit(1)).cast("long"))
+    df.select(g :+ pmod(h, lit(m.toLong)).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("nb"),
+        // 1.0 / 2^reg is exact IEEE division by a power of two — never
+        // pow(), whose last-ulp behavior is library-dependent.
+        sum(lit(1.0) / call_function("shiftleft", lit(1L),
+          col("reg").cast(org.apache.spark.sql.types.IntegerType))).as("zp"))
+      .select(g :+
+        (lit(m.toLong) - col("nb")).as("n_empty") :+
+        // alpha_m stays the literal expression 0.7213/(1 + 1.079/m) on
+        // both engines (the bm25 never-pre-evaluate convention).
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)))
+          * lit(m.toDouble) * lit(m.toDouble)
+          / (col("zp") + (lit(m.toLong) - col("nb")).cast("double"))).as("est"): _*)
+  }
 }

@@ -60,4 +60,62 @@ class ClassifierSpec extends SparkSpec {
       when(col("lang") === "en", 1L).otherwise(-1L), Seq(1L, 2L, 3L, 4L, 5L))
     assert(w == Seq(1L, 2L, 3L, 4L, 5L) && m == 0L)
   }
+
+  test("NaiveBayes: eighth-bit scores match the hand-computed reference") {
+    // Train: class a = {"x x y", "x z"}, class b = {"y y z"}.
+    // cnt_a: x->3 y->1 z->1 (tot 5); cnt_b: y->2 z->1 (tot 3); V=3, N=3.
+    // l8: 1->0, 2->8, 3->12, 4->16, 6->20, 8->24.
+    // prior8: a = l8(3)-l8(2) = 4, b = l8(3)-l8(1) = 12;
+    // base8:  a = l8(5+3) = 24,  b = l8(3+3) = 20.
+    val train = Seq((1L, "a", "x x y"), (2L, "a", "x z"), (3L, "b", "y y z"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.functions.NaiveBayes.train(train, "lang", "text")
+    val out = graft.functions.NaiveBayes.classify(
+        Seq((10L, "x x"), (11L, "y y"), (12L, "q")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // 10: a = 4 + 2*24 - 2*l8(4) = 20 beats b = 12 + 2*20 = 52.
+    // 11: b = 12 + 2*20 - 2*l8(3) = 28 beats a = 4 + 48 - 2*l8(2) = 36.
+    // 12 (all-OOV): priors decide — a = 4 + 24 = 28 beats b = 12 + 20 = 32.
+    assert(out === Map(
+      10L -> (("a", 20L)), 11L -> (("b", 28L)), 12L -> (("a", 28L))))
+  }
+
+  test("NaiveBayes: separable classes are learned perfectly, incl. mixed docs") {
+    // Two sources with disjoint characteristic vocab plus shared filler.
+    // A real-corpus accuracy assertion is impossible here: the synthetic
+    // documents' text is generated independently of lang/source (even a
+    // float-precision NB scores at/below majority on it), so LEARNING is
+    // asserted on a corpus where signal exists; the real corpus is covered
+    // by the nb_confusion engine-parity oracle.
+    val train = (1 to 20).map(i => (i.toLong, "wiki",
+        s"the of fact cite ref$i infobox cite fact")) ++
+      (21 to 40).map(i => (i.toLong, "web",
+        s"the of click buy now deal$i click buy"))
+    val model = graft.functions.NaiveBayes.train(
+      train.toDF("doc_id", "src", "text"), "src", "text")
+    val test = Seq(
+      (100L, "wiki", "fact cite the infobox"),
+      (101L, "web", "buy now the click"),
+      (102L, "wiki", "of the cite fact fact"),
+      (103L, "web", "deal99 click buy of"))
+    val conf = graft.functions.NaiveBayes.confusion(
+        test.toDF("doc_id", "src", "text"), model, "doc_id", "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf === Map(("wiki", "wiki") -> 2L, ("web", "web") -> 2L))
+  }
+
+  test("NaiveBayes: predictions are partitioning-invariant on the real corpus") {
+    val model = graft.functions.NaiveBayes.train(
+      docs.filter(col("doc_id") % 10 =!= 0), "lang", "text")
+    def preds(d: org.apache.spark.sql.DataFrame) =
+      graft.functions.NaiveBayes.classify(d, model, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val one = preds(held.repartition(1))
+    val many = preds(held.repartition(13))
+    assert(one === many && one.nonEmpty,
+      "integer scores must make the argmin partitioning-invariant")
+  }
 }

@@ -172,6 +172,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kcoreRound: peels pendants, keeps the core, converges to fixpoint") {
+    // K4 on {1,2,3,4} (the 3-core), a tail 4-5-6, and a triangle {10,11,12}
+    // hanging off node 4 via edge (4,10).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (4L, 10L)
+    ).toDF("u", "v")
+    val e0 = Graph.kcoreEdges(edges, "u", "v")
+    // Round 1 at k=3 drops {5,6,11,12} (deg < 3) but KEEPS 10 (deg 3 via
+    // the bridge); round 2 sees 10's degree collapse to 1 and drops it —
+    // the two-round cascade only peeling can see.
+    val e1 = Graph.kcoreRound(e0, 3)
+    val e2 = Graph.kcoreRound(e1, 3)
+    val e3 = Graph.kcoreRound(e2, 3)
+    val core = e3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(core === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // Fixpoint: another round removes nothing.
+    val e4 = Graph.kcoreRound(e3, 3)
+    assert(e4.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === core)
+    // Degrees of the surviving K4 are all 3.
+    val deg = Graph.degreeFrame(e3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcoreRound: k=2 strips a tree entirely, leaf-layer by leaf-layer") {
+    // A path 1-2-3-4-5 has no 2-core; each round peels the current leaves.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    var e = Graph.kcoreEdges(path, "u", "v")
+    val sizes = (1 to 3).map { _ => e = Graph.kcoreRound(e, 2); e.count() }
+    assert(sizes === Seq(2L, 0L, 0L))
+  }
+
   test("copresencePairs: exact counts and Jaccard over shared baskets") {
     // item 1 in baskets {1,2,3}; item 2 in {1,2}; item 3 in {3}.
     // (1,2): both in 2 baskets, union 3 -> J = 2/3.

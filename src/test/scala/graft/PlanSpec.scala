@@ -87,8 +87,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //  - knn_classify: the brute top-k face underneath is ann_topk's
   //    broadcast-NLJ (tiny query set, non-equi self-exclusion); the vote
   //    stages above it are equi-only.
+  //  - rrf_hybrid: the semantic list underneath is ann_topk's
+  //    broadcast-NLJ (one-query broadcast, non-equi self-exclusion), and
+  //    the lexical list carries bm25_topk's 1-row stats broadcast; the
+  //    fusion itself is union + equi-aggregation, join-free.
+  //  - nb_confusion: the per-doc stats x CLASS-frame cross join is an
+  //    explicit broadcast of label-cardinality rows — metadata-scale by
+  //    construction (language inventory, not corpus statistics); the
+  //    corpus-scale work (token-count training, matched-hit scoring) is
+  //    equi-joins below it.
   private val nljWhitelist =
-    Set("ann_topk", "ann_sq8", "knn_classify", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
+    Set("ann_topk", "ann_sq8", "knn_classify", "nb_confusion", "rrf_hybrid", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
       "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3")
 

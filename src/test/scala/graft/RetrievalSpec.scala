@@ -88,4 +88,29 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
     val ghost = Retrieval.bm25TopK(df, "doc_id", "text", Seq("zzz_absent"), topK = 5)
     assert(ghost.count() === 0L)
   }
+
+  test("bm25TopKRanked: 1-based ranks in (score desc, doc_id) order, row parity") {
+    val df = fixture.toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark", "query"), topK = 4)
+      .select(col("doc_id"), col("score_fp")).as[(Long, Long)].collect().toSeq
+    val ranked = Retrieval.bm25TopKRanked(df, "doc_id", "text", Seq("spark", "query"), topK = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ranked.map(_._1).toSeq === (1L to ranked.length))
+    // Same docs, same scores, rank order == the plain operator's sort order.
+    assert(ranked.map(r => (r._2, r._3)).toSeq === plain)
+  }
+
+  test("rrfFuse: hand-computed integer fusion, overlap counted from both lists") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k0 = 60, topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1048576 div 61 = 17189, div 62 = 16912.
+    assert(out === Seq(
+      (2L, 2L, 17189L + 16912L), (1L, 1L, 17189L), (3L, 1L, 16912L)))
+    // topK cut respects (rrf_fp desc, doc_id) ties.
+    val cut = Retrieval.rrfFuse(Seq(a, b), k0 = 60, topK = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cut === Seq((2L, 2L, 17189L + 16912L)))
+  }
 }

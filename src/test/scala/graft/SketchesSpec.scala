@@ -99,4 +99,55 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(streamed === batch)
   }
+
+  /** Scalar HLL reference sharing only the hash kernel: same bucket/rho
+    * derivation and the same exact dyadic estimate arithmetic, computed
+    * over plain Scala collections. */
+  private def hllRef(keys: Seq[String], m: Int, salt: String): (Long, Double) = {
+    val b = java.lang.Integer.numberOfTrailingZeros(m)
+    val w = 32 - b
+    val regs = keys.map { k =>
+      val h = graft.expressions.TextKernels.xhash32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(salt + k))
+      val bucket = h % m
+      val rest = h / m
+      val rho = if (rest == 0) w + 1 else w - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      bucket -> rho.toLong
+    }.groupBy(_._1).map { case (bk, rs) => bk -> rs.map(_._2).max }
+    val nEmpty = m - regs.size
+    val z = regs.values.map(r => 1.0 / (1L << r)).sum + nEmpty.toDouble
+    val est = (0.7213 / (1.0 + 1.079 / m.toDouble)) * m.toDouble * m.toDouble / z
+    (nEmpty.toLong, est)
+  }
+
+  test("HLL: registers and estimate match the scalar reference, per group") {
+    val rows = (1 to 700).map(i => ("g" + (i % 3), "user" + (i % 250)))
+    val out = Sketches.hllDistinct(
+        rows.toDF("g", "u"), col("u"), Seq("g"), m = 64, salt = "hll")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> hllRef(rs.map(_._2).distinct, 64, "hll")
+    }
+    assert(out === expected)
+  }
+
+  test("HLL: estimate lands near the true cardinality; invariant to partitioning") {
+    val n = 2000
+    val df = (1 to n).map(i => ((i % 7).toLong, s"k$i")).toDF("g", "u")
+    val est = Sketches.hllDistinct(df, col("u"), Seq("g"), m = 64, salt = "s")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val truth = (1 to n).map(i => (i % 7).toLong).groupBy(identity).map {
+      case (g, xs) => g -> xs.size
+    }
+    for ((g, t) <- truth) {
+      val e = est(g)
+      // m = 64 -> stderr ~13%; 30% is a deterministic-fixture bound
+      // (~285 distinct/group = ~4.5 per register, the raw-HLL regime).
+      assert(math.abs(e - t) < 0.30 * t, s"group $g: est $e vs true $t")
+    }
+    val re = Sketches.hllDistinct(df.repartition(17), col("u"), Seq("g"), m = 64, salt = "s")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(re === est, "register max-merge must make the estimate partition-invariant")
+  }
 }
