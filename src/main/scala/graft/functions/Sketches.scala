@@ -133,11 +133,20 @@ object Sketches {
     * Output: groupCols ++ (n_empty, est). */
   def hllDistinct(
       df: DataFrame, keyCol: Column, groupCols: Seq[String],
-      m: Int = 64, salt: String = "hll"): DataFrame = {
+      m: Int = 64, salt: String = "hll"): DataFrame =
+    // Registers are already (group, bucket)-unique here — skip
+    // hllEstimate's defensive max-merge pass.
+    scoreRegisters(hllRegisters(df, keyCol, groupCols, m, salt), groupCols, m)
+
+  /** The per-group register frame `groupCols ++ (bucket, reg)` — the
+    * sketch STATE [[hllEstimate]] scores and the store below persists.
+    * One map-side-combining (group, bucket) max aggregation. */
+  def hllRegisters(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String],
+      m: Int, salt: String): DataFrame = {
     require(m >= 4 && (m & (m - 1)) == 0 && m <= 65536,
       s"m must be a power of two in [4, 65536], got $m")
-    val b = java.lang.Integer.numberOfTrailingZeros(m)
-    val w = 32 - b
+    val w = 32 - java.lang.Integer.numberOfTrailingZeros(m)
     val g = groupCols.map(col)
     val h = TextFunctions.xhash32(concat(lit(salt), keyCol.cast("string")))
     val rest = call_function("div", h, lit(m.toLong))
@@ -146,6 +155,21 @@ object Sketches {
     df.select(g :+ pmod(h, lit(m.toLong)).as("bucket") :+ rho.as("rho"): _*)
       .groupBy(g :+ col("bucket"): _*)
       .agg(max(col("rho")).as("reg"))
+  }
+
+  /** The raw estimate over a (possibly multi-slice) register frame:
+    * registers re-merge by MAX first, so the input may carry one row per
+    * (group, bucket) per SLICE (the merge-on-read store path). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame =
+    scoreRegisters(
+      regs.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+        .agg(max(col("reg")).as("reg")),
+      groupCols, m)
+
+  private def scoreRegisters(
+      regs: DataFrame, groupCols: Seq[String], m: Int): DataFrame = {
+    val g = groupCols.map(col)
+    regs
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("nb"),
@@ -161,4 +185,33 @@ object Sketches {
           * lit(m.toDouble) * lit(m.toDouble)
           / (col("zp") + (lit(m.toLong) - col("nb")).cast("double"))).as("est"): _*)
   }
+
+  /** Persist a corpus slice's HLL registers (the LM-counts log-structured
+    * posture — slices land as files, [[readHllEstimate]] merges on read).
+    * Registers merge by MAX, which is IDEMPOTENT — so unlike the additive
+    * LM/BM25 stores, append slices may OVERLAP what the store already
+    * holds (re-sketching a day after a partial load cannot inflate the
+    * estimate); the caller contract is only that m and salt never change
+    * for one store path. */
+  def writeHllRegisters(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String], path: String,
+      m: Int = 64, salt: String = "hll"): Unit =
+    hllRegisters(df, keyCol, groupCols, m, salt)
+      .write.mode("overwrite").parquet(path)
+
+  /** Add a slice to an existing register store (see
+    * [[writeHllRegisters]] — overlap-tolerant). */
+  def appendHllRegisters(
+      df: DataFrame, keyCol: Column, groupCols: Seq[String], path: String,
+      m: Int = 64, salt: String = "hll"): Unit =
+    hllRegisters(df, keyCol, groupCols, m, salt)
+      .write.mode("append").parquet(path)
+
+  /** Estimate from the stored registers: slices max-merge on read, so the
+    * result is bit-identical to one batch [[hllDistinct]] over the union
+    * of everything ever written (SketchesSpec pins the parity). */
+  def readHllEstimate(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      groupCols: Seq[String], m: Int = 64): DataFrame =
+    hllEstimate(spark.read.parquet(path), groupCols, m)
 }

@@ -150,4 +150,21 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(re === est, "register max-merge must make the estimate partition-invariant")
   }
+
+  test("HLL store: increments merge on read; OVERLAPPING slices cannot inflate") {
+    val rows = (1 to 900).map(i => ("d" + (i % 4), "u" + (i % 300)))
+    val df = rows.toDF("g", "u")
+    val s1 = df.filter(col("u").substr(2, 1).isin("1", "2", "3", "4"))
+    val s2 = df // full corpus: overlaps slice 1 entirely
+    val dir = java.nio.file.Files.createTempDirectory("hll_inc").toString
+    Sketches.writeHllRegisters(s1, col("u"), Seq("g"), dir, m = 64, salt = "h")
+    Sketches.appendHllRegisters(s2, col("u"), Seq("g"), dir, m = 64, salt = "h")
+    def rows3(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val stored = rows3(Sketches.readHllEstimate(spark, dir, Seq("g"), m = 64))
+    val batch = rows3(Sketches.hllDistinct(df, col("u"), Seq("g"), m = 64, salt = "h"))
+    // Max-merge idempotence: re-sketching already-stored keys is a no-op,
+    // so store == one batch sketch of the union despite the full overlap.
+    assert(stored === batch)
+  }
 }
