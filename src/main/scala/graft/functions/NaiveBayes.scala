@@ -73,14 +73,30 @@ object NaiveBayes {
     * count aggregation + two metadata-scale 1-row collects (vocab size V,
     * doc total N) inlined as literals into the class frame. */
   def train(docs: DataFrame, labelCol: String, textCol: String): NbModel = {
+    val (cnt, cdocs) = countFrames(docs, labelCol, textCol)
+    modelFrom(cnt, cdocs)
+  }
+
+  /** The model's canonical, ADDITIVE form: token counts (label, w, n) and
+    * per-class doc counts (label, n_docs) — counts add, so corpus slices
+    * merge by sum (the LM-counts convention); the class frame and its two
+    * literals are derived views. */
+  private def countFrames(
+      docs: DataFrame, labelCol: String, textCol: String): (DataFrame, DataFrame) = {
     val tr = docs.filter(col(textCol).isNotNull)
     val cnt = tr
       .select(col(labelCol).as("label"),
         explode(TextFunctions.wsTokens(col(textCol))).as("w"))
       .groupBy(col("label"), col("w")).agg(count(lit(1)).as("n"))
-    val vocabSize = cnt.select(countDistinct(col("w"))).collect()(0).getLong(0)
-    val nDocs = tr.count()
     val cdocs = tr.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+    (cnt, cdocs)
+  }
+
+  /** Derive the scoring model from (already-summed) count frames: the two
+    * 1-row collects (V, N) land here, inlined as literals. */
+  private def modelFrom(cnt: DataFrame, cdocs: DataFrame): NbModel = {
+    val vocabSize = cnt.select(countDistinct(col("w"))).collect()(0).getLong(0)
+    val nDocs = cdocs.agg(sum(col("n_docs"))).collect()(0).getLong(0)
     val ctot = cnt.groupBy(col("label")).agg(sum(col("n")).as("tot"))
     val classFrame = cdocs.join(ctot, "label")
       .select(col("label"),
@@ -88,6 +104,42 @@ object NaiveBayes {
         l8(col("tot") + lit(vocabSize)).as("base8"))
     NbModel(cnt, classFrame)
   }
+
+  /** Persist a corpus slice's model counts (layout: `token_counts/` +
+    * `class_docs/`, both additive — the writeLmCounts log-structured
+    * posture: slices land as files, [[readNb]] sums on read). Append
+    * slices must be DISJOINT from what the store holds (re-counting a
+    * document double-counts it — the LM/BM25 caller contract; contrast
+    * the overlap-tolerant HLL register store). */
+  def writeNbCounts(
+      docs: DataFrame, labelCol: String, textCol: String, path: String): Unit =
+    writeSlice(docs, labelCol, textCol, path, overwrite = true)
+
+  /** Add a disjoint corpus slice to an existing store (see
+    * [[writeNbCounts]]). */
+  def appendNbCounts(
+      docs: DataFrame, labelCol: String, textCol: String, path: String): Unit =
+    writeSlice(docs, labelCol, textCol, path, overwrite = false)
+
+  private def writeSlice(
+      docs: DataFrame, labelCol: String, textCol: String, path: String,
+      overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val (cnt, cdocs) = countFrames(docs, labelCol, textCol)
+    cnt.write.mode(mode).parquet(s"$path/token_counts")
+    cdocs.write.mode(mode).parquet(s"$path/class_docs")
+  }
+
+  /** Rebuild the model from stored counts: slices sum on read, so the
+    * model — and every downstream classification — is bit-identical to
+    * [[train]] on the union of all slices (ClassifierSpec pins the
+    * parity). */
+  def readNb(spark: org.apache.spark.sql.SparkSession, path: String): NbModel =
+    modelFrom(
+      spark.read.parquet(s"$path/token_counts")
+        .groupBy(col("label"), col("w")).agg(sum(col("n")).as("n")),
+      spark.read.parquet(s"$path/class_docs")
+        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
 
   /** Classify every non-null-text doc: `(doc_id, pred, bits8)` with
     * bits8 = the winning class's integer score in eighth-bits (smaller =

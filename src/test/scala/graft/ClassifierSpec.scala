@@ -105,6 +105,23 @@ class ClassifierSpec extends SparkSpec {
     assert(conf === Map(("wiki", "wiki") -> 2L, ("web", "web") -> 2L))
   }
 
+  test("NaiveBayes store: disjoint increments sum to the batch model, bit-identical") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("nb_inc").toString
+    graft.functions.NaiveBayes.writeNbCounts(
+      train.filter(col("doc_id") % 2 === 1), "lang", "text", dir)
+    graft.functions.NaiveBayes.appendNbCounts(
+      train.filter(col("doc_id") % 2 === 0), "lang", "text", dir)
+    def preds(m: graft.functions.NaiveBayes.NbModel) =
+      graft.functions.NaiveBayes.classify(held, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val stored = preds(graft.functions.NaiveBayes.readNb(spark, dir))
+    val batch = preds(graft.functions.NaiveBayes.train(train, "lang", "text"))
+    assert(stored === batch && stored.nonEmpty)
+  }
+
   test("NaiveBayes: predictions are partitioning-invariant on the real corpus") {
     val model = graft.functions.NaiveBayes.train(
       docs.filter(col("doc_id") % 10 =!= 0), "lang", "text")

@@ -541,6 +541,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === got.toSet.size, "no doc emitted twice")
   }
 
+  test("NbStream.classifyStream: label parity with the batch classifier off a stored model") {
+    import graft.functions.NaiveBayes
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 10 =!= 0)
+    val live = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("nb_stream").toString
+    NaiveBayes.writeNbCounts(ref, "lang", "text", dir)
+    val model = NaiveBayes.readNb(spark, dir)
+    val expected = NaiveBayes.classify(live, model, "doc_id", "text")
+      .select(col("doc_id"), col("pred"), col("bits8"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val liveRows = live.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(expected.size === liveRows.length)
+    val got = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val in = MemoryStream[(Long, String)]
+    val writer = graft.streaming.NbStream.classifyStream(
+      in.toDF().toDF("doc_id", "text"), model, "doc_id", "text") { (batch, _) =>
+      val rows = batch.select(col("doc_id"), col("pred"), col("bits8"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      got.synchronized { got ++= rows }
+    }
+    val q = writer.queryName("nb_stream").start()
+    val (b1, b2) = liveRows.splitAt(liveRows.length / 2)
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq))
+    assert(got.toMap === expected)
+  }
+
   test("hashRange split/sample are stateless and stream-safe (same verdict per row as batch)") {
     import graft.functions.Sampling
     import spark.implicits._
