@@ -504,6 +504,14 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Cross-source duplication matrix at word-8-gram granularity: which
+    // sources share how many distinct spans — the pairwise-source
+    // observability face of the dedup family. Hashed-gram exchanges
+    // (never text), per-gram join fan-out bounded by the source
+    // inventory (Dedup.ngramSourceOverlap scaladoc).
+    "overlap_matrix" -> ((s, dir) =>
+      Dedup.ngramSourceOverlap(t(s, dir, "documents"), "text", "source", n = 8)),
+
     // MinHash+LSH near-dup: banded signature join generates candidates,
     // exact Jaccard verifies (see Dedup scaladoc for the recall math).
     "dedup_minhash" -> ((s, dir) =>
@@ -2838,6 +2846,16 @@ $rounds
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "overlap_matrix" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS tk FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT DISTINCT source AS src,
+        |    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 8))::BIGINT AS h
+        |  FROM (SELECT source, tk, unnest(range(1, len(tk) - 6)) AS i
+        |        FROM tk WHERE len(tk) >= 8))
+        |SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
+        |FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql(0.8),
     "dedup_incremental" ->
       s"""WITH s AS ($shingles4)

@@ -629,4 +629,40 @@ object Dedup {
       .filter(col("hamming_dist") <= maxHamming)
       .distinct()
   }
+
+  /** Cross-source duplication matrix at token-n-gram granularity: for
+    * every unordered source pair (src_a < src_b), the number of distinct
+    * word n-grams present in BOTH — the "which sources copy which"
+    * observability report of the dedup family (mirrored sites, re-crawls,
+    * boilerplate shared across crawls; the pairwise-source face of what
+    * `decontaminate` measures corpus-vs-eval). Exact-document overlap is
+    * the n → ∞ degenerate case, but real cross-source duplication is
+    * span-level, which n-grams see and whole-document digests miss.
+    *
+    * 100 TB shape: n-grams are HASHED map-side (xhash32 of the joined
+    * tokens — the exchange carries (hash, src), never text, the
+    * exactGroups convention); one (hash, src) distinct whose row count is
+    * Zipf-bounded by the distinct-gram inventory; the pair generation is
+    * a hash-keyed SELF-join whose per-gram fan-out is bounded by the
+    * SOURCE-inventory size (≤ |sources|² pairs per gram — metadata-scale
+    * by construction, never corpus-scale), then one map-side-combining
+    * pair count. Distinct-hash counting makes the result identical to a
+    * DuckDB replica that hashes the same way (a raw-string count could
+    * differ only through an xhash32 collision the oracle also makes). */
+  def ngramSourceOverlap(
+      df: DataFrame, textCol: String, srcCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val tk = wsTokens(col(textCol))
+    val grams = df
+      .filter(col(textCol).isNotNull && col(srcCol).isNotNull && size(tk) >= n)
+      .select(col(srcCol).as("src"),
+        explode(transform(sequence(lit(1), size(tk) - lit(n - 1)),
+          i => xhash32(concat_ws(" ", slice(tk, i, lit(n)))))).as("h"))
+      .distinct()
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

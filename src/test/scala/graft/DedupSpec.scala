@@ -238,4 +238,24 @@ class DedupSpec extends SparkSpec {
     // survives); 6/7 are a mutual pair with no container -> min id 6 stays.
     assert(kept === Set(3L, 4L, 5L, 6L))
   }
+
+  test("ngramSourceOverlap: exact shared-gram counts, distinct per source") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1: grams [t1..t8], [t2..t9]
+      ("s1", "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      // s2: shares [t1..t8] with s1; tail gram differs
+      ("s2", "t1 t2 t3 t4 t5 t6 t7 t8 zz"),
+      // s2 again: REPEATS the shared gram — distinct() must count it once
+      ("s2", "t1 t2 t3 t4 t5 t6 t7 t8 yy"),
+      // s3: exactly 8 tokens — one gram, shared with s1 only
+      ("s3", "t2 t3 t4 t5 t6 t7 t8 t9"),
+      // too short: contributes nothing
+      ("s3", "t1 t2 t3"),
+      ("s4", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    val out = graft.functions.Dedup.ngramSourceOverlap(docs, "text", "source", n = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L))
+  }
 }

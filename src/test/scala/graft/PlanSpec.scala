@@ -230,6 +230,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overlap_matrix: exchanges carry hashed grams and sources, never text") {
+    val shuffles = collectAll(plan("overlap_matrix")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, planString("overlap_matrix"))
+    for (e <- shuffles)
+      assert(!e.output.exists(a => a.name == "text" || a.name == "tk"),
+        s"overlap_matrix: exchange carries text:\n$e")
+  }
+
   test("every production query has an oracle (the driver's correctness gate covers the full map)") {
     // A queries entry without oracleSql silently downgrades to a weaker
     // rows-only driver check; an oracle without a query never runs at all.
