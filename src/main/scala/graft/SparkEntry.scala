@@ -504,6 +504,17 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Normalized exact dedup: case-fold (ASCII translate — bit-portable,
+    // unlike Unicode lower()) + whitespace-collapse + trim BEFORE the
+    // digest groupBy, catching the trivial near-dups byte-exact dedup
+    // misses (re-encoded mirrors, whitespace-mangled scrapes). Same
+    // digest-only shuffle as dedup_exact.
+    "dedup_norm" -> ((s, dir) =>
+      Dedup.exactGroups(
+        t(s, dir, "documents")
+          .select(col("doc_id"), TF.normText(col("text")).as("text")),
+        "doc_id", "text")),
+
     // Cross-source duplication matrix at word-8-gram granularity: which
     // sources share how many distinct spans — the pairwise-source
     // observability face of the dedup family. Hashed-gram exchanges
@@ -678,6 +689,52 @@ object SparkEntry {
       graft.functions.Classifier.classCentroids(
         t(s, dir, "embeddings"), "label", "embedding")),
 
+    // CART decision stump in exact integer arithmetic: best power-of-two
+    // binned threshold on one embedding dimension by weighted Gini
+    // (Classifier.stumpSplit scaladoc has the cleared-denominator
+    // integer-score derivation). One map-side-combining (bin, label)
+    // aggregation over the corpus; everything after is metadata-scale.
+    "stump_split" -> ((s, dir) =>
+      graft.functions.Classifier.stumpSplit(
+        t(s, dir, "embeddings"), element_at(col("embedding"), 1), "label",
+        binScale = 16L)),
+
+    // Three chained decision-list rounds (the perceptron_k3 restartable-
+    // jobs posture, CART face): round r trains a stump on dimension r
+    // over the rows every EARLIER stump misclassified, so the list reads
+    // "if dim1 side fails, try dim2, …". Only the 7-field model row
+    // reaches the driver per round; the survivor frame is a literal-
+    // predicate filter (at production scale each round persists its
+    // survivors — the kcore_k3 contract). All-integer Gini argmin makes
+    // the 3-round trajectory bit-identical in any engine.
+    "stump_chain" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      var cur = e
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Double, Int, Int, Double)]
+      for (r <- 1 to 3) {
+        val nTrain = cur.count()
+        val m = graft.functions.Classifier.stumpModel(
+          cur, element_at(col("embedding"), r), "label", binScale = 16L)
+          .collect()
+        require(m.nonEmpty, s"stump chain round $r: no valid split")
+        val row = m(0)
+        val bin = row.getLong(0)
+        val thr = row.getDouble(1)
+        val ll = row.getInt(2)
+        val rl = row.getInt(3)
+        out += ((r, nTrain, bin, thr, ll, rl, row.getDouble(6)))
+        val pred = when(
+          floor(element_at(col("embedding"), r).cast(DoubleType) * lit(16.0))
+            .cast(LongType) <= bin, lit(ll)).otherwise(lit(rl))
+        cur = cur.filter(pred =!= col("label"))
+      }
+      out.toSeq.toDF("round", "n_train", "split_bin", "threshold",
+        "left_label", "right_label", "gini")
+    }),
+
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
     "lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -695,6 +752,21 @@ object SparkEntry {
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_uniq_tokens"))
+    }),
+
+    // Whole-bit token entropy — the compression-ratio-style quality
+    // signal (low bits/token = templated/repetitive text). One codegen'd
+    // kernel per row (per-doc counts in a kernel hash map), so the plan
+    // is a bare scan: the (doc, token) exchange the naive explode+groupBy
+    // form pays never exists.
+    "token_entropy" -> ((s, dir) => {
+      val te = TFast.tokenEntropyBits(col("text"))
+      graft.functions.KernelInput.ensureParallelism(t(s, dir, "documents")).select(
+        col("doc_id"),
+        element_at(te, 1).as("n_tokens"),
+        element_at(te, 2).as("bits"),
+        (element_at(te, 2).cast(DoubleType) / element_at(te, 1))
+          .as("bits_per_token"))
     }),
 
     // Document fingerprint: 4 smallest distinct 8-gram hashes (k-min
@@ -1902,6 +1974,15 @@ object SparkEntry {
         .orderBy(col("n").desc, col("prev"), col("cur"))
         .limit(25)),
 
+    // Top collocations by whole-bit PMI with a hapax floor — the
+    // word2phrase / phrase-vocabulary mining stage
+    // (LangModel.collocations scaladoc has the term-wise flog2 overflow
+    // argument). One pair aggregation; marginals and the 1-row total
+    // derive from the pair frame; bounded top-k.
+    "pmi_topk" -> ((s, dir) =>
+      graft.functions.LangModel.collocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 2L, k = 20)),
+
     // Per-document surprisal under the tenth-trained LM: two un-hinted
     // left joins of the transition stream against the LM tables (AQE
     // broadcasts them at this vocabulary; token-keyed shuffle joins at web
@@ -2286,6 +2367,21 @@ object SparkEntry {
       Graph.labelPropRoundOn(nbrs, l2)
     }),
 
+    // Common-neighbor link prediction over the co-purchase graph: top
+    // candidate NON-edges by shared-neighbor count (Jaccard overlap
+    // reported alongside) — the related-item candidate generator. Wedges
+    // are emitted only at centers under the hub cap (the stopword-pruning
+    // move; Graph.linkPredict scaladoc has the Σ C(deg,2) argument), the
+    // adjacency self-join plans once (ReusedExchange), and the top-k is a
+    // bounded TakeOrderedAndProject.
+    "link_predict" -> ((s, dir) =>
+      graft.functions.Graph.linkPredict(
+          graft.functions.Affinity.copresenceGraph(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+          "u", "v", maxCenterDegree = 64)
+        .orderBy(col("n_common").desc, col("u"), col("v"))
+        .limit(20)),
+
     // Three bulk-synchronous k-core peeling rounds (k = 3) over the same
     // co-purchase graph — Matula–Beck degeneracy peeling in the chained
     // restartable-rounds posture: each round ONE doubled-endpoint degree
@@ -2423,6 +2519,55 @@ object SparkEntry {
        |  SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id)""".stripMargin
 
   /** 32-bit simhash per doc — mirrors TF.simhash32 over TF.shingleHashes. */
+  /** One decision-list round of the `stump_chain` oracle: the stump CTE
+    * block over survivor set s{r} (bin/grid/cumulative/integer-score,
+    * per-side majorities via the row_number tie-break), closing with the
+    * next survivor set s{r+1} = rows this round's stump misclassifies. */
+  private def stumpRoundSql(r: Int): String =
+    s"""c$r AS (SELECT embedding, label,
+       |  CAST(floor(CAST(embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) AS bin FROM s$r),
+       |cnt$r AS (SELECT bin, label, count(*)::BIGINT AS c FROM c$r GROUP BY 1, 2),
+       |grid$r AS (SELECT bins.bin, l.label, coalesce(cnt$r.c, 0)::BIGINT AS c
+       |  FROM (SELECT DISTINCT bin FROM cnt$r) bins
+       |  CROSS JOIN (SELECT DISTINCT label FROM cnt$r) l
+       |  LEFT JOIN cnt$r ON cnt$r.bin = bins.bin AND cnt$r.label = l.label),
+       |cum$r AS (SELECT bin, label,
+       |    sum(c) OVER (PARTITION BY label ORDER BY bin)::HUGEINT AS cl,
+       |    sum(c) OVER (PARTITION BY label)::HUGEINT AS tot FROM grid$r),
+       |pb$r AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
+       |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
+       |  FROM cum$r GROUP BY 1),
+       |lm$r AS (SELECT bin, label,
+       |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM cum$r),
+       |rm$r AS (SELECT bin, label,
+       |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM cum$r),
+       |best$r AS (SELECT pb$r.bin, ((pb$r.bin + 1)::DOUBLE) / 16.0 AS threshold,
+       |    lm$r.label AS left_label, rm$r.label AS right_label,
+       |    nl, n - nl AS nr, n,
+       |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
+       |  FROM pb$r JOIN lm$r ON lm$r.bin = pb$r.bin AND lm$r.rn = 1
+       |            JOIN rm$r ON rm$r.bin = pb$r.bin AND rm$r.rn = 1
+       |  WHERE nl > 0 AND n - nl > 0
+       |  ORDER BY score, pb$r.bin LIMIT 1),
+       |s${r + 1} AS (SELECT s$r.embedding, s$r.label FROM s$r, best$r
+       |  WHERE (CASE WHEN CAST(floor(CAST(s$r.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT)
+       |              <= best$r.bin
+       |         THEN best$r.left_label ELSE best$r.right_label END) <> s$r.label)""".stripMargin
+
+  private val stumpChainSql: String = {
+    def tail(r: Int) =
+      s"""SELECT $r AS round, (SELECT count(*) FROM s$r) AS n_train,
+         |  bin AS split_bin, threshold, left_label, right_label,
+         |  score::DOUBLE / (n::DOUBLE * nl::DOUBLE * nr::DOUBLE) AS gini
+         |FROM best$r""".stripMargin
+    s"""WITH s1 AS (SELECT embedding, label FROM embeddings
+       |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |${stumpRoundSql(1)},
+       |${stumpRoundSql(2)},
+       |${stumpRoundSql(3)}
+       |${tail(1)} UNION ALL ${tail(2)} UNION ALL ${tail(3)}""".stripMargin
+  }
+
   private val simhashSql: String = {
     val bitCols = (0 until 32)
       .map(b => s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) >= 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
@@ -2846,6 +2991,11 @@ $rounds
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+        |GROUP BY trim(regexp_replace(
+        |  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+        |  ' +', ' ', 'g'))""".stripMargin,
     "overlap_matrix" ->
       """WITH tk AS (SELECT source, string_split(text, ' ') AS tk FROM documents
         |  WHERE text IS NOT NULL AND source IS NOT NULL),
@@ -2925,6 +3075,32 @@ $rounds
         |SELECT label, CAST(dim_idx AS INT) AS dim_idx, count(*) AS n,
         |  CAST(sum(fp) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS centroid
         |FROM f GROUP BY label, dim_idx""".stripMargin,
+    // Decision-stump replica: identical bin/grid/cumulative/integer-score
+    // pipeline; HUGEINT keeps the cleared-denominator score exact.
+    "stump_split" ->
+      """WITH b AS (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 16.0) AS BIGINT) AS bin, label
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |cnt AS (SELECT bin, label, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |grid AS (SELECT bins.bin, l.label, coalesce(cnt.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT bin FROM cnt) bins
+        |  CROSS JOIN (SELECT DISTINCT label FROM cnt) l
+        |  LEFT JOIN cnt ON cnt.bin = bins.bin AND cnt.label = l.label),
+        |cum AS (SELECT bin,
+        |    sum(c) OVER (PARTITION BY label ORDER BY bin)::HUGEINT AS cl,
+        |    sum(c) OVER (PARTITION BY label)::HUGEINT AS tot FROM grid),
+        |pb AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
+        |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
+        |  FROM cum GROUP BY 1),
+        |sc AS (SELECT bin, nl, n - nl AS nr, n,
+        |    (n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2) AS score
+        |  FROM pb WHERE nl > 0 AND n - nl > 0)
+        |SELECT bin AS split_bin, ((bin + 1)::DOUBLE) / 16.0 AS threshold,
+        |  nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+        |  score::DOUBLE / (n::DOUBLE * nl::DOUBLE * nr::DOUBLE) AS gini
+        |FROM sc ORDER BY score, bin LIMIT 1""".stripMargin,
+    // Decision-list replica: three chained stump rounds, each the full
+    // bin/grid/score block over the previous round's misclassified set.
+    "stump_chain" -> stumpChainSql,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->
@@ -3252,6 +3428,17 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
          |  len(regexp_extract_all(text, '${TF.TokenPattern}')) AS n_tokens,
          |  len(list_distinct(regexp_extract_all(text, '${TF.TokenPattern}'))) AS n_uniq_tokens
          |FROM documents""".stripMargin,
+    // Whole-bit entropy replica: unnest + per-(doc, token) counts + the
+    // length(bin(n))-1 flog2 idiom (same as the LM family oracles).
+    "token_entropy" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+        |c2 AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id)::BIGINT AS n FROM c),
+        |g AS (SELECT doc_id, any_value(n) AS n_tokens,
+        |    sum(c * ((length(bin(n)) - 1) - (length(bin(c)) - 1)))::BIGINT AS bits
+        |  FROM c2 GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, bits, bits::DOUBLE / n_tokens AS bits_per_token
+        |FROM g""".stripMargin,
     "fingerprint" ->
       """WITH h AS (SELECT doc_id,
         |  list_sort(list_distinct(list_transform(
@@ -3919,6 +4106,24 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |  ((length(bin(n_prev)) - 1) - (length(bin(b.n)) - 1))::BIGINT AS bits
         |FROM big b JOIN ctx USING (prev)
         |ORDER BY n DESC, prev, cur LIMIT 25""".stripMargin,
+    // Collocation replica: term-wise flog2 PMI over the full transition
+    // frame, hapax floor n >= 2, full deterministic tie-break.
+    "pmi_topk" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT pr[1] AS prev, pr[2] AS cur FROM (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> [tk[i], tk[i+1]])) AS pr FROM tk)),
+        |p AS (SELECT prev, cur, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+        |l AS (SELECT prev, sum(n)::BIGINT AS n_prev FROM p GROUP BY 1),
+        |r AS (SELECT cur, sum(n)::BIGINT AS n_cur FROM p GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS t FROM p)
+        |SELECT p.prev AS w1, p.cur AS w2, p.n AS n_pair,
+        |  ((length(bin(p.n)) - 1) + (length(bin(t.t)) - 1)
+        |   - (length(bin(l.n_prev)) - 1) - (length(bin(r.n_cur)) - 1))::BIGINT AS pmi_bits
+        |FROM p JOIN l USING (prev) JOIN r USING (cur) CROSS JOIN t
+        |WHERE p.n >= 2
+        |ORDER BY pmi_bits DESC, n_pair DESC, w1, w2 LIMIT 20""".stripMargin,
     "lm_surprisal" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |  FROM documents WHERE text IS NOT NULL),
@@ -4621,6 +4826,25 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |l3 AS (SELECT l2.node, coalesce(w3.label, l2.label) AS label
         |  FROM l2 LEFT JOIN w3 USING (node))
         |SELECT node::BIGINT AS node, label::BIGINT AS label FROM l3""").stripMargin,
+    // Link-prediction replica: same copresence CTEs, hub-capped wedge
+    // self-join, NOT EXISTS edge rejection, unfiltered degrees.
+    "link_predict" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |se AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM se GROUP BY 1),
+        |sm AS (SELECT se.node, se.nbr FROM se JOIN deg USING (node) WHERE deg <= 64),
+        |w AS (SELECT a.nbr AS u, b.nbr AS v, count(*)::BIGINT AS n_common
+        |      FROM sm a JOIN sm b ON a.node = b.node AND a.nbr < b.nbr GROUP BY 1, 2),
+        |cand AS (SELECT * FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v))
+        |SELECT cand.u::BIGINT AS u, cand.v::BIGINT AS v, cand.n_common,
+        |  du.deg AS deg_u, dv.deg AS deg_v,
+        |  cand.n_common::DOUBLE / (du.deg + dv.deg - cand.n_common) AS jaccard
+        |FROM cand JOIN deg du ON du.node = cand.u JOIN deg dv ON dv.node = cand.v
+        |ORDER BY cand.n_common DESC, cand.u, cand.v LIMIT 20""".stripMargin,
     "kcore_k3" ->
       ("""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c

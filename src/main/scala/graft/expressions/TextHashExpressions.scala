@@ -267,6 +267,20 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** tokenEntropyBits(text): [n_tokens, bits] in one pass — whole-bit
+  * empirical token entropy (see [[TextKernels.tokenEntropyBits]]). */
+case class TokenEntropyBits(child: Expression)
+    extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenEntropyBits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.tokenEntropyBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyBits =
+    copy(child = newChild)
+}
+
 /** Jaccard coefficient of two sorted distinct string arrays. */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression with KernelCall {

@@ -481,4 +481,34 @@ object TextKernels {
     }
     new GenericArrayData(java.util.Arrays.copyOf(cur.asInstanceOf[Array[AnyRef]], n))
   }
+
+  /** tokenEntropyBits(text): [n_tokens, bits] in one pass — the whole-bit
+    * empirical token entropy of a document. Tokens are the `split(text,
+    * ' ')` frame (empties kept, n >= 1 always); each occurrence of a token
+    * with in-doc count c contributes flog2(n) − flog2(c) whole bits
+    * (flog2 = floor(log2), the LangModel quantization — exact integer
+    * arithmetic both engines replay bit-identically, no transcendental).
+    * Low bits/token = repetitive/templated text; high = token soup. The
+    * kernel is the shuffle-free face: counts live in a per-document hash
+    * map inside one codegen'd projection, so the 100 TB plan is a bare
+    * scan — no (doc, token)-keyed exchange. */
+  def tokenEntropyBits(s: UTF8String): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Long](
+      math.min(words.length, 1 << 15) * 2)
+    var i = 0
+    while (i < words.length) {
+      counts.merge(words(i), java.lang.Long.valueOf(1L), (a, b) => a + b)
+      i += 1
+    }
+    val n = words.length.toLong
+    val fn = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var bits = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      bits += c * (fn - (63 - java.lang.Long.numberOfLeadingZeros(c)))
+    }
+    ArrayData.toArrayData(Array(n, bits))
+  }
 }

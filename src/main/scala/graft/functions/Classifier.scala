@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /**
  * Distributed linear-classifier training in the single-step, restartable
@@ -127,6 +128,114 @@ object Classifier {
         (col("sum_fp").cast(org.apache.spark.sql.types.DoubleType) /
           (col("n") * lit(1048576L)).cast(org.apache.spark.sql.types.DoubleType))
           .as("centroid"))
+  }
+
+  /** Best single-feature threshold split by weighted Gini impurity — the
+    * CART decision-stump trainer, in exact integer arithmetic. The
+    * feature is quantile-free binned with `floor(feature · binScale)`
+    * (keep `binScale` a power of two: a float times 2^k is an exact
+    * exponent shift, so the binning is bit-identical across engines);
+    * candidate thresholds are the bin edges. For a split putting bins
+    * ≤ s left: minimizing weighted Gini
+    * `(nL·(1 − Σ cL²/nL²) + nR·(1 − Σ cR²/nR²)) / N` is, after clearing
+    * the N·nL·nR denominator, minimizing the INTEGER
+    * `score = nR·(nL² − Σ cL²) + nL·(nR² − Σ cR²)` — computed in
+    * Decimal(38,0) so it stays exact to ~10^12 rows, with ties broken on
+    * the lower bin. Gini's rationality is why it is the impurity here and
+    * entropy/log-loss is not (the whole-bit-exactness contract; see
+    * LangModel for the flog2 alternative).
+    *
+    * Scale shape: ONE corpus aggregation (map-side combining groupBy on
+    * (bin, label) — the exchange carries one row per occupied cell,
+    * ≤ bins × classes); everything after runs on that metadata-scale
+    * frame (zero-filled grid, per-label cumulative windows PARTITIONED by
+    * label, one more metadata-scale aggregation, a 1-row argmin via min
+    * over a (score, bin)-first struct — the type-generic tie-break
+    * posture). Output (one row): split_bin, threshold (left = feature <
+    * threshold), n_left, n_right, gini (the one double division). */
+  def stumpSplit(
+      df: DataFrame, feature: Column, labelCol: String,
+      binScale: Long = 16L): DataFrame =
+    stumpScored(df, feature, labelCol, binScale)
+      .agg(min(struct(col("score"), col("bin"), col("nl"), col("nr"),
+        col("n"))).as("w"))
+      .select(
+        col("w.bin").as("split_bin"),
+        ((col("w.bin") + lit(1L)).cast(DoubleType) / lit(binScale.toDouble))
+          .as("threshold"),
+        col("w.nl").as("n_left"),
+        col("w.nr").as("n_right"),
+        (col("w.score").cast(DoubleType) /
+          (col("w.n").cast(DoubleType) * col("w.nl").cast(DoubleType) *
+            col("w.nr").cast(DoubleType))).as("gini"))
+      .filter(col("split_bin").isNotNull)
+
+  /** [[stumpSplit]] plus the per-side MAJORITY labels — the applicable
+    * form of the stump (predict left_label below the threshold,
+    * right_label at/above it). Majorities come from the same cumulative
+    * frame (min over the (−count, label) struct per side — the
+    * type-generic tie-break posture), so the corpus is still scanned by
+    * exactly one (bin, label) aggregation. Output is EMPTY (not a null
+    * row) when no valid split exists (empty input, or a single bin). */
+  def stumpModel(
+      df: DataFrame, feature: Column, labelCol: String,
+      binScale: Long = 16L): DataFrame =
+    stumpScored(df, feature, labelCol, binScale)
+      .agg(min(struct(col("score"), col("bin"), col("nl"), col("nr"),
+        col("n"), col("lw"), col("rw"))).as("w"))
+      .select(
+        col("w.bin").as("split_bin"),
+        ((col("w.bin") + lit(1L)).cast(DoubleType) / lit(binScale.toDouble))
+          .as("threshold"),
+        col("w.lw.l").as("left_label"),
+        col("w.rw.l").as("right_label"),
+        col("w.nl").as("n_left"),
+        col("w.nr").as("n_right"),
+        (col("w.score").cast(DoubleType) /
+          (col("w.n").cast(DoubleType) * col("w.nl").cast(DoubleType) *
+            col("w.nr").cast(DoubleType))).as("gini"))
+      .filter(col("split_bin").isNotNull)
+
+  /** Per-candidate-split frame shared by [[stumpSplit]] / [[stumpModel]]:
+    * one (bin, label) corpus aggregation, zero-filled grid, per-label
+    * cumulative windows, the cleared-denominator integer score, and
+    * per-side majority structs — everything after the first aggregation
+    * is metadata-scale (≤ bins × classes rows). */
+  private def stumpScored(
+      df: DataFrame, feature: Column, labelCol: String,
+      binScale: Long): DataFrame = {
+    require(binScale >= 1, s"binScale must be positive, got $binScale")
+    val dec = DecimalType(38, 0)
+    val counts = df
+      .filter(feature.isNotNull && col(labelCol).isNotNull)
+      .select(floor(feature.cast(DoubleType) * lit(binScale.toDouble))
+          .cast(LongType).as("bin"),
+        col(labelCol).as("label"))
+      .groupBy(col("bin"), col("label")).agg(count(lit(1)).as("c"))
+    val grid = counts.select(col("bin")).distinct()
+      .crossJoin(counts.select(col("label")).distinct())
+      .join(counts, Seq("bin", "label"), "left")
+      .select(col("bin"), col("label"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = grid.select(col("bin"), col("label"),
+      sum(col("c")).over(Window.partitionBy(col("label")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cl"),
+      sum(col("c")).over(Window.partitionBy(col("label"))).as("tot"))
+    cum.groupBy(col("bin")).agg(
+        sum(col("cl")).as("nl"),
+        sum(col("cl").cast(dec) * col("cl").cast(dec)).as("sl2"),
+        sum((col("tot") - col("cl")).cast(dec) *
+          (col("tot") - col("cl")).cast(dec)).as("sr2"),
+        sum(col("tot")).as("n"),
+        min(struct((-col("cl")).as("nc"), col("label").as("l"))).as("lw"),
+        min(struct((col("cl") - col("tot")).as("nc"),
+          col("label").as("l"))).as("rw"))
+      .withColumn("nr", col("n") - col("nl"))
+      .filter(col("nl") > 0 && col("nr") > 0)
+      .withColumn("score",
+        col("nr").cast(dec) *
+          (col("nl").cast(dec) * col("nl").cast(dec) - col("sl2")) +
+        col("nl").cast(dec) *
+          (col("nr").cast(dec) * col("nr").cast(dec) - col("sr2")))
   }
 
 }

@@ -650,19 +650,60 @@ object Dedup {
     * DuckDB replica that hashes the same way (a raw-string count could
     * differ only through an xhash32 collision the oracle also makes). */
   def ngramSourceOverlap(
-      df: DataFrame, textCol: String, srcCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, textCol: String, srcCol: String, n: Int = 8): DataFrame =
+    overlapMatrixFromGrams(gramInventory(df, textCol, srcCol, n))
+
+  /** The distinct (gram-hash, source) inventory [[ngramSourceOverlap]]
+    * joins — also the unit of persistence for the incremental face. */
+  private def gramInventory(
+      df: DataFrame, textCol: String, srcCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
     val tk = wsTokens(col(textCol))
-    val grams = df
+    df
       .filter(col(textCol).isNotNull && col(srcCol).isNotNull && size(tk) >= n)
       .select(col(srcCol).as("src"),
         explode(transform(sequence(lit(1), size(tk) - lit(n - 1)),
           i => xhash32(concat_ws(" ", slice(tk, i, lit(n)))))).as("h"))
       .distinct()
+  }
+
+  private def overlapMatrixFromGrams(grams: DataFrame): DataFrame =
     grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-  }
+
+  /** Persist the gram inventory for incremental cross-source overlap —
+    * the log-structured-store pattern (LM counts, BM25 postings, HLL
+    * registers), with the HLL store's OVERLAP-TOLERANT contract: the
+    * stored unit is a SET row (src, h), merged by distinct-on-read, so
+    * re-appending already-seen documents (re-crawls, replayed batches)
+    * is idempotent — it cannot inflate `n_shared` the way a double
+    * increment inflates an additive count store. Appends are raw
+    * (distinct within the batch only); [[compactGramInventory]] rewrites
+    * the accumulated slices as one deduplicated table. */
+  def writeGramInventory(
+      df: DataFrame, textCol: String, srcCol: String, path: String,
+      n: Int = 8): Unit =
+    gramInventory(df, textCol, srcCol, n).write.mode("overwrite").parquet(path)
+
+  /** Append one increment (a new crawl slice) to the inventory. */
+  def appendGramInventory(
+      df: DataFrame, textCol: String, srcCol: String, path: String,
+      n: Int = 8): Unit =
+    gramInventory(df, textCol, srcCol, n).write.mode("append").parquet(path)
+
+  /** The overlap matrix over everything ingested so far: distinct-on-read
+    * set union of the slices, then the same bounded pair join as the
+    * batch operator — bit-identical to [[ngramSourceOverlap]] over the
+    * union of the ingested frames. */
+  def overlapMatrixFromInventory(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    overlapMatrixFromGrams(spark.read.parquet(path).distinct())
+
+  /** Rewrite accumulated slices as one deduplicated inventory. */
+  def compactGramInventory(
+      spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
+    spark.read.parquet(src).distinct().write.mode("overwrite").parquet(dest)
 }

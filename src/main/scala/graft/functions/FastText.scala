@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, WinnowDigest, XHash32Array}
+import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, TokenEntropyBits, WinnowDigest, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -30,6 +30,11 @@ object FastText {
     * value-equal to Spans.intraDocStripRef's HOF composition. */
   def intraDocStrip(c: Column, k: Int): Column =
     B.column(IntraDocStrip(B.expression(c), k))
+
+  /** [n_tokens, bits] — one-pass whole-bit token entropy over the
+    * `split(text, ' ')` frame (see TextKernels.tokenEntropyBits). */
+  def tokenEntropyBits(c: Column): Column =
+    B.column(TokenEntropyBits(B.expression(c)))
 
   /** MinHash signature — value-equal to TextFunctions.minhashSignature. */
   def minhashSig(hashes: Column, k: Int): Column = B.column(MinHashSig(B.expression(hashes), k))

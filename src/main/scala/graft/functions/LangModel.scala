@@ -366,4 +366,46 @@ object LangModel {
         (flog2(col("nc")) - flog2(col("n"))).as("__t_bits"))
     Lm3(trigrams, readLm(spark, path, backoffBits), backoffBits)
   }
+
+  /** Top-k adjacent-token collocations by whole-bit PMI — the
+    * word2phrase / multi-word-expression mining stage that feeds phrase
+    * vocabularies. PMI = log2(p(a,b) / (p(a)·p(b))) quantized PER TERM:
+    * `pmi_bits = flog2(n_ab) + flog2(T) − flog2(n_a·) − flog2(n_·b)`
+    * with every count taken from the transition frame (n_a· = a's
+    * occurrences as bigram-left, n_·b = b's as bigram-right, T = total
+    * transitions). Term-wise flog2 — NOT flog2 of the products — keeps
+    * every operand in 64 bits at any corpus size (the products overflow
+    * past ~10^9 transitions) at the cost of ±2 bits of quantization,
+    * the same whole-bit contract as the surprisal family. `minCount`
+    * floors the pair count first: PMI famously explodes on hapax pairs
+    * (two typos that co-occur once have maximal PMI).
+    *
+    * 100 TB shape: ONE corpus-scanning pair aggregation ([[pairCounts]];
+    * Zipf-bounded exchange); left/right marginals and T derive from that
+    * frame (shared exchange); two un-hinted vocabulary joins (AQE
+    * broadcasts while marginals fit, token-keyed shuffle joins at web
+    * scale); T rides a 1-row broadcast (the q14_subq shape); the cut is
+    * a bounded TakeOrderedAndProject with a full deterministic
+    * tie-break (bits, count, pair). */
+  def collocations(
+      ref: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    require(k >= 1, s"k must be positive, got $k")
+    val pairs = pairCounts(ref, idCol, textCol)
+    val left = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
+    val right = pairs.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+    val total = pairs.agg(sum(col("n")).as("t"))
+    pairs
+      .filter(col("n") >= minCount)
+      .join(left, "prev")
+      .join(right, "cur")
+      .crossJoin(broadcast(total))
+      .select(col("prev").as("w1"), col("cur").as("w2"),
+        col("n").as("n_pair"),
+        (flog2(col("n")) + flog2(col("t")) -
+          flog2(col("n_prev")) - flog2(col("n_cur"))).as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -130,6 +130,18 @@ object TextFunctions {
   /** Whitespace tokens (the cheap path). */
   def wsTokens(c: Column): Column = split(c, " ")
 
+  /** Dedup-normalized text: ASCII case-fold + whitespace-run collapse +
+    * trim. `translate` over the 26 ASCII letters, NOT `lower()` — full
+    * Unicode case mapping is locale/library-dependent (Java vs utf8proc
+    * differ on dotted-I, sharp-s, etc.), while a fixed 26-char table is
+    * bit-portable to any engine. The whitespace collapse is the literal
+    * regex `' +'` (both engines replace ALL matches; DuckDB needs the 'g'
+    * flag spelled in the oracle). Codegen'd string ops, shuffle-free. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(
+      translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+      " +", " "))
+
   /** Learn a BPE merge table: the top-`n` adjacent [[bpeTokens]] pairs by
     * corpus count (ties on binary pair order), in rank order — the
     * merge-table face of the `bpe_pairs` training step. One tokenize +

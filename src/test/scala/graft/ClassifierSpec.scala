@@ -135,4 +135,62 @@ class ClassifierSpec extends SparkSpec {
     assert(one === many && one.nonEmpty,
       "integer scores must make the argmin partitioning-invariant")
   }
+
+  test("stumpSplit: hand-computed Gini argmin, perfect split found") {
+    import spark.implicits._
+    // binScale 4: bins 0:{A:2} 1:{A:1} 2:{B:2} 3:{B:1}, N=6.
+    //   s=0: score = 4*(4-4) + 2*(16-10) = 12
+    //   s=1: perfectly separates A|B -> score 0 (argmin)
+    //   s=2: score = 1*(25-13) + 5*(1-1) = 12
+    val df = Seq(
+      (0.1, "A"), (0.2, "A"), (0.3, "A"),
+      (0.6, "B"), (0.7, "B"), (0.9, "B")
+    ).toDF("f", "label")
+    val r = Classifier.stumpSplit(df, col("f"), "label", binScale = 4L).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(0) === 1L, "split_bin")
+    assert(row.getDouble(1) === 0.5, "threshold = (bin+1)/binScale")
+    assert(row.getLong(2) === 3L && row.getLong(3) === 3L)
+    assert(row.getDouble(4) === 0.0, "perfect split has zero gini")
+  }
+
+  test("stumpModel: per-side majority labels; empty/one-bin input yields no row") {
+    import spark.implicits._
+    // Occupied bins 0 (A:3, B:1) and 2 (A:2, B:2): the only valid split
+    // is after bin 0. Left majority: A by count; right majority: the 2-2
+    // TIE must break to the smaller label (A) — the same min-over-struct
+    // posture as knnClassify/labelPropRound, never label arithmetic.
+    val df = Seq(
+      (0.1, "A"), (0.15, "A"), (0.2, "A"), (0.22, "B"),
+      (0.6, "A"), (0.62, "B"), (0.7, "A"), (0.72, "B")
+    ).toDF("f", "label")
+    val row = Classifier.stumpModel(df, col("f"), "label", binScale = 4L).collect()(0)
+    assert(row.getLong(0) === 0L)
+    assert(row.getDouble(1) === 0.25)
+    assert(row.getString(2) === "A", "left majority by count")
+    assert(row.getString(3) === "A", "right 2-2 tie breaks to the smaller label")
+    assert(row.getLong(4) === 4L && row.getLong(5) === 4L)
+    assert(Classifier.stumpModel(df.limit(0), col("f"), "label", binScale = 4L).isEmpty,
+      "empty input must yield zero rows, not a null row")
+    val oneBin = Seq((0.1, "A"), (0.2, "B")).toDF("f", "label")
+    assert(Classifier.stumpModel(oneBin, col("f"), "label", binScale = 4L).isEmpty,
+      "a single occupied bin admits no valid split")
+  }
+
+  test("stumpSplit: negative bins, all-score ties break to the lowest bin") {
+    import spark.implicits._
+    // (-0.3, 0.3) at binScale 4 -> bins -2 and 1; single row per side
+    // makes every valid split score 0 -> argmin must pick bin -2.
+    val df = Seq((-0.3, 0), (0.3, 1)).toDF("f", "label")
+    val row = Classifier.stumpSplit(df, col("f"), "label", binScale = 4L).collect()(0)
+    assert(row.getLong(0) === -2L)
+    assert(row.getDouble(1) === -0.25)
+    assert(row.getLong(2) === 1L && row.getLong(3) === 1L)
+    assert(row.getDouble(4) === 0.0)
+    // One-class corpus: all splits tie at 0 -> lowest bin again.
+    val one = Seq((0.1, 7), (0.6, 7), (0.9, 7)).toDF("f", "label")
+    assert(Classifier.stumpSplit(one, col("f"), "label", binScale = 4L)
+      .collect()(0).getLong(0) === 0L)
+  }
 }

@@ -239,6 +239,48 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 4L, 5L, 6L))
   }
 
+  test("normText + exactGroups: case/whitespace variants collapse, real edits don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "the quick  brown fox "), // case + double space + trailing
+      (3L, " THE QUICK BROWN FOX"),  // leading + shouting
+      (4L, "the quick brown foxes"), // a real edit: stays distinct
+      (5L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Dedup.exactGroups(
+        docs.select(col("doc_id"), graft.functions.TextFunctions.normText(col("text")).as("text")),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("gram inventory store: increments match the batch matrix; re-appends are idempotent") {
+    import spark.implicits._
+    def df(rows: (String, String)*) = rows.toSeq.toDF("source", "text")
+    val batch1 = df(("s1", "t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+    val batch2 = df(("s2", "t1 t2 t3 t4 t5 t6 t7 t8 zz"),
+      ("s3", "t2 t3 t4 t5 t6 t7 t8 t9"))
+    val dir = java.nio.file.Files.createTempDirectory("gram_inv").toString
+    graft.functions.Dedup.writeGramInventory(batch1, "text", "source", dir)
+    graft.functions.Dedup.appendGramInventory(batch2, "text", "source", dir)
+    def matrix(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stored = matrix(graft.functions.Dedup.overlapMatrixFromInventory(spark, dir))
+    val direct = matrix(graft.functions.Dedup.ngramSourceOverlap(
+      batch1.unionAll(batch2), "text", "source"))
+    assert(stored === direct && stored.nonEmpty)
+    // Overlap tolerance: replaying an already-ingested batch is a set
+    // re-union — the matrix must not move (the HLL-store contract, not
+    // the additive LM/BM25 one).
+    graft.functions.Dedup.appendGramInventory(batch1, "text", "source", dir)
+    assert(matrix(graft.functions.Dedup.overlapMatrixFromInventory(spark, dir)) === stored)
+    // Compaction rewrites slices without changing the matrix.
+    val dir2 = java.nio.file.Files.createTempDirectory("gram_inv2").toString
+    graft.functions.Dedup.compactGramInventory(spark, dir, dir2)
+    assert(matrix(graft.functions.Dedup.overlapMatrixFromInventory(spark, dir2)) === stored)
+  }
+
   test("ngramSourceOverlap: exact shared-gram counts, distinct per source") {
     import spark.implicits._
     val docs = Seq(

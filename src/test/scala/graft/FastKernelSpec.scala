@@ -318,4 +318,32 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
           s"k=$k w=$w text='${r.getString(0).take(40)}'")
     }
   }
+
+  test("tokenEntropyBits kernel == scalar whole-bit reference (corpus + edges)") {
+    import spark.implicits._
+    // The oracle's arithmetic, scalar-side: split(' ') with empties kept,
+    // each occurrence of an in-doc-count-c token costs flog2(n) - flog2(c).
+    def ref(s: String): Seq[Long] = {
+      val words = s.split(" ", -1)
+      val n = words.length.toLong
+      def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      val bits = words.groupBy(identity).values
+        .map(g => g.length.toLong * (flog2(n) - flog2(g.length.toLong))).sum
+      Seq(n, bits)
+    }
+    val edges = Seq("", "a", "a a a a", "a b a b", "x  y", // double space: empty token
+      "the quick brown fox jumps over the lazy dog the end").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edges)) {
+      val rows = df.filter(col("text").isNotNull)
+        .select(col("text"), FastText.tokenEntropyBits(col("text")).as("fast"))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[Long](1) === ref(r.getString(0)),
+          s"text='${r.getString(0).take(40)}'")
+    }
+    // Sanity anchors: uniform repetition = 0 bits; 4 distinct over 4
+    // tokens = flog2(4) - flog2(1) = 2 bits each.
+    assert(ref("a a a a") === Seq(4L, 0L))
+    assert(ref("a b c d") === Seq(4L, 8L))
+  }
 }

@@ -230,4 +230,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("linkPredict: exact common-neighbor census on a crafted graph") {
+    // Square 1-2-4-3-1 with diagonal 2-3, pendant 5-1:
+    //   N(1)={2,3,5} N(2)={1,3,4} N(3)={1,2,4} N(4)={2,3} N(5)={1}
+    // Non-edges with shared neighbors: (1,4) via {2,3}; (2,5),(3,5) via {1};
+    // (4,5) shares nothing. Reversed/duplicate input rows must collapse.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 1L),
+      (2L, 1L), (1L, 2L) // reversed + duplicate
+    ).toDF("u", "v")
+    val out = Graph.linkPredict(edges, "u", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out === Map(
+      (1L, 4L) -> ((2L, 3L, 2L, 2.0 / 3.0)),
+      (2L, 5L) -> ((1L, 3L, 1L, 1.0 / 3.0)),
+      (3L, 5L) -> ((1L, 3L, 1L, 1.0 / 3.0))))
+    // Hub cap: every shared neighbor above has degree 3, so capping
+    // centers at 2 removes all wedges — the stopword-pruning semantics
+    // (candidates vanish rather than count hub-mediated overlap).
+    assert(Graph.linkPredict(edges, "u", "v", maxCenterDegree = 2).isEmpty)
+  }
 }

@@ -152,4 +152,19 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
     assert(a === b)
   }
+
+  test("collocations: hand-computed whole-bit PMI; hapax floor tames PMI explosion") {
+    // Transitions: doc1 "a b a b c" -> (a,b)x2 (b,a) (b,c);
+    //              doc2 "x y x y"   -> (x,y)x2 (y,x).  T = 7, flog2(7) = 2.
+    // (a,b): 1+2-1-1 = 1   (x,y): 1+2-1-1 = 1   (tie -> w1 order)
+    // hapax (y,x): 0+2-0-0 = 2 -> tops the board iff minCount = 1.
+    val docs = Seq((1L, "a b a b c"), (2L, "x y x y")).toDF("doc_id", "text")
+    val floored = LangModel.collocations(docs, "doc_id", "text", minCount = 2L, k = 20)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(floored === Seq(("a", "b", 2L, 1L), ("x", "y", 2L, 1L)))
+    val unfloored = LangModel.collocations(docs, "doc_id", "text", minCount = 1L, k = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(unfloored === Seq(("y", "x", 1L, 2L)),
+      "a once-seen pair of rare tokens must dominate unfloored PMI")
+  }
 }

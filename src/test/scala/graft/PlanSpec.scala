@@ -96,10 +96,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    construction (language inventory, not corpus statistics); the
   //    corpus-scale work (token-count training, matched-hit scoring) is
   //    equi-joins below it.
+  //  - stump_split: the zero-fill grid is distinct-bins x distinct-labels
+  //    (the q34_gapfill spine shape) — both sides metadata-scale
+  //    aggregates; the corpus folds in the (bin, label) groupBy below.
+  //  - pmi_topk: the 1-row transition total broadcast onto the pair
+  //    frame (the q14_subq/bm25_topk shape); marginals join as equi.
   private val nljWhitelist =
     Set("ann_topk", "ann_sq8", "knn_classify", "nb_confusion", "rrf_hybrid", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
-      "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3")
+      "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3", "stump_split",
+      "stump_chain", "pmi_topk")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -228,6 +234,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         assert(!e.output.exists(_.name == "text"),
           s"$q: exchange carries document text: $e")
     }
+  }
+
+  test("token_entropy: no keyed shuffle — scan + kernel projection only") {
+    // The kernel keeps per-doc token counts inside the projection; a
+    // (doc, token)-keyed exchange appearing here means the explode+groupBy
+    // form snuck back in. The one allowed exchange is KernelInput's
+    // round-robin parallelism guard (a no-op on multi-row-group input —
+    // the 100 TB case).
+    val keyed = collectAll(plan("token_entropy")) {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+    }
+    assert(keyed.isEmpty, planString("token_entropy"))
+  }
+
+  test("link_predict: bounded top-k; wedge self-join reuses the adjacency exchange") {
+    val df = SparkEntry.queries("link_predict")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // Both wedge sides are the identical hub-capped adjacency subtree;
+    // after AQE materializes, the second side must ride a ReusedExchange
+    // (the corpus pays the doubled-edge pipeline once).
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
   }
 
   test("overlap_matrix: exchanges carry hashed grams and sources, never text") {
