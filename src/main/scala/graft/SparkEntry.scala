@@ -2246,6 +2246,15 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value", nMads = 3)),
 
+    // CUSUM changepoint per event type: the day where cumulative
+    // deviation from the series mean peaks, in cleared-denominator exact
+    // integers (TimeSeries.cusumChangepoint scaladoc) — "when did this
+    // source's behavior shift", the monitoring sibling of dist_drift.
+    "changepoint" -> ((s, dir) =>
+      graft.functions.TimeSeries.cusumChangepoint(
+        t(s, dir, "events").select(col("ts"), col("event_type"), col("value")),
+        "ts", "value", Seq("event_type"), bucketNanos = 86400000000000L)),
+
     // Z-order layout clustering evidence: interleave the low 8 bits of
     // (l_partkey, l_suppkey), cut 64 aligned z-files, report per-file
     // min/max of BOTH dims — each file spans <= 32 values per dimension,
@@ -4649,6 +4658,25 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     // Same fixed-point bins as the quality-gate median; the deviation
     // histogram folds out of the value histogram (h JOIN m), and both
     // medians are the lower-median cum >= (n+1)//2 rule.
+    // CUSUM replica: same cents fixed-point, same cleared-denominator
+    // D_i = n*cum_i - i*T, argmax |D| with ties to the earlier bucket.
+    "changepoint" ->
+      """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS bucket,
+        |    sum(floor(value * 100.0)::BIGINT)::BIGINT AS s
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, count(*)::BIGINT AS n, sum(s)::BIGINT AS t
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT b.event_type, bucket,
+        |    sum(s) OVER (PARTITION BY b.event_type ORDER BY bucket)::BIGINT AS cum,
+        |    row_number() OVER (PARTITION BY b.event_type ORDER BY bucket)::BIGINT AS i,
+        |    n, t
+        |  FROM b JOIN k USING (event_type)),
+        |d AS (SELECT event_type, bucket, n, n * cum - i * t AS dd,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - i * t) DESC, bucket) AS rn
+        |  FROM c)
+        |SELECT event_type, bucket AS cp_bucket, n AS n_buckets, abs(dd) AS d_abs
+        |FROM d WHERE rn = 1""".stripMargin,
     "anomaly_mad" ->
       """WITH b AS (SELECT event_id, event_type, value,
         |    floor(value * 1048576.0)::BIGINT AS qb FROM events),

@@ -267,6 +267,21 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** hashedWordGrams(text, n): sorted distinct xhash32 of every word n-gram
+  * (see [[TextKernels.hashedWordGrams]]). */
+case class HashedWordGrams(child: Expression, n: Int)
+    extends UnaryExpression with KernelCall {
+  require(n > 0, "n-gram size must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashedWordGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.hashedWordGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): HashedWordGrams =
+    copy(child = newChild)
+}
+
 /** tokenEntropyBits(text): [n_tokens, bits] in one pass — whole-bit
   * empirical token entropy (see [[TextKernels.tokenEntropyBits]]). */
 case class TokenEntropyBits(child: Expression)

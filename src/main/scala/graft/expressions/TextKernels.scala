@@ -482,6 +482,36 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(cur.asInstanceOf[Array[AnyRef]], n))
   }
 
+  /** hashedWordGrams(text, n): xhash32 of every word n-gram (space-joined
+    * window of the `split(text, ' ')` frame), deduplicated, sorted — the
+    * word-level sibling of [[hashedShingles]], hash-equal to
+    * `transform(sequence(...), i -> xhash32(concat_ws(' ', slice(tk, i,
+    * n))))` + distinct (the interpreted-HOF form it replaces on the
+    * overlap-matrix hot path). */
+  def hashedWordGrams(s: UTF8String, n: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var w = i
+      while (w < i + n) {
+        if (w > i) sb.append(' ')
+        sb.append(words(w))
+        w += 1
+      }
+      set.add(xhash32(UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    var j = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** tokenEntropyBits(text): [n_tokens, bits] in one pass — the whole-bit
     * empirical token entropy of a document. Tokens are the `split(text,
     * ' ')` frame (empties kept, n >= 1 always); each occurrence of a token

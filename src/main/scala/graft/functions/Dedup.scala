@@ -658,12 +658,25 @@ object Dedup {
   private def gramInventory(
       df: DataFrame, textCol: String, srcCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    val tk = wsTokens(col(textCol))
-    df
-      .filter(col(textCol).isNotNull && col(srcCol).isNotNull && size(tk) >= n)
+    // One codegen'd kernel per row (FastText.hashedWordGrams) — the HOF
+    // transform+xhash32 form this replaces paid an interpreted md5 call
+    // per gram (the round-1 bench-killer pattern); hash-equal, short
+    // documents yield an empty array and explode drops them.
+    //
+    // The explicit repartition on the GRAM HASH alone is the
+    // neighborFrame subset-partitioning move: hash(h) clusters (src, h)
+    // for the distinct, AND it is exactly the layout the pair self-join
+    // keys on — so the kernel pipeline plans ONCE (both join sides ride
+    // a ReusedExchange of this frame, PlanSpec-gated) and the join adds
+    // no exchange of its own. The trade (deliberate): the user exchange
+    // forgoes the planner's map-side partial distinct, shuffling per-doc-
+    // distinct rows — bought back double at the join, which would
+    // otherwise re-exchange BOTH sides from (src, h) to (h).
+    graft.functions.KernelInput.ensureParallelismIfScan(
+        df.filter(col(textCol).isNotNull && col(srcCol).isNotNull))
       .select(col(srcCol).as("src"),
-        explode(transform(sequence(lit(1), size(tk) - lit(n - 1)),
-          i => xhash32(concat_ws(" ", slice(tk, i, lit(n)))))).as("h"))
+        explode(FastText.hashedWordGrams(col(textCol), n)).as("h"))
+      .repartition(col("h"))
       .distinct()
   }
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 
-import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, SortedShingles, TokenEntropyBits, WinnowDigest, XHash32Array}
+import graft.expressions.{BandKeys, ContainmentSortedLongBounded, CoverageCounts, HashedShingles, IntraDocStrip, JaccardSorted, JaccardSortedLong, JaccardSortedLongBounded, MinHashSig, SimHash32, SkipgramConcat, SortedLongContains, HashedWordGrams, SortedShingles, TokenEntropyBits, WinnowDigest, XHash32Array}
 
 /**
  * Column API over the codegen'd dedup kernels
@@ -35,6 +35,11 @@ object FastText {
     * `split(text, ' ')` frame (see TextKernels.tokenEntropyBits). */
   def tokenEntropyBits(c: Column): Column =
     B.column(TokenEntropyBits(B.expression(c)))
+
+  /** Sorted distinct xhash32 of every word n-gram — hash-equal to the
+    * HOF transform+xhash32+distinct composition it replaces. */
+  def hashedWordGrams(c: Column, n: Int): Column =
+    B.column(HashedWordGrams(B.expression(c), n))
 
   /** MinHash signature — value-equal to TextFunctions.minhashSignature. */
   def minhashSig(hashes: Column, k: Int): Column = B.column(MinHashSig(B.expression(hashes), k))

@@ -129,6 +129,55 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** CUSUM changepoint per key: the bucket where the cumulative deviation
+    * from the series mean peaks — the classical Page/CUSUM "where did the
+    * level shift" detector, in EXACT integer arithmetic. Per ordered
+    * bucket i of n with fixed-point cents sums s_b, the deviation
+    * C_i = Σ_{b≤i} s_b − i·(T/n) is rational; scaling by n clears the
+    * denominator: `D_i = n·cum_i − i·T`, an integer — the stumpSplit
+    * cleared-denominator discipline, CUSUM face. The changepoint is
+    * argmax |D_i| (ties to the earlier bucket, min-over-struct posture).
+    * At Σ|cents| ≈ 10^15 and n ≈ 10^4 buckets, n·cum stays inside 64
+    * bits; past that, lift the two products to Decimal(38,0) as in
+    * stumpSplit. Gaps: CUSUM runs over OBSERVED buckets (i = rank among
+    * them), so an empty day contributes nothing rather than a zero.
+    *
+    * Scale shape: ONE map-side-combining (key, bucket) corpus
+    * aggregation; the cumulative window and the argmax run on the
+    * per-bucket frame (keys × buckets — calendar-scale), partitioned by
+    * key. Output: keyCols ++ (cp_bucket, n_buckets, d_abs). */
+  def cusumChangepoint(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      bucketNanos: Long): DataFrame = {
+    require(bucketNanos > 0, "bucket width must be positive")
+    require(keyCols.nonEmpty, "at least one key column")
+    val g = keyCols.map(col)
+    val perBucket = df
+      .select(g :+ intDiv(col(tsCol), lit(bucketNanos)).as("bucket") :+
+        floor(col(valueCol).cast(DoubleType) * lit(100.0)).cast(LongType).as("cents"): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(sum(col("cents")).as("s"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    perBucket
+      .select(g :+ col("bucket") :+
+        sum(col("s")).over(wCum).as("cum") :+
+        row_number().over(Window.partitionBy(g: _*).orderBy(col("bucket"))).as("i") :+
+        sum(col("s")).over(wAll).as("t") :+
+        count(lit(1)).over(wAll).as("n"): _*)
+      .select(g :+ col("bucket") :+ col("n") :+
+        (col("n") * col("cum") - col("i") * col("t")).as("d"): _*)
+      .groupBy(g: _*)
+      .agg(min(struct((-abs(col("d"))).as("na"), col("bucket").as("b"),
+        col("n").as("n"))).as("w"))
+      .select(g :+ col("w.b").as("cp_bucket") :+ col("w.n").as("n_buckets") :+
+        (-col("w.na")).as("d_abs"): _*)
+  }
+
   /** Integral division on longs — SQL `div`, NOT Column `/` (double
     * division: a numerator past 2^53, e.g. an epoch-nanos timestamp,
     * rounds before the divide and can land in the wrong bucket). */

@@ -71,7 +71,10 @@ object GraftSqlFunctions {
       new ExpressionInfo(classOf[CoverageCounts].getName, "graft_coverage"),
       (args: Seq[Expression]) =>
         CoverageCounts(args.head, intArg(args(1), "graft_coverage"),
-          stringSeqArg(args(2), "graft_coverage")))
+          stringSeqArg(args(2), "graft_coverage"))),
+    ("graft_token_entropy",
+      new ExpressionInfo(classOf[TokenEntropyBits].getName, "graft_token_entropy"),
+      (args: Seq[Expression]) => TokenEntropyBits(args.head))
   )
 
   /** A foldable array-of-strings argument (the reference vocabulary rides

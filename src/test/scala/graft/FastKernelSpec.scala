@@ -319,6 +319,26 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hashedWordGrams kernel == HOF transform+xhash32+distinct (corpus + edges)") {
+    import spark.implicits._
+    val edges = Seq("", "one", "a b c d e f g h", "a b c d e f g h i",
+      "x x x x x x x x x x", "a  b c d e f g h").toDF("text") // double space
+    for (df <- Seq(docs.select(col("text")), edges); n <- Seq(3, 8)) {
+      val tk = TF.wsTokens(col("text"))
+      val rows = df.filter(col("text").isNotNull)
+        .select(
+          sort_array(FastText.hashedWordGrams(col("text"), n)).as("fast"),
+          sort_array(array_distinct(
+            when(size(tk) >= n,
+              transform(sequence(lit(1), size(tk) - lit(n - 1)),
+                i => TF.xhash32(concat_ws(" ", slice(tk, i, lit(n))))))
+              .otherwise(typedLit(Array.empty[Long])))).as("ref"))
+        .collect()
+      for (r <- rows)
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+    }
+  }
+
   test("tokenEntropyBits kernel == scalar whole-bit reference (corpus + edges)") {
     import spark.implicits._
     // The oracle's arithmetic, scalar-side: split(' ') with empties kept,

@@ -260,12 +260,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
-  test("overlap_matrix: exchanges carry hashed grams and sources, never text") {
-    val shuffles = collectAll(plan("overlap_matrix")) { case e: ShuffleExchangeExec => e }
-    assert(shuffles.nonEmpty, planString("overlap_matrix"))
-    for (e <- shuffles)
+  test("overlap_matrix: keyed exchanges carry hashed grams and sources, never text") {
+    // KernelInput's round-robin parallelism guard may redistribute the
+    // raw scan (no-op on multi-row-group input); every KEYED exchange
+    // must carry hashes only.
+    val keyed = collectAll(plan("overlap_matrix")) {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("RoundRobinPartitioning") => e
+    }
+    assert(keyed.nonEmpty, planString("overlap_matrix"))
+    for (e <- keyed)
       assert(!e.output.exists(a => a.name == "text" || a.name == "tk"),
         s"overlap_matrix: exchange carries text:\n$e")
+  }
+
+  test("overlap_matrix: the gram kernel pipeline plans once (shared h-exchange)") {
+    // The explicit repartition on the gram hash is the neighborFrame
+    // subset-partitioning move: with broadcast off (the 100 TB shape),
+    // the pair self-join must ride ONE exchange of the kernel pipeline
+    // (ReusedExchange at materialization), never two kernel scans.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("overlap_matrix")(spark, sf)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        df.queryExecution.executedPlan.toString)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("every production query has an oracle (the driver's correctness gate covers the full map)") {

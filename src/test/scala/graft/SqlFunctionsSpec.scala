@@ -30,6 +30,18 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.filter(col("self_jac") =!= 1.0).count() === 0)
   }
 
+  test("graft_token_entropy matches the Column API kernel") {
+    GraftSqlFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).createOrReplaceTempView("docs_te_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_token_entropy(text) AS te FROM docs_te_sql")
+    val viaCols = spark.table("docs_te_sql").select(
+      col("doc_id"), FastText.tokenEntropyBits(col("text")).as("te"))
+    assert(viaSql.exceptAll(viaCols).count() === 0)
+    assert(viaCols.exceptAll(viaSql).count() === 0)
+  }
+
   test("cross-engine dot product callable from SQL") {
     GraftSqlFunctions.register(spark)
     import spark.implicits._

@@ -875,6 +875,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got((1L, 3L)) === (("a", T0 + 3 * Min, 104L)))
     assert(got((2L, 1L)) === ((null, T0, 201L)))
   }
+
+  test("HllStream.registerStream: estimate parity with batch; replayed batches cannot inflate") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type")).as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("hll_stream").toString + "/regs"
+    val in = MemoryStream[(Long, String)]
+    val writer = graft.streaming.HllStream.registerStream(
+      in.toDF().toDF("user_id", "event_type"), col("user_id"),
+      Seq("event_type"), dir)
+    val q = writer.queryName("hll_reg_stream").start()
+    val (b1, b2) = events.splitAt(events.length / 2)
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq))
+    def est = Sketches.readHllEstimate(spark, dir, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val streamed = est
+    // Batch reference over the union of everything streamed: register
+    // max-merge makes slice boundaries invisible.
+    val batch = Sketches.hllDistinct(
+        events.toSeq.toDF("user_id", "event_type"), col("user_id"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch && streamed.nonEmpty)
+    // Replay: re-appending an already-ingested slice (an at-least-once
+    // sink's duplicate delivery) must not move any estimate — the MAX
+    // algebra, not sink coordination, is the idempotence.
+    Sketches.appendHllRegisters(
+      b1.toSeq.toDF("user_id", "event_type"), col("user_id"), Seq("event_type"), dir)
+    assert(est === streamed)
+  }
 }
 
 /** Shared fixed schemas for streaming tests. */

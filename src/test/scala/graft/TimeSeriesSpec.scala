@@ -117,6 +117,32 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L) -> ((null, 1L, 3L)), (2L, 2L) -> (("x", 3L, -1L))))
   }
 
+  test("cusumChangepoint: level shift lands on the last pre-shift bucket; flat series ties to bucket 1") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // Key "a": value 0 for days 1-3, 6.0 for days 4-6 (cents s = [0,0,0,
+    // 600,600,600], T = 1800, n = 6). D_i = 6*cum_i - i*1800 =
+    // [-1800,-3600,-5400,-3600,-1800,0] -> argmax |D| at i=3 (the last
+    // pre-shift day), d_abs = 5400.
+    // Key "b": constant value -> every D_i = 0 -> tie to the FIRST bucket.
+    val rows =
+      (1 to 6).map(i => ("a", i * day + 7L, if (i <= 3) 0.0 else 6.0)) ++
+        (1 to 4).map(i => ("b", i * day + 7L, 2.5))
+    val out = graft.functions.TimeSeries.cusumChangepoint(
+        rows.toDF("event_type", "ts", "value"), "ts", "value",
+        Seq("event_type"), day)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map("a" -> ((3L, 6L, 5400L)), "b" -> ((1L, 4L, 0L))))
+    // Partitioning-invariant (integer arithmetic end to end).
+    val repart = graft.functions.TimeSeries.cusumChangepoint(
+        rows.toDF("event_type", "ts", "value").repartition(7), "ts", "value",
+        Seq("event_type"), day)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(repart === out)
+  }
+
   test("Graph.pushRound: fixed-point degree-normalized push") {
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
     val out = Graph.pushRound(edges, "src", "dst")
