@@ -2407,7 +2407,10 @@ object SparkEntry {
         "u", "v").persist()
       val e1 = Graph.kcoreRound(e0, 3).persist()
       val e2 = Graph.kcoreRound(e1, 3).persist()
-      Graph.degreeFrame(Graph.kcoreRound(e2, 3))
+      // The reporting degreeFrame UNIONs its input's two endpoint
+      // projections — an unpersisted final round would compute its
+      // semi-joins twice, once per union side.
+      Graph.degreeFrame(Graph.kcoreRound(e2, 3).persist())
     }),
 
     // Rolling 7-day distinct active users per day — the sliding

@@ -314,18 +314,50 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       binCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
+      maxHamming: Int = 3): DataFrame =
+    phashPairsFromSigs(phashSigs(df, idCol, binCol), maxHamming)
+
+  /** The (id, sig) perceptual-signature frame [[phashPairs]] joins — the
+    * decode/hash stage, and the unit the index below persists so daily
+    * increments never re-decode historical media. */
+  def phashSigs(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // NULL payloads are skipped, not hashed: the codec contract is
     // "corrupt rows skip, never kill the task", and the mm_phash oracle
     // filters NULL text up front to state the same semantics.
-    val sigs = df.filter(col(binCol).isNotNull)
+    df.filter(col(binCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
       .as[MediaRecord]
       .mapPartitions(_.map(r => (r.id, MediaCodec.dHash16(r.data))))
       .toDF("id", "sig")
+  }
+
+  /** Persist a media slice's signatures (the gram-inventory set-store
+    * posture: the stored unit is an (id, sig) row, merged by
+    * distinct-on-read, so re-appending already-hashed media — re-crawls,
+    * replayed batches — is idempotent). The EXPENSIVE stage this store
+    * amortizes is the codec: signatures are a few bytes each, computed
+    * once per media blob ever seen. Caller contract: an id's payload
+    * (hence sig) is stable across appends. */
+  def writePhashIndex(df: DataFrame, idCol: String, binCol: String, path: String): Unit =
+    phashSigs(df, idCol, binCol).write.mode("overwrite").parquet(path)
+
+  /** Add one increment to the signature store (see [[writePhashIndex]]). */
+  def appendPhashIndex(df: DataFrame, idCol: String, binCol: String, path: String): Unit =
+    phashSigs(df, idCol, binCol).write.mode("append").parquet(path)
+
+  /** Near-dup pairs over everything ingested so far — bit-identical to
+    * [[phashPairs]] over the union of the ingested frames (MultimodalSpec
+    * pins parity and re-append idempotence). */
+  def phashPairsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxHamming: Int = 3): DataFrame =
+    phashPairsFromSigs(spark.read.parquet(path).distinct(), maxHamming)
+
+  private def phashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
     // <= 65536 distinct signatures: the band join runs at sig scale.
     val sigPairs = graft.functions.Dedup.bandedHammingPairs(
         sigs.select(col("sig")).distinct().select(col("sig").as("id"), col("sig")),

@@ -254,4 +254,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     // count must equal the closure size too.
     assert(Multimodal.phashPairs(rows, "id", "data", maxHamming = 3).count() === want.size)
   }
+
+  test("pHash index store: increments match the batch pairs; re-appends are idempotent") {
+    val batch1 = Seq(
+      (1L, blemished(100, 80, blemish = false)),
+      (4L, "opaque payload one".getBytes("UTF-8"))).toDF("id", "data")
+    val batch2 = Seq(
+      (2L, blemished(100, 80, blemish = true)),
+      (5L, "opaque payload one".getBytes("UTF-8"))).toDF("id", "data")
+    val dir = java.nio.file.Files.createTempDirectory("phash_idx").toString + "/sigs"
+    Multimodal.writePhashIndex(batch1, "id", "data", dir)
+    Multimodal.appendPhashIndex(batch2, "id", "data", dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = pairs(Multimodal.phashPairsFromIndex(spark, dir, maxHamming = 3))
+    val direct = pairs(Multimodal.phashPairs(
+      batch1.unionAll(batch2), "id", "data", maxHamming = 3))
+    assert(stored === direct && stored.nonEmpty)
+    // Near-pair (1,2) crosses the slice boundary; exact pair (4,5) too —
+    // slice boundaries must be invisible to the banded join.
+    assert(stored.exists(p => p._1 == 1L && p._2 == 2L), stored.mkString(", "))
+    assert(stored.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 0), stored.mkString(", "))
+    // Replayed slice: distinct-on-read set algebra, nothing moves.
+    Multimodal.appendPhashIndex(batch1, "id", "data", dir)
+    assert(pairs(Multimodal.phashPairsFromIndex(spark, dir, maxHamming = 3)) === stored)
+  }
 }
