@@ -555,6 +555,33 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, maxHamming = 3)),
 
+    // Detector agreement report: how much of the near-dup pair space the
+    // MinHash (J >= 0.8) and SimHash (Hamming <= 3) detectors share — the
+    // "which dedup config do I trust" calibration face (precision/recall
+    // tradeoffs between banding families are corpus-dependent; this is
+    // the one-row evidence). Both pair frames are banded (never
+    // all-pairs); the comparison is one pair-keyed full-outer join +
+    // a single global count row.
+    "dedup_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8)
+        .select(col("i"), col("j"), lit(1).as("in_a"))
+      val sh = Dedup.simhashPairs(docs, "doc_id", "text",
+        shingleK = 4, maxHamming = 3)
+        .select(col("i"), col("j"), lit(1).as("in_b"))
+      mh.join(sh, Seq("i", "j"), "full_outer")
+        .agg(
+          count(when(col("in_a").isNotNull && col("in_b").isNotNull, 1))
+            .as("n_both"),
+          count(when(col("in_b").isNull, 1)).as("n_minhash_only"),
+          count(when(col("in_a").isNull, 1)).as("n_simhash_only"))
+        .select(col("n_both"), col("n_minhash_only"), col("n_simhash_only"),
+          (col("n_both").cast(DoubleType) /
+            (col("n_both") + col("n_minhash_only") + col("n_simhash_only")))
+            .as("pair_jaccard"))
+    }),
+
     // Incremental dedup: near-dup pairs between a "new batch" (odd doc_ids)
     // and the "existing corpus" (even doc_ids) — the daily-increment shape
     // where corpus-side signatures would be precomputed.
@@ -1665,7 +1692,10 @@ object SparkEntry {
       // pipeline multiplicatively (36 lineitem scans measured for k=3).
       val e = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().repartition(col("src")).persist()
-      val s0 = Graph.initScores(e, "src", "dst")
+      // s0 persists like every later round: pushRoundFrom consumes its
+      // score frame twice (mass join + universe), and an unpersisted s0
+      // re-runs the node-universe distinct once per consumer.
+      val s0 = Graph.initScores(e, "src", "dst").persist()
       val s1 = Graph.pushRoundFrom(e, "src", "dst", s0).persist()
       val s2 = Graph.pushRoundFrom(e, "src", "dst", s1).persist()
       Graph.pushRoundFrom(e, "src", "dst", s2)
@@ -2369,8 +2399,11 @@ object SparkEntry {
         graft.functions.Affinity.copresenceGraph(
           t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
         "u", "v").persist()
+      // l0 persists like every later round: labelPropRoundOn consumes
+      // its label frame twice (vote join + universe left join), and an
+      // unpersisted l0 re-runs the node distinct once per consumer.
       val l0 = nbrs.select(col("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+        .select(col("node"), col("node").as("label")).persist()
       val l1 = Graph.labelPropRoundOn(nbrs, l0).persist()
       val l2 = Graph.labelPropRoundOn(nbrs, l1).persist()
       Graph.labelPropRoundOn(nbrs, l2)
@@ -3065,6 +3098,22 @@ $rounds
          |  bit_count(xor(a.sim, b.sim)) AS hamming_dist
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    // Detector-agreement replica: both pair sets from their own oracle
+    // forms, full-outer joined on the pair key.
+    "dedup_compare" ->
+      s"""WITH s AS ($shingles4),
+         |mh AS (SELECT a.doc_id AS i, b.doc_id AS j FROM s a JOIN s b
+         |  ON a.doc_id < b.doc_id WHERE $jacExpr >= 0.8),
+         |sim AS ($simhashSql),
+         |sh AS (SELECT a.doc_id AS i, b.doc_id AS j FROM sim a JOIN sim b
+         |  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |f AS (SELECT (mh.i IS NOT NULL) AS a, (sh.i IS NOT NULL) AS b
+         |  FROM mh FULL OUTER JOIN sh ON mh.i = sh.i AND mh.j = sh.j)
+         |SELECT count(CASE WHEN a AND b THEN 1 END)::BIGINT AS n_both,
+         |  count(CASE WHEN NOT b THEN 1 END)::BIGINT AS n_minhash_only,
+         |  count(CASE WHEN NOT a THEN 1 END)::BIGINT AS n_simhash_only,
+         |  count(CASE WHEN a AND b THEN 1 END)::DOUBLE / count(*) AS pair_jaccard
+         |FROM f""".stripMargin,
     "ann_topk" ->
       s"""WITH e AS ($embCast),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
