@@ -193,4 +193,12 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.stumpSplit(one, col("f"), "label", binScale = 4L)
       .collect()(0).getLong(0) === 0L)
   }
+
+  test("stumpSplit is partitioning-invariant on the embeddings corpus (integer scores)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Classifier.stumpSplit(df, element_at(col("embedding"), 1), "label", binScale = 16L)
+        .collect()(0).toSeq
+    assert(run(emb) === run(emb.repartition(13)))
+  }
 }

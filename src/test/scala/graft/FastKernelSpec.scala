@@ -366,4 +366,25 @@ class FastKernelSpec extends AnyFunSuite with SparkSpec {
     assert(ref("a a a a") === Seq(4L, 0L))
     assert(ref("a b c d") === Seq(4L, 8L))
   }
+
+  test("tokenEntropyBits invariants: permutation-invariant, 0 <= bits <= n*flog2(n)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val texts = (1 to 60).map { _ =>
+      val n = 1 + rnd.nextInt(40)
+      Seq.fill(n)("t" + rnd.nextInt(8)).mkString(" ")
+    }
+    val shuffled = texts.map(t => rnd.shuffle(t.split(" ").toSeq).mkString(" "))
+    val rows = (texts zip shuffled).toDF("a", "b")
+      .select(FastText.tokenEntropyBits(col("a")).as("ta"),
+        FastText.tokenEntropyBits(col("b")).as("tb"))
+      .collect()
+    for (r <- rows) {
+      val (ta, tb) = (r.getSeq[Long](0), r.getSeq[Long](1))
+      assert(ta === tb, "entropy is a bag statistic — token order cannot matter")
+      val (n, bits) = (ta(0), ta(1))
+      val fl = 63L - java.lang.Long.numberOfLeadingZeros(n)
+      assert(bits >= 0 && bits <= n * fl, s"bits $bits outside [0, ${n * fl}]")
+    }
+  }
 }
