@@ -767,6 +767,16 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"), TF.langId(col("text")).as("pred_lang"))),
 
+    // Language-ID accuracy report: (labeled, predicted) confusion counts
+    // — the eval face of the heuristic (the perceptron_confusion
+    // train->apply discipline applied to lang_id). One corpus projection
+    // + one language-inventory-sized map-side-combining aggregation.
+    "lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))),
+
     // Quality scoring: integer counts, single-division ratios.
     "quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2613,6 +2623,26 @@ object SparkEntry {
        |${tail(1)} UNION ALL ${tail(2)} UNION ALL ${tail(3)}""".stripMargin
   }
 
+  /** lang_id oracle body — shared with the lang_confusion aggregate. */
+  private val langIdSql: String = {
+    val hitCols = TF.Stopwords
+      .map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+      }
+      .mkString(",\n  ")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN cjk * 10 >= n * 3 THEN 'zh'
+       |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       |       WHEN de >= fr AND de >= es THEN 'de'
+       |       WHEN fr >= es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM (SELECT doc_id, lang, length(text) AS n,
+       |  len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+       |  $hitCols
+       |FROM documents)""".stripMargin
+  }
+
   private val simhashSql: String = {
     val bitCols = (0 until 32)
       .map(b => s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) >= 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
@@ -3455,24 +3485,13 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |SELECT te.lang AS actual, pred.pred AS pred, count(*)::BIGINT AS n
         |FROM te JOIN pred USING (doc_id) GROUP BY 1, 2""".stripMargin
     },
-    "lang_id" -> {
-      val hitCols = TF.Stopwords
-        .map { case (lang, words) =>
-          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
-        }
-        .mkString(",\n  ")
-      s"""SELECT doc_id, lang,
-         |  CASE WHEN cjk * 10 >= n * 3 THEN 'zh'
-         |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-         |       WHEN de >= fr AND de >= es THEN 'de'
-         |       WHEN fr >= es THEN 'fr'
-         |       ELSE 'es' END AS pred_lang
-         |FROM (SELECT doc_id, lang, length(text) AS n,
-         |  len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
-         |  $hitCols
-         |FROM documents)""".stripMargin
-    },
+    "lang_id" -> langIdSql,
+    // Accuracy face of the language-ID heuristic: the (labeled, predicted)
+    // confusion counts over the same predictor.
+    "lang_confusion" ->
+      s"""WITH p AS ($langIdSql)
+         |SELECT lang, pred_lang, count(*)::BIGINT AS n
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text) AS alpha_ratio,
