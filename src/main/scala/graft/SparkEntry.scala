@@ -716,6 +716,22 @@ object SparkEntry {
       graft.functions.Classifier.classCentroids(
         t(s, dir, "embeddings"), "label", "embedding")),
 
+    // Live ANN recall: recall@5 of the IVF index against the brute-force
+    // list on the same query set — the SimilaritySpec recall floor
+    // productized as observability ("what recall is my index giving me
+    // right now"). Composes the two existing pipelines; one bounded
+    // (queries x k)-sized join + a global count row.
+    "ann_recall" -> ((s, dir) => {
+      val exact = queries("ann_topk")(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      val approx = queries("ann_ivf")(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    }),
+
     // CART decision stump in exact integer arithmetic: best power-of-two
     // binned threshold on one embedding dimension by weighted Gini
     // (Classifier.stumpSplit scaladoc has the cleared-denominator
@@ -2623,6 +2639,50 @@ object SparkEntry {
        |${tail(1)} UNION ALL ${tail(2)} UNION ALL ${tail(3)}""".stripMargin
   }
 
+  /** ann_topk / ann_ivf oracle bodies — shared with the ann_recall
+    * composition (DuckDB accepts a full WITH query as a parenthesized
+    * subquery). */
+  private lazy val annTopkSql: String =
+    s"""WITH e AS ($embCast),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+       |s AS (SELECT query_id, e.vec_id,
+       |        list_sum(list_transform(list_zip(qv, e.v), p -> p[1] * p[2])) / (nq * e.nrm) AS score
+       |      FROM q JOIN e ON e.vec_id <> query_id)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM s)
+       |WHERE rnk <= 5""".stripMargin
+
+  private lazy val annIvfSql: String =
+    s"""WITH e AS ($embCast),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
+       |  QUALIFY row_number() OVER (ORDER BY
+       |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
+       |aff AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+       |    FROM aff) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+       |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT probe.query_id, assign.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+       |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
+       |  JOIN e qe ON qe.vec_id = probe.query_id
+       |  JOIN e ce ON ce.vec_id = assign.vec_id)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+
   /** lang_id oracle body — shared with the lang_confusion aggregate. */
   private val langIdSql: String = {
     val hitCols = TF.Stopwords
@@ -3144,17 +3204,7 @@ $rounds
          |  count(CASE WHEN NOT a THEN 1 END)::BIGINT AS n_simhash_only,
          |  count(CASE WHEN a AND b THEN 1 END)::DOUBLE / count(*) AS pair_jaccard
          |FROM f""".stripMargin,
-    "ann_topk" ->
-      s"""WITH e AS ($embCast),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
-         |s AS (SELECT query_id, e.vec_id,
-         |        list_sum(list_transform(list_zip(qv, e.v), p -> p[1] * p[2])) / (nq * e.nrm) AS score
-         |      FROM q JOIN e ON e.vec_id <> query_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM s)
-         |WHERE rnk <= 5""".stripMargin,
+    "ann_topk" -> annTopkSql,
     // Fixed-point replica: parallel unnest zips (component, 0-based dim),
     // floor to 2^-20 integers, exact integer sums, one final division.
     "class_centroids" ->
@@ -3270,34 +3320,15 @@ $rounds
     // Replicates IVF cells: same hash-rank centroid sample (fixed |C|=16,
     // xhash32 = md5-prefix), affinity ranking with (a DESC, cid) tie-break,
     // nProbe=2, scoring identical to ann_topk.
-    "ann_ivf" ->
-      s"""WITH e AS ($embCast),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
-         |  QUALIFY row_number() OVER (ORDER BY
-         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
-         |aff AS (
-         |  SELECT e.vec_id, cent.cid,
-         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
-         |  FROM e CROSS JOIN cent),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
-         |scored AS (
-         |  SELECT probe.query_id, assign.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
-         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
-         |  JOIN e qe ON qe.vec_id = probe.query_id
-         |  JOIN e ce ON ce.vec_id = assign.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5""".stripMargin,
+    "ann_ivf" -> annIvfSql,
+    // Recall replica: the two list oracles as parenthesized subqueries,
+    // left-joined on the (query, neighbor) key.
+    "ann_recall" ->
+      s"""SELECT count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit,
+         |  count(a.vec_id)::DOUBLE / count(*) AS recall
+         |FROM ($annTopkSql) e
+         |LEFT JOIN ($annIvfSql) a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id""".stripMargin,
     // Replicates the xhash32-derived hyperplanes (Similarity.planeComponent),
     // the per-table sign-bucket assignment, and the candidate top-5 ranking.
     // Plane components, dots, and norms are all sequential double folds in

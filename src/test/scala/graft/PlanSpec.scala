@@ -101,11 +101,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   //    aggregates; the corpus folds in the (bin, label) groupBy below.
   //  - pmi_topk: the 1-row transition total broadcast onto the pair
   //    frame (the q14_subq/bm25_topk shape); marginals join as equi.
+  //  - ann_recall: composes ann_topk (whitelisted broadcast-NLJ brute
+  //    face) with ann_ivf; the recall join itself is equi and bounded.
   private val nljWhitelist =
     Set("ann_topk", "ann_sq8", "knn_classify", "nb_confusion", "rrf_hybrid", "q14_subq", "tfidf_topk", "pack_sequences", "pack_bpe", "pipeline_train_prep",
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
       "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3", "stump_split",
-      "stump_chain", "pmi_topk")
+      "stump_chain", "pmi_topk", "ann_recall")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
