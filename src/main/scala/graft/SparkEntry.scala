@@ -57,6 +57,38 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
+  /** The support>=2 co-purchase edge set all five graph queries consume,
+    * through the persisted edge store (Graph.writeGraphEdges): the
+    * corpus-sized basket self-join that derives it runs ONCE per testdata
+    * generation, and every graph query starts from a metadata-scale
+    * parquet scan — the store-amortized posture of the MinHash / BM25 /
+    * pHash / gram-inventory stores, applied to the graph family. The
+    * store path is keyed by a fingerprint of the SOURCE files (name,
+    * length, mtime), so a regenerated testdata directory can never serve
+    * a stale graph; the oracle rebuilds the identical edge set from its
+    * copresence CTEs, pinning store parity every correctness run. */
+  private val edgeStorePaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def copresenceEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = edgeStorePaths.computeIfAbsent(dir, _ => {
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val files =
+        if (src.isDirectory) src.listFiles().sortBy(_.getName) else Array(src)
+      val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(";")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val p = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-copresence-$key").getAbsolutePath
+      if (!new java.io.File(p, "_SUCCESS").isFile)
+        graft.functions.Graph.writeGraphEdges(
+          graft.functions.Affinity.copresenceGraph(
+            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+          "u", "v", p)
+      p
+    })
+    graft.functions.Graph.readGraphEdges(s, path)
+  }
+
   /** corpus_shard's shard count, per Sampling.shards' scale rule: each
     * shard is ONE window partition = one task, so nShards must be >= the
     * available parallelism or the window funnels ~corpus/nShards rows

@@ -366,4 +366,50 @@ object Graph {
         (col("n_common").cast(DoubleType) /
           (col("deg_u") + col("deg_v") - col("n_common"))).as("jaccard"))
   }
+
+  // --------------------------------------------------------------------
+  // Persisted edge store — the log-structured-store face for the graph
+  // family (the gram-inventory posture: the stored unit is a SET row,
+  // merged by distinct-on-read). Every graph operator here consumes a
+  // normalized (distinct, u < v, loop-free) edge frame, and deriving
+  // that frame is typically the EXPENSIVE stage (e.g. the co-purchase
+  // graph pays a corpus-sized basket self-join per build) — persist it
+  // once and every downstream query (triangles, CC, LPA, k-core, link
+  // prediction) starts from a metadata-scale parquet scan instead.
+  //
+  // Idempotence contract (the HLL max-merge / gram-inventory algebra,
+  // NOT the additive count-store one): an edge row is set membership,
+  // so re-appending an already-ingested slice (re-crawls, replayed
+  // batches, overlapping windows) cannot change the distinct-on-read
+  // union. Appends are raw (normalized within the slice only);
+  // [[compactGraphEdges]] rewrites the accumulated slices as one
+  // deduplicated table when read amplification warrants it.
+  // --------------------------------------------------------------------
+
+  /** Persist a normalized edge set. Input edges pass through the
+    * [[kcoreEdges]] normalization (distinct, u < v, self-loop-free) so
+    * every store row satisfies the contract the round operators assume
+    * — duplicate or reversed raw edges collapse at write time. */
+  def writeGraphEdges(
+      edges: DataFrame, uCol: String, vCol: String, path: String): Unit =
+    kcoreEdges(edges, uCol, vCol).write.mode("overwrite").parquet(path)
+
+  /** Add one edge slice to the store (see class-level idempotence
+    * contract — re-appending an ingested slice is a no-op on read). */
+  def appendGraphEdges(
+      edges: DataFrame, uCol: String, vCol: String, path: String): Unit =
+    kcoreEdges(edges, uCol, vCol).write.mode("append").parquet(path)
+
+  /** The graph ingested so far: distinct-on-read set union of the
+    * slices. Each slice was normalized at write, so the union only
+    * needs the cross-slice distinct; the result satisfies the
+    * [[kcoreEdges]] contract and feeds every operator here directly. */
+  def readGraphEdges(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).distinct()
+
+  /** Rewrite accumulated slices as one deduplicated edge table. */
+  def compactGraphEdges(
+      spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
+    spark.read.parquet(src).distinct().write.mode("overwrite").parquet(dest)
 }
