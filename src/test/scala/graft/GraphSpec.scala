@@ -254,4 +254,33 @@ class GraphSpec extends SparkSpec {
     // (candidates vanish rather than count hub-mediated overlap).
     assert(Graph.linkPredict(edges, "u", "v", maxCenterDegree = 2).isEmpty)
   }
+
+  test("edge store: slice parity, normalization at write, re-append idempotence") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_edges").toString + "/edges"
+    // Slice 1 arrives messy (reversed, duplicate, self-loop rows) — the
+    // store must normalize at write so every stored row satisfies the
+    // kcoreEdges contract. Slice 2 overlaps slice 1 on (2,3).
+    val slice1 = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 2L), (4L, 4L))
+      .toDF("u", "v")
+    val slice2 = Seq((2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    Graph.writeGraphEdges(slice1, "u", "v", dir)
+    Graph.appendGraphEdges(slice2, "u", "v", dir)
+    def edgeSet() = Graph.readGraphEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = edgeSet()
+    assert(stored === Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    // Slice boundaries are invisible downstream: operators over the store
+    // match the same operators over the normalized union.
+    val viaStore = Graph.degreeFrame(Graph.readGraphEdges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStore === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // Replayed slice: set algebra, distinct-on-read — nothing moves.
+    Graph.appendGraphEdges(slice1, "u", "v", dir)
+    assert(edgeSet() === stored)
+    // Compaction rewrites slices without changing the set.
+    val dest = dir + "_compact"
+    Graph.compactGraphEdges(spark, dir, dest)
+    assert(Graph.readGraphEdges(spark, dest)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === stored)
+  }
 }
