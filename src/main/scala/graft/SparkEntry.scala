@@ -86,7 +86,67 @@ object SparkEntry {
           "u", "v", p)
       p
     })
-    graft.functions.Graph.readGraphEdges(s, path)
+    // Read raw, not through readGraphEdges' distinct-on-read: this store
+    // is a single compacted slice by construction (one overwrite write),
+    // so the cross-slice distinct would be a pure extra shuffle of the
+    // edge set in EVERY graph query. Multi-slice stores (appends) must go
+    // through Graph.readGraphEdges / compactGraphEdges instead.
+    s.read.parquet(path)
+  }
+
+  /** recall@5 of one approximate ANN face against the brute-force list on
+    * the same query set — the shape shared by every `ann_recall*` entry:
+    * both sides are (queries × k)-bounded frames, so the join and the
+    * 1-row count are metadata-scale regardless of corpus size. */
+  private def annRecallOf(s: SparkSession, dir: String, face: String): DataFrame = {
+    val exact = queries("ann_topk")(s, dir)
+      .select(col("query_id"), col("vec_id"))
+    val approx = queries(face)(s, dir)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+  }
+
+  /** One trained stump per chained decision-list round over `e`
+    * (embedding dim r at round r) — the shared trainer behind
+    * `stump_chain` (reporting face) and `stump_confusion` (inference
+    * face). Round r trains on the rows every earlier stump misclassified.
+    * Each round's survivor frame is PERSISTED before its consumers run
+    * (the n_train count, the model aggregation, and the next round's
+    * filter), so the chain costs one scan per round instead of a
+    * recomputed filter cascade — the kcore_k3 persist contract, applied
+    * here too. Only the 7-field model row reaches the driver per round;
+    * all persisted frames release after the last collect (every returned
+    * value is a literal by then). */
+  private def stumpChainModels(e: DataFrame, rounds: Int)
+      : Seq[(Int, Long, Long, Double, Int, Int, Double)] = {
+    var cur = e
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Double, Int, Int, Double)]
+    for (r <- 1 to rounds) {
+      cur = cur.persist()
+      persisted += cur
+      val nTrain = cur.count()
+      val m = graft.functions.Classifier.stumpModel(
+        cur, element_at(col("embedding"), r), "label", binScale = 16L)
+        .collect()
+      require(m.nonEmpty, s"stump chain round $r: no valid split")
+      val row = m(0)
+      val bin = row.getLong(0)
+      val thr = row.getDouble(1)
+      val ll = row.getInt(2)
+      val rl = row.getInt(3)
+      out += ((r, nTrain, bin, thr, ll, rl, row.getDouble(6)))
+      cur = cur.filter(
+        when(graft.functions.Classifier.stumpLeft(
+            element_at(col("embedding"), r), bin), lit(ll))
+          .otherwise(lit(rl)) =!= col("label"))
+    }
+    persisted.foreach(_.unpersist(blocking = false))
+    out.toSeq
   }
 
   /** corpus_shard's shard count, per Sampling.shards' scale rule: each
@@ -748,21 +808,15 @@ object SparkEntry {
       graft.functions.Classifier.classCentroids(
         t(s, dir, "embeddings"), "label", "embedding")),
 
-    // Live ANN recall: recall@5 of the IVF index against the brute-force
-    // list on the same query set — the SimilaritySpec recall floor
-    // productized as observability ("what recall is my index giving me
-    // right now"). Composes the two existing pipelines; one bounded
-    // (queries x k)-sized join + a global count row.
-    "ann_recall" -> ((s, dir) => {
-      val exact = queries("ann_topk")(s, dir)
-        .select(col("query_id"), col("vec_id"))
-      val approx = queries("ann_ivf")(s, dir)
-        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
-      exact.join(approx, Seq("query_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
-        .select(col("n_exact"), col("n_hit"),
-          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
-    }),
+    // Live ANN recall: recall@5 of each production index face against the
+    // brute-force list on the same query set — the SimilaritySpec recall
+    // floor productized as observability ("what recall is my index giving
+    // me right now"), covering every index a deployment would pick (IVF,
+    // IVF-PQ compressed, SQ8 scalar-quantized). Composes the existing
+    // pipelines; one bounded (queries x k)-sized join + a global count row.
+    "ann_recall" -> (annRecallOf(_, _, "ann_ivf")),
+    "ann_recall_ivfpq" -> (annRecallOf(_, _, "ann_ivfpq")),
+    "ann_recall_sq8" -> (annRecallOf(_, _, "ann_sq8")),
 
     // CART decision stump in exact integer arithmetic: best power-of-two
     // binned threshold on one embedding dimension by weighted Gini
@@ -784,30 +838,35 @@ object SparkEntry {
     // the 3-round trajectory bit-identical in any engine.
     "stump_chain" -> ((s, dir) => {
       import s.implicits._
+      stumpChainModels(
+        t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull),
+        rounds = 3)
+        .toDF("round", "n_train", "split_bin", "threshold",
+          "left_label", "right_label", "gini")
+    }),
+
+    // Decision-list inference face: the trained stump chain routing
+    // UNLABELED rows (Classifier.decisionListRoute) — rules fire in
+    // training order on their left-branch test, fall-through takes the
+    // last stump's right majority — then the confusion report against
+    // the true labels (the perceptron_confusion train→apply discipline).
+    // The trained list is 3 driver-side literal rows, so scoring is ONE
+    // literal CASE projection + a |labels|²-bounded map-side-combining
+    // aggregation: no join anywhere in the scoring plan.
+    "stump_confusion" -> ((s, dir) => {
+      import graft.functions.Classifier
       val e = t(s, dir, "embeddings")
         .filter(col("embedding").isNotNull && col("label").isNotNull)
-      var cur = e
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Long, Long, Double, Int, Int, Double)]
-      for (r <- 1 to 3) {
-        val nTrain = cur.count()
-        val m = graft.functions.Classifier.stumpModel(
-          cur, element_at(col("embedding"), r), "label", binScale = 16L)
-          .collect()
-        require(m.nonEmpty, s"stump chain round $r: no valid split")
-        val row = m(0)
-        val bin = row.getLong(0)
-        val thr = row.getDouble(1)
-        val ll = row.getInt(2)
-        val rl = row.getInt(3)
-        out += ((r, nTrain, bin, thr, ll, rl, row.getDouble(6)))
-        val pred = when(
-          floor(element_at(col("embedding"), r).cast(DoubleType) * lit(16.0))
-            .cast(LongType) <= bin, lit(ll)).otherwise(lit(rl))
-        cur = cur.filter(pred =!= col("label"))
+      val models = stumpChainModels(e, rounds = 3)
+      val rules = models.map { case (r, _, bin, _, ll, _, _) =>
+        (Classifier.stumpLeft(element_at(col("embedding"), r), bin), lit(ll))
       }
-      out.toSeq.toDF("round", "n_train", "split_bin", "threshold",
-        "left_label", "right_label", "gini")
+      e.select(col("label"),
+          Classifier.decisionListRoute(rules, lit(models.last._6))
+            .as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // Language ID: CJK-ratio gate + stopword argmax (TextFunctions.langId).
@@ -2417,11 +2476,11 @@ object SparkEntry {
     // degree-ordered node-iterator with the O(m^{3/2}) wedge bound, so a
     // power-law hub can't quadratically flood one task
     // (graft.functions.Graph.triangleCounts scaladoc).
+    // The edge set comes through the persisted store (copresenceEdges):
+    // the corpus-sized basket self-join is paid once per testdata
+    // generation, and this query starts from a metadata-scale scan.
     "graph_triangles" -> ((s, dir) =>
-      graft.functions.Graph.triangleCounts(
-          graft.functions.Affinity.copresenceGraph(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
-          "u", "v")
+      graft.functions.Graph.triangleCounts(copresenceEdges(s, dir), "u", "v")
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)),
 
@@ -2433,10 +2492,7 @@ object SparkEntry {
     // scaladoc has the 100 TB argument). Oracle is a recursive-CTE
     // min-label fixpoint over the identical edge set.
     "graph_cc" -> ((s, dir) =>
-      graft.functions.Graph.componentStats(
-          graft.functions.Affinity.copresenceGraph(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
-          "u", "v")
+      graft.functions.Graph.componentStats(copresenceEdges(s, dir), "u", "v")
         .orderBy(col("n_nodes").desc, col("component"))
         .limit(20)),
 
@@ -2453,10 +2509,7 @@ object SparkEntry {
       // raw copresence edges): re-normalizing per round would pay k
       // redundant full-graph shuffles, and the frame's nbr-keyed layout
       // is exactly what each round's label join wants.
-      val nbrs = Graph.neighborFrame(
-        graft.functions.Affinity.copresenceGraph(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
-        "u", "v").persist()
+      val nbrs = Graph.neighborFrame(copresenceEdges(s, dir), "u", "v").persist()
       // l0 persists like every later round: labelPropRoundOn consumes
       // its label frame twice (vote join + universe left join), and an
       // unpersisted l0 re-runs the node distinct once per consumer.
@@ -2475,9 +2528,7 @@ object SparkEntry {
     // adjacency self-join plans once (ReusedExchange), and the top-k is a
     // bounded TakeOrderedAndProject.
     "link_predict" -> ((s, dir) =>
-      graft.functions.Graph.linkPredict(
-          graft.functions.Affinity.copresenceGraph(
-            t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
+      graft.functions.Graph.linkPredict(copresenceEdges(s, dir),
           "u", "v", maxCenterDegree = 64)
         .orderBy(col("n_common").desc, col("u"), col("v"))
         .limit(20)),
@@ -2492,10 +2543,9 @@ object SparkEntry {
     // the thrice-peeled graph. All-integer, exactly SQL-replayable.
     "kcore_k3" -> ((s, dir) => {
       import graft.functions.Graph
-      val e0 = Graph.kcoreEdges(
-        graft.functions.Affinity.copresenceGraph(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L),
-        "u", "v").persist()
+      // Store rows are normalized at write (writeGraphEdges routes through
+      // kcoreEdges) and distinct on read — already the round-0 contract.
+      val e0 = copresenceEdges(s, dir).persist()
       val e1 = Graph.kcoreRound(e0, 3).persist()
       val e2 = Graph.kcoreRound(e1, 3).persist()
       // The reporting degreeFrame UNIONs its input's two endpoint
@@ -2657,18 +2707,42 @@ object SparkEntry {
        |              <= best$r.bin
        |         THEN best$r.left_label ELSE best$r.right_label END) <> s$r.label)""".stripMargin
 
+  /** The shared 3-round training CTE block (survivor sets s1..s4, best1..3
+    * model rows) — prefix of both the `stump_chain` reporting oracle and
+    * the `stump_confusion` inference oracle. */
+  private val stumpChainCtes: String =
+    s"""WITH s1 AS (SELECT embedding, label FROM embeddings
+       |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |${stumpRoundSql(1)},
+       |${stumpRoundSql(2)},
+       |${stumpRoundSql(3)}""".stripMargin
+
   private val stumpChainSql: String = {
     def tail(r: Int) =
       s"""SELECT $r AS round, (SELECT count(*) FROM s$r) AS n_train,
          |  bin AS split_bin, threshold, left_label, right_label,
          |  score::DOUBLE / (n::DOUBLE * nl::DOUBLE * nr::DOUBLE) AS gini
          |FROM best$r""".stripMargin
-    s"""WITH s1 AS (SELECT embedding, label FROM embeddings
-       |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
-       |${stumpRoundSql(1)},
-       |${stumpRoundSql(2)},
-       |${stumpRoundSql(3)}
+    s"""$stumpChainCtes
        |${tail(1)} UNION ALL ${tail(2)} UNION ALL ${tail(3)}""".stripMargin
+  }
+
+  /** Decision-list routing replayed in SQL: the same 3-round training
+    * CTEs, then one CASE over the 1-row model CTEs (first matching left
+    * branch in training order, fall-through = the last stump's right
+    * majority), then the confusion counts. */
+  private val stumpConfusionSql: String = {
+    def leftTest(r: Int) =
+      s"CAST(floor(CAST(s1.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) <= best$r.bin"
+    s"""$stumpChainCtes
+       |SELECT label, pred_label, count(*)::BIGINT AS n FROM (
+       |  SELECT s1.label,
+       |    CASE WHEN ${leftTest(1)} THEN best1.left_label
+       |         WHEN ${leftTest(2)} THEN best2.left_label
+       |         WHEN ${leftTest(3)} THEN best3.left_label
+       |         ELSE best3.right_label END AS pred_label
+       |  FROM s1, best1, best2, best3)
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** ann_topk / ann_ivf oracle bodies — shared with the ann_recall
@@ -2714,6 +2788,116 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
+
+  /** Generated oracle for `ann_ivfpq` (full pipeline replica; see the
+    * comment at its map entry). Shared with the `ann_recall_ivfpq`
+    * composition. */
+  private lazy val annIvfpqSql: String =
+    s"""WITH e AS ($embCast),
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
+         |  QUALIFY row_number() OVER (ORDER BY
+         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
+         |aff AS (
+         |  SELECT e.vec_id, cent.cid,
+         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
+         |  FROM e CROSS JOIN cent),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
+         |cb AS (
+         |  SELECT m, j, list_transform(range(0, 16), d ->
+         |    ('0x' || substr(md5('pq_' || m::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cw
+         |  FROM range(0, 4) mm(m) CROSS JOIN range(0, 16) jj(j)),
+         |cbn AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM cb),
+         |sub AS (
+         |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS s FROM e CROSS JOIN range(0, 4) mm(m)),
+         |sd AS (SELECT vec_id, m, s, list_sum(list_transform(s, x -> x * x)) AS ss FROM sub),
+         |dist AS (
+         |  SELECT sd.vec_id, sd.m, cbn.j,
+         |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cbn.cw), pr -> pr[1] * pr[2])) + cbn.cc AS dist
+         |  FROM sd JOIN cbn ON sd.m = cbn.m),
+         |code AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |recon AS (
+         |  SELECT code.vec_id, flatten(list(cbn.cw ORDER BY code.m)) AS rv
+         |  FROM code JOIN cbn ON code.m = cbn.m AND code.j = cbn.j GROUP BY code.vec_id),
+         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM recon),
+         |cand AS (
+         |  SELECT probe.query_id, assign.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, r.rv), pr -> pr[1] * pr[2])) / (qe.nrm * r.nr) AS adc
+         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
+         |  JOIN e qe ON qe.vec_id = probe.query_id
+         |  JOIN rcn r ON r.vec_id = assign.vec_id),
+         |top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 40),
+         |scored AS (
+         |  SELECT top.query_id, top.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin
+
+  /** Generated oracle for `ann_sq8` (full pipeline replica; see the
+    * comment at its map entry). Shared with the `ann_recall_sq8`
+    * composition. */
+  private lazy val annSq8Sql: String =
+    s"""WITH e AS ($embCast),
+         |mm AS (
+         |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
+         |    SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d FROM e)
+         |  GROUP BY d),
+         |mml AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+         |enc AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN mxs[d] = mns[d] THEN 0
+         |         ELSE greatest(0, least(255, CAST(floor((v[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS INT))) END) AS codes
+         |  FROM e CROSS JOIN mml),
+         |rec AS (
+         |  SELECT vec_id, list_transform(range(1, 65), d ->
+         |    CASE WHEN mxs[d] = mns[d] THEN mns[d]
+         |         ELSE mns[d] + codes[d] * ((mxs[d] - mns[d]) / 255.0) END) AS rv
+         |  FROM enc CROSS JOIN mml),
+         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM rec),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT q.query_id, r.vec_id,
+         |    list_sum(list_transform(list_zip(q.qv, r.rv), pr -> pr[1] * pr[2])) / (q.nq * r.nr) AS adc
+         |  FROM q JOIN rcn r ON r.vec_id <> q.query_id),
+         |top AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn <= 40),
+         |scored AS (
+         |  SELECT top.query_id, top.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin
+
+  /** recall@5 SQL composition shared by every `ann_recall*` oracle:
+    * brute-force list LEFT JOIN one approximate face, one count row. */
+  private def annRecallSql(faceSql: String): String =
+    s"""SELECT count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit,
+       |  count(a.vec_id)::DOUBLE / count(*) AS recall
+       |FROM ($annTopkSql) e
+       |LEFT JOIN ($faceSql) a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id""".stripMargin
+
 
   /** lang_id oracle body — shared with the lang_confusion aggregate. */
   private val langIdSql: String = {
@@ -3274,6 +3458,7 @@ $rounds
     // Decision-list replica: three chained stump rounds, each the full
     // bin/grid/score block over the previous round's misclassified set.
     "stump_chain" -> stumpChainSql,
+    "stump_confusion" -> stumpConfusionSql,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->
@@ -3400,103 +3585,15 @@ $rounds
     // to ann_topk's scoring). Every float is a sequential double fold in
     // both engines, so cells, codes, candidate sets, and final scores are
     // all value-exact.
-    "ann_ivfpq" ->
-      s"""WITH e AS ($embCast),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
-         |  QUALIFY row_number() OVER (ORDER BY
-         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
-         |aff AS (
-         |  SELECT e.vec_id, cent.cid,
-         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
-         |  FROM e CROSS JOIN cent),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
-         |cb AS (
-         |  SELECT m, j, list_transform(range(0, 16), d ->
-         |    ('0x' || substr(md5('pq_' || m::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cw
-         |  FROM range(0, 4) mm(m) CROSS JOIN range(0, 16) jj(j)),
-         |cbn AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM cb),
-         |sub AS (
-         |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS s FROM e CROSS JOIN range(0, 4) mm(m)),
-         |sd AS (SELECT vec_id, m, s, list_sum(list_transform(s, x -> x * x)) AS ss FROM sub),
-         |dist AS (
-         |  SELECT sd.vec_id, sd.m, cbn.j,
-         |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cbn.cw), pr -> pr[1] * pr[2])) + cbn.cc AS dist
-         |  FROM sd JOIN cbn ON sd.m = cbn.m),
-         |code AS (
-         |  SELECT vec_id, m, j FROM (
-         |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
-         |    FROM dist) WHERE rn = 1),
-         |recon AS (
-         |  SELECT code.vec_id, flatten(list(cbn.cw ORDER BY code.m)) AS rv
-         |  FROM code JOIN cbn ON code.m = cbn.m AND code.j = cbn.j GROUP BY code.vec_id),
-         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM recon),
-         |cand AS (
-         |  SELECT probe.query_id, assign.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, r.rv), pr -> pr[1] * pr[2])) / (qe.nrm * r.nr) AS adc
-         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
-         |  JOIN e qe ON qe.vec_id = probe.query_id
-         |  JOIN rcn r ON r.vec_id = assign.vec_id),
-         |top AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-         |    FROM cand) WHERE rn <= 40),
-         |scored AS (
-         |  SELECT top.query_id, top.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
-         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5""".stripMargin,
+    "ann_ivfpq" -> annIvfpqSql,
     // Replicates SQ8 end to end: per-dim min/max lists, the clamped
     // floor encode, the min+code*scale/255 decode, ADC ranking with
     // (score DESC, vec_id) ties, exact re-rank — every float a
     // sequential double fold, codes integer-exact, so the compare is
     // value-exact.
-    "ann_sq8" ->
-      s"""WITH e AS ($embCast),
-         |mm AS (
-         |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
-         |    SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d FROM e)
-         |  GROUP BY d),
-         |mml AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
-         |enc AS (
-         |  SELECT vec_id, list_transform(range(1, 65), d ->
-         |    CASE WHEN mxs[d] = mns[d] THEN 0
-         |         ELSE greatest(0, least(255, CAST(floor((v[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS INT))) END) AS codes
-         |  FROM e CROSS JOIN mml),
-         |rec AS (
-         |  SELECT vec_id, list_transform(range(1, 65), d ->
-         |    CASE WHEN mxs[d] = mns[d] THEN mns[d]
-         |         ELSE mns[d] + codes[d] * ((mxs[d] - mns[d]) / 255.0) END) AS rv
-         |  FROM enc CROSS JOIN mml),
-         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM rec),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
-         |cand AS (
-         |  SELECT q.query_id, r.vec_id,
-         |    list_sum(list_transform(list_zip(q.qv, r.rv), pr -> pr[1] * pr[2])) / (q.nq * r.nr) AS adc
-         |  FROM q JOIN rcn r ON r.vec_id <> q.query_id),
-         |top AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-         |    FROM cand) WHERE rn <= 40),
-         |scored AS (
-         |  SELECT top.query_id, top.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
-         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5""".stripMargin,
+    "ann_sq8" -> annSq8Sql,
+    "ann_recall_ivfpq" -> annRecallSql(annIvfpqSql),
+    "ann_recall_sq8" -> annRecallSql(annSq8Sql),
     // Replicates the 3-round perceptron trajectory: same features (the
     // lang_id stopword-hit construction), same y*margin <= 0 mistake
     // rule, same integer w += y*x updates, chained through one CTE pair

@@ -238,4 +238,31 @@ object Classifier {
           (col("nr").cast(dec) * col("nr").cast(dec) - col("sr2")))
   }
 
+  /** The training-time left-branch test of a [[stumpModel]] row — the
+    * EXACT binning the trainer used (`floor(feature · binScale) ≤
+    * split_bin`, a power-of-two scale so the float multiply is an exact
+    * exponent shift), so routing and training can never disagree on
+    * which side a row falls. */
+  def stumpLeft(feature: Column, splitBin: Long, binScale: Long = 16L): Column =
+    floor(feature.cast(DoubleType) * lit(binScale.toDouble))
+      .cast(LongType) <= lit(splitBin)
+
+  /** Label-free routing for a trained decision list — the inference face
+    * that closes the train→apply loop for chained [[stumpModel]] rounds
+    * (the perceptron/naive-Bayes families' discipline). Semantics: rules
+    * fire in TRAINING ORDER; rule r claims a row iff its left-branch
+    * test holds ([[stumpLeft]] on the row's round-r feature), routing to
+    * that round's left majority; a row no rule claims falls through to
+    * `fallback` — the natural choice is the LAST stump's right majority,
+    * since falling through every left branch leaves the row on the final
+    * stump's right side.
+    *
+    * 100 TB shape: the trained list is a handful of driver-side literals
+    * (7-field model rows), so routing is ONE literal CASE projection —
+    * no join, no shuffle, whole-stage-codegen'd; scoring a corpus costs
+    * exactly a scan. */
+  def decisionListRoute(rules: Seq[(Column, Column)], fallback: Column): Column =
+    rules.foldRight(fallback) { case ((fires, pred), rest) =>
+      when(fires, pred).otherwise(rest)
+    }
 }

@@ -201,4 +201,62 @@ class ClassifierSpec extends SparkSpec {
         .collect()(0).toSeq
     assert(run(emb) === run(emb.repartition(13)))
   }
+
+  test("decisionListRoute: training-order routing, fall-through, boundary bins") {
+    import spark.implicits._
+    // Two rules: f1 < 0.5 (bin <= 1 at scale 4) -> 10; f2 < 0.25 (bin <= 0)
+    // -> 20; fallback 30. Row A fires rule 1 even though rule 2 would also
+    // match (training order wins); row B skips rule 1, fires rule 2; row C
+    // falls through both; row D sits EXACTLY on rule 1's threshold (0.5 ->
+    // bin 2 > 1): thresholds are exclusive on the left side, so it must
+    // not fire.
+    val df = Seq(
+      ("A", 0.1, 0.1), ("B", 0.9, 0.1), ("C", 0.9, 0.9), ("D", 0.5, 0.9)
+    ).toDF("id", "f1", "f2")
+    val rules = Seq(
+      (Classifier.stumpLeft(col("f1"), 1L, binScale = 4L), lit(10)),
+      (Classifier.stumpLeft(col("f2"), 0L, binScale = 4L), lit(20)))
+    val out = df.select(col("id"),
+        Classifier.decisionListRoute(rules, lit(30)).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("A" -> 10, "B" -> 20, "C" -> 30, "D" -> 30))
+    // Empty rule list: everything takes the fallback.
+    assert(df.select(Classifier.decisionListRoute(Nil, lit(7)).as("p"))
+      .collect().forall(_.getInt(0) === 7))
+  }
+
+  test("decisionList inference agrees with a scalar walk of the trained chain") {
+    // Train a 2-round chain on a crafted frame, then check the routed
+    // prediction for every row matches a scalar walk of the same literal
+    // rules: rule r = round r's left branch, fall-through = the last
+    // round's right majority.
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.1f, 0.9f), 0), (Array(0.2f, 0.8f), 0), (Array(0.3f, 0.9f), 1),
+      (Array(0.8f, 0.1f), 1), (Array(0.9f, 0.2f), 1), (Array(0.7f, 0.3f), 0)
+    ).toDF("embedding", "label")
+    var cur = df
+    val trained = (1 to 2).map { r =>
+      val m = Classifier.stumpModel(
+        cur, element_at(col("embedding"), r), "label", binScale = 16L).collect()(0)
+      val (bin, ll, rl) = (m.getLong(0), m.getInt(2), m.getInt(3))
+      val pred = when(Classifier.stumpLeft(element_at(col("embedding"), r), bin),
+        lit(ll)).otherwise(lit(rl))
+      cur = cur.filter(pred =!= col("label"))
+      (r, bin, ll, rl)
+    }
+    val rules = trained.map { case (r, bin, ll, _) =>
+      (Classifier.stumpLeft(element_at(col("embedding"), r), bin), lit(ll))
+    }
+    val routed = df.select(col("embedding"),
+        Classifier.decisionListRoute(rules, lit(trained.last._4)).as("pred"))
+      .collect()
+    def binOf(x: Float) = math.floor(x.toDouble * 16.0).toLong
+    routed.foreach { row =>
+      val emb = row.getSeq[Float](0)
+      val walked = trained.find { case (r, bin, _, _) => binOf(emb(r - 1)) <= bin }
+        .map(_._3).getOrElse(trained.last._4)
+      assert(row.getInt(1) === walked, s"row ${emb.mkString(",")}")
+    }
+  }
 }

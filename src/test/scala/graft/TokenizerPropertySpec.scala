@@ -115,6 +115,40 @@ class TokenizerPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BPE at realistic vocab scale: 4096 merges + 8192-entry vocab stay codegen-safe") {
+    // The scale caveat under test: bpeEncodeIds/bpeDecodeIds carry the
+    // vocab as a typedLit map and BpeApply carries its merge table via
+    // addReferenceObj — both are REFERENCES in generated code (never
+    // inlined constants), so neither the 64KB method limit nor the
+    // constant pool caps them. This exercises both at tokenizer-realistic
+    // sizes; a regression to constant inlining would throw in codegen
+    // here long before production vocab sizes.
+    val vocab = (0 until 8192).map(i => s"tok$i" -> i).toMap
+    val unk = vocab.size
+    val merges = (0 until 4096).map(i => (s"tok${i * 2}", s"tok${i * 2 + 1}"))
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map { j =>
+        if (j % 11 == 0) s"oov$j" else s"tok${(i * 131 + j * 7919) % 8192}"
+      })
+    }
+    val enc = TF.bpeEncodeIds(col("tk"), vocab, unk)
+    val got = docs.toDF("id", "tk")
+      .repartition(4)
+      .select(col("id"),
+        enc.as("ids"),
+        TF.bpeDecodeIds(enc, vocab).as("dtk"),
+        TF.bpeApply(col("tk"), merges).as("merged"))
+      .as[(Long, Seq[Int], Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for ((id, tk) <- docs) {
+      val (ids, dtk, merged) = got(id)
+      assert(ids == tk.map(t => vocab.getOrElse(t, unk)), s"doc $id ids")
+      assert(dtk == tk.map(t => if (vocab.contains(t)) t else "<unk>"),
+        s"doc $id round-trip")
+      assert(merged == refApply(tk, merges), s"doc $id merge parity at 4096 rules")
+    }
+  }
+
   // ---- PQ ----
 
   private val vecGen: Gen[Seq[Float]] = Gen.oneOf(
