@@ -255,6 +255,50 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPredict(edges, "u", "v", maxCenterDegree = 2).isEmpty)
   }
 
+  test("linkPredict hub cap: measured recall curve on a seeded preferential graph") {
+    // The calibration study behind the maxCenterDegree knob (DESIGN.md
+    // "linkPredict hub-cap recall"): on a seeded preferential-attachment
+    // graph (hubs emerge naturally; degmax 36, deg90 11 at this seed),
+    // recall@50 of the capped top-candidate set vs the UNCAPPED census is
+    // monotone in the cap, crosses ~0.85 when the cap clears ~3x the
+    // 90th-percentile degree, and is exactly 1.0 once the cap clears the
+    // max degree (capping is then a no-op by construction).
+    val rnd = new Random(1234)
+    val n = 300
+    val edgeSet = scala.collection.mutable.Set.empty[(Long, Long)]
+    val ends = scala.collection.mutable.ArrayBuffer[Long](0L, 1L)
+    edgeSet += ((0L, 1L))
+    for (v <- 2 until n) {
+      val targets = scala.collection.mutable.Set.empty[Long]
+      while (targets.size < math.min(3, v)) {
+        val t = if (rnd.nextBoolean()) ends(rnd.nextInt(ends.size))
+                else rnd.nextInt(v).toLong
+        if (t != v) targets += t
+      }
+      for (t <- targets) {
+        val (a, b) = (math.min(v.toLong, t), math.max(v.toLong, t))
+        if (edgeSet.add((a, b))) { ends += a; ends += b }
+      }
+    }
+    val df = edgeSet.toSeq.toDF("u", "v")
+    val degMax = edgeSet.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size).max
+    def topk(cap: Int) =
+      Graph.linkPredict(df, "u", "v", maxCenterDegree = cap)
+        .orderBy(col("n_common").desc, col("u"), col("v")).limit(50)
+        .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Int.MaxValue)
+    val recalls = Seq(8, 32, 64).map(c =>
+      c -> topk(c).intersect(exact).size.toDouble / exact.size)
+    // Monotone in the cap (larger cap can only add wedges).
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b },
+      recalls.toString)
+    // Floors measured 2026-08-15 (0.24 / 0.86 / 1.0); asserted with slack.
+    assert(recalls.toMap.apply(32) >= 0.8, recalls.toString)
+    assert(degMax <= 64 && recalls.toMap.apply(64) == 1.0,
+      s"cap past degmax ($degMax) must be a no-op: $recalls")
+  }
+
   test("edge store: slice parity, normalization at write, re-append idempotence") {
     val dir = java.nio.file.Files.createTempDirectory("graph_edges").toString + "/edges"
     // Slice 1 arrives messy (reversed, duplicate, self-loop rows) — the
