@@ -60,7 +60,20 @@ object JsonSchemaInference {
   def parse(json: String): JsonNode = mapper.readTree(json)
 
   /** Infer the Spark type of a single JSON document (no naming). */
-  def inferDataType(node: JsonNode): DataType = node.getNodeType match {
+  def inferDataType(node: JsonNode): DataType =
+    inferDataType(node, unifyArrayElements = false)
+
+  /** As [[inferDataType]], with the array-element policy explicit.
+    * `unifyArrayElements = false` (the default everywhere) is the
+    * FAITHFUL mode: first-element-only inference, heterogeneous arrays
+    * deliberately mis-schematized exactly like the reference
+    * (ExpandJson.java:219-222). `true` is the Spark-native extension:
+    * the element type is the [[mergeTypes]] widening fold over ALL
+    * elements, so `[1, "a"]` infers `array<string>` instead of a parse
+    * error downstream, and `[1, 2.5]` infers `array<double>` — useful
+    * when the producer's arrays are union-typed; never the default
+    * because it changes observable schemas vs the reference. */
+  def inferDataType(node: JsonNode, unifyArrayElements: Boolean): DataType = node.getNodeType match {
     case JsonNodeType.NULL    => StringType
     case JsonNodeType.BOOLEAN => BooleanType
     case JsonNodeType.NUMBER =>
@@ -73,15 +86,22 @@ object JsonSchemaInference {
         else DoubleType
       }
     case JsonNodeType.ARRAY =>
-      // First-element-only inference, empty array -> array<string>
-      // (ExpandJson.java:219-222). Heterogeneous arrays are deliberately
-      // mis-schematized exactly like the reference.
-      val elems = node.elements()
-      val elemType = if (elems.hasNext) inferDataType(elems.next()) else StringType
+      // Faithful mode: first-element-only inference, empty array ->
+      // array<string> (ExpandJson.java:219-222), heterogeneous arrays
+      // deliberately mis-schematized exactly like the reference.
+      // Unified mode: mergeTypes fold over all elements (see overload doc).
+      val it = node.elements()
+      val elemType =
+        if (!it.hasNext) StringType
+        else if (unifyArrayElements)
+          it.asScala.map(inferDataType(_, unifyArrayElements = true))
+            .reduce(mergeTypes)
+        else inferDataType(it.next(), unifyArrayElements = false)
       ArrayType(elemType, containsNull = true)
     case JsonNodeType.OBJECT =>
       val fields = node.fields().asScala.map { e =>
-        StructField(e.getKey, inferDataType(e.getValue), nullable = true)
+        StructField(e.getKey, inferDataType(e.getValue, unifyArrayElements),
+          nullable = true)
       }.toArray
       StructType(fields)
     case JsonNodeType.STRING => StringType
@@ -123,12 +143,14 @@ object JsonSchemaInference {
   /** Infer one schema from a sample of JSON documents. FirstRow mode uses
     * only the first document (reference cache semantics); Merge widens
     * across all of them. Returns None for an empty sample. */
-  def inferFromSample(sample: Iterable[String], mode: Mode = Merge): Option[DataType] = {
+  def inferFromSample(sample: Iterable[String], mode: Mode = Merge,
+      unifyArrayElements: Boolean = false): Option[DataType] = {
     val it = sample.iterator.filter(_ != null)
     if (!it.hasNext) return None
+    def one(json: String): DataType = inferDataType(parse(json), unifyArrayElements)
     mode match {
-      case FirstRow => Some(inferDataType(it.next()))
-      case Merge    => Some(it.map(inferDataType(_: String)).reduce(mergeTypes))
+      case FirstRow => Some(one(it.next()))
+      case Merge    => Some(it.map(one).reduce(mergeTypes))
     }
   }
 

@@ -66,7 +66,12 @@ final case class ExpandJson(
     sampleSize: Int = 1024,
     permissive: Boolean = false,
     schemaOverrides: Map[String, DataType] = Map.empty,
-    variantMode: Boolean = false
+    variantMode: Boolean = false,
+    // Extension (SURVEY §1.2 note): Spark-native type-unified array
+    // inference ([1,"a"] -> array<string> via the mergeTypes fold) instead
+    // of the reference's faithful first-element rule. Default OFF — the
+    // faithful rule is the commission; this is for union-typed producers.
+    unifyArrayElements: Boolean = false
 ) extends (DataFrame => DataFrame) {
 
   require(sampleSize > 0, "sampleSize must be positive")
@@ -284,7 +289,8 @@ final case class ExpandJson(
     val sample = df.select(source.as("__leaf"))
       .select(col("__leaf").cast(StringType)).na.drop().limit(n)
       .collect().map(_.getString(0))
-    JsonSchemaInference.inferFromSample(sample.toSeq, inferenceMode).getOrElse(
+    JsonSchemaInference.inferFromSample(sample.toSeq, inferenceMode,
+      unifyArrayElements).getOrElse(
       throw new IllegalArgumentException(
         s"Cannot infer a schema for column '$name': no non-null rows in sample"))
   }
@@ -360,7 +366,14 @@ object ExpandJson {
     val fields = props.get("fields").toSeq
       .flatMap(_.split(",", -1)).map(_.trim).filter(_.nonEmpty)
     val prefix = props.get("schema.name.prefix").map(_.trim).filter(_.nonEmpty)
-    if (fields.isEmpty) whole(target, schemaNamePrefix = prefix)
-    else onFields(fields, schemaNamePrefix = prefix)
+    // Extension property (not in the reference's surface): opt into the
+    // type-unified array inference. Faithful first-element inference is
+    // the default, so an unmodified connector config behaves verbatim.
+    val unify = props.get("unify.array.elements")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    val base =
+      if (fields.isEmpty) whole(target, schemaNamePrefix = prefix)
+      else onFields(fields, schemaNamePrefix = prefix)
+    base.copy(unifyArrayElements = unify)
   }
 }

@@ -427,4 +427,33 @@ class ExpandJsonSpec extends SparkSpec {
     // is untouched.
     assert(ok(1) === null)
   }
+
+  test("unifyArrayElements extension: [1,\"a\"] -> array<string>, parsed whole; faithful default unchanged") {
+    // The Spark-native option (SURVEY §1.2 note): element type is the
+    // mergeTypes widening fold over ALL elements, so the union-typed array
+    // survives intact. The faithful first-element default (and its FAILFAST
+    // DataException parity, previous test) is untouched.
+    val df = Seq("""{"h": [1, "a"], "m": [1, 2.5], "w": [1, 2]}""").toDF("value")
+    val out = df.transform(
+      ExpandJson.whole("value", sampleSize = 1).copy(unifyArrayElements = true))
+    val st = out.schema("value").dataType.asInstanceOf[StructType]
+    assert(st("h").dataType === ArrayType(StringType, true))
+    assert(st("m").dataType === ArrayType(DoubleType, true))
+    assert(st("w").dataType === ArrayType(IntegerType, true))
+    val row = out.collect()(0).getStruct(0)
+    // In-vocab note: from_json renders the non-string 1 into the string
+    // slot as its JSON text — the mergeTypes universal-fallback contract.
+    assert(row.getSeq[String](0) === Seq("1", "a"))
+    assert(row.getSeq[Double](1) === Seq(1.0, 2.5))
+    assert(row.getSeq[Int](2) === Seq(1, 2))
+    // Faithful default on the SAME frame still types h by its first
+    // element and throws in FAILFAST (reference parity).
+    intercept[SparkException] {
+      df.transform(ExpandJson.whole("value", sampleSize = 1)).collect()
+    }
+    // fromConfig surface: the extension property opts in; absent -> faithful.
+    val viaCfg = ExpandJson.fromConfig(Map("unify.array.elements" -> "true"))
+    assert(viaCfg.unifyArrayElements)
+    assert(!ExpandJson.fromConfig(Map.empty[String, String]).unifyArrayElements)
+  }
 }
