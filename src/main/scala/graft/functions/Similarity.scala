@@ -721,8 +721,11 @@ object Similarity {
       cents = cents.map { case (cid, old) =>
         stats.get(cid) match {
           case Some(rows) =>
+            // Index the cell's rows by dimension once — a linear find per
+            // dimension would be O(dim²) per cell on the driver.
+            val byDim = rows.map(r => r.getInt(1) -> r).toMap
             val mean = old.indices.map { d =>
-              val r = rows.find(_.getInt(1) == d).get
+              val r = byDim(d)
               r.getDouble(2) / r.getLong(3)
             }.toVector
             (cid, mean)
