@@ -751,6 +751,27 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
 
+    // Incremental ANN ingestion, demonstrated INSIDE the correctness
+    // gate: the corpus lands in the cell-partitioned IVF layout as two
+    // slices plus a REPLAY of slice 1 (at-least-once delivery), centroids
+    // fixed up front (the index definition); the partition-pruned,
+    // replay-deduped read must equal ann_ivf exactly — the oracle
+    // recomputes IVF from raw embeddings, so slice boundaries and the
+    // replay are provably invisible.
+    "ann_ivf_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.sampledIvfCentroids(e, "vec_id", "embedding")
+      val path = java.nio.file.Files
+        .createTempDirectory("ann_ivf_store").toString + "/ivf"
+      val s1 = e.filter(col("vec_id") % 2 === 0)
+      val s2 = e.filter(col("vec_id") % 2 === 1)
+      Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, path)
+      Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, path)
+      Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, path) // replay
+      Similarity.ivfTopKFromBucketed(s, path,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cents)
+    }),
+
     // LSH-bucketed approximate ANN (rows-only check: recall is
     // probabilistic by design; see Similarity scaladoc).
     "ann_lsh" -> ((s, dir) => {
@@ -2484,6 +2505,27 @@ object SparkEntry {
         .orderBy(col("n_tri").desc, col("node"))
         .limit(20)),
 
+    // Incremental copresence-graph ingestion, demonstrated INSIDE the
+    // correctness gate: the corpus lands in the basket-items store as two
+    // slices (even / odd orderkeys — baskets themselves are never split
+    // here; StreamingSpec covers split baskets) plus a REPLAY of slice 1
+    // (at-least-once delivery), and the graph read off the store must be
+    // bit-identical to the batch operator over the whole corpus — the
+    // oracle recomputes it from raw lineitem, so slice boundaries and the
+    // replay are provably invisible (the set-store algebra, in the gate).
+    "copresence_store" -> ((s, dir) => {
+      import graft.functions.Affinity
+      val li = t(s, dir, "lineitem")
+      val s1 = li.filter(col("l_orderkey") % 2 === 0)
+      val s2 = li.filter(col("l_orderkey") % 2 === 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("copresence_store").toString + "/bi"
+      Affinity.writeBasketItems(s1, "l_orderkey", "l_partkey", path)
+      Affinity.appendBasketItems(s2, "l_orderkey", "l_partkey", path)
+      Affinity.appendBasketItems(s1, "l_orderkey", "l_partkey", path) // replay
+      Affinity.copresenceGraphFromStore(s, path, minSupport = 2L)
+    }),
+
     // Connected components of the same co-purchase graph (product-family
     // discovery): component id = min node id, with node and edge counts.
     // Labeling reuses the dedup family's two-phase union-find contraction
@@ -3585,6 +3627,9 @@ $rounds
     // to ann_topk's scoring). Every float is a sequential double fold in
     // both engines, so cells, codes, candidate sets, and final scores are
     // all value-exact.
+    // Store-ingested IVF must equal the from-scratch IVF replica — the
+    // slices and the replayed slice are invisible through the layout.
+    "ann_ivf_store" -> annIvfSql,
     "ann_ivfpq" -> annIvfpqSql,
     // Replicates SQ8 end to end: per-dim min/max lists, the clamped
     // floor encode, the min+code*scale/255 decode, ADC ranking with
@@ -5043,6 +5088,14 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     // Min-label fixpoint over the symmetric closure (the dedup_clusters
     // oracle pattern): cc holds every (node, reachable id); min per node
     // is the component minimum.
+    // The store-ingested graph must equal the batch copresence operator
+    // over raw lineitem — slice boundaries and the replayed slice are
+    // invisible through the distinct-on-read union.
+    "copresence_store" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2)
+        |SELECT u, v FROM pc WHERE c >= 2""".stripMargin,
     "graph_cc" ->
       """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c

@@ -84,4 +84,45 @@ object Affinity {
     pairCounts(basketItems(df, basketCol, itemCol))
       .filter(col("c") >= minSupport)
       .select(col("p1").as("u"), col("p2").as("v"))
+
+  // --------------------------------------------------------------------
+  // Persisted basket-items store — the log-structured ingestion face for
+  // the copresence graph (and the SOURCE-side complement of
+  // Graph.writeGraphEdges, which persists a derived edge set): the stored
+  // unit is a distinct (basket, item) SET row, merged by distinct-on-read.
+  // Storing basket MEMBERSHIP rather than edges is what makes ingestion
+  // boundaries invisible: a basket whose items arrive across two slices
+  // (a split micro-batch, a late line item) contributes its full item set
+  // to the read-side union, so cross-slice pairs are found — an
+  // edge-level store would have silently missed them. Replays are
+  // idempotent by the set algebra (re-appending an ingested slice cannot
+  // change the distinct union), exactly the gram-inventory / HLL
+  // max-merge contract.
+  // --------------------------------------------------------------------
+
+  /** Persist a slice's distinct (basket, item) rows. */
+  def writeBasketItems(
+      df: DataFrame, basketCol: String, itemCol: String, path: String): Unit =
+    basketItems(df, basketCol, itemCol).write.mode("overwrite").parquet(path)
+
+  /** Append one ingestion slice (see class-level idempotence contract). */
+  def appendBasketItems(
+      df: DataFrame, basketCol: String, itemCol: String, path: String): Unit =
+    basketItems(df, basketCol, itemCol).write.mode("append").parquet(path)
+
+  /** The support-thresholded copresence graph over everything ingested so
+    * far — bit-identical to [[copresenceGraph]] over the union of the
+    * ingested frames (slice boundaries, split baskets, and replayed
+    * slices are all invisible through the distinct-on-read union). */
+  def copresenceGraphFromStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minSupport: Long): DataFrame =
+    pairCounts(spark.read.parquet(path).distinct())
+      .filter(col("c") >= minSupport)
+      .select(col("p1").as("u"), col("p2").as("v"))
+
+  /** Rewrite accumulated slices as one deduplicated membership table. */
+  def compactBasketItems(
+      spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
+    spark.read.parquet(src).distinct().write.mode("overwrite").parquet(dest)
 }

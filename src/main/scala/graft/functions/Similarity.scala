@@ -801,11 +801,35 @@ object Similarity {
       .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Add one vector slice to a [[writeIvfBucketed]] layout — the
+    * incremental-ingestion face of the ANN index (the MinHash split-index
+    * / basket-items posture, vector modality). The centroid set is the
+    * INDEX DEFINITION, fixed when the layout is created: appended vectors
+    * assign to the EXISTING cells (pass the same `centRows`), so probing
+    * semantics never shift under ingestion; re-train centroids = rebuild
+    * the layout (writeIvfBucketed), exactly like re-training the LM.
+    * Caller contract (the pHash-index stable-payload rule): a vec_id's
+    * vector is stable across appends — replayed slices (at-least-once
+    * delivery) then collapse in [[ivfTopKFromBucketed]]'s per-id dedup. */
+  def appendIvfBucketed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centRows: Array[(Long, Vector[Double])],
+      path: String): Unit =
+    corpus.select(
+        col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Top-k over a [[writeIvfBucketed]] layout. The probed cell ids are
     * known from the (tiny) query set before the scan, so they push down as
     * a partition filter — unprobed cells' files are never opened
     * (SimilaritySpec asserts the pruned scan and result parity with the
-    * unbucketed path). */
+    * unbucketed path). Replayed append slices collapse in a per-vec_id
+    * dedup that runs AFTER the partition pruning (probed-cell rows only,
+    * never the whole store); duplicate ids are identical rows by the
+    * append contract, so the keep is deterministic. */
   def ivfTopKFromBucketed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -824,6 +848,7 @@ object Similarity {
     val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     spark.read.parquet(path)
       .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .dropDuplicates("vec_id")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -299,6 +299,37 @@ class GraphSpec extends SparkSpec {
       s"cap past degmax ($degMax) must be a no-op: $recalls")
   }
 
+  test("basket-items store: split baskets across slices, replay idempotence, batch parity") {
+    val dir = java.nio.file.Files.createTempDirectory("basket_items").toString + "/bi"
+    // Basket 10 is SPLIT across the two slices (items 1,2 then 2,3): an
+    // edge-level store would miss the cross-slice pair (1,3); membership
+    // rows union to the full basket. Basket 20 repeats (1,2) for support.
+    val slice1 = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)).toDF("b", "it")
+    val slice2 = Seq((10L, 2L), (10L, 3L), (30L, 1L), (30L, 3L)).toDF("b", "it")
+    Affinity.writeBasketItems(slice1, "b", "it", dir)
+    Affinity.appendBasketItems(slice2, "b", "it", dir)
+    def graph() = Affinity.copresenceGraphFromStore(spark, dir, minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = graph()
+    val batch = Affinity.copresenceGraph(
+        slice1.unionAll(slice2), "b", "it", minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === batch)
+    // The cross-slice pair exists only because membership, not edges, is
+    // what the store holds.
+    assert(stored.contains((1L, 3L)), stored.mkString(", "))
+    // Replay: set algebra, nothing moves — including SUPPORT counts.
+    // Baskets: 10={1,2,3} (via the slice union), 20={1,2}, 30={1,3}, so
+    // at support 2 exactly {(1,2),(1,3)} qualify; (2,3) has support 1
+    // and a replayed slice must NOT double-count it across the line.
+    Affinity.appendBasketItems(slice1, "b", "it", dir)
+    assert(graph() === stored)
+    val sup2 = Affinity.copresenceGraphFromStore(spark, dir, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sup2 === Set((1L, 2L), (1L, 3L)),
+      s"support must stay distinct-basket-exact: $sup2")
+  }
+
   test("edge store: slice parity, normalization at write, re-append idempotence") {
     val dir = java.nio.file.Files.createTempDirectory("graph_edges").toString + "/edges"
     // Slice 1 arrives messy (reversed, duplicate, self-loop rows) — the

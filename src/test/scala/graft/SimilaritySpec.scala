@@ -307,6 +307,29 @@ class SimilaritySpec extends SparkSpec {
       "no streamed row was dropped — fixture too sparse to exercise the stream prune")
   }
 
+  test("bucketed IVF ingestion: slice appends + replay equal the one-shot layout") {
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // Two slices + a replayed first slice vs the one-shot write: the
+    // centroid set is fixed (index definition), so cell assignment — and
+    // therefore probing — is identical; the replay collapses in the
+    // read-side per-id dedup (stable-payload contract).
+    val s1 = emb.filter(col("vec_id") % 2 === 0)
+    val s2 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, dir)
+    Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, dir)
+    Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, dir)
+    val incremental = rows(Similarity.ivfTopKFromBucketed(
+      spark, dir, queries, "vec_id", "embedding", k = 5, cents))
+    val oneShot = rows(Similarity.ivfTopKWithCentroids(
+      emb, queries, "vec_id", "embedding", k = 5, cents, nProbe = 2))
+    assert(incremental === oneShot)
+    assert(incremental.nonEmpty)
+  }
+
   test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     // One query, nProbe=2: of the ~6 cells on disk only 2 may be opened.

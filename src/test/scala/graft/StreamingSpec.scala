@@ -508,6 +508,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(survived.size == survived.toSet.size) // no doc emitted twice
   }
 
+  test("GraphStream.ingestBasketsStream: split baskets + replayed batch equal the batch graph") {
+    import graft.functions.Affinity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Real corpus slice: every lineitem row of 60 orders, delivered as a
+    // (basket, item) stream in two micro-batches that SPLIT baskets at an
+    // arbitrary row boundary, with batch 1 replayed (at-least-once).
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") % 25 === 0)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("it"))
+      .as[(Long, Long)].collect()
+    assert(rows.length > 20)
+    val dir = java.nio.file.Files.createTempDirectory("graph_stream").toString + "/bi"
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.GraphStream.ingestBasketsStream(
+        in.toDF().toDF("b", "it"), "b", "it", dir)
+      .queryName("graph_ingest").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2) // splits mid-basket
+    runToCompletion(q,
+      () => in.addData(b1.toSeq),
+      () => in.addData(b2.toSeq),
+      () => in.addData(b1.toSeq)) // replayed delivery
+    val streamed = Affinity.copresenceGraphFromStore(spark, dir, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Affinity.copresenceGraph(
+        rows.toSeq.toDF("b", "it"), "b", "it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must produce a non-trivial graph")
+  }
+
+  test("AnnStream.ingestVectorsStream: streamed + replayed vectors equal the one-shot index") {
+    import graft.functions.Similarity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream").toString + "/ivf"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnStream.ingestVectorsStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents, dir)
+      .queryName("ann_ingest").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    runToCompletion(q,
+      () => in.addData(b1.toSeq),
+      () => in.addData(b2.toSeq),
+      () => in.addData(b1.toSeq)) // replayed delivery
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // MemoryStream round-trips the float array through the encoder; the
+    // payload is bit-stable, so scores match the one-shot index exactly.
+    val streamed = res(Similarity.ivfTopKFromBucketed(
+      spark, dir, queries, "vec_id", "embedding", k = 5, cents))
+    val oneShot = res(Similarity.ivfTopKWithCentroids(
+      emb, queries, "vec_id", "embedding", k = 5, cents, nProbe = 2))
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("LmStream.perplexityGateStream: parity with the batch gate off a persisted model") {
     import graft.functions.LangModel
     import spark.implicits._
