@@ -627,6 +627,29 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleK = 4, threshold = 0.7)),
 
+    // Threshold-calibration sweep over the EXACT near-dup pair list: how
+    // many pairs (and how many distinct docs) a dedup pass would touch at
+    // each candidate threshold — the "which threshold do I ship"
+    // evidence, sibling of dedup_compare's which-detector face. ONE
+    // exact PPJoin pipeline (the dedup_ngram plan at the loosest
+    // threshold); everything after is a pair-frame explode + one
+    // map-side-combining aggregation per facet — the sweep adds no
+    // second corpus pass, and exactness makes the threshold counts
+    // bit-identical to the all-pairs oracle.
+    "dedup_sweep" -> ((s, dir) => {
+      val sw = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 4, threshold = 0.7)
+        .select(col("i"), col("j"), col("jaccard"),
+          explode(array(lit(0.7), lit(0.95), lit(0.98))).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+        .select(col("threshold"), explode(array(
+          struct(col("i").as("d"), lit(1L).as("w")),
+          struct(col("j").as("d"), lit(0L).as("w")))).as("x"))
+      sw.groupBy(col("threshold"))
+        .agg(sum(col("x.w")).as("n_pairs"),
+          countDistinct(col("x.d")).as("n_docs"))
+    }),
+
     // Asymmetric containment |S(i)∩S(j)|/|S(i)| >= 0.9 — the quote/subset
     // detector Jaccard can't see (a short doc wholly inside a long one).
     // Rarest-prefix inverted-index join on the contained side; exact.
@@ -828,6 +851,39 @@ object SparkEntry {
     "class_centroids" -> ((s, dir) =>
       graft.functions.Classifier.classCentroids(
         t(s, dir, "embeddings"), "label", "embedding")),
+
+    // Embedding distribution drift between two corpus slices (old crawl
+    // vs new crawl / embedding-model v1 vs v2 — here the deterministic
+    // vec_id halves): per-dimension exact fixed-point means per slice
+    // (the classCentroids 2^-20 floor — sums are order-independent
+    // integers, the mean one IEEE division) and their per-dim delta.
+    // The monitoring face a pipeline puts in front of "did the new
+    // embedding batch shift the space". Corpus rows never shuffle: the
+    // posexplode fan-out partial-aggregates map-side, so the exchange
+    // carries ≤ 2 × dim cells per task; the slice pivot joins two
+    // dim-sized frames.
+    "emb_drift" -> ((s, dir) => {
+      val cells = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(
+          when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("slice"),
+          posexplode(col("embedding")).as(Seq("dim_idx", "comp")))
+        .select(col("slice"), col("dim_idx"),
+          floor(col("comp").cast(DoubleType) * lit(1048576.0))
+            .cast(LongType).as("fp"))
+        .groupBy(col("slice"), col("dim_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("fp")).as("sfp"))
+        .select(col("slice"), col("dim_idx"), col("n"),
+          (col("sfp").cast(DoubleType) /
+            (col("n") * lit(1048576L)).cast(DoubleType)).as("mu"))
+      cells.filter(col("slice") === "a")
+        .select(col("dim_idx"), col("n").as("n_a"), col("mu").as("mu_a"))
+        .join(cells.filter(col("slice") === "b")
+          .select(col("dim_idx"), col("n").as("n_b"), col("mu").as("mu_b")),
+          "dim_idx")
+        .select(col("dim_idx"), col("n_a"), col("n_b"), col("mu_a"), col("mu_b"),
+          (col("mu_a") - col("mu_b")).as("delta"))
+    }),
 
     // Live ANN recall: recall@5 of each production index face against the
     // brute-force list on the same query set — the SimilaritySpec recall
@@ -3418,6 +3474,18 @@ $rounds
          |  SELECT id FROM (SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id)
          |  WHERE id != cluster_id)""".stripMargin,
     "dedup_ngram" -> jaccardPairsSql(0.7),
+    // Sweep replica: the same exact pair list, fanned across the
+    // threshold values; counts are integers, thresholds cast to DOUBLE
+    // so the comparison and the output type match Spark bit-for-bit.
+    "dedup_sweep" ->
+      s"""WITH p AS (${jaccardPairsSql(0.7)}),
+         |t(threshold) AS (VALUES (CAST(0.7 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.98 AS DOUBLE))),
+         |sw AS (SELECT t.threshold, p.i, p.j FROM p, t WHERE p.jaccard >= t.threshold),
+         |d AS (SELECT threshold, i AS doc FROM sw UNION ALL SELECT threshold, j FROM sw)
+         |SELECT np.threshold, np.n_pairs, nd.n_docs FROM
+         |  (SELECT threshold, count(*) AS n_pairs FROM sw GROUP BY 1) np
+         |  JOIN (SELECT threshold, count(DISTINCT doc) AS n_docs FROM d GROUP BY 1) nd
+         |  USING (threshold)""".stripMargin,
     // Asymmetric containment: intersect over the CONTAINED side's set size
     // (both directions of a mutual near-equal pair qualify). minShingles=8
     // mirrors Dedup.containmentPairs' contained-side guard.
@@ -3474,6 +3542,21 @@ $rounds
         |SELECT label, CAST(dim_idx AS INT) AS dim_idx, count(*) AS n,
         |  CAST(sum(fp) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS centroid
         |FROM f GROUP BY label, dim_idx""".stripMargin,
+    // Drift replica: identical 2^-20 floor, integer sums, one division,
+    // one IEEE subtract — value-exact like class_centroids.
+    "emb_drift" ->
+      """WITH x AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS slice,
+        |    unnest(embedding) AS comp, unnest(range(0, len(embedding))) AS dim_idx
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |f AS (SELECT slice, dim_idx,
+        |  CAST(floor(CAST(comp AS DOUBLE) * 1048576.0) AS BIGINT) AS fp FROM x),
+        |m AS (SELECT slice, dim_idx, count(*) AS n,
+        |  CAST(sum(fp) AS DOUBLE) / CAST(count(*) * 1048576 AS DOUBLE) AS mu
+        |  FROM f GROUP BY 1, 2)
+        |SELECT CAST(a.dim_idx AS INT) AS dim_idx, a.n AS n_a, b.n AS n_b,
+        |  a.mu AS mu_a, b.mu AS mu_b, a.mu - b.mu AS delta
+        |FROM m a JOIN m b ON a.dim_idx = b.dim_idx
+        |WHERE a.slice = 'a' AND b.slice = 'b'""".stripMargin,
     // Decision-stump replica: identical bin/grid/cumulative/integer-score
     // pipeline; HUGEINT keeps the cleared-denominator score exact.
     "stump_split" ->
