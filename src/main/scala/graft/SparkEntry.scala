@@ -888,28 +888,11 @@ object SparkEntry {
     // posexplode fan-out partial-aggregates map-side, so the exchange
     // carries ≤ 2 × dim cells per task; the slice pivot joins two
     // dim-sized frames.
-    "emb_drift" -> ((s, dir) => {
-      val cells = t(s, dir, "embeddings")
-        .filter(col("embedding").isNotNull)
-        .select(
-          when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("slice"),
-          posexplode(col("embedding")).as(Seq("dim_idx", "comp")))
-        .select(col("slice"), col("dim_idx"),
-          floor(col("comp").cast(DoubleType) * lit(1048576.0))
-            .cast(LongType).as("fp"))
-        .groupBy(col("slice"), col("dim_idx"))
-        .agg(count(lit(1)).as("n"), sum(col("fp")).as("sfp"))
-        .select(col("slice"), col("dim_idx"), col("n"),
-          (col("sfp").cast(DoubleType) /
-            (col("n") * lit(1048576L)).cast(DoubleType)).as("mu"))
-      cells.filter(col("slice") === "a")
-        .select(col("dim_idx"), col("n").as("n_a"), col("mu").as("mu_a"))
-        .join(cells.filter(col("slice") === "b")
-          .select(col("dim_idx"), col("n").as("n_b"), col("mu").as("mu_b")),
-          "dim_idx")
-        .select(col("dim_idx"), col("n_a"), col("n_b"), col("mu_a"), col("mu_b"),
-          (col("mu_a") - col("mu_b")).as("delta"))
-    }),
+    "emb_drift" -> ((s, dir) =>
+      graft.functions.Drift.embeddingDrift(
+        t(s, dir, "embeddings"),
+        when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")),
+        "embedding")),
 
     // Live ANN recall: recall@5 of each production index face against the
     // brute-force list on the same query set — the SimilaritySpec recall

@@ -95,4 +95,44 @@ object Drift {
       .agg(count(lit(1)).as("n_bins"),
         (sum(col("__cfp")) / lit(Median.Scale)).as("chi2"))
   }
+
+  /** Embedding distribution drift between two slices (old crawl vs new
+    * crawl, embedding-model v1 vs v2): per-dimension exact fixed-point
+    * means per slice and their IEEE delta — the vector-modality sibling
+    * of [[chiSquareDrift]] (means, not histograms, because embedding
+    * components are dense and roughly centered; a mean shift is the
+    * model-swap signature). Components floor to 2^-20 fixed point BEFORE
+    * aggregation (the classCentroids contract), so per-cell sums are
+    * order-independent integers, each mean is one IEEE division, and the
+    * delta one subtraction — bit-identical on any engine/partitioning.
+    *
+    * `slice` must take exactly the values "a" and "b"; dims missing from
+    * a slice (impossible for fixed-width vectors) would drop via the
+    * inner join rather than divide by zero.
+    *
+    * Scale shape: the posexplode fan-out partial-aggregates map-side, so
+    * the one exchange carries ≤ 2 × dim cells per task — corpus rows
+    * never shuffle; the pivot joins two dim-sized frames.
+    * Output: (dim_idx, n_a, n_b, mu_a, mu_b, delta). */
+  def embeddingDrift(df: DataFrame, slice: Column, vecCol: String): DataFrame = {
+    val cells = df
+      .filter(col(vecCol).isNotNull)
+      .select(slice.as("slice"),
+        posexplode(col(vecCol)).as(Seq("dim_idx", "comp")))
+      .select(col("slice"), col("dim_idx"),
+        floor(col("comp").cast(DoubleType) * lit(1048576.0))
+          .cast(LongType).as("fp"))
+      .groupBy(col("slice"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("sfp"))
+      .select(col("slice"), col("dim_idx"), col("n"),
+        (col("sfp").cast(DoubleType) /
+          (col("n") * lit(1048576L)).cast(DoubleType)).as("mu"))
+    cells.filter(col("slice") === "a")
+      .select(col("dim_idx"), col("n").as("n_a"), col("mu").as("mu_a"))
+      .join(cells.filter(col("slice") === "b")
+        .select(col("dim_idx"), col("n").as("n_b"), col("mu").as("mu_b")),
+        "dim_idx")
+      .select(col("dim_idx"), col("n_a"), col("n_b"), col("mu_a"), col("mu_b"),
+        (col("mu_a") - col("mu_b")).as("delta"))
+  }
 }

@@ -91,4 +91,22 @@ class DedupPropertySpec extends AnyFunSuite with SparkSpec {
         assert(math.abs(v - expected(k)) < 1e-12, s"corpus $n t=$t pair $k") }
     }
   }
+
+  test("dedup_sweep facets are monotone: pairs and docs never grow as the threshold tightens") {
+    // Structural invariant of the calibration sweep (SparkEntry dedup_sweep
+    // shape): both facets count a subset of the looser threshold's
+    // survivors, so each must be non-increasing in the threshold — a
+    // violated monotonicity means the sweep's explode/filter wiring broke.
+    val out = SparkEntry.queries("dedup_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0.7, 0.95, 0.98))
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 }, out.mkString(", "))
+    // And the loosest row must agree with the raw pair list it sweeps.
+    val base = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.head._2 == base.length)
+    assert(out.head._3 == base.flatMap(p => Seq(p._1, p._2)).distinct.length)
+  }
 }

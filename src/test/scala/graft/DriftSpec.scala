@@ -102,4 +102,36 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     }
     assert(drift(rows) === expected)
   }
+
+  test("embeddingDrift: matches a driver-side fixed-point fold; partitioning-invariant") {
+    import graft.functions.Drift
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextInt(2000) - 1000) / 512.0f))
+    }
+    def slice(id: Long) = if (id % 2 == 0) "a" else "b"
+    // Driver-side reference: the SAME 2^-20 floor and one division, in a
+    // deliberately different shape (a scalar fold per (slice, dim)).
+    val expected = (0 until dim).map { d =>
+      def mu(s: String) = {
+        val fps = rows.filter(r => slice(r._1) == s)
+          .map(r => math.floor(r._2(d).toDouble * 1048576.0).toLong)
+        (fps.size.toLong, fps.sum.toDouble / (fps.size * 1048576L).toDouble)
+      }
+      val ((na, mua), (nb, mub)) = (mu("a"), mu("b"))
+      d -> ((na, nb, mua, mub, mua - mub))
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Drift.embeddingDrift(
+          rows.toDF("vec_id", "embedding").repartition(parts),
+          when(col("vec_id") % 2 === 0, lit("a")).otherwise(lit("b")),
+          "embedding")
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
 }
