@@ -114,6 +114,68 @@ object Drift {
     * the one exchange carries ≤ 2 × dim cells per task — corpus rows
     * never shuffle; the pivot joins two dim-sized frames.
     * Output: (dim_idx, n_a, n_b, mu_a, mu_b, delta). */
+  /** The per-dimension fixed-point stat frame `(dim_idx, n, sfp)` of one
+    * embedding slice — the persistable unit behind
+    * [[embeddingDriftBetween]] / [[embDriftStream]]. ADDITIVE count-store
+    * algebra (the LM/NB convention, NOT the set stores'): disjoint
+    * slices sum on read, so a reference corpus can accumulate
+    * incrementally — but a REPLAYED slice double-counts; dedupe upstream
+    * or rebuild, exactly as with LM counts. */
+  def embStats(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim_idx", "comp")))
+      .select(col("dim_idx"),
+        floor(col("comp").cast(DoubleType) * lit(1048576.0))
+          .cast(LongType).as("fp"))
+      .groupBy(col("dim_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("sfp"))
+
+  /** Persist a reference slice's per-dim stats. */
+  def writeEmbStats(df: DataFrame, vecCol: String, path: String): Unit =
+    embStats(df, vecCol).write.mode("overwrite").parquet(path)
+
+  /** Accumulate one more (disjoint) slice into the reference. */
+  def appendEmbStats(df: DataFrame, vecCol: String, path: String): Unit =
+    embStats(df, vecCol).write.mode("append").parquet(path)
+
+  /** The reference stats ingested so far — slices sum on read (additive
+    * merge), yielding the same frame [[embStats]] computes on the union
+    * of the ingested slices. */
+  def readEmbStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("dim_idx"))
+      .agg(sum(col("n")).as("n"), sum(col("sfp")).as("sfp"))
+
+  /** Drift between two pre-aggregated stat frames — the
+    * reference-vs-current form ([[chiSquareBetweenHists]]'s embedding
+    * sibling): the reference side is computed once and persisted; only
+    * the current side touches data. Ref = the "a" columns. */
+  def embeddingDriftBetween(ref: DataFrame, cur: DataFrame): DataFrame = {
+    def means(stats: DataFrame, suffix: String) = stats
+      .groupBy(col("dim_idx"))
+      .agg(sum(col("n")).as(s"n$suffix"), sum(col("sfp")).as("__s"))
+      .select(col("dim_idx"), col(s"n$suffix"),
+        (col("__s").cast(DoubleType) /
+          (col(s"n$suffix") * lit(1048576L)).cast(DoubleType)).as(s"mu$suffix"))
+    means(ref, "_a").join(means(cur, "_b"), "dim_idx")
+      .select(col("dim_idx"), col("n_a"), col("n_b"), col("mu_a"), col("mu_b"),
+        (col("mu_a") - col("mu_b")).as("delta"))
+  }
+
+  /** Per-micro-batch embedding-drift alerting against a PERSISTED
+    * reference ([[driftStream]]'s embedding sibling): each batch's stats
+    * score against `refStats` and the per-dim drift frame goes to
+    * `sink`. Reference state lives in storage (swap or accumulate via
+    * [[appendEmbStats]] without restarting); per-batch work is one
+    * bounded ≤2×dim-cell aggregation + a dim-sized join. */
+  def embDriftStream(stream: DataFrame, refStats: DataFrame, vecCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        sink(embeddingDriftBetween(refStats, embStats(batch, vecCol)), id)
+    }
+
   def embeddingDrift(df: DataFrame, slice: Column, vecCol: String): DataFrame = {
     val cells = df
       .filter(col(vecCol).isNotNull)

@@ -77,6 +77,52 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(!got(1L).contains("b"), "group absent from the batch is not scored")
   }
 
+  test("emb stats store: incremental reference + stream face equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(21)
+    def vecs(ids: Range, shift: Float) = ids.map { i =>
+      (i.toLong, Array.fill(4)((rnd.nextInt(1000) - 500) / 256.0f + shift))
+    }
+    val refA = vecs(0 until 120, 0f)
+    val cur = vecs(1000 until 1100, 0.25f)
+    // Reference accumulates in two DISJOINT slices (the additive store).
+    val dir = java.nio.file.Files.createTempDirectory("emb_stats").toString + "/ref"
+    val (r1, r2) = refA.splitAt(60)
+    Drift.writeEmbStats(r1.toDF("vec_id", "embedding"), "embedding", dir)
+    Drift.appendEmbStats(r2.toDF("vec_id", "embedding"), "embedding", dir)
+    val refStats = Drift.readEmbStats(spark, dir)
+    // Batch parity: between(storedRef, cur) == embeddingDrift on the
+    // slice-tagged union of the same rows.
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val viaStore = key(Drift.embeddingDriftBetween(
+      refStats, Drift.embStats(cur.toDF("vec_id", "embedding"), "embedding")))
+    val tagged = refA.map(v => (v._1, v._2, "a")) ++ cur.map(v => (v._1, v._2, "b"))
+    val direct = key(Drift.embeddingDrift(
+      tagged.toDF("vec_id", "embedding", "slice"), col("slice"), "embedding"))
+    assert(viaStore === direct)
+    // The planted +0.25 shift is visible on every dimension.
+    assert(viaStore.values.forall(_._5 < -0.1), viaStore.toString)
+    // Stream face: per-batch drift against the stored reference equals
+    // the batch operator on that batch's rows.
+    val in = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Map[Long, Map[Int, (Long, Long, Double, Double, Double)]]()
+    val q = Drift.embDriftStream(
+        in.toDF.toDF("vec_id", "embedding"), refStats, "embedding")({ (df, id) =>
+      got(id) = key(df)
+    }).start()
+    val (c1, c2) = cur.map(v => (v._1, v._2.toSeq)).splitAt(50)
+    in.addData(c1); q.processAllAvailable()
+    in.addData(c2); q.processAllAvailable()
+    q.stop()
+    val b0 = key(Drift.embeddingDriftBetween(
+      refStats, Drift.embStats(c1.toDF("vec_id", "embedding"), "embedding")))
+    assert(got(0L) === b0)
+    assert(got.contains(1L) && got(1L).nonEmpty)
+  }
+
   test("property: matches a driver-side chi-square (same fixed-point fold) on random data") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 3000).map { _ =>
