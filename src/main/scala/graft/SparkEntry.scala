@@ -2606,6 +2606,16 @@ object SparkEntry {
         .orderBy(col("n_nodes").desc, col("component"))
         .limit(20)),
 
+    // Degree distribution of the co-purchase graph — the first thing to
+    // look at before picking hub caps / peel depths (the linkPredict
+    // recall study keys its knob to p90 of exactly this frame). One
+    // doubled-endpoint aggregation over the store scan + one
+    // degree-inventory-sized count; all integers.
+    "graph_degree_hist" -> ((s, dir) =>
+      graft.functions.Graph.degreeFrame(copresenceEdges(s, dir))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))),
+
     // Three synchronous label-propagation rounds over the same co-purchase
     // graph — community detection (Raghavan et al. LPA) in the chained
     // restartable-rounds posture: each round ONE nbr-keyed join + bounded
@@ -5191,6 +5201,14 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
         |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2)
         |SELECT u, v FROM pc WHERE c >= 2""".stripMargin,
+    "graph_degree_hist" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |d AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
     "graph_cc" ->
       """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
