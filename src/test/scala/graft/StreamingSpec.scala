@@ -539,6 +539,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty, "fixture must produce a non-trivial graph")
   }
 
+  test("StoreIngest: set store replay-idempotent; additive store sums disjoint batches") {
+    import graft.functions.{Dedup, LangModel}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val rows = docs.as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // SET store (gram inventory): two batches + a REPLAY of batch 1 must
+    // equal the batch operator over the union — replays are invisible.
+    val gDir = java.nio.file.Files.createTempDirectory("ingest_gram").toString + "/g"
+    val gIn = MemoryStream[(Long, String, String)]
+    val gq = graft.streaming.StoreIngest.gramInventory(
+        gIn.toDF().toDF("doc_id", "text", "source"), "text", "source", gDir)
+      .queryName("gram_ingest").start()
+    runToCompletion(gq,
+      () => gIn.addData(b1.toSeq), () => gIn.addData(b2.toSeq),
+      () => gIn.addData(b1.toSeq)) // replayed delivery
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = m(Dedup.overlapMatrixFromInventory(spark, gDir))
+    val batch = m(Dedup.ngramSourceOverlap(docs, "text", "source"))
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must produce cross-source overlap")
+    // ADDITIVE store (LM counts): two DISJOINT batches sum to the batch
+    // model — surprisal scores off the streamed store match training on
+    // the union (the replay caveat is the documented additive contract).
+    val lDir = java.nio.file.Files.createTempDirectory("ingest_lm").toString + "/lm"
+    val lIn = MemoryStream[(Long, String, String)]
+    val lq = graft.streaming.StoreIngest.lmCounts(
+        lIn.toDF().toDF("doc_id", "text", "source"), "doc_id", "text", lDir)
+      .queryName("lm_ingest").start()
+    runToCompletion(lq, () => lIn.addData(b1.toSeq), () => lIn.addData(b2.toSeq))
+    val lmStream = LangModel.readLm(spark, lDir)
+    val score = docs.limit(40)
+    def scores(lm: LangModel.Lm) =
+      LangModel.surprisalWith(score, lm, "doc_id", "text")
+        .select(col("doc_id"), col("bits")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lmBatchDir = java.nio.file.Files.createTempDirectory("ingest_lmb").toString + "/lm"
+    LangModel.writeLmCounts(docs, "doc_id", "text", lmBatchDir)
+    assert(scores(lmStream) === scores(LangModel.readLm(spark, lmBatchDir)))
+  }
+
   test("AnnStream.ingestVectorsStream: streamed + replayed vectors equal the one-shot index") {
     import graft.functions.Similarity
     import spark.implicits._
