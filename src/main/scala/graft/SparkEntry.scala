@@ -903,6 +903,7 @@ object SparkEntry {
     "ann_recall" -> (annRecallOf(_, _, "ann_ivf")),
     "ann_recall_ivfpq" -> (annRecallOf(_, _, "ann_ivfpq")),
     "ann_recall_sq8" -> (annRecallOf(_, _, "ann_sq8")),
+    "ann_recall_lsh" -> (annRecallOf(_, _, "ann_lsh")),
 
     // CART decision stump in exact integer arithmetic: best power-of-two
     // binned threshold on one embedding dimension by weighted Gini
@@ -3009,6 +3010,37 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 5""".stripMargin
 
+  /** Generated oracle for `ann_lsh` (deterministic xhash32-derived
+    * hyperplanes — value-exact despite being an LSH face). Shared with
+    * the `ann_recall_lsh` composition. */
+  private lazy val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |hp AS (
+         |  SELECT t, p, list_transform(range(0, 64), d ->
+         |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
+         |  FROM range(0, 8) tt(t) CROSS JOIN range(0, 8) pp(p)),
+         |b AS (
+         |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, hp.t, hp.p,
+         |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
+         |    FROM e CROSS JOIN hp)
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT query_id, cand.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2]))
+         |      / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) * sqrt(list_sum(list_transform(ce.v, x -> x * x)))) AS score
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.vec_id)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin
+
   /** recall@5 SQL composition shared by every `ann_recall*` oracle:
     * brute-force list LEFT JOIN one approximate face, one count row. */
   private def annRecallSql(faceSql: String): String =
@@ -3697,33 +3729,8 @@ $rounds
     // the per-table sign-bucket assignment, and the candidate top-5 ranking.
     // Plane components, dots, and norms are all sequential double folds in
     // both engines, so the compare is value-exact.
-    "ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |hp AS (
-         |  SELECT t, p, list_transform(range(0, 64), d ->
-         |    ('0x' || substr(md5(t::VARCHAR || '_' || p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS plane
-         |  FROM range(0, 8) tt(t) CROSS JOIN range(0, 8) pp(p)),
-         |b AS (
-         |  SELECT vec_id, t AS tbl, SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
-         |  FROM (
-         |    SELECT e.vec_id, hp.t, hp.p,
-         |      list_sum(list_transform(list_zip(e.v, hp.plane), pr -> pr[1] * pr[2])) AS dot
-         |    FROM e CROSS JOIN hp)
-         |  GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-         |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
-         |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
-         |scored AS (
-         |  SELECT query_id, cand.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2]))
-         |      / (sqrt(list_sum(list_transform(qe.v, x -> x * x))) * sqrt(list_sum(list_transform(ce.v, x -> x * x)))) AS score
-         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id JOIN e ce ON ce.vec_id = cand.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5""".stripMargin,
+    "ann_lsh" -> annLshSql,
+    "ann_recall_lsh" -> annRecallSql(annLshSql),
     // Replicates the full IVF-PQ pipeline: the ann_ivf cell/probe CTEs, the
     // md5-derived codebook (Similarity.pqComponent, disjoint 'pq_' salt),
     // the ||s||²-2<s,c>+||c||² per-subspace argmin with (dist, j)

@@ -330,6 +330,30 @@ class GraphSpec extends SparkSpec {
       s"support must stay distinct-basket-exact: $sup2")
   }
 
+  test("store composition: basket ingest -> copresence graph -> edge store -> triangles") {
+    // The full derived-artifact chain a production deployment runs: raw
+    // (basket, item) slices land in the membership store; the copresence
+    // graph derives from it; the edge store materializes that graph for
+    // the query family; triangle counts off the edge store equal the
+    // one-shot batch operator over the raw rows.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("it"))
+    val biDir = java.nio.file.Files.createTempDirectory("compose_bi").toString + "/bi"
+    val edDir = java.nio.file.Files.createTempDirectory("compose_ed").toString + "/e"
+    Affinity.writeBasketItems(li.filter(col("b") % 2 === 0), "b", "it", biDir)
+    Affinity.appendBasketItems(li.filter(col("b") % 2 === 1), "b", "it", biDir)
+    Graph.writeGraphEdges(
+      Affinity.copresenceGraphFromStore(spark, biDir, minSupport = 2L),
+      "u", "v", edDir)
+    def tri(edges: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(edges, "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStores = tri(Graph.readGraphEdges(spark, edDir))
+    val direct = tri(Affinity.copresenceGraph(li, "b", "it", minSupport = 2L))
+    assert(viaStores === direct)
+    assert(direct.nonEmpty, "fixture must contain triangles")
+  }
+
   test("edge store: slice parity, normalization at write, re-append idempotence") {
     val dir = java.nio.file.Files.createTempDirectory("graph_edges").toString + "/edges"
     // Slice 1 arrives messy (reversed, duplicate, self-loop rows) — the
