@@ -138,14 +138,36 @@ object Drift {
   def appendEmbStats(df: DataFrame, vecCol: String, path: String): Unit =
     embStats(df, vecCol).write.mode("append").parquet(path)
 
+  /** Accumulate one slice TAGGED with a replay-stable batch id (a
+    * Structured Streaming foreachBatch id, a pipeline run id) — the
+    * ledger move that buys the additive store the SET stores'
+    * replay-idempotence: a slice's stat rows are a pure function of the
+    * slice, so a re-delivered batch rewrites byte-identical
+    * (batch_id, dim_idx, n, sfp) rows that the read side's distinct
+    * collapses, while two genuinely different batches always differ in
+    * batch_id. Caller contract: ids are unique per logical batch and a
+    * store mixes tagged OR untagged appends, never both (an untagged
+    * store cannot tell a replay from a coincidence). */
+  def appendEmbStats(df: DataFrame, vecCol: String, path: String, batchId: Long): Unit =
+    embStats(df, vecCol).withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+
   /** The reference stats ingested so far — slices sum on read (additive
     * merge), yielding the same frame [[embStats]] computes on the union
-    * of the ingested slices. */
+    * of the ingested slices. Tagged stores (the batch-id ledger) first
+    * collapse re-delivered slices by distinct, so at-least-once replays
+    * cannot double-count; the distinct runs on ≤ batches × dim ledger
+    * rows, never data. */
   def readEmbStats(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val slices =
+      if (raw.columns.contains("batch_id")) raw.distinct().drop("batch_id")
+      else raw
+    slices
       .groupBy(col("dim_idx"))
       .agg(sum(col("n")).as("n"), sum(col("sfp")).as("sfp"))
+  }
 
   /** Drift between two pre-aggregated stat frames — the
     * reference-vs-current form ([[chiSquareBetweenHists]]'s embedding

@@ -68,9 +68,16 @@ object StoreIngest {
     ingest(stream)(b =>
       graft.functions.Retrieval.appendBm25Index(b, idCol, textCol, path))
 
-  /** Embedding-drift reference ingestion (ADDITIVE algebra; feeds
-    * [[graft.functions.Drift.readEmbStats]] / the embDriftStream face). */
+  /** Embedding-drift reference ingestion — additive algebra, but
+    * REPLAY-SAFE: each slice is tagged with the micro-batch id (replay-
+    * stable under checkpoint recovery), and the read side collapses
+    * re-delivered slices by the batch-id ledger
+    * ([[graft.functions.Drift.appendEmbStats]]'s tagged overload) — the
+    * prototype for closing at-least-once on the other additive stores. */
   def embStats(
       stream: DataFrame, vecCol: String, path: String): DataStreamWriter[Row] =
-    ingest(stream)(b => graft.functions.Drift.appendEmbStats(b, vecCol, path))
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty)
+        graft.functions.Drift.appendEmbStats(batch, vecCol, path, id)
+    }
 }

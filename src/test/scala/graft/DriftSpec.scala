@@ -123,6 +123,27 @@ class DriftSpec extends AnyFunSuite with SparkSpec {
     assert(got.contains(1L) && got(1L).nonEmpty)
   }
 
+  test("emb stats batch-id ledger: a replayed tagged slice cannot double-count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, Array.fill(3)((rnd.nextInt(1000) - 500) / 256.0f))
+    }
+    val (b7, b8) = (vecs(0 until 40), vecs(100 until 160))
+    val dir = java.nio.file.Files.createTempDirectory("emb_ledger").toString + "/ref"
+    Drift.appendEmbStats(b7.toDF("vec_id", "embedding"), "embedding", dir, batchId = 7L)
+    Drift.appendEmbStats(b7.toDF("vec_id", "embedding"), "embedding", dir, batchId = 7L) // replay
+    Drift.appendEmbStats(b8.toDF("vec_id", "embedding"), "embedding", dir, batchId = 8L)
+    def stats(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ledger = stats(Drift.readEmbStats(spark, dir))
+    val direct = stats(Drift.embStats(
+      (b7 ++ b8).toDF("vec_id", "embedding"), "embedding"))
+    assert(ledger === direct, "replayed batch 7 must collapse in the ledger")
+    // Sanity: the counts reflect ONE copy of batch 7 (40 + 60 rows/dim).
+    assert(ledger.values.forall(_._1 == 100L), ledger.toString)
+  }
+
   test("property: matches a driver-side chi-square (same fixed-point fold) on random data") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 3000).map { _ =>
