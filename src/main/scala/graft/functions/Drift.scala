@@ -149,7 +149,7 @@ object Drift {
     * store mixes tagged OR untagged appends, never both (an untagged
     * store cannot tell a replay from a coincidence). */
   def appendEmbStats(df: DataFrame, vecCol: String, path: String, batchId: Long): Unit =
-    embStats(df, vecCol).withColumn("batch_id", lit(batchId))
+    StoreLedger.tag(embStats(df, vecCol), batchId)
       .write.mode("append").parquet(path)
 
   /** The reference stats ingested so far — slices sum on read (additive
@@ -160,11 +160,7 @@ object Drift {
     * rows, never data. */
   def readEmbStats(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
-    val slices =
-      if (raw.columns.contains("batch_id")) raw.distinct().drop("batch_id")
-      else raw
-    slices
+    StoreLedger.collapse(spark.read.parquet(path))
       .groupBy(col("dim_idx"))
       .agg(sum(col("n")).as("n"), sum(col("sfp")).as("sfp"))
   }

@@ -146,6 +146,17 @@ object LangModel {
   def appendLmCounts(ref: DataFrame, idCol: String, textCol: String, path: String): Unit =
     pairCounts(ref, idCol, textCol).write.mode("append").parquet(s"$path/pairs")
 
+  /** Append one slice TAGGED with a replay-stable batch id — the
+    * [[StoreLedger]] move: a re-delivered batch (at-least-once delivery,
+    * foreachBatch checkpoint recovery) rewrites byte-identical tagged
+    * rows that [[readLm]]'s distinct collapses, so replays cannot
+    * double-count. Tagged or untagged per store, never mixed. */
+  def appendLmCounts(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Long): Unit =
+    StoreLedger.tag(pairCounts(ref, idCol, textCol), batchId)
+      .write.mode("append").parquet(s"$path/pairs")
+
   /** Load the merged model: re-aggregate the stored count partitions
     * (merge-on-read) and derive the bit tables. */
   def readLm(
@@ -153,7 +164,7 @@ object LangModel {
       path: String,
       backoffBits: Int = 2): Lm =
     lmFromPairs(
-      spark.read.parquet(s"$path/pairs")
+      StoreLedger.collapse(spark.read.parquet(s"$path/pairs"))
         .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n")),
       backoffBits)
 
@@ -161,7 +172,7 @@ object LangModel {
     * appended deltas accumulate; `dest` must differ from `src`). */
   def compactLm(spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit = {
     require(src != dest, "compaction writes a FRESH store; cannot overwrite the source in place")
-    spark.read.parquet(s"$src/pairs")
+    StoreLedger.collapse(spark.read.parquet(s"$src/pairs"))
       .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"$dest/pairs")
   }
@@ -354,11 +365,21 @@ object LangModel {
     tripleCounts(ref, idCol, textCol).write.mode("append").parquet(s"$path/triples")
   }
 
+  /** Tagged trigram-layer append (see the bigram overload): both layers
+    * carry the same batch id, so a replayed batch collapses in each. */
+  def appendLm3Counts(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Long): Unit = {
+    appendLmCounts(ref, idCol, textCol, path, batchId)
+    StoreLedger.tag(tripleCounts(ref, idCol, textCol), batchId)
+      .write.mode("append").parquet(s"$path/triples")
+  }
+
   def readLm3(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       backoffBits: Int = 2): Lm3 = {
-    val tri = spark.read.parquet(s"$path/triples")
+    val tri = StoreLedger.collapse(spark.read.parquet(s"$path/triples"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n"))
     val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nc"))
     val trigrams = tri.join(ctx, Seq("w1", "w2"))

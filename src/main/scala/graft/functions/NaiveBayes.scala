@@ -113,21 +113,37 @@ object NaiveBayes {
     * the overlap-tolerant HLL register store). */
   def writeNbCounts(
       docs: DataFrame, labelCol: String, textCol: String, path: String): Unit =
-    writeSlice(docs, labelCol, textCol, path, overwrite = true)
+    writeSlice(docs, labelCol, textCol, path, overwrite = true, batchId = None)
 
   /** Add a disjoint corpus slice to an existing store (see
     * [[writeNbCounts]]). */
   def appendNbCounts(
       docs: DataFrame, labelCol: String, textCol: String, path: String): Unit =
-    writeSlice(docs, labelCol, textCol, path, overwrite = false)
+    writeSlice(docs, labelCol, textCol, path, overwrite = false, batchId = None)
+
+  /** Append one slice TAGGED with a replay-stable batch id — the
+    * [[StoreLedger]] move: a re-delivered batch (at-least-once delivery,
+    * foreachBatch checkpoint recovery) rewrites byte-identical tagged
+    * rows in BOTH layers that [[readNb]]'s distinct collapses, so
+    * replays cannot double-count. Tagged or untagged per store, never
+    * mixed. */
+  def appendNbCounts(
+      docs: DataFrame, labelCol: String, textCol: String, path: String,
+      batchId: Long): Unit =
+    writeSlice(docs, labelCol, textCol, path, overwrite = false,
+      batchId = Some(batchId))
 
   private def writeSlice(
       docs: DataFrame, labelCol: String, textCol: String, path: String,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean, batchId: Option[Long]): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val (cnt, cdocs) = countFrames(docs, labelCol, textCol)
-    cnt.write.mode(mode).parquet(s"$path/token_counts")
-    cdocs.write.mode(mode).parquet(s"$path/class_docs")
+    val (c, cd) = batchId match {
+      case Some(id) => (StoreLedger.tag(cnt, id), StoreLedger.tag(cdocs, id))
+      case None     => (cnt, cdocs)
+    }
+    c.write.mode(mode).parquet(s"$path/token_counts")
+    cd.write.mode(mode).parquet(s"$path/class_docs")
   }
 
   /** Rebuild the model from stored counts: slices sum on read, so the
@@ -136,9 +152,9 @@ object NaiveBayes {
     * parity). */
   def readNb(spark: org.apache.spark.sql.SparkSession, path: String): NbModel =
     modelFrom(
-      spark.read.parquet(s"$path/token_counts")
+      StoreLedger.collapse(spark.read.parquet(s"$path/token_counts"))
         .groupBy(col("label"), col("w")).agg(sum(col("n")).as("n")),
-      spark.read.parquet(s"$path/class_docs")
+      StoreLedger.collapse(spark.read.parquet(s"$path/class_docs"))
         .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
 
   /** Classify every non-null-text doc: `(doc_id, pred, bits8)` with

@@ -93,31 +93,47 @@ object Retrieval {
   def writeBm25Index(
       docs: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 256): Unit =
-    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = true)
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = true,
+      batchId = None)
 
   /** Add a disjoint corpus slice to an existing index (see
     * [[writeBm25Index]]). */
   def appendBm25Index(
       docs: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 256): Unit =
-    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false)
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false,
+      batchId = None)
+
+  /** Append one slice TAGGED with a replay-stable batch id — the
+    * [[StoreLedger]] move: a re-delivered batch (at-least-once delivery,
+    * foreachBatch checkpoint recovery) rewrites byte-identical tagged
+    * postings + stats rows that [[bm25TopKFromIndex]]'s distinct
+    * collapses, so replays cannot double-count. Tagged or untagged per
+    * store, never mixed. */
+  def appendBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int, batchId: Long): Unit =
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false,
+      batchId = Some(batchId))
 
   private def writeIndexSlice(
       docs: DataFrame, idCol: String, textCol: String, path: String,
-      buckets: Int, overwrite: Boolean): Unit = {
+      buckets: Int, overwrite: Boolean, batchId: Option[Long]): Unit = {
     require(buckets > 0, "buckets must be positive")
     val mode = if (overwrite) "overwrite" else "append"
+    def tagged(df: DataFrame): DataFrame =
+      batchId.fold(df)(StoreLedger.tag(df, _))
     val d = docs.filter(col(textCol).isNotNull)
-    d.agg(
+    tagged(d.agg(
         count(lit(1)).cast(LongType).as("n_docs"),
-        sum(size(wsTok(col(textCol))).cast(LongType)).as("sum_dl"))
+        sum(size(wsTok(col(textCol))).cast(LongType)).as("sum_dl")))
       .write.mode(mode).parquet(s"$path/stats")
-    d.select(col(idCol).as("doc_id"),
+    tagged(d.select(col(idCol).as("doc_id"),
         size(wsTok(col(textCol))).cast(LongType).as("dl"),
         explode(wsTok(col(textCol))).as("word"))
       .groupBy(col("doc_id"), col("dl"), col("word"))
       .agg(count(lit(1)).cast(LongType).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("word")), lit(buckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(col("word")), lit(buckets.toLong))))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
   }
 
@@ -141,10 +157,12 @@ object Retrieval {
     val bucketIds = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(buckets.toLong)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = StoreLedger.collapse(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isInCollection(bucketIds) && col("word").isin(terms: _*))
+    // Ledger collapse AFTER the bucket/word prune: the distinct runs on
+    // the query terms' posting rows only, never the corpus's.
+    val tf = StoreLedger.collapse(spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isInCollection(bucketIds) && col("word").isin(terms: _*)))
       .select(col("doc_id"), col("dl"), col("word"), col("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("df"))
     val avgdl = col("sum_dl") / col("n_docs")

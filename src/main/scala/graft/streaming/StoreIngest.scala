@@ -11,15 +11,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  * accumulate from an unbounded stream with ALL state in storage, none in
  * the state store, and the batch reader sees every slice ingested so far.
  *
- * Two algebras, two replay postures (each store's own contract):
+ * Two algebras, ONE replay posture — idempotent either way:
  *  - SET stores (pHash signatures, gram inventory): the stored unit is a
  *    set row merged by distinct-on-read — replayed batches
  *    (at-least-once delivery, checkpoint recovery) are IDEMPOTENT.
- *  - ADDITIVE stores (LM counts, NB counts, BM25 postings): slices SUM
- *    on read, so disjoint increments compose exactly — but a replayed
- *    batch double-counts. Run these sinks with exactly-once batch ids
- *    (checkpointed foreachBatch skips re-delivered batch ids on restart)
- *    or dedupe upstream; the same caveat their batch append faces carry.
+ *  - ADDITIVE stores (LM counts, NB counts, BM25 postings, emb stats):
+ *    slices SUM on read, so disjoint increments compose exactly — and
+ *    since Spark does NOT skip a re-delivered foreachBatch id (checkpoint
+ *    recovery re-executes the last uncommitted batch with the SAME id),
+ *    every additive sink here tags its slice with that id
+ *    ([[graft.functions.StoreLedger]]): the replayed slice rewrites
+ *    byte-identical tagged rows the read side's distinct collapses.
  *
  * Empty batches append nothing (no zero-row parquet files accumulate
  * under restart loops).
@@ -47,37 +49,47 @@ object StoreIngest {
     ingest(stream)(b =>
       graft.functions.Dedup.appendGramInventory(b, textCol, srcCol, path, n))
 
-  /** Bigram-LM count ingestion (ADDITIVE algebra; feeds
+  /** foreachBatch wrapper that forwards the replay-stable micro-batch id
+    * to a [[graft.functions.StoreLedger]]-tagged append. */
+  private def ingestTagged(stream: DataFrame)(
+      append: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      if (!batch.isEmpty) append(batch, id)
+    }
+
+  /** Bigram-LM count ingestion (ADDITIVE algebra, batch-id ledger; feeds
     * [[graft.functions.LangModel.readLm]] / the LmStream scoring face). */
   def lmCounts(
       stream: DataFrame, idCol: String, textCol: String, path: String): DataStreamWriter[Row] =
-    ingest(stream)(b =>
-      graft.functions.LangModel.appendLmCounts(b, idCol, textCol, path))
+    ingestTagged(stream)((b, id) =>
+      graft.functions.LangModel.appendLmCounts(b, idCol, textCol, path, id))
 
-  /** Naive-Bayes count ingestion (ADDITIVE algebra; feeds
+  /** Trigram-layer LM ingestion (ADDITIVE algebra, batch-id ledger on
+    * both layers; feeds [[graft.functions.LangModel.readLm3]]). */
+  def lm3Counts(
+      stream: DataFrame, idCol: String, textCol: String, path: String): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.LangModel.appendLm3Counts(b, idCol, textCol, path, id))
+
+  /** Naive-Bayes count ingestion (ADDITIVE algebra, batch-id ledger; feeds
     * [[graft.functions.NaiveBayes.readNb]] / the NbStream scoring face). */
   def nbCounts(
       stream: DataFrame, labelCol: String, textCol: String, path: String): DataStreamWriter[Row] =
-    ingest(stream)(b =>
-      graft.functions.NaiveBayes.appendNbCounts(b, labelCol, textCol, path))
+    ingestTagged(stream)((b, id) =>
+      graft.functions.NaiveBayes.appendNbCounts(b, labelCol, textCol, path, id))
 
-  /** BM25 posting ingestion (ADDITIVE algebra; feeds
+  /** BM25 posting ingestion (ADDITIVE algebra, batch-id ledger; feeds
     * [[graft.functions.Retrieval]]'s index reader). */
   def bm25Postings(
-      stream: DataFrame, idCol: String, textCol: String, path: String): DataStreamWriter[Row] =
-    ingest(stream)(b =>
-      graft.functions.Retrieval.appendBm25Index(b, idCol, textCol, path))
+      stream: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 256): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.Retrieval.appendBm25Index(b, idCol, textCol, path, buckets, id))
 
-  /** Embedding-drift reference ingestion — additive algebra, but
-    * REPLAY-SAFE: each slice is tagged with the micro-batch id (replay-
-    * stable under checkpoint recovery), and the read side collapses
-    * re-delivered slices by the batch-id ledger
-    * ([[graft.functions.Drift.appendEmbStats]]'s tagged overload) — the
-    * prototype for closing at-least-once on the other additive stores. */
+  /** Embedding-drift reference ingestion (ADDITIVE algebra, batch-id
+    * ledger — the prototype the other additive sinks generalized). */
   def embStats(
       stream: DataFrame, vecCol: String, path: String): DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      if (!batch.isEmpty)
-        graft.functions.Drift.appendEmbStats(batch, vecCol, path, id)
-    }
+    ingestTagged(stream)((b, id) =>
+      graft.functions.Drift.appendEmbStats(b, vecCol, path, id))
 }

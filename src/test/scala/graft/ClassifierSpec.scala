@@ -122,6 +122,24 @@ class ClassifierSpec extends SparkSpec {
     assert(stored === batch && stored.nonEmpty)
   }
 
+  test("NaiveBayes store batch-id ledger: a replayed tagged slice cannot double-count") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val s1 = train.filter(col("doc_id") % 2 === 1)
+    val s2 = train.filter(col("doc_id") % 2 === 0)
+    val replayed = java.nio.file.Files.createTempDirectory("nb_ledger_r").toString
+    graft.functions.NaiveBayes.appendNbCounts(s1, "lang", "text", replayed, batchId = 3L)
+    graft.functions.NaiveBayes.appendNbCounts(s1, "lang", "text", replayed, batchId = 3L) // re-delivery
+    graft.functions.NaiveBayes.appendNbCounts(s2, "lang", "text", replayed, batchId = 4L)
+    def preds(m: graft.functions.NaiveBayes.NbModel) =
+      graft.functions.NaiveBayes.classify(held, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val got = preds(graft.functions.NaiveBayes.readNb(spark, replayed))
+    assert(got === preds(graft.functions.NaiveBayes.train(train, "lang", "text")))
+    assert(got.nonEmpty)
+  }
+
   test("NaiveBayes: predictions are partitioning-invariant on the real corpus") {
     val model = graft.functions.NaiveBayes.train(
       docs.filter(col("doc_id") % 10 =!= 0), "lang", "text")

@@ -107,6 +107,40 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](LangModel.compactLm(spark, dir, dir))
   }
 
+  test("LM store batch-id ledger: a replayed tagged slice cannot double-count") {
+    // Checkpoint recovery re-executes the last uncommitted foreachBatch
+    // with the SAME id — simulated here by a duplicate tagged append.
+    // Both LM layers must come back bit-identical to single delivery.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref1 = docs.filter(col("doc_id") % 20 === 0)
+    val ref2 = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 20 =!= 0)
+    val live = docs.filter(col("doc_id") % 10 =!= 0).limit(60)
+    val replayed = java.nio.file.Files.createTempDirectory("lm_ledger_r").toString
+    LangModel.appendLm3Counts(ref1, "doc_id", "text", replayed, batchId = 7L)
+    LangModel.appendLm3Counts(ref1, "doc_id", "text", replayed, batchId = 7L) // re-delivery
+    LangModel.appendLm3Counts(ref2, "doc_id", "text", replayed, batchId = 8L)
+    val once = java.nio.file.Files.createTempDirectory("lm_ledger_o").toString
+    LangModel.appendLm3Counts(ref1, "doc_id", "text", once, batchId = 7L)
+    LangModel.appendLm3Counts(ref2, "doc_id", "text", once, batchId = 8L)
+    def rows2(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows2(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, replayed), "doc_id", "text")) ===
+      rows2(LangModel.surprisalWith(
+        live, LangModel.readLm(spark, once), "doc_id", "text")))
+    assert(rows2(LangModel.surprisal3With(
+      live, LangModel.readLm3(spark, replayed), "doc_id", "text")) ===
+      rows2(LangModel.surprisal3With(
+        live, LangModel.readLm3(spark, once), "doc_id", "text")))
+    // Compaction collapses the ledger too (distinct before re-aggregate).
+    val compacted = java.nio.file.Files.createTempDirectory("lm_ledger_c").toString
+    LangModel.compactLm(spark, replayed, compacted)
+    assert(rows2(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, compacted), "doc_id", "text")) ===
+      rows2(LangModel.surprisalWith(
+        live, LangModel.readLm(spark, once), "doc_id", "text")))
+  }
+
   test("trigram store: append + merge-on-read equals training on the union") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ref1 = docs.filter(col("doc_id") % 20 === 0)

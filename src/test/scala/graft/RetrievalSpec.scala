@@ -80,6 +80,23 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       s"expected bucket partition pruning in:\n$plan")
   }
 
+  test("BM25 index batch-id ledger: a replayed tagged slice cannot double-count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val terms = Seq("the", "order", "hash")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_ledger").toString
+    Retrieval.appendBm25Index(half1, "doc_id", "text", dir, 16, batchId = 0L)
+    Retrieval.appendBm25Index(half1, "doc_id", "text", dir, 16, batchId = 0L) // re-delivery
+    Retrieval.appendBm25Index(half2, "doc_id", "text", dir, 16, batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    // Replay collapses in BOTH layers (postings tf/df AND the stats'
+    // n_docs/avgdl), so scores match the direct scorer bit-identically.
+    assert(rows(Retrieval.bm25TopKFromIndex(spark, dir, terms, 25, buckets = 16)) ===
+      rows(Retrieval.bm25TopK(docs, "doc_id", "text", terms, 25)))
+  }
+
   test("topK bounds the result; unmatched terms contribute nothing") {
     val df = fixture.toDF("doc_id", "text")
     val top2 = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark", "query"), topK = 2)

@@ -566,7 +566,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty, "fixture must produce cross-source overlap")
     // ADDITIVE store (LM counts): two DISJOINT batches sum to the batch
     // model — surprisal scores off the streamed store match training on
-    // the union (the replay caveat is the documented additive contract).
+    // the union (same-id re-delivery is covered by the ledger test below).
     val lDir = java.nio.file.Files.createTempDirectory("ingest_lm").toString + "/lm"
     val lIn = MemoryStream[(Long, String, String)]
     val lq = graft.streaming.StoreIngest.lmCounts(
@@ -582,6 +582,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val lmBatchDir = java.nio.file.Files.createTempDirectory("ingest_lmb").toString + "/lm"
     LangModel.writeLmCounts(docs, "doc_id", "text", lmBatchDir)
     assert(scores(lmStream) === scores(LangModel.readLm(spark, lmBatchDir)))
+  }
+
+  test("StoreIngest ledger: additive sinks survive same-id batch re-delivery") {
+    // Checkpoint recovery re-executes the last uncommitted foreachBatch
+    // with the SAME id. The streamed store sees batches 0,1 through the
+    // StoreIngest face; recovery is simulated by re-appending batch 1's
+    // rows with batchId = 1 — scores must stay bit-identical.
+    import graft.functions.{NaiveBayes, Retrieval}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val rows = docs.as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // NB face.
+    val nDir = java.nio.file.Files.createTempDirectory("ingest_nb_led").toString + "/nb"
+    val nIn = MemoryStream[(Long, String, String)]
+    val nq = graft.streaming.StoreIngest.nbCounts(
+        nIn.toDF().toDF("doc_id", "text", "lang"), "lang", "text", nDir)
+      .queryName("nb_ingest_led").start()
+    runToCompletion(nq, () => nIn.addData(b1.toSeq), () => nIn.addData(b2.toSeq))
+    NaiveBayes.appendNbCounts( // recovery re-delivery of micro-batch 1
+      b2.toSeq.toDF("doc_id", "text", "lang"), "lang", "text", nDir, batchId = 1L)
+    def preds(m: NaiveBayes.NbModel) =
+      NaiveBayes.classify(docs, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val got = preds(NaiveBayes.readNb(spark, nDir))
+    assert(got === preds(NaiveBayes.train(docs, "lang", "text")) && got.nonEmpty)
+    // BM25 face.
+    val bDir = java.nio.file.Files.createTempDirectory("ingest_bm_led").toString + "/bm"
+    val bIn = MemoryStream[(Long, String, String)]
+    val bq = graft.streaming.StoreIngest.bm25Postings(
+        bIn.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", bDir, buckets = 16)
+      .queryName("bm25_ingest_led").start()
+    runToCompletion(bq, () => bIn.addData(b1.toSeq), () => bIn.addData(b2.toSeq))
+    Retrieval.appendBm25Index( // recovery re-delivery of micro-batch 1
+      b2.toSeq.toDF("doc_id", "text", "lang"), "doc_id", "text", bDir, 16, batchId = 1L)
+    val terms = Seq("the", "order", "hash")
+    def topk(df: org.apache.spark.sql.DataFrame) = df.as[(Long, Long, Long)].collect().toSeq
+    assert(topk(Retrieval.bm25TopKFromIndex(spark, bDir, terms, 25, buckets = 16)) ===
+      topk(Retrieval.bm25TopK(docs, "doc_id", "text", terms, 25)))
   }
 
   test("AnnStream.ingestVectorsStream: streamed + replayed vectors equal the one-shot index") {
