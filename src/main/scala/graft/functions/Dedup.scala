@@ -101,8 +101,15 @@ object Dedup {
       shingleK: Int = 4,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val idx = buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands)
+      threshold: Double = 0.8): DataFrame =
+    minhashPairsFromIndex(
+      buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands), threshold)
+
+  /** [[minhashPairs]] over an existing [[MinhashIndex]] — the persisted-
+    * store face: when `idx` comes from [[readMinhashIndex]], the corpus is
+    * never re-shingled and the md5-bound signature pipeline never re-runs;
+    * the whole query is parquet scans over signature metadata. */
+  def minhashPairsFromIndex(idx: MinhashIndex, threshold: Double): DataFrame = {
     // hint("merge"): with both self-join sides shuffled on the same keys,
     // the signature pipeline is planned ONCE and reused (ReusedExchange)
     // instead of recomputed per side — ~2× on the md5-bound sig cost. At
@@ -127,8 +134,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val shingled = shingledDf(df, idCol, textCol, shingleK)
+      threshold: Double = 0.7): DataFrame =
+    ngramJaccardPairsFromShingled(shingledDf(df, idCol, textCol, shingleK), threshold)
+
+  /** [[ngramJaccardPairs]] over an existing `(id, sh)` shingle frame — the
+    * persisted-store face (pass [[MinhashIndex.shingled]] from
+    * [[readMinhashIndex]]): the prefix/postings/verify pipeline evaluates
+    * its input as cheap columnar scans instead of re-running the text
+    * scan + shingle kernel per subtree. */
+  def ngramJaccardPairsFromShingled(
+      shingled: DataFrame,
+      threshold: Double): DataFrame = {
     // Prefix positions are computed narrow (id, len, s only); arrays only
     // reappear in the final verify join on the deduped candidate pairs.
     // explode_outer for the same reason as buildMinhashIndex: the non-outer
@@ -210,8 +226,20 @@ object Dedup {
       textCol: String,
       shingleK: Int = 4,
       threshold: Double = 0.9,
-      minShingles: Int = 8): DataFrame = {
-    val shingled = shingledDf(df, idCol, textCol, shingleK)
+      minShingles: Int = 8): DataFrame =
+    containmentPairsFromShingled(
+      shingledDf(df, idCol, textCol, shingleK), threshold, minShingles)
+
+  /** [[containmentPairs]] over an existing `(id, sh)` shingle frame — the
+    * persisted-store face. The plan references its input five times (freq
+    * aggregate, prefix side, postings side, both verify attachments); off
+    * a store those are five columnar metadata scans instead of five
+    * text-scan + shingle-kernel evaluations — the round-10 verdict's #1
+    * efficiency finding, closed by construction here. */
+  def containmentPairsFromShingled(
+      shingled: DataFrame,
+      threshold: Double,
+      minShingles: Int): DataFrame = {
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
@@ -382,8 +410,17 @@ object Dedup {
       shingleK: Int = 4,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val idx = buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands)
+      threshold: Double = 0.8): DataFrame =
+    minhashPairsSplitFromIndex(
+      buildMinhashIndex(df, idCol, textCol, shingleK, numHashes, bands),
+      isNew, threshold)
+
+  /** [[minhashPairsSplit]] over an existing [[MinhashIndex]] — the
+    * persisted-store face (see [[minhashPairsFromIndex]]). */
+  def minhashPairsSplitFromIndex(
+      idx: MinhashIndex,
+      isNew: Column => Column,
+      threshold: Double): DataFrame = {
     val candidates = idx.banded
       .as("l").hint("merge")
       .join(idx.banded.as("r"),
@@ -590,8 +627,20 @@ object Dedup {
       textCol: String,
       shingleK: Int = 4,
       threshold: Double = 0.9,
-      minShingles: Int = 8): DataFrame = {
-    val p = containmentPairs(df, idCol, textCol, shingleK, threshold, minShingles)
+      minShingles: Int = 8): DataFrame =
+    dropContainedFromShingled(df, idCol,
+      shingledDf(df, idCol, textCol, shingleK), threshold, minShingles)
+
+  /** [[dropContained]] with the pair detection running off an existing
+    * `(id, sh)` shingle frame (the persisted-store face) — only the final
+    * anti-join touches `df` itself. */
+  def dropContainedFromShingled(
+      df: DataFrame,
+      idCol: String,
+      shingled: DataFrame,
+      threshold: Double,
+      minShingles: Int): DataFrame = {
+    val p = containmentPairsFromShingled(shingled, threshold, minShingles)
       .select(col("i"), col("j"))
     val drops = p
       .groupBy(least(col("i"), col("j")).as("a"), greatest(col("i"), col("j")).as("b"))
