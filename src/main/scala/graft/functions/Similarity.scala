@@ -856,6 +856,57 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** Operating-point sweep over the IVF probe knob: per-query top-k at
+    * EVERY `nProbes` setting from ONE corpus scan. The query side explodes
+    * its top-max(nProbes) cells with the probe rank attached; candidates
+    * join once (cell-equi, queries broadcast) and fan out over the
+    * operating points as a literal-array explode — the nProbe filter is
+    * `probe_rank < nprobe`, so a smaller setting's candidate set is
+    * provably the prefix of a larger one's. The fan-out multiplies only
+    * the bounded candidate frame (max(nProbes) cells per query), never
+    * the corpus; the top-k aggregation is the usual bounded-buffer
+    * map-side combine, keyed (nprobe, query_id). `n_cand` carries each
+    * (nprobe, query)'s candidate count — the measured probe cost that
+    * turns the sweep into a recall-vs-work curve.
+    * Output: (nprobe, query_id, rank, vec_id, score, n_cand). */
+  def ivfTopKSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "need nProbes >= 1")
+    val maxProbe = nProbes.max
+    val c = corpus.select(
+        col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .withColumn("cell",
+        element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
+    val q = queryProjection(queries, idCol, vecCol)
+      .select(col("query_id"), col("qv"), col("n_qv"),
+        posexplode(probeCells(centRows, col("qv"), col("n_qv"), maxProbe).getField("cid"))
+          .as(Seq("probe_rank", "cell")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("probe_rank"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+    val fanned = scored
+      .select(explode(typedLit(nProbes)).as("nprobe"),
+        col("query_id"), col("probe_rank"), col("vec_id"), col("score"))
+      .filter(col("probe_rank") < col("nprobe")) // probe_rank is 0-based
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    fanned
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"),
+        count(lit(1)).as("n_cand"))
+      .select(col("nprobe"), col("query_id"), col("n_cand"),
+        posexplode(col("top")).as(Seq("r", "hit")))
+      .select(col("nprobe"), col("query_id"), (col("r") + 1).as("rank"),
+        col("hit._1").as("vec_id"), col("hit._2").as("score"), col("n_cand"))
+  }
+
   /** [[ivfTopK]] with an explicit centroid set. */
   def ivfTopKWithCentroids(
       corpus: DataFrame,
@@ -1202,7 +1253,23 @@ object Similarity {
     val (mins, maxs) = sqTrain(corpus, vecCol, dim)
     val enc = corpus.select(
       col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
-    val qv = queryProjection(queries, idCol, vecCol)
+    sqSearch(enc, corpus, idCol, vecCol,
+      queryProjection(queries, idCol, vecCol), k, mins, maxs, candN)
+  }
+
+  /** Candidate generation over a `(vec_id, codes)` SQ8 frame + exact
+    * re-rank against the corpus. Shared by [[sqTopK]] and the persisted
+    * [[sqTopKFromIndex]] path. */
+  private def sqSearch(
+      enc: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qv: DataFrame,
+      k: Int,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      candN: Int): DataFrame = {
     val cand = enc
       .join(broadcast(qv), col("vec_id") =!= col("query_id"))
       .withColumn("rv", sqDecode(col("codes"), mins, maxs))
@@ -1217,6 +1284,59 @@ object Similarity {
         (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
       .transform(rankTopK(k))
   }
+
+  /** Materialize the SQ8 code table `(vec_id, codes)` — the at-rest face
+    * of the scan-compression story: the candidate scan reads dim BYTES per
+    * vector from parquet instead of dim floats. The (mins, maxs) grid is
+    * the INDEX DEFINITION, fixed when the layout is created (the
+    * writeIvfBucketed centroid contract): appended vectors encode against
+    * the EXISTING grid (out-of-range components clamp — standard SQ
+    * saturation), so codes never shift under ingestion; re-training the
+    * grid is a rebuild. */
+  def writeSqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      path: String): Unit =
+    corpus.select(
+        col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Add one vector slice to a [[writeSqIndex]] layout (same fixed-grid
+    * contract; stable-payload rule: a vec_id's vector is stable across
+    * appends, so replayed slices collapse in the read-side dedup). */
+  def appendSqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      path: String): Unit =
+    corpus.select(
+        col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
+      .write.mode("append").parquet(path)
+
+  /** [[sqTopK]] over a [[writeSqIndex]] layout: the byte-code scan comes
+    * from the store (never re-encoded); replayed append slices collapse
+    * in a per-vec_id dedup — duplicate ids are identical rows by the
+    * stable-payload contract (SimilaritySpec asserts it), so the keep is
+    * deterministic. */
+  def sqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      candN: Int = 40): DataFrame =
+    sqSearch(spark.read.parquet(path).dropDuplicates("vec_id"),
+      corpus, idCol, vecCol,
+      queryProjection(queries, idCol, vecCol), k, mins, maxs, candN)
 
   /** Materialize the PQ index partitioned by IVF cell
     * (`<path>/cell=<cid>/`): probing prunes FILE SCANS of an index that is
@@ -1233,9 +1353,31 @@ object Similarity {
     pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Add one vector slice to a [[writeIvfPqIndex]] layout — incremental
+    * ingestion for the compressed index (the [[appendIvfBucketed]]
+    * contract, PQ face): centroids AND codebook are the index definition,
+    * fixed at creation, so appended vectors land in the existing cells
+    * with codes from the existing codewords; probe/ADC semantics never
+    * shift under ingestion, and re-training either artifact is a rebuild.
+    * Stable-payload rule as everywhere: replayed slices collapse in the
+    * read side's per-id dedup. */
+  def appendIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      path: String): Unit =
+    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Top-k over a [[writeIvfPqIndex]] layout: probed cell ids push down as
     * a partition filter on the index scan; the corpus is touched only by
-    * the broadcast-probe re-rank fetch. */
+    * the broadcast-probe re-rank fetch. Replayed append slices collapse
+    * in a per-vec_id dedup AFTER the partition pruning (probed-cell rows
+    * only) — duplicate ids are identical rows by the append contract, so
+    * the keep is deterministic. */
   def ivfPqTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -1255,6 +1397,7 @@ object Similarity {
     val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     val enc = spark.read.parquet(indexPath)
       .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), col("cell"), col("codes"))
     ivfPqSearch(enc, corpus, idCol, vecCol, qv, q, k, cb, candN)
   }

@@ -92,4 +92,32 @@ object StoreIngest {
       stream: DataFrame, vecCol: String, path: String): DataStreamWriter[Row] =
     ingestTagged(stream)((b, id) =>
       graft.functions.Drift.appendEmbStats(b, vecCol, path, id))
+
+  /** IVF-PQ compressed-index ingestion (stable-payload per-id algebra —
+    * replayed slices collapse in the read side's per-vec_id dedup;
+    * centroids + codebook are the index definition, fixed before the
+    * stream starts, the [[AnnStream]] contract on the PQ face). */
+  def ivfPqCodes(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      path: String): DataStreamWriter[Row] =
+    ingest(stream)(b =>
+      graft.functions.Similarity.appendIvfPqIndex(b, idCol, vecCol, cents, cb, subDim, path))
+
+  /** SQ8 code-table ingestion (stable-payload per-id algebra; the
+    * (mins, maxs) grid is the index definition — out-of-range appends
+    * clamp, the documented SQ saturation). */
+  def sqCodes(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      path: String): DataStreamWriter[Row] =
+    ingest(stream)(b =>
+      graft.functions.Similarity.appendSqIndex(b, idCol, vecCol, mins, maxs, path))
 }

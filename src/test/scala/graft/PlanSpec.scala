@@ -108,7 +108,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "corpus_mix", "corpus_upsample", "mix_report", "token_budget", "neg_sample",
       "q34_gapfill", "bm25_topk", "fk_audit", "pca_power_k3", "stump_split",
       "stump_chain", "pmi_topk", "ann_recall", "ann_recall_ivfpq",
-      "ann_recall_sq8", "ann_recall_lsh")
+      // ann_sq8_store: the SQ8 candidate scan's self-exclusion
+      // (vec_id =!= query_id) is non-equi with the tiny query set
+      // broadcast — the ann_sq8 shape off the persisted code table.
+      "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {

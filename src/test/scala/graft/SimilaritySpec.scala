@@ -328,6 +328,74 @@ class SimilaritySpec extends SparkSpec {
       emb, queries, "vec_id", "embedding", k = 5, cents, nProbe = 2))
     assert(incremental === oneShot)
     assert(incremental.nonEmpty)
+    // The read-side dropDuplicates("vec_id") keeps one arbitrary row; what
+    // makes that deterministic is the stable-payload append contract —
+    // assert it held: every replayed vec_id's rows are value-identical.
+    val perId = spark.read.parquet(dir).groupBy(col("vec_id"))
+      .agg(countDistinct(struct(col("cell"), col("v"), col("n_v"))).as("nv"),
+        count(lit(1)).as("n"))
+    assert(perId.filter(col("nv") > 1).count() == 0,
+      "a vec_id was re-appended with a different payload")
+    assert(perId.filter(col("n") > 1).count() > 0,
+      "replay produced no duplicate rows — fixture exercises nothing")
+  }
+
+  test("incremental IVF-PQ index: slice appends + replay equal the one-shot search") {
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    try {
+      val s1 = emb.filter(col("vec_id") % 2 === 0)
+      val s2 = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, dir)
+      Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, dir)
+      Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, dir) // replay
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val incremental = rows(Similarity.ivfPqTopKFromIndex(
+        spark, dir, emb, queries, "vec_id", "embedding", k = 5, cb, cents))
+      val oneShot = rows(Similarity.ivfPqTopKWithCodebook(
+        emb, queries, "vec_id", "embedding", k = 5, cents, cb, 16))
+      assert(incremental === oneShot)
+      assert(incremental.nonEmpty)
+      // Stable-payload contract under the fixed codebook: replayed ids
+      // re-encode to byte-identical (cell, codes) rows.
+      val perId = spark.read.parquet(dir).groupBy(col("vec_id"))
+        .agg(countDistinct(struct(col("cell"), col("codes"))).as("nv"),
+          count(lit(1)).as("n"))
+      assert(perId.filter(col("nv") > 1).count() == 0)
+      assert(perId.filter(col("n") > 1).count() > 0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("incremental SQ8 index: slice appends + replay equal the one-shot search") {
+    val (mins, maxs) = Similarity.sqTrain(emb, "embedding", 64)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-append").toString
+    try {
+      val s1 = emb.filter(col("vec_id") % 2 === 0)
+      val s2 = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.writeSqIndex(s1, "vec_id", "embedding", mins, maxs, dir)
+      Similarity.appendSqIndex(s2, "vec_id", "embedding", mins, maxs, dir)
+      Similarity.appendSqIndex(s1, "vec_id", "embedding", mins, maxs, dir) // replay
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // sqTopK trains its own grid on the full corpus; sqTrain is a
+      // deterministic exact min/max, so the grids agree by construction.
+      val incremental = rows(Similarity.sqTopKFromIndex(
+        spark, dir, emb, queries, "vec_id", "embedding", k = 5, mins, maxs))
+      val oneShot = rows(Similarity.sqTopK(
+        emb, queries, "vec_id", "embedding", k = 5, dim = 64))
+      assert(incremental === oneShot)
+      assert(incremental.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 
   test("bucketed IVF layout: partition-pruned scan, same results as unbucketed") {

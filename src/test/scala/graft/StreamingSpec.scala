@@ -658,6 +658,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("StoreIngest.ivfPqCodes/sqCodes: streamed + replayed slices equal the one-shot search") {
+    import graft.functions.Similarity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
+    val (mins, maxs) = Similarity.sqTrain(emb, "embedding", 64)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val pqDir = java.nio.file.Files.createTempDirectory("ingest_pq").toString + "/pq"
+    val pqIn = MemoryStream[(Long, Seq[Float])]
+    val pqQ = graft.streaming.StoreIngest.ivfPqCodes(
+        pqIn.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents, cb, 16, pqDir)
+      .queryName("pq_ingest").start()
+    runToCompletion(pqQ,
+      () => pqIn.addData(b1.toSeq),
+      () => pqIn.addData(b2.toSeq),
+      () => pqIn.addData(b1.toSeq)) // replayed delivery
+    assert(res(Similarity.ivfPqTopKFromIndex(
+        spark, pqDir, emb, queries, "vec_id", "embedding", k = 5, cb, cents)) ===
+      res(Similarity.ivfPqTopKWithCodebook(
+        emb, queries, "vec_id", "embedding", k = 5, cents, cb, 16)))
+
+    val sqDir = java.nio.file.Files.createTempDirectory("ingest_sq8").toString + "/sq8"
+    val sqIn = MemoryStream[(Long, Seq[Float])]
+    val sqQ = graft.streaming.StoreIngest.sqCodes(
+        sqIn.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", mins, maxs, sqDir)
+      .queryName("sq8_ingest").start()
+    runToCompletion(sqQ,
+      () => sqIn.addData(b1.toSeq),
+      () => sqIn.addData(b2.toSeq),
+      () => sqIn.addData(b1.toSeq)) // replayed delivery
+    assert(res(Similarity.sqTopKFromIndex(
+        spark, sqDir, emb, queries, "vec_id", "embedding", k = 5, mins, maxs)) ===
+      res(Similarity.sqTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)))
+  }
+
   test("LmStream.perplexityGateStream: parity with the batch gate off a persisted model") {
     import graft.functions.LangModel
     import spark.implicits._
