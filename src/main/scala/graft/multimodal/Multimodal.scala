@@ -283,6 +283,32 @@ object Multimodal {
       .toDF("id", "features")
   }
 
+  /** The resize + embed tail of a media-prep pipeline as ONE codec pass:
+    * each payload is deserialized exactly once, and both derivatives — the
+    * byte-budgeted thumbnail's size and the feature vector — come out of
+    * that single mapPartitions stage (composing [[resized]] with
+    * [[withFeatures]] would instead ship the binary column through a
+    * second deserialization). Features embed the ORIGINAL payload (what a
+    * vision model would see); the resize is the storage artifact. A real
+    * codec would decode once here and derive both from the decoded image.
+    * Output: (id, n_bytes_out, features). */
+  def resizedWithFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxBytes: Int,
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        (r.id, MediaCodec.resize(r.data, maxBytes).length,
+          MediaCodec.extractFeatures(r.data, dim))
+      })
+      .toDF("id", "n_bytes_out", "features")
+  }
+
   /** Audio metadata per record (real WAV/AIFF/AU header decode, fallback
     * otherwise). Output: (id, sample_rate, channels, n_frames, format). */
   def withAudioMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {

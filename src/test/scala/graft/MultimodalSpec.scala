@@ -279,4 +279,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     Multimodal.appendPhashIndex(batch1, "id", "data", dir)
     assert(pairs(Multimodal.phashPairsFromIndex(spark, dir, maxHamming = 3)) === stored)
   }
+
+  test("resizedWithFeatures: one codec pass equals the two-stage composition") {
+    val rows = Seq(
+      (1L, blemished(100, 80, blemish = false)),
+      (2L, blemished(100, 80, blemish = true)),
+      (3L, "opaque payload far over the byte budget -- gets truncated to the cap"
+        .getBytes("UTF-8")),
+      (4L, "tiny".getBytes("UTF-8"))).toDF("id", "data")
+    val fused = Multimodal.resizedWithFeatures(rows, "id", "data", maxBytes = 48, dim = 8)
+    assert(fused.columns.toSeq === Seq("id", "n_bytes_out", "features"))
+    val got = fused.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Float](2).toSeq))).toMap
+    // Reference: the standalone stages over the same payloads.
+    val sizes = Multimodal.resized(
+        rows.select(col("id"), col("data")).as[MediaRecord], maxBytes = 48)
+      .map(r => (r.id, r.data.length)).collect().toMap
+    val feats = Multimodal.withFeatures(rows, "id", "data", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    for ((id, (n, f)) <- got) {
+      assert(n === sizes(id), s"id $id size")
+      assert(f === feats(id), s"id $id features")
+    }
+    // The codec-runs-once plan gate: exactly ONE object-boundary stage —
+    // composing the stages instead would deserialize the binary twice.
+    val mapPartitionsNodes = fused.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }
+    assert(mapPartitionsNodes.size === 1)
+  }
+
+  test("pipeline_mm_prep plan: the codec boundary appears exactly once") {
+    // The capstone composes store-read pairs (no codec), the union-find
+    // keep (its own id-only mapPartitions stages — not codec), and the
+    // fused resize+features stage — the payload BYTES must cross into
+    // object space exactly once: one MediaRecord deserialization.
+    val plan = SparkEntry.queries("pipeline_mm_prep")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val codecBoundaries = plan.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject
+          if d.outputObjAttr.dataType.toString.contains("MediaRecord") => d
+    }
+    assert(codecBoundaries.size === 1, plan.toString)
+  }
 }
