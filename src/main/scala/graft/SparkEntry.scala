@@ -1049,20 +1049,21 @@ object SparkEntry {
         t(s, dir, "embeddings"), element_at(col("embedding"), 1), "label",
         binScale = 16L)),
 
-    // Three chained decision-list rounds (the perceptron_k3 restartable-
-    // jobs posture, CART face): round r trains a stump on dimension r
-    // over the rows every EARLIER stump misclassified, so the list reads
-    // "if dim1 side fails, try dim2, …". Only the 7-field model row
-    // reaches the driver per round; the survivor frame is a literal-
-    // predicate filter (at production scale each round persists its
-    // survivors — the kcore_k3 contract). All-integer Gini argmin makes
-    // the 3-round trajectory bit-identical in any engine.
+    // k chained decision-list rounds (the perceptron_k3 restartable-jobs
+    // posture, CART face; k = StumpRounds = 5): round r trains a stump on
+    // dimension r over the rows every EARLIER stump misclassified, so the
+    // list reads "if dim1 side fails, try dim2, …". Only the 7-field
+    // model row reaches the driver per round; each round's survivor frame
+    // is PERSISTED before its three consumers run (stumpChainModels — the
+    // kcore_k3 contract), so depth costs one scan per round, linear in k.
+    // All-integer Gini argmin makes the k-round trajectory bit-identical
+    // in any engine.
     "stump_chain" -> ((s, dir) => {
       import s.implicits._
       stumpChainModels(
         t(s, dir, "embeddings")
           .filter(col("embedding").isNotNull && col("label").isNotNull),
-        rounds = 3)
+        rounds = StumpRounds)
         .toDF("round", "n_train", "split_bin", "threshold",
           "left_label", "right_label", "gini")
     }),
@@ -1072,14 +1073,14 @@ object SparkEntry {
     // training order on their left-branch test, fall-through takes the
     // last stump's right majority — then the confusion report against
     // the true labels (the perceptron_confusion train→apply discipline).
-    // The trained list is 3 driver-side literal rows, so scoring is ONE
+    // The trained list is k driver-side literal rows, so scoring is ONE
     // literal CASE projection + a |labels|²-bounded map-side-combining
     // aggregation: no join anywhere in the scoring plan.
     "stump_confusion" -> ((s, dir) => {
       import graft.functions.Classifier
       val e = t(s, dir, "embeddings")
         .filter(col("embedding").isNotNull && col("label").isNotNull)
-      val models = stumpChainModels(e, rounds = 3)
+      val models = stumpChainModels(e, rounds = StumpRounds)
       val rules = models.map { case (r, _, bin, _, ll, _, _) =>
         (Classifier.stumpLeft(element_at(col("embedding"), r), bin), lit(ll))
       }
@@ -2965,7 +2966,7 @@ object SparkEntry {
   private def stumpRoundSql(r: Int): String =
     s"""c$r AS (SELECT embedding, label,
        |  CAST(floor(CAST(embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) AS bin FROM s$r),
-       |cnt$r AS (SELECT bin, label, count(*)::BIGINT AS c FROM c$r GROUP BY 1, 2),
+       |cnt$r AS MATERIALIZED (SELECT bin, label, count(*)::BIGINT AS c FROM c$r GROUP BY 1, 2),
        |grid$r AS (SELECT bins.bin, l.label, coalesce(cnt$r.c, 0)::BIGINT AS c
        |  FROM (SELECT DISTINCT bin FROM cnt$r) bins
        |  CROSS JOIN (SELECT DISTINCT label FROM cnt$r) l
@@ -2980,7 +2981,7 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM cum$r),
        |rm$r AS (SELECT bin, label,
        |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM cum$r),
-       |best$r AS (SELECT pb$r.bin, ((pb$r.bin + 1)::DOUBLE) / 16.0 AS threshold,
+       |best$r AS MATERIALIZED (SELECT pb$r.bin, ((pb$r.bin + 1)::DOUBLE) / 16.0 AS threshold,
        |    lm$r.label AS left_label, rm$r.label AS right_label,
        |    nl, n - nl AS nr, n,
        |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
@@ -2988,20 +2989,24 @@ object SparkEntry {
        |            JOIN rm$r ON rm$r.bin = pb$r.bin AND rm$r.rn = 1
        |  WHERE nl > 0 AND n - nl > 0
        |  ORDER BY score, pb$r.bin LIMIT 1),
-       |s${r + 1} AS (SELECT s$r.embedding, s$r.label FROM s$r, best$r
+       |s${r + 1} AS MATERIALIZED (SELECT s$r.embedding, s$r.label FROM s$r, best$r
        |  WHERE (CASE WHEN CAST(floor(CAST(s$r.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT)
        |              <= best$r.bin
        |         THEN best$r.left_label ELSE best$r.right_label END) <> s$r.label)""".stripMargin
 
-  /** The shared 3-round training CTE block (survivor sets s1..s4, best1..3
-    * model rows) — prefix of both the `stump_chain` reporting oracle and
-    * the `stump_confusion` inference oracle. */
+  /** Decision-list depth shared by the `stump_chain`/`stump_confusion`
+    * entries AND their generated oracles (round r splits on embedding
+    * dimension r, so the embedding dim is the hard ceiling). Each round
+    * adds one persisted survivor pass — time is linear in the depth. */
+  private[graft] val StumpRounds = 5
+
+  /** The shared k-round training CTE block (survivor sets s1..s{k+1},
+    * best1..k model rows) — prefix of both the `stump_chain` reporting
+    * oracle and the `stump_confusion` inference oracle. */
   private val stumpChainCtes: String =
-    s"""WITH s1 AS (SELECT embedding, label FROM embeddings
+    s"""WITH s1 AS MATERIALIZED (SELECT embedding, label FROM embeddings
        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
-       |${stumpRoundSql(1)},
-       |${stumpRoundSql(2)},
-       |${stumpRoundSql(3)}""".stripMargin
+       |${(1 to StumpRounds).map(stumpRoundSql).mkString(",\n")}""".stripMargin
 
   private val stumpChainSql: String = {
     def tail(r: Int) =
@@ -3010,24 +3015,25 @@ object SparkEntry {
          |  score::DOUBLE / (n::DOUBLE * nl::DOUBLE * nr::DOUBLE) AS gini
          |FROM best$r""".stripMargin
     s"""$stumpChainCtes
-       |${tail(1)} UNION ALL ${tail(2)} UNION ALL ${tail(3)}""".stripMargin
+       |${(1 to StumpRounds).map(tail).mkString(" UNION ALL ")}""".stripMargin
   }
 
-  /** Decision-list routing replayed in SQL: the same 3-round training
+  /** Decision-list routing replayed in SQL: the same k-round training
     * CTEs, then one CASE over the 1-row model CTEs (first matching left
     * branch in training order, fall-through = the last stump's right
     * majority), then the confusion counts. */
   private val stumpConfusionSql: String = {
     def leftTest(r: Int) =
       s"CAST(floor(CAST(s1.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) <= best$r.bin"
+    val arms = (1 to StumpRounds)
+      .map(r => s"WHEN ${leftTest(r)} THEN best$r.left_label")
+      .mkString("\n         ")
     s"""$stumpChainCtes
        |SELECT label, pred_label, count(*)::BIGINT AS n FROM (
        |  SELECT s1.label,
-       |    CASE WHEN ${leftTest(1)} THEN best1.left_label
-       |         WHEN ${leftTest(2)} THEN best2.left_label
-       |         WHEN ${leftTest(3)} THEN best3.left_label
-       |         ELSE best3.right_label END AS pred_label
-       |  FROM s1, best1, best2, best3)
+       |    CASE $arms
+       |         ELSE best$StumpRounds.right_label END AS pred_label
+       |  FROM s1, ${(1 to StumpRounds).map("best" + _).mkString(", ")})
        |GROUP BY 1, 2""".stripMargin
   }
 
