@@ -87,7 +87,7 @@ object SparkEntry {
     * loser discards its build and reads the winner's. The build runs
     * under the map's per-bin lock by design: within one JVM the same
     * store is never built twice concurrently. */
-  private def oncePerDir(dir: String, kind: String, srcTable: String)(
+  private[graft] def oncePerDir(dir: String, kind: String, srcTable: String)(
       build: String => Unit): String = {
     val src = new java.io.File(s"$dir/$srcTable.parquet")
     val files =
@@ -138,10 +138,14 @@ object SparkEntry {
         "u", "v", p)
     }
     // Read raw, not through readGraphEdges' distinct-on-read: this store
-    // is a single compacted slice by construction (one overwrite write),
-    // so the cross-slice distinct would be a pure extra shuffle of the
-    // edge set in EVERY graph query. Multi-slice stores (appends) must go
-    // through Graph.readGraphEdges / compactGraphEdges instead.
+    // is a single compacted slice by construction — the oncePerDir
+    // builder above is the ONLY writer of this path (one overwrite
+    // write, write-time normalized; nothing may appendGraphEdges here —
+    // an append would silently break the normalized-edge contract every
+    // graph operator assumes), so the cross-slice distinct would be a
+    // pure extra shuffle of the edge set in EVERY graph query.
+    // Multi-slice stores (appends) must go through Graph.readGraphEdges
+    // / compactGraphEdges instead; GraphSpec pins both contracts.
     s.read.parquet(path)
   }
 

@@ -382,4 +382,59 @@ class GraphSpec extends SparkSpec {
     assert(Graph.readGraphEdges(spark, dest)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === stored)
   }
+
+  test("edge store compaction: operator results invariant across the rewrite") {
+    // The lifecycle guarantee a long-lived store needs: after months of
+    // appends (with replays), compacting must be invisible to every
+    // consumer — same triangles, same degrees, same core.
+    val dir = java.nio.file.Files.createTempDirectory("graph_compact").toString + "/edges"
+    // A triangle + pendant, ingested as three overlapping slices with a
+    // full replay of slice 2.
+    Graph.writeGraphEdges(Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), "u", "v", dir)
+    Graph.appendGraphEdges(Seq((3L, 1L), (1L, 2L)).toDF("u", "v"), "u", "v", dir)
+    Graph.appendGraphEdges(Seq((3L, 4L)).toDF("u", "v"), "u", "v", dir)
+    Graph.appendGraphEdges(Seq((3L, 1L), (1L, 2L)).toDF("u", "v"), "u", "v", dir) // replay
+    val dest = dir + "_compact"
+    Graph.compactGraphEdges(spark, dir, dest)
+    def tri(p: String) = Graph.triangleCounts(Graph.readGraphEdges(spark, p), "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def deg(p: String) = Graph.degreeFrame(Graph.readGraphEdges(spark, p))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri(dest) === tri(dir))
+    assert(deg(dest) === deg(dir))
+    // The compacted table is physically deduplicated, not just logically:
+    // a raw scan (no distinct) equals the set.
+    val raw = spark.read.parquet(dest)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(raw.length === raw.toSet.size)
+    assert(raw.toSet === Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+  }
+
+  test("oncePerDir: unchanged source caches; a regenerated source resolves to a fresh store") {
+    // The stale-fingerprint hazard (round-10 advice): the fingerprint is
+    // re-taken on EVERY resolution, so a testdata directory regenerated
+    // mid-JVM must resolve to a NEW store path and rebuild — while an
+    // unchanged source must hit the cache and never rebuild.
+    val src = java.nio.file.Files.createTempDirectory("graft_srcdir").toString
+    Seq((1L, 2L)).toDF("u", "v").write.parquet(s"$src/lineitem.parquet")
+    val kind = s"specstore${System.nanoTime()}"
+    var builds = 0
+    def resolve(): String = SparkEntry.oncePerDir(src, kind, "lineitem") { p =>
+      builds += 1
+      val d = new java.io.File(p); d.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "marker"), s"build$builds")
+    }
+    val p1 = resolve()
+    val p2 = resolve()
+    assert(p1 === p2 && builds === 1, "unchanged source must cache")
+    // Regenerate the source table (new part files -> new fingerprint).
+    Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+      .write.mode("overwrite").parquet(s"$src/lineitem.parquet")
+    val p3 = resolve()
+    assert(p3 !== p1, "regenerated source must resolve to a fresh store")
+    assert(builds === 2, "regenerated source must rebuild")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p3, "marker")) === "build2")
+  }
 }
