@@ -2774,6 +2774,29 @@ object SparkEntry {
         .groupBy(col("deg"))
         .agg(count(lit(1)).as("n_nodes"))),
 
+    // Retraction inside the correctness gate — the takedown face the
+    // plain set store lacks (Graph.appendGraphEdgeOps tombstone log,
+    // last-writer-wins on max(gen, op)): full edge set inserted at gen 0,
+    // every edge whose min endpoint is a multiple of 10 tombstoned at
+    // gen 1, the tombstone slice REPLAYED (idempotent by the re-tagged
+    // generation), then the degree histogram of the surviving graph.
+    // The oracle recomputes from the raw copresence CTE minus the
+    // deleted edges — the tombstones and the replay must be exactly
+    // equivalent to never having had those edges.
+    "graph_retract" -> ((s, dir) => {
+      import graft.functions.Graph
+      val path = oncePerDir(dir, "edgelog", "lineitem") { p =>
+        val edges = copresenceEdges(s, dir)
+        Graph.appendGraphEdgeOps(edges, "u", "v", p, gen = 0L)
+        val doomed = edges.filter(col("u") % 10 === 0)
+        Graph.appendGraphEdgeOps(doomed, "u", "v", p, gen = 1L, delete = true)
+        Graph.appendGraphEdgeOps(doomed, "u", "v", p, gen = 1L, delete = true) // replay
+      }
+      Graph.degreeFrame(Graph.readGraphEdgeLog(s, path))
+        .groupBy(col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // Three synchronous label-propagation rounds over the same co-purchase
     // graph — community detection (Raghavan et al. LPA) in the chained
     // restartable-rounds posture: each round ONE nbr-keyed join + bounded
@@ -5451,6 +5474,17 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
         |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
         |e AS (SELECT u, v FROM pc WHERE c >= 2),
+        |d AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,
+    // Retraction replica: the same copresence edges minus the tombstoned
+    // subset — the log's insert/tombstone/replay choreography must be
+    // exactly "those edges never existed".
+    "graph_retract" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2),
+        |e AS (SELECT u, v FROM pc WHERE c >= 2 AND u % 10 <> 0),
         |d AS (SELECT node, count(*) AS deg FROM
         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
         |SELECT deg, count(*) AS n_nodes FROM d GROUP BY 1""".stripMargin,

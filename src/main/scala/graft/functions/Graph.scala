@@ -412,4 +412,54 @@ object Graph {
   def compactGraphEdges(
       spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
     spark.read.parquet(src).distinct().write.mode("overwrite").parquet(dest)
+
+  // --------------------------------------------------------------------
+  // Versioned edge log with tombstones — the RETRACTION face the plain
+  // set store lacks (edge deletes, document takedowns). Each slice
+  // carries a caller-supplied GENERATION (monotone per logical slice —
+  // the batch-id-ledger discipline: a replayed slice re-tags the same
+  // gen, so redelivery is idempotent) and an op bit (0 = insert,
+  // 1 = delete/tombstone). The winner per edge is max(struct(gen, op)):
+  // the newest generation decides, and a same-gen insert+delete tie
+  // resolves to DELETE deterministically. A later re-insert resurrects
+  // the edge; compaction keeps the winner rows INCLUDING tombstones —
+  // dropping a tombstone would let a replayed pre-delete insert slice
+  // silently resurrect the edge (tombstone GC is only safe once no
+  // pre-delete slice can ever be redelivered).
+  // --------------------------------------------------------------------
+
+  /** Append one insert or tombstone slice to an edge log at `path`.
+    * Edges pass through the kcoreEdges normalization like the plain
+    * store, so ops always address the normalized (u < v) row. */
+  def appendGraphEdgeOps(
+      edges: DataFrame, uCol: String, vCol: String, path: String,
+      gen: Long, delete: Boolean = false): Unit =
+    kcoreEdges(edges, uCol, vCol)
+      .select(col("u"), col("v"), lit(gen).as("gen"),
+        lit(if (delete) 1 else 0).as("op"))
+      .write.mode("append").parquet(path)
+
+  /** The live edge set under the log's last-writer-wins algebra: one
+    * (u, v)-keyed aggregation (same shuffle shape as the plain store's
+    * distinct-on-read), keep = newest op is an insert. Output satisfies
+    * the [[kcoreEdges]] contract and feeds every operator here. */
+  def readGraphEdgeLog(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("u"), col("v"))
+      .agg(max(struct(col("gen"), col("op"))).as("last"))
+      .filter(col("last").getField("op") === 0)
+      .select(col("u"), col("v"))
+
+  /** Rewrite the accumulated log as one winner row per edge — tombstones
+    * RETAINED (see the class-level resurrection argument). Read-side
+    * results are invariant across the rewrite (GraphSpec). */
+  def compactGraphEdgeLog(
+      spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
+    spark.read.parquet(src)
+      .groupBy(col("u"), col("v"))
+      .agg(max(struct(col("gen"), col("op"))).as("last"))
+      .select(col("u"), col("v"),
+        col("last").getField("gen").as("gen"), col("last").getField("op").as("op"))
+      .write.mode("overwrite").parquet(dest)
 }

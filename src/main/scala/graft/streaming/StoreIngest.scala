@@ -108,6 +108,21 @@ object StoreIngest {
     ingest(stream)(b =>
       graft.functions.Similarity.appendIvfPqIndex(b, idCol, vecCol, cents, cb, subDim, path))
 
+  /** Edge-log ingestion with tombstones (last-writer-wins algebra —
+    * [[graft.functions.Graph.readGraphEdgeLog]]): the foreachBatch id IS
+    * the generation — replay-stable, so a redelivered batch re-tags
+    * byte-identical rows (idempotent), and later batches outrank earlier
+    * ones. The generation ordering is only meaningful WITHIN one stream's
+    * id sequence: takedowns should ride the same stream as inserts (for a
+    * mixed stream, write a foreachBatch that calls
+    * `Graph.appendGraphEdgeOps` once per op sub-frame under the SAME
+    * batch id), not a second stream with an unrelated id clock. */
+  def graphEdgeOps(
+      stream: DataFrame, uCol: String, vCol: String, path: String,
+      delete: Boolean = false): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.Graph.appendGraphEdgeOps(b, uCol, vCol, path, id, delete))
+
   /** SQ8 code-table ingestion (stable-payload per-id algebra; the
     * (mins, maxs) grid is the index definition — out-of-range appends
     * clamp, the documented SQ saturation). */

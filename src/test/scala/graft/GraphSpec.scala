@@ -410,6 +410,43 @@ class GraphSpec extends SparkSpec {
     assert(raw.toSet === Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
   }
 
+  test("edge log: tombstones delete, replays are idempotent, re-inserts resurrect, compaction keeps tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("graph_log").toString + "/log"
+    def live(p: String) = Graph.readGraphEdgeLog(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Graph.appendGraphEdgeOps(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v"), "u", "v", dir, gen = 0L)
+    assert(live(dir) === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // Takedown: tombstone one edge; a replayed tombstone slice re-tags
+    // identical rows — nothing moves.
+    Graph.appendGraphEdgeOps(
+      Seq((2L, 3L)).toDF("u", "v"), "u", "v", dir, gen = 1L, delete = true)
+    Graph.appendGraphEdgeOps(
+      Seq((2L, 3L)).toDF("u", "v"), "u", "v", dir, gen = 1L, delete = true)
+    assert(live(dir) === Set((1L, 2L), (3L, 4L)))
+    // Same-generation insert + delete tie resolves to DELETE.
+    Graph.appendGraphEdgeOps(
+      Seq((3L, 4L)).toDF("u", "v"), "u", "v", dir, gen = 2L, delete = true)
+    Graph.appendGraphEdgeOps(
+      Seq((3L, 4L)).toDF("u", "v"), "u", "v", dir, gen = 2L)
+    assert(live(dir) === Set((1L, 2L)))
+    // A LATER re-insert resurrects.
+    Graph.appendGraphEdgeOps(
+      Seq((2L, 3L)).toDF("u", "v"), "u", "v", dir, gen = 3L)
+    assert(live(dir) === Set((1L, 2L), (2L, 3L)))
+    // Compaction: read-invariant, one winner row per edge, tombstones
+    // RETAINED — a replayed pre-delete insert slice must NOT resurrect.
+    val dest = dir + "_compact"
+    Graph.compactGraphEdgeLog(spark, dir, dest)
+    assert(live(dest) === live(dir))
+    val raw = spark.read.parquet(dest).collect()
+    assert(raw.length === 3, raw.mkString(", ")) // (1,2) in, (2,3) in, (3,4) tombstone
+    Graph.appendGraphEdgeOps(
+      Seq((3L, 4L)).toDF("u", "v"), "u", "v", dest, gen = 0L) // replayed old insert
+    assert(live(dest) === Set((1L, 2L), (2L, 3L)),
+      "a retained tombstone must beat a replayed pre-delete insert")
+  }
+
   test("oncePerDir: unchanged source caches; a regenerated source resolves to a fresh store") {
     // The stale-fingerprint hazard (round-10 advice): the fingerprint is
     // re-taken on EVERY resolution, so a testdata directory regenerated

@@ -658,6 +658,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("StoreIngest.graphEdgeOps: streamed inserts + replay match the batch set; takedowns land above the stream's generations") {
+    import graft.functions.Graph
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_edges").toString + "/log"
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StoreIngest.graphEdgeOps(
+        in.toDF().toDF("u", "v"), "u", "v", dir)
+      .queryName("edge_ops_ingest").start()
+    val b1 = Seq((1L, 2L), (2L, 3L))
+    val b2 = Seq((3L, 4L), (1L, 4L))
+    // The "replayed" third delivery re-inserts b1 at a LATER generation —
+    // inserts are absorbing under LWW, so the live set must not move.
+    runToCompletion(q,
+      () => in.addData(b1),
+      () => in.addData(b2),
+      () => in.addData(b1))
+    def live() = Graph.readGraphEdgeLog(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live() === Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    // Batch-side takedown at a generation above every streamed batch id.
+    Graph.appendGraphEdgeOps(
+      Seq((1L, 2L)).toDF("u", "v"), "u", "v", dir, gen = 100L, delete = true)
+    assert(live() === Set((2L, 3L), (3L, 4L), (1L, 4L)))
+  }
+
   test("StoreIngest.ivfPqCodes/sqCodes: streamed + replayed slices equal the one-shot search") {
     import graft.functions.Similarity
     import spark.implicits._
