@@ -127,7 +127,17 @@ object SparkEntry {
         Dedup.buildMinhashIndex(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 4, numHashes = 128, bands = 32), p)
     }
-    Dedup.readMinhashIndex(s, path)
+    val idx = Dedup.readMinhashIndex(s, path)
+    // The shingled frame is the plan's REPEATED input (the containment
+    // plan alone references it five times: freq aggregate, prefix side,
+    // postings side, both verify attachments) and its on-disk form is
+    // ~8 B/shingle — bigger than the text it derives from. Persist it so
+    // each query pays ONE parquet scan and the other subtrees read the
+    // columnar cache — the single-evaluation discipline the round-10
+    // verdict asked for (a raw re-scan per subtree measured SLOWER than
+    // the kernel recompute it replaced). The banded frame self-joins
+    // behind a merge hint (one ReusedExchange) and needs no cache.
+    Dedup.MinhashIndex(idx.shingled.persist(), idx.banded)
   }
 
   private def copresenceEdges(s: SparkSession, dir: String): DataFrame = {
@@ -1316,7 +1326,7 @@ object SparkEntry {
     // signatures — the multimodal member of the dedup family. Never
     // all-pairs.
     "mm_phash" -> ((s, dir) =>
-      Multimodal.phashPairsFromIndex(s, phashSigStore(s, dir), maxHamming = 3)),
+      Multimodal.phashPairsFromIndexRaw(s, phashSigStore(s, dir), maxHamming = 3)),
 
     // Multimodal capstone — the image twin of pipeline_train_prep, ONE
     // lazy plan: perceptual near-dup keep (pairs off the persisted sig
@@ -1330,7 +1340,7 @@ object SparkEntry {
       val bin = t(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
-      val pairs = Multimodal.phashPairsFromIndex(s, phashSigStore(s, dir), maxHamming = 3)
+      val pairs = Multimodal.phashPairsFromIndexRaw(s, phashSigStore(s, dir), maxHamming = 3)
       val kept = Dedup.keepCanonical(bin, "doc_id", pairs)
       Multimodal.resizedWithFeatures(kept, "doc_id", "data", maxBytes = 128, dim = 8)
         .select(col("id"), col("n_bytes_out"),
@@ -1656,6 +1666,31 @@ object SparkEntry {
       val unk = 16
       merged
         .select(col("doc_id"), TF.bpeEncodeIds(col("mtk"), vocab, unk).as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).cast(LongType).as("n_tokens"),
+          size(filter(col("ids"), i => i === unk)).cast(LongType).as("n_unk"),
+          TF.xhash32(concat_ws(",", col("ids"))).as("ids_sig"))
+    }),
+
+    // The SAME encode through the broadcast-vocab face
+    // (TF.bpeEncodeIdsBcast / BpeEncodeBcast): the vocab ships as a Spark
+    // broadcast instead of a plan literal — the >64k-vocab posture, where
+    // a typedLit map's wire cost grows with the plan, not the data. Must
+    // hash-match the literal-map oracle exactly.
+    "bpe_encode_bcast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val merges = TF.learnBpeMerges(docs, col("text"), n = 8)
+      val merged = docs
+        .select(col("doc_id"), TF.bpeApply(TF.bpeTokens(col("text")), merges).as("mtk"))
+      val vocab: Map[String, Int] = merged
+        .select(explode(col("mtk")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(16)
+        .collect().zipWithIndex.map { case (r, i) => r.getString(0) -> i }.toMap
+      val unk = 16
+      merged
+        .select(col("doc_id"), TF.bpeEncodeIdsBcast(s, col("mtk"), vocab, unk).as("ids"))
         .select(col("doc_id"),
           size(col("ids")).cast(LongType).as("n_tokens"),
           size(filter(col("ids"), i => i === unk)).cast(LongType).as("n_unk"),
@@ -4120,6 +4155,9 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     "bpe_apply" -> bpeApplySql,
     "bpe_encode" -> bpeEncodeSql,
+    // The broadcast-vocab face must be indistinguishable from the
+    // literal-map one — same oracle.
+    "bpe_encode_bcast" -> bpeEncodeSql,
     "bpe_decode" -> bpeDecodeSql,
     // Merged-count packing over the shared merge-replay CTEs; the oracle
     // may use the global-order window Spark avoids (single-node DuckDB).

@@ -267,6 +267,32 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** bpeEncodeBcast(tokens): vocab-id encode whose vocabulary ships as a
+  * Spark BROADCAST instead of a plan literal — the >64k-vocab face. A
+  * typedLit map serializes into every task closure of every stage that
+  * references it (wire cost grows with the PLAN), while a broadcast ships
+  * once per executor and the plan carries only the handle; the
+  * UTF8String-keyed lookup table is decoded once per executor
+  * ([[TextKernels.BcastVocab]]) and shared across tasks. Value-identical
+  * to the literal-map [[graft.functions.TextFunctions.bpeEncodeIds]]
+  * (TokenizerPropertySpec pins parity at an 8192-entry vocab). */
+case class BpeEncodeBcast(
+    child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+    unkId: Int) extends UnaryExpression with KernelCall {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeEncodeBcast(input.asInstanceOf[ArrayData], vocab, unkId)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeVocabBc", vocab,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextKernels.bpeEncodeBcast($c, $ref, $unkId)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeBcast =
+    copy(child = newChild)
+}
+
 /** hashedWordGrams(text, n): sorted distinct xhash32 of every word n-gram
   * (see [[TextKernels.hashedWordGrams]]). */
 case class HashedWordGrams(child: Expression, n: Int)

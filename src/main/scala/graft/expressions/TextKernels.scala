@@ -541,4 +541,47 @@ object TextKernels {
     }
     ArrayData.toArrayData(Array(n, bits))
   }
+
+  /** Executor-wide decoded vocabulary tables for [[bpeEncodeBcast]], keyed
+    * by broadcast id: the Broadcast ships the (token, id) pairs once per
+    * executor (torrent blocks); the UTF8String-keyed lookup table is built
+    * on FIRST USE per executor and shared by every task referencing that
+    * broadcast — a per-task rebuild of a 1M-entry table would dominate
+    * short tasks. Entries live for the executor's lifetime (bounded by
+    * the number of distinct vocab broadcasts — index definitions, not
+    * data). */
+  object BcastVocab {
+    private val tables = new java.util.concurrent.ConcurrentHashMap[
+      Long, java.util.HashMap[UTF8String, Integer]]()
+    def table(bc: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
+        : java.util.HashMap[UTF8String, Integer] =
+      tables.computeIfAbsent(bc.id, _ => {
+        val m = new java.util.HashMap[UTF8String, Integer](bc.value.size * 2)
+        bc.value.foreach { case (k, v) =>
+          m.put(UTF8String.fromString(k), Integer.valueOf(v))
+        }
+        m
+      })
+  }
+
+  /** bpeEncodeBcast(tokens, vocabBroadcast, unkId): vocab-id encode whose
+    * table arrives via Spark broadcast (see [[graft.expressions.BpeEncodeBcast]]).
+    * Null token entries encode to unkId, matching the literal-map face's
+    * coalesce semantics. */
+  def bpeEncodeBcast(
+      toks: ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, Int]],
+      unkId: Int): ArrayData = {
+    val table = BcastVocab.table(bc)
+    val n = toks.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val v = if (t == null) null else table.get(t)
+      out(i) = if (v == null) unkId else v.intValue()
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

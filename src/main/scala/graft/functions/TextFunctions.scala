@@ -179,6 +179,23 @@ object TextFunctions {
   def bpeEncodeIds(tokens: Column, vocab: Map[String, Int], unkId: Int): Column =
     transform(tokens, t => coalesce(element_at(typedLit(vocab), t), lit(unkId)))
 
+  /** [[bpeEncodeIds]] at vocabulary scale: the vocab ships as a Spark
+    * BROADCAST (one torrent fetch per executor; the plan carries only the
+    * handle) instead of a typedLit that rides every task closure — the
+    * face for >64k-entry vocabularies, where the literal map's wire cost
+    * grows with the plan rather than the data. Same output bit-for-bit
+    * ([[graft.expressions.BpeEncodeBcast]]); still map-side and
+    * shuffle-free. */
+  def bpeEncodeIdsBcast(
+      spark: org.apache.spark.sql.SparkSession,
+      tokens: Column,
+      vocab: Map[String, Int],
+      unkId: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BpeEncodeBcast(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens),
+        spark.sparkContext.broadcast(vocab), unkId))
+
   /** Decode vocab ids back to tokens through the inverted vocab; any id
     * outside the table (the unk id included) -> `unkToken`. Same
     * literal-map shuffle-free posture as [[bpeEncodeIds]] — together they

@@ -382,6 +382,18 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     phashPairsFromSigs(spark.read.parquet(path).distinct(), maxHamming)
 
+  /** [[phashPairsFromIndex]] minus the cross-slice distinct — for a
+    * SINGLE-WRITER store (one overwrite write, one row per id by
+    * construction), where the distinct would be a pure extra exchange of
+    * the signature frame (the copresenceEdges raw-read precedent).
+    * Multi-slice stores (appends, stream ingestion) must use
+    * [[phashPairsFromIndex]]. */
+  def phashPairsFromIndexRaw(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxHamming: Int = 3): DataFrame =
+    phashPairsFromSigs(spark.read.parquet(path), maxHamming)
+
   private def phashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
     // <= 65536 distinct signatures: the band join runs at sig scale.

@@ -147,6 +147,17 @@ class TokenizerPropertySpec extends AnyFunSuite with SparkSpec {
         s"doc $id round-trip")
       assert(merged == refApply(tk, merges), s"doc $id merge parity at 4096 rules")
     }
+    // The broadcast-vocab face (BpeEncodeBcast — the >64k posture where
+    // the table ships once per executor instead of riding every task
+    // closure) must be value-identical to the literal-map encode at the
+    // same vocab scale, including OOV and null handling.
+    val bgot = docs.toDF("id", "tk")
+      .repartition(4)
+      .select(col("id"), TF.bpeEncodeIdsBcast(spark, col("tk"), vocab, unk).as("ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    for ((id, tk) <- docs)
+      assert(bgot(id) == tk.map(t => vocab.getOrElse(t, unk)),
+        s"doc $id broadcast-encode parity")
   }
 
   // ---- PQ ----
