@@ -127,17 +127,13 @@ object SparkEntry {
         Dedup.buildMinhashIndex(t(s, dir, "documents"), "doc_id", "text",
           shingleK = 4, numHashes = 128, bands = 32), p)
     }
-    val idx = Dedup.readMinhashIndex(s, path)
-    // The shingled frame is the plan's REPEATED input (the containment
-    // plan alone references it five times: freq aggregate, prefix side,
-    // postings side, both verify attachments) and its on-disk form is
-    // ~8 B/shingle — bigger than the text it derives from. Persist it so
-    // each query pays ONE parquet scan and the other subtrees read the
-    // columnar cache — the single-evaluation discipline the round-10
-    // verdict asked for (a raw re-scan per subtree measured SLOWER than
-    // the kernel recompute it replaced). The banded frame self-joins
-    // behind a merge hint (one ReusedExchange) and needs no cache.
-    Dedup.MinhashIndex(idx.shingled.persist(), idx.banded)
+    // NOT persisted here: the MinHash-verify plans read `shingled` only
+    // twice, and a measured bracket showed the cache materialization
+    // costing MORE than the scan it saves (dedup_keep 2.3 → 4.8 s). The
+    // ≥3-consumer plans (containment/ngram) persist their input inside
+    // their own builders instead — the single-evaluation discipline
+    // applied where the arithmetic says it pays.
+    Dedup.readMinhashIndex(s, path)
   }
 
   private def copresenceEdges(s: SparkSession, dir: String): DataFrame = {

@@ -143,14 +143,17 @@ object Dedup {
     * its input as cheap columnar scans instead of re-running the text
     * scan + shingle kernel per subtree. */
   def ngramJaccardPairsFromShingled(
-      shingled: DataFrame,
+      shingledIn: DataFrame,
       threshold: Double): DataFrame = {
     // Prefix positions are computed narrow (id, len, s only); arrays only
     // reappear in the final verify join on the deduped candidate pairs.
     // explode_outer for the same reason as buildMinhashIndex: the non-outer
     // form pushes an inferred `size(<shingle kernel>) > 0` into the scan.
-    // Persisted for the same two-consumer reason as the containment
-    // plan's exploded frame (frequency aggregate + the ordering join).
+    // Persists follow the ≥3-consumer rule (see
+    // [[containmentPairsFromShingled]]): `shingled` feeds the explode and
+    // both verify attachments; `exploded` the frequency aggregate and the
+    // ordering join.
+    val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
@@ -240,14 +243,18 @@ object Dedup {
     * text-scan + shingle-kernel evaluations — the round-10 verdict's #1
     * efficiency finding, closed by construction here. */
   def containmentPairsFromShingled(
-      shingled: DataFrame,
+      shingledIn: DataFrame,
       threshold: Double,
       minShingles: Int): DataFrame = {
-    // Persisted: three subtrees consume the exploded shingle stream (the
-    // frequency aggregate, the rarest-prefix side, the postings side) —
-    // cached, the explode runs once and each consumer reads columnar
-    // cache; unpersisted it re-explodes the corpus per subtree (measured
-    // ~1.5 s/extra pass at sf0.1). Narrow (id, len, s) rows only.
+    // Both persists implement the single-evaluation discipline where the
+    // consumer count says it pays (≥3): `shingled` feeds the explode and
+    // BOTH verify attachments; `exploded` feeds the frequency aggregate,
+    // the rarest-prefix side, and the postings side — unpersisted, each
+    // subtree re-reads the store (or re-runs the shingle kernel) and
+    // re-explodes the corpus (measured ~1.5 s/extra pass at sf0.1).
+    // Two-consumer plans (MinHash verify) deliberately do NOT persist:
+    // the cache materialization there costs more than the scan it saves.
+    val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
