@@ -1324,6 +1324,27 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) =>
       Multimodal.phashPairsFromIndexRaw(s, phashSigStore(s, dir), maxHamming = 3)),
 
+    // Document takedown inside the correctness gate, media modality: the
+    // signature store re-expressed as a StoreLog (the generic LWW
+    // tombstone face the edge log pioneered) — full sig set inserted at
+    // gen 0, every doc_id divisible by 7 taken down at gen 1 BY KEY ONLY
+    // (a takedown knows the id, not the signature), the tombstone slice
+    // replayed (idempotent), then the near-dup pairs over the LIVE
+    // signatures. The oracle recomputes pairs from raw bytes with the
+    // taken-down docs simply absent.
+    "mm_phash_retract" -> ((s, dir) => {
+      import graft.functions.StoreLog
+      val path = oncePerDir(dir, "phashlog", "documents") { p =>
+        val sigs = s.read.parquet(phashSigStore(s, dir))
+        StoreLog.appendInserts(sigs, p, gen = 0L)
+        val down = sigs.filter(col("id") % 7 === 0).select(col("id"))
+        StoreLog.appendTombstones(down, p, gen = 1L)
+        StoreLog.appendTombstones(down, p, gen = 1L) // replay
+      }
+      Multimodal.phashPairsFromSigs(
+        StoreLog.readLive(s, path, Seq("id")), maxHamming = 3)
+    }),
+
     // Multimodal capstone — the image twin of pipeline_train_prep, ONE
     // lazy plan: perceptual near-dup keep (pairs off the persisted sig
     // store; min-id canonical via the shared union-find clusters) ->
@@ -4303,6 +4324,14 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
       (s"WITH $phashSigCte " +
         "SELECT l.id AS i, r.id AS j, bit_count(xor(l.ph, r.ph)) AS hamming_dist " +
         "FROM ph l JOIN ph r ON l.id < r.id WHERE bit_count(xor(l.ph, r.ph)) <= 3"),
+    // Takedown replica: the same pair semantics with the tombstoned docs
+    // simply absent — the log's insert/tombstone/replay choreography must
+    // be invisible.
+    "mm_phash_retract" ->
+      (s"WITH $phashSigCte " +
+        "SELECT l.id AS i, r.id AS j, bit_count(xor(l.ph, r.ph)) AS hamming_dist " +
+        "FROM ph l JOIN ph r ON l.id < r.id " +
+        "WHERE bit_count(xor(l.ph, r.ph)) <= 3 AND l.id % 7 <> 0 AND r.id % 7 <> 0"),
     // Capstone replica: signatures -> Hamming<=3 pairs -> recursive-CTE
     // closure (the dedup_keep shape) -> min-id keep -> the mm_resize and
     // mm_features arithmetic over the survivors.

@@ -394,7 +394,11 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     phashPairsFromSigs(spark.read.parquet(path), maxHamming)
 
-  private def phashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+  /** [[phashPairs]] over an explicit `(id, sig)` frame — the composition
+    * point for signature sources beyond the plain store (e.g. the
+    * takedown-capable [[graft.functions.StoreLog]] face). Caller
+    * guarantees one row per id. */
+  def phashPairsFromSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "need 0 <= maxHamming < 16")
     // <= 65536 distinct signatures: the band join runs at sig scale.
     val sigPairs = graft.functions.Dedup.bandedHammingPairs(
