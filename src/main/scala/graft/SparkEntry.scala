@@ -1324,6 +1324,26 @@ object SparkEntry {
     "mm_phash" -> ((s, dir) =>
       Multimodal.phashPairsFromIndexRaw(s, phashSigStore(s, dir), maxHamming = 3)),
 
+    // Audio-prep capstone — the third modality's pipeline (text:
+    // pipeline_train_prep, image: pipeline_mm_prep): decode metadata +
+    // embed in ONE codec pass (Multimodal.audioWithFeatures), then the
+    // ASR-style admission gate (mono, above a rate floor — 8.3 kHz sits
+    // mid-distribution for this corpus's fallback rates) and the duration /
+    // feature projection — one lazy plan, the gate and projection pure
+    // codegen over the fused stage's columns. This corpus takes the
+    // deterministic fallback codec path the oracle replicates.
+    "pipeline_audio_prep" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      Multimodal.audioWithFeatures(bin, "doc_id", "data", dim = 8)
+        .filter(col("sample_rate") >= 8300 && col("channels") === 1)
+        .select(col("id"), col("sample_rate"), col("n_frames"),
+          (col("n_frames").cast(DoubleType) / col("sample_rate")).as("duration_sec"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"))
+    }),
+
     // Document takedown inside the correctness gate, media modality: the
     // signature store re-expressed as a StoreLog (the generic LWW
     // tombstone face the edge log pioneered) — full sig set inserted at
@@ -4246,6 +4266,21 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
         |  'enc' || (octet_length(encode(text)) % 3)::VARCHAR AS format
         |FROM documents""".stripMargin,
+    // Audio capstone replica: the fallback header arithmetic, the
+    // mono/rate-floor gate, the duration division, and the md5 features.
+    "pipeline_audio_prep" ->
+      """WITH a AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT id, text,
+        |    CAST(8000 + n % 40000 AS INT) AS sample_rate,
+        |    CAST(1 + n % 2 AS INT) AS channels,
+        |    CAST(n AS BIGINT) AS n_frames
+        |  FROM a)
+        |SELECT id, sample_rate, n_frames,
+        |  n_frames::DOUBLE / sample_rate AS duration_sec,
+        |  (('0x' || substr(md5(md5(text) || '_0'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f0,
+        |  (('0x' || substr(md5(md5(text) || '_1'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f1
+        |FROM m WHERE sample_rate >= 8300 AND channels = 1""".stripMargin,
     "pipeline_clean" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>

@@ -323,6 +323,27 @@ object Multimodal {
       .toDF("id", "sample_rate", "channels", "n_frames", "format")
   }
 
+  /** The audio twin of [[resizedWithFeatures]] — metadata + embedding in
+    * ONE codec pass (header decode and feature extraction share the
+    * single payload deserialization; a real build loads the audio model
+    * once per partition here). Output: (id, sample_rate, channels,
+    * n_frames, format, features). */
+  def audioWithFeatures(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val (rate, ch, frames, fmt) = MediaCodec.decodeAudioMeta(r.data)
+        (r.id, rate, ch, frames, fmt, MediaCodec.extractFeatures(r.data, dim))
+      })
+      .toDF("id", "sample_rate", "channels", "n_frames", "format", "features")
+  }
+
   /** Perceptual near-duplicate image pairs: dHash through the codec
     * boundary, then the SimHash pigeonhole band join — but run over the
     * DISTINCT 16-bit signatures, not the raw rows. A 16-bit signature

@@ -310,6 +310,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(mapPartitionsNodes.size === 1)
   }
 
+  test("audioWithFeatures: one codec pass equals the two-stage composition") {
+    val rows = Seq(
+      (1L, wavBytes(16000, 320)),
+      (2L, "opaque non-audio payload".getBytes("UTF-8"))).toDF("id", "data")
+    val fused = Multimodal.audioWithFeatures(rows, "id", "data", dim = 8)
+    assert(fused.columns.toSeq ===
+      Seq("id", "sample_rate", "channels", "n_frames", "format", "features"))
+    val got = fused.collect().map(r => (r.getLong(0),
+      (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4),
+        r.getSeq[Float](5).toSeq))).toMap
+    val meta = Multimodal.withAudioMeta(rows, "id", "data")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))).toMap
+    val feats = Multimodal.withFeatures(rows, "id", "data", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    for ((id, (rate, ch, frames, fmt, f)) <- got) {
+      assert((rate, ch, frames, fmt) === meta(id), s"id $id meta")
+      assert(f === feats(id), s"id $id features")
+    }
+    // Real WAV decodes (not the fallback); opaque payload falls back.
+    assert(got(1L)._1 === 16000 && got(1L)._2 === 1 && got(1L)._3 === 320)
+    // Single codec boundary, as with resizedWithFeatures.
+    val codecBoundaries = fused.queryExecution.optimizedPlan.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject
+          if d.outputObjAttr.dataType.toString.contains("MediaRecord") => d
+    }
+    assert(codecBoundaries.size === 1)
+  }
+
   test("pipeline_mm_prep plan: the codec boundary appears exactly once") {
     // The capstone composes store-read pairs (no codec), the union-find
     // keep (its own id-only mapPartitions stages — not codec), and the
