@@ -212,12 +212,17 @@ object SparkEntry {
     * here too. Only the 7-field model row reaches the driver per round;
     * all persisted frames release after the last collect (every returned
     * value is a literal by then). */
-  private def stumpChainModels(e: DataFrame, rounds: Int)
-      : Seq[(Int, Long, Long, Double, Int, Int, Double)] = {
+  /** One trained round of the decision list: the stump's model row plus
+    * the side sizes/majorities a confidence-ordered rule list weighs. */
+  private final case class StumpRound(
+      round: Int, nTrain: Long, bin: Long, threshold: Double,
+      leftLabel: Int, rightLabel: Int, gini: Double,
+      nLeft: Long, nRight: Long, nLeftMaj: Long, nRightMaj: Long)
+
+  private def stumpChainModels(e: DataFrame, rounds: Int): Seq[StumpRound] = {
     var cur = e
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Long, Long, Double, Int, Int, Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[StumpRound]
     for (r <- 1 to rounds) {
       cur = cur.persist()
       persisted += cur
@@ -228,10 +233,11 @@ object SparkEntry {
       require(m.nonEmpty, s"stump chain round $r: no valid split")
       val row = m(0)
       val bin = row.getLong(0)
-      val thr = row.getDouble(1)
       val ll = row.getInt(2)
       val rl = row.getInt(3)
-      out += ((r, nTrain, bin, thr, ll, rl, row.getDouble(6)))
+      out += StumpRound(r, nTrain, bin, row.getDouble(1), ll, rl,
+        row.getDouble(6), row.getLong(4), row.getLong(5),
+        row.getLong(7), row.getLong(8))
       cur = cur.filter(
         when(graft.functions.Classifier.stumpLeft(
             element_at(col("embedding"), r), bin), lit(ll))
@@ -1074,6 +1080,8 @@ object SparkEntry {
         t(s, dir, "embeddings")
           .filter(col("embedding").isNotNull && col("label").isNotNull),
         rounds = StumpRounds)
+        .map(m => (m.round, m.nTrain, m.bin, m.threshold,
+          m.leftLabel, m.rightLabel, m.gini))
         .toDF("round", "n_train", "split_bin", "threshold",
           "left_label", "right_label", "gini")
     }),
@@ -1091,11 +1099,69 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .filter(col("embedding").isNotNull && col("label").isNotNull)
       val models = stumpChainModels(e, rounds = StumpRounds)
-      val rules = models.map { case (r, _, bin, _, ll, _, _) =>
-        (Classifier.stumpLeft(element_at(col("embedding"), r), bin), lit(ll))
+      val rules = models.map { m =>
+        (Classifier.stumpLeft(element_at(col("embedding"), m.round), m.bin),
+          lit(m.leftLabel))
       }
       e.select(col("label"),
-          Classifier.decisionListRoute(rules, lit(models.last._6))
+          Classifier.decisionListRoute(rules, lit(models.last.rightLabel))
+            .as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Confidence-ordered BOTH-SIDE rule list (the round-10 candidate the
+    // left-only decision list leaves on the table): each trained round
+    // contributes TWO terminal rules (its left test -> left majority, its
+    // complement -> right majority), weighted by side PURITY
+    // (majority / side size), and rules are ranked (purity DESC, round,
+    // side). This reporting face is the trained artifact; rule_confusion
+    // routes with it. Training is the same chained-survivor run as
+    // stump_chain; everything here is k driver-side literal rows.
+    "rule_list" -> ((s, dir) => {
+      import s.implicits._
+      stumpChainModels(
+        t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull),
+        rounds = StumpRounds)
+        .flatMap(m => Seq(
+          (m.round, "L", m.leftLabel, m.nLeft, m.nLeftMaj,
+            m.nLeftMaj.toDouble / m.nLeft),
+          (m.round, "R", m.rightLabel, m.nRight, m.nRightMaj,
+            m.nRightMaj.toDouble / m.nRight)))
+        .sortBy { case (r, side, _, _, _, p) => (-p, r, side) }
+        .zipWithIndex
+        .map { case ((r, side, label, n, maj, p), i) =>
+          (i + 1, r, side, label, n, maj, p)
+        }
+        .toDF("rank", "round", "side", "label", "n_side", "n_maj", "purity")
+    }),
+
+    // Rule-list INFERENCE: every row takes the highest-purity rule whose
+    // test it passes (ties: round, then side) — unlike the decision
+    // list's training order, a high-purity later-round RIGHT branch can
+    // outrank round 1. The ranked list is 2k driver-side literals, so
+    // scoring is one codegen'd CASE projection in rank order (round 1's
+    // two rules are complementary, so some arm always fires); the oracle
+    // replays training, ranking, AND routing in SQL via a per-row
+    // best-matching-rule window.
+    "rule_confusion" -> ((s, dir) => {
+      import graft.functions.Classifier
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val models = stumpChainModels(e, rounds = StumpRounds)
+      val ranked = models.flatMap(m => Seq(
+          (m.round, "L", m.leftLabel, m.nLeftMaj.toDouble / m.nLeft),
+          (m.round, "R", m.rightLabel, m.nRightMaj.toDouble / m.nRight)))
+        .sortBy { case (r, side, _, p) => (-p, r, side) }
+      val byRound = models.map(m => m.round -> m).toMap
+      val rules = ranked.map { case (r, side, label, _) =>
+        val leftTest = Classifier.stumpLeft(
+          element_at(col("embedding"), r), byRound(r).bin)
+        (if (side == "L") leftTest else !leftTest, lit(label))
+      }
+      e.select(col("label"),
+          Classifier.decisionListRoute(rules, lit(ranked.last._3))
             .as("pred_label"))
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
@@ -3076,13 +3142,14 @@ object SparkEntry {
        |pb$r AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
        |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
        |  FROM cum$r GROUP BY 1),
-       |lm$r AS (SELECT bin, label,
+       |lm$r AS (SELECT bin, label, cl AS lc,
        |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM cum$r),
-       |rm$r AS (SELECT bin, label,
+       |rm$r AS (SELECT bin, label, tot - cl AS rc,
        |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM cum$r),
        |best$r AS MATERIALIZED (SELECT pb$r.bin, ((pb$r.bin + 1)::DOUBLE) / 16.0 AS threshold,
        |    lm$r.label AS left_label, rm$r.label AS right_label,
        |    nl, n - nl AS nr, n,
+       |    lm$r.lc AS l_maj, rm$r.rc AS r_maj,
        |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
        |  FROM pb$r JOIN lm$r ON lm$r.bin = pb$r.bin AND lm$r.rn = 1
        |            JOIN rm$r ON rm$r.bin = pb$r.bin AND rm$r.rn = 1
@@ -3103,7 +3170,7 @@ object SparkEntry {
     * best1..k model rows) — prefix of both the `stump_chain` reporting
     * oracle and the `stump_confusion` inference oracle. */
   private val stumpChainCtes: String =
-    s"""WITH s1 AS MATERIALIZED (SELECT embedding, label FROM embeddings
+    s"""WITH s1 AS MATERIALIZED (SELECT vec_id, embedding, label FROM embeddings
        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
        |${(1 to StumpRounds).map(stumpRoundSql).mkString(",\n")}""".stripMargin
 
@@ -3135,6 +3202,45 @@ object SparkEntry {
        |  FROM s1, ${(1 to StumpRounds).map("best" + _).mkString(", ")})
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** The 2k-rule CTE shared by the rule_list / rule_confusion oracles:
+    * both sides of every trained round with purity and the split bin. */
+  private val ruleRowsSql: String = {
+    def row(r: Int) =
+      s"""SELECT $r AS round, 'L' AS side, left_label AS label, bin,
+         |  nl::BIGINT AS n_side, l_maj::BIGINT AS n_maj,
+         |  l_maj::DOUBLE / nl::DOUBLE AS purity FROM best$r
+         |UNION ALL SELECT $r, 'R', right_label, bin,
+         |  nr::BIGINT, r_maj::BIGINT, r_maj::DOUBLE / nr::DOUBLE FROM best$r""".stripMargin
+    s"rules AS (${(1 to StumpRounds).map(row).mkString("\nUNION ALL ")})"
+  }
+
+  /** Generated oracle for `rule_list`: the stump-chain training CTEs,
+    * both-side rule rows, confidence ranking. */
+  private lazy val ruleListSql: String =
+    s"""$stumpChainCtes,
+       |$ruleRowsSql
+       |SELECT CAST(row_number() OVER (ORDER BY purity DESC, round, side) AS INT) AS rank,
+       |  round, side, label, n_side, n_maj, purity
+       |FROM rules""".stripMargin
+
+  /** Generated oracle for `rule_confusion`: per-row best-matching-rule
+    * routing (the window form of the Spark side's rank-ordered CASE). */
+  private lazy val ruleConfusionSql: String =
+    s"""$stumpChainCtes,
+       |$ruleRowsSql,
+       |ranked AS (SELECT *,
+       |  row_number() OVER (ORDER BY purity DESC, round, side) AS rk FROM rules),
+       |routed AS (
+       |  SELECT s1.vec_id, s1.label, r.label AS pred_label,
+       |    row_number() OVER (PARTITION BY s1.vec_id ORDER BY r.rk) AS mrk
+       |  FROM s1 JOIN ranked r ON (
+       |    CASE WHEN r.side = 'L'
+       |      THEN CAST(floor(CAST(s1.embedding[r.round] AS DOUBLE) * 16.0) AS BIGINT) <= r.bin
+       |      ELSE CAST(floor(CAST(s1.embedding[r.round] AS DOUBLE) * 16.0) AS BIGINT) > r.bin
+       |    END))
+       |SELECT label, pred_label, count(*)::BIGINT AS n
+       |FROM routed WHERE mrk = 1 GROUP BY 1, 2""".stripMargin
 
   /** ann_topk / ann_ivf oracle bodies — shared with the ann_recall
     * composition (DuckDB accepts a full WITH query as a parenthesized
@@ -3953,6 +4059,10 @@ $rounds
     // bin/grid/score block over the previous round's misclassified set.
     "stump_chain" -> stumpChainSql,
     "stump_confusion" -> stumpConfusionSql,
+    // Both-side rule list: same training CTEs, two terminal rules per
+    // round ranked by side purity; routing = per-row best matching rule.
+    "rule_list" -> ruleListSql,
+    "rule_confusion" -> ruleConfusionSql,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->

@@ -193,7 +193,12 @@ object Classifier {
         col("w.nr").as("n_right"),
         (col("w.score").cast(DoubleType) /
           (col("w.n").cast(DoubleType) * col("w.nl").cast(DoubleType) *
-            col("w.nr").cast(DoubleType))).as("gini"))
+            col("w.nr").cast(DoubleType))).as("gini"),
+        // Per-side majority counts (the majority structs order by negated
+        // count, so the winning count rides in as its negation) — what a
+        // confidence-ordered rule list needs to weigh each side's purity.
+        (-col("w.lw.nc")).cast(LongType).as("n_left_maj"),
+        (-col("w.rw.nc")).cast(LongType).as("n_right_maj"))
       .filter(col("split_bin").isNotNull)
 
   /** Per-candidate-split frame shared by [[stumpSplit]] / [[stumpModel]]:
