@@ -219,6 +219,33 @@ object SparkEntry {
       leftLabel: Int, rightLabel: Int, gini: Double,
       nLeft: Long, nRight: Long, nLeftMaj: Long, nRightMaj: Long)
 
+  /** The trained decision chain as a persisted per-corpus artifact (the
+    * minhashIndexOf posture for MODELS): the 5-round chained training —
+    * five survivor persists + five collects — runs once per testdata
+    * generation; all four stump-family entries (stump_chain,
+    * stump_confusion, rule_list, rule_confusion) read the k model rows
+    * back from parquet. The oracles replay training from raw data, so a
+    * stale or wrong store can never pass the gate. */
+  private def stumpChainStore(s: SparkSession, dir: String): Seq[StumpRound] = {
+    val path = oncePerDir(dir, "stumpchain", "embeddings") { p =>
+      import s.implicits._
+      stumpChainModels(
+        t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull),
+        rounds = StumpRounds)
+        .map(m => (m.round, m.nTrain, m.bin, m.threshold, m.leftLabel,
+          m.rightLabel, m.gini, m.nLeft, m.nRight, m.nLeftMaj, m.nRightMaj))
+        .toDF("round", "n_train", "split_bin", "threshold", "left_label",
+          "right_label", "gini", "n_left", "n_right", "n_left_maj", "n_right_maj")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).collect()
+      .map(r => StumpRound(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getDouble(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+      .sortBy(_.round).toSeq
+  }
+
   private def stumpChainModels(e: DataFrame, rounds: Int): Seq[StumpRound] = {
     var cur = e
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1076,10 +1103,7 @@ object SparkEntry {
     // in any engine.
     "stump_chain" -> ((s, dir) => {
       import s.implicits._
-      stumpChainModels(
-        t(s, dir, "embeddings")
-          .filter(col("embedding").isNotNull && col("label").isNotNull),
-        rounds = StumpRounds)
+      stumpChainStore(s, dir)
         .map(m => (m.round, m.nTrain, m.bin, m.threshold,
           m.leftLabel, m.rightLabel, m.gini))
         .toDF("round", "n_train", "split_bin", "threshold",
@@ -1098,7 +1122,7 @@ object SparkEntry {
       import graft.functions.Classifier
       val e = t(s, dir, "embeddings")
         .filter(col("embedding").isNotNull && col("label").isNotNull)
-      val models = stumpChainModels(e, rounds = StumpRounds)
+      val models = stumpChainStore(s, dir)
       val rules = models.map { m =>
         (Classifier.stumpLeft(element_at(col("embedding"), m.round), m.bin),
           lit(m.leftLabel))
@@ -1120,10 +1144,7 @@ object SparkEntry {
     // stump_chain; everything here is k driver-side literal rows.
     "rule_list" -> ((s, dir) => {
       import s.implicits._
-      stumpChainModels(
-        t(s, dir, "embeddings")
-          .filter(col("embedding").isNotNull && col("label").isNotNull),
-        rounds = StumpRounds)
+      stumpChainStore(s, dir)
         .flatMap(m => Seq(
           (m.round, "L", m.leftLabel, m.nLeft, m.nLeftMaj,
             m.nLeftMaj.toDouble / m.nLeft),
@@ -1149,7 +1170,7 @@ object SparkEntry {
       import graft.functions.Classifier
       val e = t(s, dir, "embeddings")
         .filter(col("embedding").isNotNull && col("label").isNotNull)
-      val models = stumpChainModels(e, rounds = StumpRounds)
+      val models = stumpChainStore(s, dir)
       val ranked = models.flatMap(m => Seq(
           (m.round, "L", m.leftLabel, m.nLeftMaj.toDouble / m.nLeft),
           (m.round, "R", m.rightLabel, m.nRightMaj.toDouble / m.nRight)))
