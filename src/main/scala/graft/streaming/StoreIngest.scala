@@ -93,6 +93,18 @@ object StoreIngest {
     ingestTagged(stream)((b, id) =>
       graft.functions.Drift.appendEmbStats(b, vecCol, path, id))
 
+  /** Generic set-log ingestion ([[graft.functions.StoreLog]] LWW
+    * algebra): every micro-batch appends an INSERT slice with the
+    * foreachBatch id as its generation — replay-stable (redelivered
+    * batches re-tag identical rows), later batches outrank earlier ones.
+    * Takedowns follow [[graphEdgeOps]]'s id-clock rule: batch-side
+    * `StoreLog.appendTombstones` at a generation above the stream's ids,
+    * or a mixed foreachBatch calling insert/tombstone under ONE id —
+    * never a second stream with an unrelated id sequence. */
+  def setLogInserts(stream: DataFrame, path: String): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.StoreLog.appendInserts(b, path, id))
+
   /** IVF-PQ compressed-index ingestion (stable-payload per-id algebra —
     * replayed slices collapse in the read side's per-vec_id dedup;
     * centroids + codebook are the index definition, fixed before the

@@ -684,6 +684,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(live() === Set((2L, 3L), (3L, 4L), (1L, 4L)))
   }
 
+  test("StoreIngest.setLogInserts: streamed slices + replay; batch-side takedown lands above") {
+    import graft.functions.StoreLog
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_setlog").toString + "/log"
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StoreIngest.setLogInserts(
+        in.toDF().toDF("id", "sig"), dir)
+      .queryName("setlog_ingest").start()
+    val b1 = Seq((1L, 10L), (2L, 20L))
+    val b2 = Seq((3L, 30L))
+    // Third delivery re-inserts b1 at a later generation: inserts are
+    // absorbing under LWW, so the live set must not move.
+    runToCompletion(q,
+      () => in.addData(b1),
+      () => in.addData(b2),
+      () => in.addData(b1))
+    def live() = StoreLog.readLive(spark, dir, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live() === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // Takedown above every streamed generation.
+    StoreLog.appendTombstones(Seq(Tuple1(2L)).toDF("id"), dir, gen = 100L)
+    assert(live() === Set((1L, 10L), (3L, 30L)))
+  }
+
   test("StoreIngest.ivfPqCodes/sqCodes: streamed + replayed slices equal the one-shot search") {
     import graft.functions.Similarity
     import spark.implicits._
