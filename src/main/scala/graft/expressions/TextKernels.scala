@@ -542,19 +542,33 @@ object TextKernels {
     ArrayData.toArrayData(Array(n, bits))
   }
 
-  /** Executor-wide decoded vocabulary tables for [[bpeEncodeBcast]], keyed
-    * by broadcast id: the Broadcast ships the (token, id) pairs once per
-    * executor (torrent blocks); the UTF8String-keyed lookup table is built
-    * on FIRST USE per executor and shared by every task referencing that
-    * broadcast — a per-task rebuild of a 1M-entry table would dominate
-    * short tasks. Entries live for the executor's lifetime (bounded by
-    * the number of distinct vocab broadcasts — index definitions, not
-    * data). */
+  /** Executor-wide decoded vocabulary tables for [[bpeEncodeBcast]]: the
+    * Broadcast ships the (token, id) pairs once per executor (torrent
+    * blocks); the UTF8String-keyed lookup table is built on FIRST USE per
+    * executor and shared by every task referencing that broadcast — a
+    * per-task rebuild of a 1M-entry table would dominate short tasks.
+    *
+    * Keying: broadcast ids restart from 0 per SparkContext, so a bare
+    * `bc.id` key collides across context restarts in one JVM (test
+    * suites, driver recreation) and would silently encode with a DEAD
+    * context's vocabulary. The cache therefore tracks the owning
+    * application (SparkEnv's app id — stable per context, available on
+    * driver and executors alike) and clears itself when it changes;
+    * within one app, `bc.id` is unique and entries stay bounded by the
+    * number of distinct vocab broadcasts (index definitions, not data —
+    * and [[graft.functions.TextFunctions.bpeEncodeIdsBcast]] reuses one
+    * broadcast per (app, vocab), so repeated queries don't grow it). */
   object BcastVocab {
+    @volatile private var appId: String = null
     private val tables = new java.util.concurrent.ConcurrentHashMap[
       Long, java.util.HashMap[UTF8String, Integer]]()
     def table(bc: org.apache.spark.broadcast.Broadcast[Map[String, Int]])
-        : java.util.HashMap[UTF8String, Integer] =
+        : java.util.HashMap[UTF8String, Integer] = {
+      val env = org.apache.spark.SparkEnv.get
+      val app = if (env == null) "<no-env>" else env.conf.get("spark.app.id", "<unset>")
+      if (appId != app) synchronized {
+        if (appId != app) { tables.clear(); appId = app }
+      }
       tables.computeIfAbsent(bc.id, _ => {
         val m = new java.util.HashMap[UTF8String, Integer](bc.value.size * 2)
         bc.value.foreach { case (k, v) =>
@@ -562,6 +576,7 @@ object TextKernels {
         }
         m
       })
+    }
   }
 
   /** bpeEncodeBcast(tokens, vocabBroadcast, unkId): vocab-id encode whose

@@ -151,13 +151,18 @@ object Dedup {
     // form pushes an inferred `size(<shingle kernel>) > 0` into the scan.
     // Persists follow the ≥3-consumer rule (see
     // [[containmentPairsFromShingled]]): `shingled` feeds the explode and
-    // both verify attachments; `exploded` the frequency aggregate and the
-    // ordering join.
+    // both verify attachments (3 — persist); `exploded` here feeds ONLY
+    // the frequency aggregate and the ordering join (2 — do NOT persist:
+    // a round-12 7-iteration bracket measured the 2-consumer persist at
+    // dedup_sweep 5.49 s vs 4.41 s without it, the round-11 verdict's
+    // one open perf finding — cache materialization + storage-memory
+    // pressure cost more than the one cheap re-explode it saved).
+    // Contrast containmentPairsFromShingled, where `exploded` has THREE
+    // consumers and its persist measurably pays.
     val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .persist()
     // Global document frequency per shingle — one agg shuffle, reused by the
     // ordering. Ties broken by the shingle text for determinism.
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -254,6 +259,13 @@ object Dedup {
     // re-explodes the corpus (measured ~1.5 s/extra pass at sf0.1).
     // Two-consumer plans (MinHash verify) deliberately do NOT persist:
     // the cache materialization there costs more than the scan it saves.
+    // LIFECYCLE: these persists are plan-level (materialized during the
+    // caller's action), so this builder cannot unpersist them itself —
+    // the repo's harnesses drop them between queries via
+    // `spark.sharedState.cacheManager.clearCache()` (Bench/Verify), and
+    // a long-lived caller issuing many fresh plans should do the same
+    // (or `df.unpersist()` the returned frame's cached children) to keep
+    // storage memory from accumulating across invocations.
     val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
@@ -329,6 +341,46 @@ object Dedup {
     index.shingled.write.mode("overwrite").parquet(s"$path/shingles")
     index.banded.write.mode("overwrite").parquet(s"$path/bands")
   }
+
+  /** Append one increment's index slice (a daily crawl, a micro-batch) to
+    * an existing store. Slices should be doc-disjoint; a REPLAYED slice
+    * (at-least-once delivery) rewrites byte-identical rows that
+    * [[readMinhashIndexDedup]]'s distinct collapses, so streaming ingest
+    * is idempotent without a ledger — both tables are pure functions of
+    * (id, text, index params). */
+  def appendMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.shingled.write.mode("append").parquet(s"$path/shingles")
+    index.banded.write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** [[readMinhashIndex]] with replay-collapse: one distinct per table,
+    * the read posture for stores fed by [[appendMinhashIndex]] under
+    * at-least-once delivery (a single-writer oncePerDir store skips the
+    * distinct — the copresenceEdges lesson). */
+  def readMinhashIndexDedup(
+      spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
+    MinhashIndex(
+      spark.read.parquet(s"$path/shingles").distinct(),
+      spark.read.parquet(s"$path/bands").distinct())
+
+  /** The threshold-calibration report over an exact near-dup pair frame
+    * `(i, j, jaccard)`: pairs and distinct docs a dedup pass would touch
+    * at each candidate threshold — the "which threshold do I ship"
+    * evidence (the `dedup_sweep` gate entry, and the per-micro-batch
+    * reading [[graft.streaming.SweepStream.dedupSweep]] emits). One
+    * pair-frame explode + one map-side-combining aggregation per facet —
+    * no second corpus pass. */
+  def sweepReport(pairs: DataFrame, thresholds: Seq[Double]): DataFrame =
+    pairs
+      .select(col("i"), col("j"), col("jaccard"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), explode(array(
+        struct(col("i").as("d"), lit(1L).as("w")),
+        struct(col("j").as("d"), lit(0L).as("w")))).as("x"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("x.w")).as("n_pairs"),
+        countDistinct(col("x.d")).as("n_docs"))
 
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
     MinhashIndex(

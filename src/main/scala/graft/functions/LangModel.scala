@@ -157,6 +157,24 @@ object LangModel {
     StoreLedger.tag(pairCounts(ref, idCol, textCol), batchId)
       .write.mode("append").parquet(s"$path/pairs")
 
+  /** Takedown (GDPR/decontamination) for the ADDITIVE store: append the
+    * doomed documents' pair counts NEGATED — the additive algebra makes
+    * the read-side sum land exactly where retraining without those
+    * documents would (bit-identical; LangModelSpec pins it), with no
+    * retrain pass over the surviving corpus. Tagged through the ledger
+    * like any slice, so a replayed takedown cannot double-decrement.
+    * Caller contract: the doomed docs must actually be in the store
+    * (decrementing an absent doc drives counts negative; [[readLm]]'s
+    * net-positive filter drops such keys rather than corrupting bits). */
+  def appendLmCountsNegated(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Long): Unit =
+    StoreLedger.tag(
+        pairCounts(ref, idCol, textCol)
+          .select(col("prev"), col("cur"), (-col("n")).as("n")),
+        batchId)
+      .write.mode("append").parquet(s"$path/pairs")
+
   /** Load the merged model: re-aggregate the stored count partitions
     * (merge-on-read) and derive the bit tables. */
   def readLm(
@@ -164,16 +182,25 @@ object LangModel {
       path: String,
       backoffBits: Int = 2): Lm =
     lmFromPairs(
+      // n > 0: a fully-decremented pair ([[appendLmCountsNegated]]) nets
+      // to zero and must vanish — an n=0 row would otherwise reach
+      // flog2 in the bigram table and score as a (nonsense) hit instead
+      // of falling through to the unigram/OOV chain. Plain stores only
+      // ever hold positive counts, so the filter is free there.
       StoreLedger.collapse(spark.read.parquet(s"$path/pairs"))
-        .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n")),
+        .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0),
       backoffBits)
 
   /** Rewrite the merged count view to a fresh store (compaction — run when
     * appended deltas accumulate; `dest` must differ from `src`). */
   def compactLm(spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit = {
     require(src != dest, "compaction writes a FRESH store; cannot overwrite the source in place")
+    // Net-positive only, matching readLm: fully-decremented pairs vanish
+    // at compaction instead of riding along as n=0 rows forever.
     StoreLedger.collapse(spark.read.parquet(s"$src/pairs"))
       .groupBy(col("prev"), col("cur")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
       .write.mode("overwrite").parquet(s"$dest/pairs")
   }
 
@@ -375,12 +402,29 @@ object LangModel {
       .write.mode("append").parquet(s"$path/triples")
   }
 
+  /** Takedown for the trigram store — both layers decremented under one
+    * batch id (see [[appendLmCountsNegated]] for the algebra and the
+    * caller contract). */
+  def appendLm3CountsNegated(
+      ref: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Long): Unit = {
+    appendLmCountsNegated(ref, idCol, textCol, path, batchId)
+    StoreLedger.tag(
+        tripleCounts(ref, idCol, textCol)
+          .select(col("w1"), col("w2"), col("w3"), (-col("n")).as("n")),
+        batchId)
+      .write.mode("append").parquet(s"$path/triples")
+  }
+
   def readLm3(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       backoffBits: Int = 2): Lm3 = {
+    // n > 0 for the same reason as readLm: fully-decremented triples must
+    // fall through to the bigram/unigram backoff chain, not score as hits.
     val tri = StoreLedger.collapse(spark.read.parquet(s"$path/triples"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
     val ctx = tri.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("nc"))
     val trigrams = tri.join(ctx, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"),

@@ -133,6 +133,27 @@ object NaiveBayes {
     writeSlice(docs, labelCol, textCol, path, overwrite = false,
       batchId = Some(batchId))
 
+  /** Takedown for the ADDITIVE NB store: append the doomed documents'
+    * counts NEGATED in both layers under one batch id — the read-side
+    * sums land exactly where retraining without those documents would
+    * (bit-identical: vocabulary size, class totals, and priors all
+    * derive from the netted counts; ClassifierSpec pins it). A replayed
+    * takedown collapses in the ledger like any slice. Caller contract:
+    * the doomed docs must actually be in the store ([[readNb]]'s
+    * net-positive filters drop over-decremented keys rather than
+    * corrupting the quantized scores). */
+  def appendNbCountsNegated(
+      docs: DataFrame, labelCol: String, textCol: String, path: String,
+      batchId: Long): Unit = {
+    val (cnt, cdocs) = countFrames(docs, labelCol, textCol)
+    StoreLedger.tag(
+        cnt.select(col("label"), col("w"), (-col("n")).as("n")), batchId)
+      .write.mode("append").parquet(s"$path/token_counts")
+    StoreLedger.tag(
+        cdocs.select(col("label"), (-col("n_docs")).as("n_docs")), batchId)
+      .write.mode("append").parquet(s"$path/class_docs")
+  }
+
   private def writeSlice(
       docs: DataFrame, labelCol: String, textCol: String, path: String,
       overwrite: Boolean, batchId: Option[Long]): Unit = {
@@ -151,11 +172,16 @@ object NaiveBayes {
     * [[train]] on the union of all slices (ClassifierSpec pins the
     * parity). */
   def readNb(spark: org.apache.spark.sql.SparkSession, path: String): NbModel =
+    // Net-positive only: a fully-decremented token must leave the
+    // vocabulary (V = countDistinct over this frame) and a fully-removed
+    // class must leave the prior table — n=0 rows would skew both.
     modelFrom(
       StoreLedger.collapse(spark.read.parquet(s"$path/token_counts"))
-        .groupBy(col("label"), col("w")).agg(sum(col("n")).as("n")),
+        .groupBy(col("label"), col("w")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0),
       StoreLedger.collapse(spark.read.parquet(s"$path/class_docs"))
-        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
+        .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+        .filter(col("n_docs") > 0))
 
   /** Classify every non-null-text doc: `(doc_id, pred, bits8)` with
     * bits8 = the winning class's integer score in eighth-bits (smaller =

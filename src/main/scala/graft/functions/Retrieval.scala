@@ -116,23 +116,39 @@ object Retrieval {
     writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false,
       batchId = Some(batchId))
 
+  /** Takedown for the ADDITIVE BM25 index: append the doomed documents'
+    * postings with NEGATED tf and a negated stats delta under one batch
+    * id — [[bm25TopKFromIndex]]'s net-sum read then lands exactly where
+    * re-indexing without those documents would (df, avgdl, and every
+    * fixed-point score bit-identical; RetrievalSpec pins it). A replayed
+    * takedown collapses in the ledger. Caller contract: the doomed docs
+    * must actually be in the index (net-negative postings are dropped by
+    * the read-side tf > 0 filter rather than scoring). */
+  def appendBm25Decrement(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int, batchId: Long): Unit =
+    writeIndexSlice(docs, idCol, textCol, path, buckets, overwrite = false,
+      batchId = Some(batchId), negate = true)
+
   private def writeIndexSlice(
       docs: DataFrame, idCol: String, textCol: String, path: String,
-      buckets: Int, overwrite: Boolean, batchId: Option[Long]): Unit = {
+      buckets: Int, overwrite: Boolean, batchId: Option[Long],
+      negate: Boolean = false): Unit = {
     require(buckets > 0, "buckets must be positive")
     val mode = if (overwrite) "overwrite" else "append"
+    val sign = if (negate) -1L else 1L
     def tagged(df: DataFrame): DataFrame =
       batchId.fold(df)(StoreLedger.tag(df, _))
     val d = docs.filter(col(textCol).isNotNull)
     tagged(d.agg(
-        count(lit(1)).cast(LongType).as("n_docs"),
-        sum(size(wsTok(col(textCol))).cast(LongType)).as("sum_dl")))
+        (count(lit(1)) * sign).cast(LongType).as("n_docs"),
+        (sum(size(wsTok(col(textCol))).cast(LongType)) * sign).as("sum_dl")))
       .write.mode(mode).parquet(s"$path/stats")
     tagged(d.select(col(idCol).as("doc_id"),
         size(wsTok(col(textCol))).cast(LongType).as("dl"),
         explode(wsTok(col(textCol))).as("word"))
       .groupBy(col("doc_id"), col("dl"), col("word"))
-      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .agg((count(lit(1)) * sign).cast(LongType).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("word")), lit(buckets.toLong))))
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
   }
@@ -160,9 +176,16 @@ object Retrieval {
     val stats = StoreLedger.collapse(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // Ledger collapse AFTER the bucket/word prune: the distinct runs on
-    // the query terms' posting rows only, never the corpus's.
+    // the query terms' posting rows only, never the corpus's. The
+    // net-sum + tf > 0 filter is the decrement algebra
+    // ([[appendBm25Decrement]]): a taken-down doc's postings cancel to
+    // zero and vanish; for plain disjoint-slice stores each (doc, word)
+    // has exactly one row, so the sum is the identity.
     val tf = StoreLedger.collapse(spark.read.parquet(s"$path/postings")
         .filter(col("bucket").isInCollection(bucketIds) && col("word").isin(terms: _*)))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(sum(col("tf")).as("tf"))
+      .filter(col("tf") > 0)
       .select(col("doc_id"), col("dl"), col("word"), col("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("df"))
     val avgdl = col("sum_dl") / col("n_docs")

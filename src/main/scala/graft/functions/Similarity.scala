@@ -692,7 +692,14 @@ object Similarity {
     * sums; only the |C|·dim per-cell means ever reach the driver — the
     * same metadata-scale collect the query path already does. Same plan
     * shape at query time as sampled centroids, better cell balance /
-    * recall; empty cells keep their previous centroid. */
+    * recall; empty cells keep their previous centroid.
+    *
+    * Cross-engine exactness (the classCentroids 2^-20 discipline): the
+    * per-(cell, dim) sums accumulate FIXED-POINT integers
+    * (floor(x·2^20)) — order-independent, so the mean
+    * `(sx / 2^20) / n` is one exact division chain an oracle replays
+    * bit-identically; a raw double sum would drift in the last ulp with
+    * partitioning and could flip an assignment on the next iteration. */
   def trainIvfCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -715,7 +722,8 @@ object Similarity {
       val stats = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
-        .agg(sum(col("x").cast(DoubleType)).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType))
+          .as("sx"), count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getLong(0))
       cents = cents.map { case (cid, old) =>
@@ -726,7 +734,7 @@ object Similarity {
             val byDim = rows.map(r => r.getInt(1) -> r).toMap
             val mean = old.indices.map { d =>
               val r = byDim(d)
-              r.getDouble(2) / r.getLong(3)
+              (r.getLong(2).toDouble / 1048576.0) / r.getLong(3).toDouble
             }.toVector
             (cid, mean)
           case None => (cid, old) // empty cell: keep previous centroid
@@ -905,6 +913,46 @@ object Similarity {
         posexplode(col("top")).as(Seq("r", "hit")))
       .select(col("nprobe"), col("query_id"), (col("r") + 1).as("rank"),
         col("hit._1").as("vec_id"), col("hit._2").as("score"), col("n_cand"))
+  }
+
+  /** The sweep READING: recall@k and measured candidate volume per
+    * operating point, given an exact ground-truth pair list
+    * `(query_id, vec_id)` — the roll-up behind the `ann_sweep` gate
+    * entry and the per-micro-batch observability face
+    * ([[graft.streaming.SweepStream.annSweep]]). ONE consumption of the
+    * sweep frame (the corpus scan underneath runs once): full-outer join
+    * the ground-truth pairs fanned over the operating points, collapse
+    * per (nprobe, query) — n_cand repeats on each of a query's ≤k rank
+    * rows, max() picks it; ground-truth-only rows carry null n_cand and
+    * max() skips them — then one metadata-scale roll-up per point.
+    * Output: (nprobe, n_exact, n_hit, recall, n_cand). */
+  def ivfSweepReading(
+      corpus: DataFrame,
+      queries: DataFrame,
+      groundTruth: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbes: Seq[Int]): DataFrame = {
+    val sw = ivfTopKSweep(corpus, queries, idCol, vecCol, k, centRows, nProbes)
+    val ex = groundTruth
+      .select(col("query_id"), col("vec_id"),
+        explode(typedLit(nProbes)).as("nprobe"), lit(1).as("ex"))
+    val per = sw
+      .select(col("nprobe"), col("query_id"), col("vec_id"),
+        col("n_cand"), lit(1).as("got"))
+      .join(ex, Seq("nprobe", "query_id", "vec_id"), "full_outer")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(max(col("n_cand")).as("nc"),
+        count(col("ex")).as("n_ex_q"),
+        count(when(col("ex").isNotNull && col("got").isNotNull, 1)).as("n_hit_q"))
+    per.groupBy(col("nprobe"))
+      .agg(sum(col("n_ex_q")).as("n_exact"), sum(col("n_hit_q")).as("n_hit"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_cand"))
+      .select(col("nprobe"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"),
+        col("n_cand"))
   }
 
   /** [[ivfTopK]] with an explicit centroid set. */

@@ -162,6 +162,58 @@ object TextFunctions {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
+  /** TRUE iterative BPE training (Sennrich et al.): rule r+1 is the top
+    * adjacent pair of the corpus AFTER merges 1..r are applied — each
+    * merge changes downstream pair counts, so on any corpus where the
+    * top pairs overlap (e.g. (x,y) then (y,z)), the resulting table
+    * diverges from [[learnBpeMerges]]' one-shot top-n from rule 2 on.
+    * One rule is learned per round; returns (a, b, count-at-learn-time)
+    * in rule order.
+    *
+    * Posture: chained restartable rounds (the pagerank_k3 / stumpChain
+    * discipline) — each round is ONE pair-count aggregation (the shuffle
+    * carries one row per DISTINCT pair, Zipf-bounded) + a bounded top-1,
+    * and the round's merged token frame is persisted before the next
+    * round consumes it. The per-round persist is the chained-rounds
+    * EXCEPTION to the ≥3-consumer rule: each frame is consumed by an
+    * ACTION (the top-1 collect) before the next round exists, so lazy
+    * chaining would re-plan tokenize + r merge kernels multiplicatively
+    * (the kcore_k3 lesson). Rounds apply ONLY the newest rule to the
+    * previous round's frame — exact, because the greedy kernel applies
+    * rules sequentially: bpeApply(x, m1 ++ m2) == bpeApply(bpeApply(x,
+    * m1), m2). All frames release before return; only 1-row rule picks
+    * reach the driver. */
+  def learnBpeMergesChained(
+      df: DataFrame, textCol: Column, rounds: Int): Seq[(String, String, Long)] = {
+    var cur = df.filter(textCol.isNotNull)
+      .select(bpeTokens(textCol).as("tk")).persist()
+    val persisted = scala.collection.mutable.ArrayBuffer(cur)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        val cnt = greatest(size(col("tk")) - 1, lit(0))
+        val top = cur
+          .select(explode(zip_with(
+            slice(col("tk"), lit(1), cnt), slice(col("tk"), lit(2), cnt),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        require(top.nonEmpty, s"bpe training round $r: no adjacent pairs left")
+        val rule = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += rule
+        if (r < rounds) {
+          cur = cur.select(
+            bpeApply(col("tk"), Seq((rule._1, rule._2))).as("tk")).persist()
+          persisted += cur
+        }
+      }
+      out.toSeq
+    } finally persisted.foreach(_.unpersist(blocking = false))
+  }
+
   /** Apply a learned merge table to a token array: greedy left-to-right
     * non-overlapping pair merges, one merge rule after another (kernel-
     * backed, [[graft.expressions.BpeApply]]) — turns [[bpeTokens]] +
@@ -194,7 +246,29 @@ object TextFunctions {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.BpeEncodeBcast(
         org.apache.spark.sql.GraftColumnBridge.expression(tokens),
-        spark.sparkContext.broadcast(vocab), unkId))
+        vocabBroadcastOf(spark, vocab), unkId))
+
+  /** One live Broadcast per (SparkContext, vocab): repeated calls (bench
+    * iterations, re-built plans) reuse the context's existing broadcast
+    * instead of registering a fresh never-destroyed one per call — the
+    * driver-side twin of BcastVocab's executor-side dedupe. Keyed by the
+    * context's app id so a restarted context (whose broadcasts are dead)
+    * can never serve a stale handle; the map holds the previous context's
+    * entries only until the first call under the new one. Vocab equality
+    * is map equality — metadata-scale (the vocab is an index definition),
+    * so the hash/compare is noise next to the query it serves. */
+  private val vocabBcasts = new java.util.concurrent.ConcurrentHashMap[
+    (String, Map[String, Int]),
+    org.apache.spark.broadcast.Broadcast[Map[String, Int]]]()
+  private def vocabBroadcastOf(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Map[String, Int])
+      : org.apache.spark.broadcast.Broadcast[Map[String, Int]] = {
+    val app = spark.sparkContext.applicationId
+    vocabBcasts.keySet.removeIf(_._1 != app)
+    vocabBcasts.computeIfAbsent((app, vocab), _ =>
+      spark.sparkContext.broadcast(vocab))
+  }
 
   /** Decode vocab ids back to tokens through the inverted vocab; any id
     * outside the table (the unk id included) -> `unkToken`. Same

@@ -140,6 +140,28 @@ class ClassifierSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("NaiveBayes decrement slices: takedown equals retraining without the docs") {
+    // Negated count slices must net the store to exactly the
+    // retrained-without model: vocabulary size, class totals, priors,
+    // and every eighth-bit score — a fully-decremented token leaves V,
+    // a fully-removed class leaves the prior table. Replay collapses.
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val doomed = train.filter(col("doc_id") % 3 === 0)
+    val held = docs.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("nb_dec").toString
+    graft.functions.NaiveBayes.appendNbCounts(train, "lang", "text", dir, batchId = 0L)
+    graft.functions.NaiveBayes.appendNbCountsNegated(doomed, "lang", "text", dir, batchId = 1L)
+    graft.functions.NaiveBayes.appendNbCountsNegated(doomed, "lang", "text", dir, batchId = 1L) // replay
+    def preds(m: graft.functions.NaiveBayes.NbModel) =
+      graft.functions.NaiveBayes.classify(held, m, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val got = preds(graft.functions.NaiveBayes.readNb(spark, dir))
+    assert(got === preds(graft.functions.NaiveBayes.train(
+      train.filter(col("doc_id") % 3 =!= 0), "lang", "text")))
+    assert(got.nonEmpty)
+  }
+
   test("NaiveBayes: predictions are partitioning-invariant on the real corpus") {
     val model = graft.functions.NaiveBayes.train(
       docs.filter(col("doc_id") % 10 =!= 0), "lang", "text")

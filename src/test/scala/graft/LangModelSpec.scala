@@ -141,6 +141,40 @@ class LangModelSpec extends AnyFunSuite with SparkSpec {
         live, LangModel.readLm(spark, once), "doc_id", "text")))
   }
 
+  test("decrement slices: takedown equals retraining without the docs, bit-identical") {
+    // The additive algebra's takedown story: appending the doomed docs'
+    // counts NEGATED must land the read-side sums exactly where a
+    // retrain without them would — including the vocabulary edge (a
+    // fully-decremented pair falls back to the unigram/OOV chain) and
+    // the OOV literal (the transition total shrinks). Replayed takedown
+    // slices collapse in the ledger; compaction preserves the netting.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val doomed = docs.filter(col("doc_id") % 30 === 0)
+    val live = docs.filter(col("doc_id") % 10 =!= 0).limit(100)
+    val dir = java.nio.file.Files.createTempDirectory("lm_dec").toString
+    LangModel.appendLm3Counts(ref, "doc_id", "text", dir, batchId = 0L)
+    LangModel.appendLm3CountsNegated(doomed, "doc_id", "text", dir, batchId = 1L)
+    LangModel.appendLm3CountsNegated(doomed, "doc_id", "text", dir, batchId = 1L) // replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val refWithout = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") % 30 =!= 0)
+    assert(rows(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, dir), "doc_id", "text")) ===
+      rows(LangModel.surprisal(live, refWithout, "doc_id", "text")))
+    assert(rows(LangModel.surprisal3With(
+      live, LangModel.readLm3(spark, dir), "doc_id", "text")) ===
+      rows(LangModel.surprisal3(live, refWithout, "doc_id", "text")))
+    // Compaction nets the decrements away and stays score-identical.
+    val dir2 = java.nio.file.Files.createTempDirectory("lm_dec_c").toString
+    LangModel.compactLm(spark, dir, dir2)
+    assert(rows(LangModel.surprisalWith(
+      live, LangModel.readLm(spark, dir2), "doc_id", "text")) ===
+      rows(LangModel.surprisal(live, refWithout, "doc_id", "text")))
+    assert(spark.read.parquet(s"$dir2/pairs").filter(col("n") <= 0).count() === 0L,
+      "compaction must drop netted-to-zero pairs")
+  }
+
   test("trigram store: append + merge-on-read equals training on the union") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ref1 = docs.filter(col("doc_id") % 20 === 0)

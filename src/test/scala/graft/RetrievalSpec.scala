@@ -97,6 +97,26 @@ class RetrievalSpec extends AnyFunSuite with SparkSpec {
       rows(Retrieval.bm25TopK(docs, "doc_id", "text", terms, 25)))
   }
 
+  test("BM25 decrement slices: takedown equals re-indexing without the docs") {
+    // Negated postings + a negated stats delta must net the index to
+    // exactly the rebuilt-without state: df, avgdl, n_docs, and every
+    // fixed-point score — a taken-down doc's postings cancel to zero and
+    // vanish behind the tf > 0 read filter. Replay collapses.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val doomed = docs.filter(col("doc_id") % 3 === 0)
+    val terms = Seq("the", "order", "hash")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_dec").toString
+    Retrieval.appendBm25Index(docs, "doc_id", "text", dir, 16, batchId = 0L)
+    Retrieval.appendBm25Decrement(doomed, "doc_id", "text", dir, 16, batchId = 1L)
+    Retrieval.appendBm25Decrement(doomed, "doc_id", "text", dir, 16, batchId = 1L) // replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq
+    val got = rows(Retrieval.bm25TopKFromIndex(spark, dir, terms, 25, buckets = 16))
+    assert(got === rows(Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", terms, 25)))
+    assert(got.nonEmpty)
+  }
+
   test("topK bounds the result; unmatched terms contribute nothing") {
     val df = fixture.toDF("doc_id", "text")
     val top2 = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark", "query"), topK = 2)

@@ -59,6 +59,49 @@ class StoreLogSpec extends SparkSpec {
       "a retained tombstone must beat a replayed pre-delete insert")
   }
 
+  test("minhash index through the log (the dedup_retract shape): takedown, replay, compaction") {
+    import graft.functions.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("store_log_mh").toString
+    // Three docs: 1 and 2 near-identical, 3 distant; doc 2 gets taken down.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(docs, "doc_id", "text")
+    StoreLog.appendInserts(idx.shingled, s"$dir/shingles", gen = 0L)
+    StoreLog.appendInserts(idx.banded, s"$dir/bands", gen = 0L)
+    def pairs(p: String) = Dedup.minhashPairsFromIndex(
+        Dedup.MinhashIndex(
+          StoreLog.readLive(spark, s"$p/shingles", Seq("id")),
+          StoreLog.readLive(spark, s"$p/bands", Seq("id", "band"))),
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(dir) === Set((1L, 2L)))
+    // Key-only takedown of doc 2: the band tombstones fan the id over the
+    // static band indexes (a takedown knows the id, not the signatures).
+    val down = Seq(Tuple1(2L)).toDF("id")
+    val downBands = down.select(col("id"),
+      explode(sequence(lit(0), lit(31))).as("band"))
+    StoreLog.appendTombstones(down, s"$dir/shingles", gen = 1L)
+    StoreLog.appendTombstones(downBands, s"$dir/bands", gen = 1L)
+    StoreLog.appendTombstones(down, s"$dir/shingles", gen = 1L) // replay
+    StoreLog.appendTombstones(downBands, s"$dir/bands", gen = 1L) // replay
+    assert(pairs(dir) === Set.empty, "taken-down doc must leave no pairs")
+    // Compaction is pair-invariant and RETAINS the tombstones: a replayed
+    // pre-delete insert slice must not resurrect doc 2's index rows.
+    val dest = java.nio.file.Files.createTempDirectory("store_log_mhc").toString
+    StoreLog.compact(spark, s"$dir/shingles", s"$dest/shingles", Seq("id"))
+    StoreLog.compact(spark, s"$dir/bands", s"$dest/bands", Seq("id", "band"))
+    assert(pairs(dest) === Set.empty)
+    StoreLog.appendInserts(idx.shingled.filter(col("id") === 2L),
+      s"$dest/shingles", gen = 0L)
+    StoreLog.appendInserts(idx.banded.filter(col("id") === 2L),
+      s"$dest/bands", gen = 0L)
+    assert(pairs(dest) === Set.empty,
+      "retained tombstones must beat replayed pre-delete inserts")
+  }
+
   test("live signatures feed the phash pair operator (the mm_phash_retract shape)") {
     val dir = java.nio.file.Files.createTempDirectory("store_log_mm").toString + "/log"
     // Two near-identical sigs (Hamming 1) + one distant; take down one

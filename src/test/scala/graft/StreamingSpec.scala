@@ -658,6 +658,66 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("SweepStream.dedupSweep: per-batch readings; the latest equals the batch sweep over the union") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("sweep_dd").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.SweepStream.dedupSweep(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/index", s"$base/readings")
+      .queryName("dedup_sweep_ingest").start()
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq),
+      () => in.addData(b2.toSeq)) // replayed slice: idempotent by distinct-on-read
+    def reading(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("threshold"), col("n_pairs"), col("n_docs")).collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val latest = reading(
+      graft.streaming.SweepStream.latestReading(spark, s"$base/readings"))
+    val batch = reading(Dedup.sweepReport(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleK = 4, threshold = 0.7),
+      Seq(0.7, 0.95, 0.98)))
+    assert(latest === batch)
+    assert(latest.values.map(_._1).sum > 0, "fixture must produce near-dup pairs")
+  }
+
+  test("SweepStream.annSweep: the latest reading equals the batch sweep over the union") {
+    import graft.functions.Similarity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("sweep_ann").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.SweepStream.annSweep(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents,
+        s"$base/index", s"$base/readings", k = 5, nProbes = Seq(1, 4))
+      .queryName("ann_sweep_ingest").start()
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq),
+      () => in.addData(b1.toSeq)) // replayed slice
+    def reading(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("nprobe"), col("n_exact"), col("n_hit"), col("n_cand"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val latest = reading(
+      graft.streaming.SweepStream.latestReading(spark, s"$base/readings"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val gt = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("vec_id"))
+    val batch = reading(Similarity.ivfSweepReading(
+      emb, queries, gt, "vec_id", "embedding", k = 5, cents, Seq(1, 4)))
+    assert(latest === batch)
+    assert(latest.values.map(_._2).sum > 0, "fixture must produce recall hits")
+  }
+
   test("StoreIngest.graphEdgeOps: streamed inserts + replay match the batch set; takedowns land above the stream's generations") {
     import graft.functions.Graph
     import spark.implicits._

@@ -90,6 +90,53 @@ class TokenizerPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Driver-side reference for ITERATIVE BPE: round r's rule is the top
+    * pair (count DESC, pair ASC) of the corpus with rules 1..r-1 applied
+    * greedily. Returns as many rules as the corpus sustains, up to max. */
+  private def refTrain(
+      docs: Seq[Seq[String]], max: Int): Seq[(String, String, Long)] = {
+    var cur = docs
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < max) {
+      val counts = cur.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      if (counts.isEmpty) return out.toSeq
+      val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      out += ((a, b, n))
+      cur = cur.map(refApply(_, Seq((a, b))))
+      r += 1
+    }
+    out.toSeq
+  }
+
+  test("learnBpeMergesChained equals the iterative driver-side reference") {
+    for (i <- 0 until 10) {
+      val docs = docsGen(Gen.Parameters.default, rng.Seed(600L + i)).get
+      val expect = refTrain(docs, max = 3)
+      if (expect.nonEmpty) {
+        val df = docs.zipWithIndex
+          .map { case (d, j) => (j.toLong, d.mkString(" ")) }
+          .toDF("doc_id", "text")
+          .repartition(1 + (i % 5))
+        val got = TF.learnBpeMergesChained(df, col("text"), rounds = expect.size)
+        assert(got == expect, s"case $i: $docs")
+      }
+    }
+  }
+
+  test("iterative training provably diverges from the one-shot table") {
+    // After rule 1 merges (x, y), the one-shot table's rank-2 pair (y, z)
+    // no longer exists in the corpus — true BPE learns (xy, z) instead.
+    val df = Seq.fill(5)("x y z").zipWithIndex
+      .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+    val oneShot = TF.learnBpeMerges(df, col("text"), n = 2)
+    val chained = TF.learnBpeMergesChained(df, col("text"), rounds = 2)
+    assert(oneShot == Seq(("x", "y"), ("y", "z")))
+    assert(chained.map(m => (m._1, m._2)) == Seq(("x", "y"), ("xy", "z")))
+    assert(chained(1)._3 == 5L)
+  }
+
   test("bpeEncodeIds/bpeDecodeIds: decode(encode) == source with OOV -> <unk>, exactly") {
     // Random token streams over a 6-word alphabet; vocab covers only 3 of
     // them, so the round-trip restores in-vocab tokens verbatim and maps
