@@ -242,51 +242,66 @@ object Dedup {
       shingledDf(df, idCol, textCol, shingleK), threshold, minShingles)
 
   /** [[containmentPairs]] over an existing `(id, sh)` shingle frame — the
-    * persisted-store face. The plan references its input five times (freq
-    * aggregate, prefix side, postings side, both verify attachments); off
-    * a store those are five columnar metadata scans instead of five
-    * text-scan + shingle-kernel evaluations — the round-10 verdict's #1
-    * efficiency finding, closed by construction here. */
+    * persisted-store face. Off a store, every subtree reads columnar
+    * metadata scans instead of re-running the text scan + shingle kernel
+    * per consumer — the round-10 verdict's #1 efficiency finding, closed
+    * by construction here. */
   def containmentPairsFromShingled(
       shingledIn: DataFrame,
       threshold: Double,
       minShingles: Int): DataFrame = {
-    // Both persists implement the single-evaluation discipline where the
-    // consumer count says it pays (≥3): `shingled` feeds the explode and
-    // BOTH verify attachments; `exploded` feeds the frequency aggregate,
-    // the rarest-prefix side, and the postings side — unpersisted, each
-    // subtree re-reads the store (or re-runs the shingle kernel) and
-    // re-explodes the corpus (measured ~1.5 s/extra pass at sf0.1).
-    // Two-consumer plans (MinHash verify) deliberately do NOT persist:
-    // the cache materialization there costs more than the scan it saves.
-    // LIFECYCLE: these persists are plan-level (materialized during the
-    // caller's action), so this builder cannot unpersist them itself —
-    // the repo's harnesses drop them between queries via
+    // Persist discipline: `shingled` has 3 consumers (the explode and
+    // both verify attachments) — cache; `ordered` has 2 consumers
+    // (prefix side, postings side) but its subtree is the freq join +
+    // the full-corpus position window, which a re-evaluation pays twice
+    // — a round-12 bracket measured the persist winning decisively as
+    // part of the positional-filter rework (5.75 → 4.04 s median at
+    // sf0.1). LIFECYCLE: these persists are plan-level (materialized
+    // during the caller's action), so this builder cannot unpersist them
+    // itself — the repo's harnesses drop them between queries via
     // `spark.sharedState.cacheManager.clearCache()` (Bench/Verify), and
-    // a long-lived caller issuing many fresh plans should do the same
-    // (or `df.unpersist()` the returned frame's cached children) to keep
-    // storage memory from accumulating across invocations.
+    // a long-lived caller issuing many fresh plans should do the same.
     val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .persist()
     val freq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val prefix = exploded
-      .filter(col("len") >= minShingles)
+    // BOTH sides of the candidate join now carry the global-frequency
+    // position (one id-keyed window over the exploded corpus — ~32 B
+    // rows, no arrays), because the postings side's position powers the
+    // containment POSITIONAL filter below.
+    val ordered = exploded
       .join(freq, "s")
       .withColumn(
         "pos",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .select(col("s"), col("id"), col("len"), col("pos"))
+      .persist()
+    val prefix = ordered
+      .filter(col("len") >= minShingles)
       .filter(col("pos") <= col("len") - ceil(col("len") * threshold) + 1)
-      .select(col("s"), col("id"), col("len"))
+    // Positional filter (the PPJoin move, containment form): both sides
+    // order their shingles by the same global (df, s) rank, so at a
+    // pair's FIRST shared element nothing common precedes it on either
+    // side — overlap <= 1 + min(|A| - p_a, |B| - p_b), and containment
+    // >= t needs overlap >= ceil(t·|A|). A qualifying pair's first
+    // shared element provably lies in A's prefix (at most (1-t)·|A| of
+    // A's shingles are missing from B) and passes the bound there, so
+    // per-row filtering keeps exactly the pairs that can still qualify —
+    // exact, no recall loss. Measured at sf0.1: collision rows 17.8M →
+    // the verify pair set shrinks ~10× (near-equal-length pairs keep
+    // only the last ~(1-t) of B's positions), containment family
+    // 5.75 → 4.04 s median.
+    val posBound =
+      lit(1) + least(col("l.len") - col("l.pos"), col("r.len") - col("r.pos")) >=
+        ceil(col("l.len") * lit(threshold))
     // No merge hint: the sides are genuinely different frames (rare prefix
     // vs full postings), so there is no exchange to share; AQE picks the
     // join shape from runtime sizes.
     val candidates = prefix.as("l")
-      .join(exploded.as("r"),
+      .join(ordered.as("r"),
         col("l.s") === col("r.s") && col("l.id") =!= col("r.id") &&
-          col("r.len") >= col("l.len") * lit(threshold))
+          col("r.len") >= col("l.len") * lit(threshold) && posBound)
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
     val a = shingled.select(col("id").as("i"), col("sh").as("sh_i"))
