@@ -829,6 +829,33 @@ object SparkEntry {
     "overlap_matrix" -> ((s, dir) =>
       Dedup.ngramSourceOverlap(t(s, dir, "documents"), "text", "source", n = 8)),
 
+    // Whole-SOURCE takedown for the gram inventory (a crawl found to be
+    // poisoned/copyrighted leaves the duplication report): the inventory
+    // routes through the generic LWW StoreLog keyed by its full (src, h)
+    // row; the takedown derives its key list FROM THE LIVE STORE (the
+    // takedown tooling knows the source name, the store knows its keys),
+    // materialized before the append so the replayed slice is
+    // byte-identical. The oracle recomputes the matrix from raw text
+    // with the doomed sources simply absent.
+    "overlap_retract" -> ((s, dir) => {
+      import graft.functions.StoreLog
+      val path = oncePerDir(dir, "gramlog-v1-e3", "documents") { p =>
+        val inv = Dedup.gramInventory(t(s, dir, "documents"), "text", "source", n = 8)
+        StoreLog.appendInserts(inv, p, gen = 0L)
+        // persist + count: the key list is read from the path being
+        // appended to — materialize it BEFORE the first tombstone write
+        // so the write never scans its own output and the replay slice
+        // re-appends the identical cached rows.
+        val down = StoreLog.readLive(s, p, Seq("src", "h"))
+          .filter(col("src").endsWith("3")).persist()
+        down.count()
+        StoreLog.appendTombstones(down, p, gen = 1L)
+        StoreLog.appendTombstones(down, p, gen = 1L) // replay
+        down.unpersist(blocking = false); ()
+      }
+      Dedup.overlapMatrixFromGrams(StoreLog.readLive(s, path, Seq("src", "h")))
+    }),
+
     // MinHash+LSH near-dup: banded signature join generates candidates,
     // exact Jaccard verifies (see Dedup scaladoc for the recall math).
     // All four shingle-family queries below run off the persisted per-dir
@@ -1047,6 +1074,31 @@ object SparkEntry {
       Similarity.ivfTopKWithCentroids(e, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5,
         ivfTrainedCentroidStore(s, dir), nProbe = AnnDefaultNProbe)
+    }),
+
+    // The default at its 100 TB posture: the SAME trained config read
+    // through the cell-bucketed store layout (writeIvfBucketed — probing
+    // prunes FILE SCANS via partition pruning, not just scoring), landed
+    // as two slices plus a replay (the ann_ivf_store ingestion proof).
+    // Must equal ann_default exactly — the oracle recomputes the trained
+    // pipeline from raw embeddings, so the layout, the slice boundaries,
+    // and the replay are all provably invisible.
+    "ann_default_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // Dependency store resolved BEFORE entering the outer build (the
+      // advisor's hoisting discipline, even though oncePerDir no longer
+      // crashes on nested resolution).
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val path = oncePerDir(
+        dir, s"ivfdefstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
+        val s1 = e.filter(col("vec_id") % 2 === 0)
+        val s2 = e.filter(col("vec_id") % 2 === 1)
+        Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p)
+        Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, p)
+        Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, p) // replay
+      }
+      Similarity.ivfTopKFromBucketed(s, path, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, cents, nProbe = AnnDefaultNProbe)
     }),
 
     // LSH-bucketed approximate ANN (rows-only check: recall is
@@ -1942,6 +1994,25 @@ object SparkEntry {
       s.read.parquet(bpeTrainStore(s, dir))
         .select(col("round").cast(IntegerType).as("round"), col("a"),
           col("b"), col("n_pairs").cast(LongType).as("n_pairs"))),
+
+    // The trained tokenizer APPLIED: the 8 iteratively-learned rules from
+    // the persisted merge table re-tokenize the corpus (greedy kernel,
+    // map-side, shuffle-free — the bpe_apply plan with the TRUE-BPE
+    // table). The oracle replays training AND application from raw text,
+    // so the store and the rule order are both pinned.
+    "bpe_apply_trained" -> ((s, dir) => {
+      val merges = s.read.parquet(bpeTrainStore(s, dir))
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      docs
+        .select(col("doc_id"), TF.bpeTokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), TF.bpeApply(col("tk"), merges).as("mtk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast(LongType).as("n_base_tokens"),
+          size(col("mtk")).cast(LongType).as("n_tokens"),
+          TF.xhash32(concat_ws("\u001f", col("mtk"))).as("tok_sig"))
+    }),
 
     // Decode vocab ids back to tokens — the inverse-map face closing the
     // tokenizer round-trip: ids from the encode pass map through the
@@ -3873,7 +3944,20 @@ $rounds
     * union), so plain CTE inlining would re-evaluate the chain
     * exponentially in the round count — the decision-list depth-5
     * lesson. */
-  private lazy val bpeTrainSql: String = {
+  private lazy val bpeTrainSql: String =
+    bpeTrainCtes(applyAll = false) + "\n" + (0 until BpeTrainRounds)
+      .map(i => s"SELECT ${i + 1} AS round, a, b, n_pairs FROM mg$i")
+      .mkString("\nUNION ALL\n")
+
+  /** Generated oracle for `bpe_apply_trained`: the iterative training
+    * chain with EVERY round's merge applied (t$rounds is the corpus
+    * tokenized by the trained tokenizer), then the bpe_apply tail. */
+  private lazy val bpeApplyTrainedSql: String =
+    bpeTrainCtes(applyAll = true) +
+      bpeApplyTail.replace("FROM t8 GROUP BY doc_id",
+        s"FROM t$BpeTrainRounds GROUP BY doc_id")
+
+  private def bpeTrainCtes(applyAll: Boolean): String = {
     val rounds = BpeTrainRounds
     val steps = (0 until rounds).map { i =>
       val learn =
@@ -3905,17 +3989,14 @@ $rounds
            |  SELECT doc_id, pos, CASE WHEN sel = 1 THEN tok || ntok ELSE tok END AS tok
            |  FROM (SELECT *, lag(sel) OVER (PARTITION BY doc_id ORDER BY pos) AS psel FROM s$i)
            |  WHERE coalesce(psel, 0) = 0)""".stripMargin
-      // The last round only LEARNS its rule; nothing consumes t$rounds.
-      if (i == rounds - 1) learn else learn + ",\n" + apply
+      // Training only LEARNS on the last round (nothing consumes
+      // t$rounds); the apply face applies every rule.
+      if (i == rounds - 1 && !applyAll) learn else learn + ",\n" + apply
     }.mkString(",\n")
-    val union = (0 until rounds)
-      .map(i => s"SELECT ${i + 1} AS round, a, b, n_pairs FROM mg$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH tk AS (SELECT doc_id, regexp_extract_all(text, '${TF.TokenPattern}') AS tk
        |  FROM documents WHERE text IS NOT NULL),
        |t0 AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS tok FROM tk),
-       |$steps
-       |$union""".stripMargin
+       |$steps""".stripMargin
   }
 
   private lazy val bpeApplyTail: String =
@@ -4216,6 +4297,18 @@ $rounds
         |SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
         |FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2""".stripMargin,
+    // The source-takedown gate: the overlap matrix with the tombstoned
+    // sources (names ending in '3') simply absent.
+    "overlap_retract" ->
+      """WITH tk AS (SELECT source, string_split(text, ' ') AS tk FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL AND source NOT LIKE '%3'),
+        |g AS (SELECT DISTINCT source AS src,
+        |    ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 8))::BIGINT AS h
+        |  FROM (SELECT source, tk, unnest(range(1, len(tk) - 6)) AS i
+        |        FROM tk WHERE len(tk) >= 8))
+        |SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
+        |FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash" -> jaccardPairsSql(0.8),
     // The takedown gate: exact J>=0.8 pairs with the tombstoned docs
     // (id % 11 == 0) simply absent — the log algebra must be exactly
@@ -4440,6 +4533,9 @@ $rounds
     // The shipped default: trained centroids (fixed-point Lloyd replay)
     // + nProbe=8 — the full-pipeline replica, value-exact end to end.
     "ann_default" -> annDefaultSql,
+    // The bucketed-store read must be indistinguishable from the
+    // from-scratch trained pipeline — same oracle.
+    "ann_default_store" -> annDefaultSql,
     "ann_recall_default" -> annRecallSql(annDefaultSql),
     // Recall replica: the two list oracles as parenthesized subqueries,
     // left-joined on the (query, neighbor) key.
@@ -4601,6 +4697,7 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
          |FROM p GROUP BY 1, 2 ORDER BY n_pairs DESC, a, b LIMIT 20""".stripMargin,
     "bpe_apply" -> bpeApplySql,
     "bpe_train_k8" -> bpeTrainSql,
+    "bpe_apply_trained" -> bpeApplyTrainedSql,
     "bpe_encode" -> bpeEncodeSql,
     // The broadcast-vocab face must be indistinguishable from the
     // literal-map one — same oracle.

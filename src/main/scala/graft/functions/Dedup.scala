@@ -787,7 +787,7 @@ object Dedup {
 
   /** The distinct (gram-hash, source) inventory [[ngramSourceOverlap]]
     * joins — also the unit of persistence for the incremental face. */
-  private def gramInventory(
+  private[graft] def gramInventory(
       df: DataFrame, textCol: String, srcCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
     // One codegen'd kernel per row (FastText.hashedWordGrams) — the HOF
@@ -812,7 +812,7 @@ object Dedup {
       .distinct()
   }
 
-  private def overlapMatrixFromGrams(grams: DataFrame): DataFrame =
+  private[graft] def overlapMatrixFromGrams(grams: DataFrame): DataFrame =
     grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))

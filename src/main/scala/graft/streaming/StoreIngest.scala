@@ -93,6 +93,21 @@ object StoreIngest {
     ingestTagged(stream)((b, id) =>
       graft.functions.Drift.appendEmbStats(b, vecCol, path, id))
 
+  /** MinHash dedup-index ingestion (SET-like algebra: both index tables
+    * are pure functions of (id, text) and the index params, so a
+    * replayed batch rewrites byte-identical rows that
+    * [[graft.functions.Dedup.readMinhashIndexDedup]]'s distinct
+    * collapses). The batch is shingled and signed ONCE, here — every
+    * later dedup query over the store is columnar metadata scans. The
+    * sweep-reading variant lives at [[SweepStream.dedupSweep]]. */
+  def minhashIndex(
+      stream: DataFrame, idCol: String, textCol: String, path: String,
+      shingleK: Int = 4, numHashes: Int = 128, bands: Int = 32): DataStreamWriter[Row] =
+    ingest(stream)(b =>
+      graft.functions.Dedup.appendMinhashIndex(
+        graft.functions.Dedup.buildMinhashIndex(
+          b, idCol, textCol, shingleK, numHashes, bands), path))
+
   /** Generic set-log ingestion ([[graft.functions.StoreLog]] LWW
     * algebra): every micro-batch appends an INSERT slice with the
     * foreachBatch id as its generation — replay-stable (redelivered

@@ -686,6 +686,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(latest.values.map(_._1).sum > 0, "fixture must produce near-dup pairs")
   }
 
+  test("StoreIngest.minhashIndex: streamed slices + replay equal the batch pair set") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("ingest_mh").toString + "/idx"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StoreIngest.minhashIndex(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", dir)
+      .queryName("mh_ingest").start()
+    runToCompletion(q, () => in.addData(b1.toSeq), () => in.addData(b2.toSeq),
+      () => in.addData(b1.toSeq)) // replayed slice
+    def pairs(idx: Dedup.MinhashIndex) =
+      Dedup.minhashPairsFromIndex(idx, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(Dedup.readMinhashIndexDedup(spark, dir))
+    val batch = pairs(Dedup.buildMinhashIndex(docs, "doc_id", "text"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("SweepStream.annSweep: the latest reading equals the batch sweep over the union") {
     import graft.functions.Similarity
     import spark.implicits._
