@@ -1076,6 +1076,34 @@ object SparkEntry {
         ivfTrainedCentroidStore(s, dir), nProbe = AnnDefaultNProbe)
     }),
 
+    // Vector takedown inside the correctness gate — the rare-event
+    // design the vector index wants at 100 TB (contrast the per-row LWW
+    // log of dedup_retract/mm_phash_retract): deleted ids live in a
+    // metadata-scale SIDE LOG, broadcast anti-joined AFTER the
+    // partition-pruned probe scan — takedown support costs one bounded
+    // hash lookup per candidate row and the cell layout keeps pruning
+    // files. Centroids are the INDEX DEFINITION and survive the
+    // takedown (the vector leaves; the trained artifact doesn't
+    // retrain). Every 7th-mod-3 vector deleted, the delete slice
+    // replayed (idempotent by set semantics), deleted queries excluded
+    // the same way. The oracle keeps the full-corpus centroid sample
+    // but assigns/probes/scores only the surviving vectors.
+    "ann_retract" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.sampledIvfCentroids(e, "vec_id", "embedding")
+      val path = oncePerDir(dir, "ivfretract-v1-d7r3", "embeddings") { p =>
+        Similarity.writeIvfBucketed(e, "vec_id", "embedding", cents, s"$p/cells")
+        val down = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+        down.write.mode("append").parquet(s"$p/deletes")
+        down.write.mode("append").parquet(s"$p/deletes") // replay
+      }
+      val deletes = s.read.parquet(s"$path/deletes").distinct()
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .join(deletes, Seq("vec_id"), "left_anti")
+      Similarity.ivfTopKFromBucketedExcluding(s, s"$path/cells", deletes,
+        queries, "vec_id", "embedding", k = 5, cents, nProbe = 2)
+    }),
+
     // The default at its 100 TB posture: the SAME trained config read
     // through the cell-bucketed store layout (writeIvfBucketed — probing
     // prunes FILE SCANS via partition pruning, not just scoring), landed
@@ -3546,6 +3574,23 @@ object SparkEntry {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** Generated oracle for `ann_retract`: the annIvfSql pipeline with the
+    * deleted vectors (vec_id % 7 = 3) removed from the ASSIGNMENT and
+    * PROBE sides only — the centroid sample stays full-corpus (the index
+    * definition survives a takedown; only the vectors leave). Built by
+    * guarded surgery on the shared replica so the two oracles cannot
+    * drift. */
+  private lazy val annIvfRetractSql: String = {
+    val assignAnchor = "FROM aff) WHERE rn = 1)"
+    val probeAnchor = "FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2)"
+    require(annIvfSql.contains(assignAnchor) && annIvfSql.contains(probeAnchor),
+      "annIvfSql shape changed; update annIvfRetractSql's anchors")
+    annIvfSql
+      .replace(assignAnchor, "FROM aff WHERE vec_id % 7 <> 3) WHERE rn = 1)")
+      .replace(probeAnchor,
+        "FROM aff WHERE vec_id % 50 = 0 AND vec_id % 7 <> 3) WHERE rn <= 2)")
+  }
+
   private lazy val annTopkSql: String =
     s"""WITH e AS ($embCast),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
@@ -4536,6 +4581,10 @@ $rounds
     // The bucketed-store read must be indistinguishable from the
     // from-scratch trained pipeline — same oracle.
     "ann_default_store" -> annDefaultSql,
+    // The vector-takedown gate: full-corpus centroids, surviving-vector
+    // assignment/probing — delete must equal never-having-indexed the
+    // vector while the index definition persists.
+    "ann_retract" -> annIvfRetractSql,
     "ann_recall_default" -> annRecallSql(annDefaultSql),
     // Recall replica: the two list oracles as parenthesized subqueries,
     // left-joined on the (query, neighbor) key.

@@ -864,6 +864,61 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** [[ivfTopKFromBucketed]] with a DELETE LIST — the takedown story for
+    * the vector index at its 100 TB posture. Deletes are the RARE,
+    * metadata-scale event: rather than rewriting cell files per takedown
+    * (or routing the whole layout through a key-grouped LWW log, which
+    * would trade away partition pruning), deleted ids live in a side log
+    * and are broadcast ANTI-JOINED after the partition-pruned scan — the
+    * probe path pays one bounded hash lookup per candidate row and the
+    * cell layout keeps pruning files. [[compactIvfBucketed]] folds the
+    * log into the layout when it grows; until then a replayed delete
+    * slice is idempotent by set semantics (ids distinct-on-read).
+    * Deleted QUERY vectors are the caller's concern (a taken-down
+    * vector shouldn't be issuing queries — anti-join the query frame
+    * the same way). */
+  def ivfTopKFromBucketedExcluding(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      deletedIds: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbe: Int = 2): DataFrame = {
+    val q = queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
+      .select(col("query_id"), col("qv"), col("n_qv"),
+        explode(probeCells(centRows, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
+    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .dropDuplicates("vec_id")
+      .join(broadcast(deletedIds.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .transform(rankTopK(k))
+  }
+
+  /** Fold the delete log into the cell layout: rewrite the cells minus
+    * the deleted ids (pruning-preserving — still partitioned by cell).
+    * `dest` must differ from `src` (the compactLm contract); read-side
+    * results over (dest, empty deletes) equal (src, deletes) exactly. */
+  def compactIvfBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String,
+      deletedIds: DataFrame,
+      dest: String): Unit = {
+    require(src != dest, "compaction writes a FRESH layout; cannot overwrite the source in place")
+    spark.read.parquet(src)
+      .dropDuplicates("vec_id")
+      .join(broadcast(deletedIds.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .write.partitionBy("cell").mode("overwrite").parquet(dest)
+  }
+
   /** Operating-point sweep over the IVF probe knob: per-query top-k at
     * EVERY `nProbes` setting from ONE corpus scan. The query side explodes
     * its top-max(nProbes) cells with the probe rank attached; candidates
