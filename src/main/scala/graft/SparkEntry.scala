@@ -3033,6 +3033,25 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("vector", "query", "spark"), topK = 10)),
 
+    // BM25-index takedown inside the correctness gate (the lm_retract
+    // choreography, retrieval face): whole corpus indexed at batch 0,
+    // every 9th doc's postings + stats appended NEGATED at batch 1, the
+    // takedown slice replayed (ledger-idempotent), then the standard
+    // query — df, avgdl, n_docs, and every fixed-point score must land
+    // exactly where re-indexing without those docs would.
+    "bm25_retract" -> ((s, dir) => {
+      import graft.functions.Retrieval
+      val path = oncePerDir(dir, "bm25log-v1-m9", "documents") { p =>
+        val docs = t(s, dir, "documents")
+        Retrieval.appendBm25Index(docs, "doc_id", "text", p, 16, batchId = 0L)
+        val doomed = docs.filter(col("doc_id") % 9 === 0)
+        Retrieval.appendBm25Decrement(doomed, "doc_id", "text", p, 16, batchId = 1L)
+        Retrieval.appendBm25Decrement(doomed, "doc_id", "text", p, 16, batchId = 1L) // replay
+      }
+      Retrieval.bm25TopKFromIndex(s, path,
+        terms = Seq("vector", "query", "spark"), topK = 10, buckets = 16)
+    }),
+
     // Robust per-type outlier screen on event values: median/MAD at 2^-20
     // fixed point, one histogram pass + one narrow flagging pass, (med,
     // mad) broadcast — where mean/stddev would be dragged by the very
@@ -5976,6 +5995,24 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     "bm25_topk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS sum_dl FROM d),
+        |t AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS word FROM d),
+        |tf AS (SELECT doc_id, dl, word, count(*)::BIGINT AS tf FROM t
+        |  WHERE word IN ('vector', 'query', 'spark') GROUP BY 1, 2, 3),
+        |df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+        |sc AS (SELECT doc_id,
+        |  floor(((n_docs - df.df + 0.5) / (df.df + 0.5))
+        |    * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / (sum_dl / n_docs)))))
+        |    * 1048576.0)::BIGINT AS s_fp
+        |  FROM tf JOIN df USING (word) CROSS JOIN st)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms, sum(s_fp)::BIGINT AS score_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin,
+    // The BM25-takedown gate: the bm25_topk replica with the doomed docs
+    // (doc_id % 9 = 0) simply absent — stats, df, and scores retrained.
+    "bm25_retract" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 9 <> 0),
         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS sum_dl FROM d),
         |t AS (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS word FROM d),
         |tf AS (SELECT doc_id, dl, word, count(*)::BIGINT AS tf FROM t

@@ -86,6 +86,39 @@ object StoreIngest {
     ingestTagged(stream)((b, id) =>
       graft.functions.Retrieval.appendBm25Index(b, idCol, textCol, path, buckets, id))
 
+  /** Takedown STREAMS for the additive stores — the live face of the
+    * GDPR path: each micro-batch of DOOMED documents appends a
+    * ledger-tagged DECREMENT slice (negated counts; see
+    * [[graft.functions.LangModel.appendLmCountsNegated]] for the
+    * algebra), so the read-side model tracks "as if never trained on"
+    * batch by batch, replays collapsing like any slice. The batch id is
+    * tagged with [[TakedownIdBit]]: a takedown stream's foreachBatch ids
+    * restart from 0 like any stream's, and an UNTAGGED id could collide
+    * with the insert stream's id space — two DIFFERENT takedown streams
+    * re-tombstoning the same docs under one raw id would collapse in the
+    * ledger and silently UNDER-decrement. The high-bit offset keeps the
+    * two id clocks disjoint while staying replay-stable. */
+  val TakedownIdBit: Long = 1L << 62
+
+  def lmTakedowns(
+      stream: DataFrame, idCol: String, textCol: String, path: String): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.LangModel.appendLmCountsNegated(
+        b, idCol, textCol, path, id | TakedownIdBit))
+
+  def nbTakedowns(
+      stream: DataFrame, labelCol: String, textCol: String, path: String): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.NaiveBayes.appendNbCountsNegated(
+        b, labelCol, textCol, path, id | TakedownIdBit))
+
+  def bm25Takedowns(
+      stream: DataFrame, idCol: String, textCol: String, path: String,
+      buckets: Int = 256): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.Retrieval.appendBm25Decrement(
+        b, idCol, textCol, path, buckets, id | TakedownIdBit))
+
   /** Embedding-drift reference ingestion (ADDITIVE algebra, batch-id
     * ledger — the prototype the other additive sinks generalized). */
   def embStats(

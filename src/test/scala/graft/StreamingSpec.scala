@@ -742,6 +742,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(latest.values.map(_._2).sum > 0, "fixture must produce recall hits")
   }
 
+  test("StoreIngest takedown streams: streamed decrements equal retrain-without, bit-identical") {
+    import graft.functions.{LangModel, Retrieval}
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val doomed = docs.filter(col("doc_id") % 3 === 0)
+    val doomedRows = doomed.as[(Long, String)].collect()
+    val (d1, d2) = doomedRows.splitAt(doomedRows.length / 2)
+    val live = docs.limit(40)
+    // LM: batch insert, then a takedown STREAM of two doomed slices +
+    // a replayed slice (the ledger's high-bit id space keeps the insert
+    // and takedown clocks disjoint).
+    val lmDir = java.nio.file.Files.createTempDirectory("lm_td").toString + "/lm"
+    LangModel.appendLmCounts(docs, "doc_id", "text", lmDir, batchId = 0L)
+    val lIn = MemoryStream[(Long, String)]
+    val lq = graft.streaming.StoreIngest.lmTakedowns(
+        lIn.toDF().toDF("doc_id", "text"), "doc_id", "text", lmDir)
+      .queryName("lm_takedowns").start()
+    runToCompletion(lq, () => lIn.addData(d1.toSeq), () => lIn.addData(d2.toSeq))
+    // Replay of the LAST takedown batch with its replay-stable id.
+    LangModel.appendLmCountsNegated(
+      d2.toSeq.toDF("doc_id", "text"), "doc_id", "text", lmDir,
+      batchId = 1L | graft.streaming.StoreIngest.TakedownIdBit)
+    def lmScores(lm: LangModel.Lm) =
+      LangModel.surprisalWith(live, lm, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1).toSeq
+    assert(lmScores(LangModel.readLm(spark, lmDir)) ===
+      lmScores(LangModel.trainLm(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")))
+    // BM25: same choreography through the postings face.
+    val bDir = java.nio.file.Files.createTempDirectory("bm25_td").toString + "/idx"
+    Retrieval.appendBm25Index(docs, "doc_id", "text", bDir, 16, batchId = 0L)
+    val bIn = MemoryStream[(Long, String)]
+    val bq = graft.streaming.StoreIngest.bm25Takedowns(
+        bIn.toDF().toDF("doc_id", "text"), "doc_id", "text", bDir, buckets = 16)
+      .queryName("bm25_takedowns").start()
+    runToCompletion(bq, () => bIn.addData(d1.toSeq), () => bIn.addData(d2.toSeq))
+    val terms = Seq("the", "order", "hash")
+    assert(Retrieval.bm25TopKFromIndex(spark, bDir, terms, 25, buckets = 16)
+      .as[(Long, Long, Long)].collect().toSeq ===
+      Retrieval.bm25TopK(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", terms, 25).as[(Long, Long, Long)].collect().toSeq)
+  }
+
   test("StoreIngest.graphEdgeOps: streamed inserts + replay match the batch set; takedowns land above the stream's generations") {
     import graft.functions.Graph
     import spark.implicits._
