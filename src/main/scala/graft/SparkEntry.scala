@@ -984,6 +984,25 @@ object SparkEntry {
       Dedup.duplicateClusters(
         Dedup.minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8))),
 
+    // INCREMENTAL clustering inside the correctness gate: yesterday's
+    // pair half is contracted to its (id, cluster_id) star assignment,
+    // then today's pair half folds into it
+    // (Dedup.duplicateClustersIncremental) — the star edges preserve
+    // every prior component, so the result must equal clustering over
+    // ALL pairs (the oracle is the full recursive-CTE closure, same as
+    // dedup_clusters). The daily pipeline this models never re-derives
+    // yesterday's pairs from text: the assignment is one metadata-scale
+    // star row per previously clustered doc.
+    "dedup_clusters_inc" -> ((s, dir) => {
+      val pairs = Dedup
+        .minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8)
+        .select(col("i"), col("j"))
+      val yesterday = pairs.filter((col("i") + col("j")) % 2 === 0)
+      val today = pairs.filter((col("i") + col("j")) % 2 =!= 0)
+      Dedup.duplicateClustersIncremental(
+        Dedup.duplicateClusters(yesterday), today)
+    }),
+
     // End-to-end near-dup removal: the corpus with every non-canonical
     // cluster member dropped (keep = the min doc_id of each MinHash
     // cluster, plus every unduplicated doc). The anti-join is deliberately
@@ -4391,6 +4410,11 @@ $rounds
     // Transitive closure over the same pair list via a recursive CTE:
     // min reachable id == the component minimum (edges are undirected).
     "dedup_clusters" ->
+      s"""$clustersCte
+         |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // The incremental fold must equal clustering over ALL pairs — same
+    // full-closure oracle; the star-assignment choreography is the entry's.
+    "dedup_clusters_inc" ->
       s"""$clustersCte
          |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin,
     // Same closure, then the corpus minus every non-canonical member.

@@ -590,6 +590,24 @@ object Dedup {
         coalesce(col("rt"), col("minl")).as("cluster_id"))
   }
 
+  /** INCREMENTAL connected components — the daily-increment face of
+    * [[duplicateClusters]]: fold yesterday's persisted ASSIGNMENT
+    * `(id, cluster_id)` with today's new pair deltas without re-deriving
+    * yesterday's pairs from text. Exact: the assignment is a star forest
+    * whose edges preserve every prior component (each node connects to
+    * its component's minimum, which is itself a node), so the union's
+    * connectivity — and hence every min-id cluster label — equals
+    * clustering over ALL pairs ever seen (DedupSpec pins the equality;
+    * the `dedup_clusters_inc` gate runs the fold against the full-pair
+    * oracle). Cost: the assignment side is one star row per previously
+    * clustered node (metadata-scale next to the pair history it
+    * replaces), and the contraction machinery is shared. */
+  def duplicateClustersIncremental(
+      assignment: DataFrame, newPairs: DataFrame): DataFrame =
+    duplicateClusters(
+      assignment.select(col("id").as("i"), col("cluster_id").as("j"))
+        .unionByName(newPairs.select(col("i"), col("j"))))
+
   /** One union-find contraction level (phases 1-2 of [[duplicateClusters]]):
     * partition-local components, then a per-node merge. Returns
     * `(resolved, boundary)`: `resolved(node, minl)` gives each node its

@@ -43,6 +43,33 @@ class DedupSpec extends SparkSpec {
     assert(c2 * 2 <= c1, s"second level failed to contract the cut: b1=$c1 b2=$c2")
   }
 
+  test("duplicateClustersIncremental: star fold equals clustering over all pairs") {
+    // Random pair sets split arbitrarily into "yesterday" and "today":
+    // contracting yesterday to its (id, cluster_id) assignment and
+    // folding today's pairs in must label every node exactly as one
+    // clustering over the union would — including chains that only
+    // connect ACROSS the split (the case a naive per-slice clustering
+    // silently breaks).
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val pairs = (0 until 60).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b) + 1)
+      }
+      val (y, t) = pairs.partition(_ => rnd.nextBoolean())
+      if (y.nonEmpty && t.nonEmpty) {
+        val yDf = y.toDF("i", "j").repartition(5)
+        val tDf = t.toDF("i", "j").repartition(3)
+        val all = pairs.toDF("i", "j")
+        def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val inc = m(Dedup.duplicateClustersIncremental(
+          Dedup.duplicateClusters(yDf), tDf))
+        assert(inc === m(Dedup.duplicateClusters(all)), s"trial $trial")
+      }
+    }
+  }
+
   test("duplicateClusters is invariant to input partitioning") {
     // Two components whose edges straddle partition boundaries differently
     // in each layout — labels must come out identical.
