@@ -76,8 +76,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   // (dsir_select is NOT exempt: its fit cross-joins run eagerly at
   // construction and never appear in the gated selection plan, so the
   // gate still protects that plan from a future real nested loop.)
-  //  - bm25_topk: the 1-row (N, sum dl) corpus aggregate broadcast onto
-  //    the per-(doc, term) tf rows — the q14_subq/tfidf_topk shape.
+  //  - bm25_topk / bm25_retract: the 1-row (N, sum dl) corpus aggregate
+  //    broadcast onto the per-(doc, term) tf rows — the
+  //    q14_subq/tfidf_topk shape (bm25_retract reads the same stats row
+  //    as a net sum over the log store's ledgered deltas).
   //  - fk_audit: four 1-row aggregates cross-combined metadata-side (the
   //    corpus-scale work — the anti joins — happens below them as equi
   //    joins).
@@ -111,7 +113,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // ann_sq8_store: the SQ8 candidate scan's self-exclusion
       // (vec_id =!= query_id) is non-equi with the tiny query set
       // broadcast — the ann_sq8 shape off the persisted code table.
-      "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store")
+      "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store", "bm25_retract")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
