@@ -710,6 +710,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("StreamDedup.incrementalClusters: streamed assignment equals batch clustering; replay appends nothing") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val third = rows.length / 3
+    val (b1, rest) = rows.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    val base = java.nio.file.Files.createTempDirectory("inc_cc").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamDedup.incrementalClusters(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/index", s"$base/assign")
+      .queryName("inc_cc_ingest").start()
+    runToCompletion(q,
+      () => in.addData(b1.toSeq), () => in.addData(b2.toSeq),
+      () => in.addData(b3.toSeq))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cluster_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = assign(
+      graft.streaming.StreamDedup.readClusterAssignment(spark, s"$base/assign"))
+    val batch = assign(Dedup.duplicateClusters(
+      Dedup.minhashPairsFromIndex(
+        Dedup.buildMinhashIndex(docs, "doc_id", "text"), threshold = 0.8)))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must produce near-dup clusters")
+    assert(streamed.exists { case (id, c) => id != c },
+      "fixture must cluster at least one non-min member")
+    // Replayed slice: the fold is already absorbed, so the changed-slice
+    // is empty — no new live rows, assignment byte-identical.
+    val logRowsBefore = spark.read.parquet(s"$base/assign").count()
+    val q2 = graft.streaming.StreamDedup.incrementalClusters(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/index", s"$base/assign")
+      .queryName("inc_cc_replay").start()
+    runToCompletion(q2, () => in.addData(b2.toSeq))
+    assert(assign(graft.streaming.StreamDedup.readClusterAssignment(
+      spark, s"$base/assign")) === batch)
+    assert(spark.read.parquet(s"$base/assign").count() === logRowsBefore)
+  }
+
   test("SweepStream.annSweep: the latest reading equals the batch sweep over the union") {
     import graft.functions.Similarity
     import spark.implicits._
