@@ -1123,6 +1123,47 @@ object SparkEntry {
         queries, "vec_id", "embedding", k = 5, cents, nProbe = 2)
     }),
 
+    // FILTERED vector search — top-k under a metadata predicate (every
+    // vector store's "WHERE" clause; here: corpus side restricted to
+    // label = 1, ~10% selectivity) at the SHIPPED DEFAULT config
+    // (trained centroid store + nProbe=8). PRE-filter composition: the
+    // predicate sits beneath the probe join, so at the bucketed layout
+    // it lands on the partition-pruned scan and composes with cell
+    // pruning (selectivities multiply — the scan reads nProbe/|C| of the
+    // files and label's share of their row groups, PushedFilters
+    // in-plan). Centroids are the INDEX DEFINITION and stay full-corpus
+    // — a filter is a per-query view, not a re-index; queries themselves
+    // are NOT filtered (a query searches the filtered corpus; it need
+    // not satisfy the predicate). The scale hazard a filter introduces
+    // is RECALL, not cost: a 10% filter thins every probed cell ~10×, so
+    // hold recall by raising nProbe, never by trusting the unfiltered
+    // operating point — ann_recall_filtered measures the filtered config
+    // against the filtered exact truth.
+    "ann_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKWithCentroids(e.filter(col("label") === 1),
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, ivfTrainedCentroidStore(s, dir), nProbe = AnnDefaultNProbe)
+    }),
+
+    // Recall of the filtered face vs the FILTERED brute-force ground
+    // truth (exact top-k among label = 1 only — recall against the
+    // unfiltered truth would conflate filter correctness with probe
+    // coverage). The filtered exact side is cheap by construction: the
+    // predicate cuts the brute scan to the filter's share of the corpus.
+    "ann_recall_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(e.filter(col("label") === 1),
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = queries("ann_filtered")(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    }),
+
     // The default at its 100 TB posture: the SAME trained config read
     // through the cell-bucketed store layout (writeIvfBucketed — probing
     // prunes FILE SCANS via partition pruning, not just scoring), landed
@@ -1146,6 +1187,32 @@ object SparkEntry {
       }
       Similarity.ivfTopKFromBucketed(s, path, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, cents, nProbe = AnnDefaultNProbe)
+    }),
+
+    // Filtered search at its 100 TB posture: the cell-bucketed layout
+    // CARRIES the filterable metadata column (writeIvfBucketed metaCols
+    // — a predicate must live next to the vectors, or every filtered
+    // query pays a corpus-scale join back to the metadata table), so
+    // the label predicate lands on the partition-pruned scan itself:
+    // file pruning (probed cells) × row-group pushdown (label) compose.
+    // Landed as two slices plus a replay (the ann_ivf_store ingestion
+    // proof); must equal ann_filtered exactly — the oracle recomputes
+    // the filtered trained pipeline from raw embeddings, so the layout,
+    // slices, and replay are all provably invisible.
+    "ann_filtered_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir) // hoisted dependency
+      val path = oncePerDir(
+        dir, s"ivffilstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
+        val s1 = e.filter(col("vec_id") % 2 === 0)
+        val s2 = e.filter(col("vec_id") % 2 === 1)
+        Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
+        Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
+        Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label")) // replay
+      }
+      Similarity.ivfTopKFromBucketed(s, path, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, cents, nProbe = AnnDefaultNProbe,
+        where = col("label") === 1)
     }),
 
     // LSH-bucketed approximate ANN (rows-only check: recall is
@@ -3629,6 +3696,30 @@ object SparkEntry {
         "FROM aff WHERE vec_id % 50 = 0 AND vec_id % 7 <> 3) WHERE rn <= 2)")
   }
 
+  /** Generated oracle for `ann_filtered`: the annDefaultSql pipeline
+    * (trained centroids, default probe width) with the ASSIGNMENT side
+    * restricted to the predicate's survivors — the pre-filter beneath
+    * the probe join; centroid training and the query set stay
+    * full-corpus. Guarded surgery on the shared replica (the
+    * annIvfRetractSql discipline) so the oracles cannot drift. */
+  private lazy val annIvfFilteredSql: String = {
+    val assignAnchor = "FROM afq) WHERE rn = 1)"
+    require(annDefaultSql.contains(assignAnchor),
+      "annDefaultSql shape changed; update annIvfFilteredSql's anchor")
+    annDefaultSql.replace(assignAnchor,
+      "FROM afq WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)) WHERE rn = 1)")
+  }
+
+  /** Filtered brute-force ground truth: annTopkSql with the corpus side
+    * restricted to the predicate's survivors. */
+  private lazy val annFilteredTopkSql: String = {
+    val anchor = "FROM q JOIN e ON e.vec_id <> query_id"
+    require(annTopkSql.contains(anchor),
+      "annTopkSql shape changed; update annFilteredTopkSql's anchor")
+    annTopkSql.replace(anchor,
+      anchor + " AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")
+  }
+
   private lazy val annTopkSql: String =
     s"""WITH e AS ($embCast),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS nq FROM e WHERE vec_id % 50 = 0),
@@ -4628,6 +4719,20 @@ $rounds
     // assignment/probing — delete must equal never-having-indexed the
     // vector while the index definition persists.
     "ann_retract" -> annIvfRetractSql,
+    // Filtered search: predicate on the assignment side only — the
+    // trained cent/query CTEs shared with annDefaultSql verbatim.
+    "ann_filtered" -> annIvfFilteredSql,
+    // The metadata-carrying bucketed layout must be indistinguishable
+    // from the in-plan filtered pipeline — same oracle.
+    "ann_filtered_store" -> annIvfFilteredSql,
+    // Recall vs the FILTERED exact top-k (both sides carry the same
+    // label predicate; see the map entry's conflation note).
+    "ann_recall_filtered" ->
+      s"""SELECT count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit,
+         |  count(a.vec_id)::DOUBLE / count(*) AS recall
+         |FROM ($annFilteredTopkSql) e
+         |LEFT JOIN ($annIvfFilteredSql) a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id""".stripMargin,
     "ann_recall_default" -> annRecallSql(annDefaultSql),
     // Recall replica: the two list oracles as parenthesized subqueries,
     // left-joined on the (query, neighbor) key.

@@ -797,17 +797,32 @@ object Similarity {
     * the storage layout where probing prunes FILE SCANS, not just scoring —
     * at 100 TB a nProbe=2 query over |C|=1000 cells reads ~0.2% of the
     * files. Cell assignment is the usual map-side literal-centroid argmax;
-    * norms are precomputed into the layout so queries skip them. */
+    * norms are precomputed into the layout so queries skip them.
+    *
+    * `metaCols` carries filterable metadata columns INTO the layout —
+    * the filtered-search design point: a predicate a query filters on
+    * must live next to the vectors (parquet row-group pushdown inside
+    * the probed cells) or every filtered query pays a corpus-scale join
+    * back to the metadata table before it can score a candidate. */
   def writeIvfBucketed(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
-      path: String): Unit =
-    corpus.select(
-        col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
-      .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
+      path: String,
+      metaCols: Seq[String] = Nil): Unit =
+    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  private def ivfBucketedRows(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centRows: Array[(Long, Vector[Double])],
+      metaCols: Seq[String]): DataFrame =
+    corpus.select(col(idCol).as("vec_id") +: col(vecCol).as("v") +:
+        norm2(col(vecCol)).as("n_v") +: metaCols.map(col): _*)
+      .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
 
   /** Add one vector slice to a [[writeIvfBucketed]] layout — the
     * incremental-ingestion face of the ANN index (the MinHash split-index
@@ -824,10 +839,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
-      path: String): Unit =
-    corpus.select(
-        col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
-      .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
+      path: String,
+      metaCols: Seq[String] = Nil): Unit =
+    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols)
       .write.partitionBy("cell").mode("append").parquet(path)
 
   /** Top-k over a [[writeIvfBucketed]] layout. The probed cell ids are
@@ -846,7 +860,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       centRows: Array[(Long, Vector[Double])],
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      // Metadata predicate over the layout's metaCols — filtered search:
+      // applied AT THE SCAN, where it composes with the cell partition
+      // filter (row-group pushdown × file pruning); `lit(true)` folds to
+      // nothing for unfiltered reads.
+      where: Column = lit(true)): DataFrame = {
     val q = queries.select(
         col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv"))
       .select(col("query_id"), col("qv"), col("n_qv"),
@@ -855,7 +874,7 @@ object Similarity {
     // it as literals is what turns probing into partition pruning.
     val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
     spark.read.parquet(path)
-      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .where(col("cell").isin(cells.toIndexedSeq: _*) && where)
       .dropDuplicates("vec_id")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -113,7 +113,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // ann_sq8_store: the SQ8 candidate scan's self-exclusion
       // (vec_id =!= query_id) is non-equi with the tiny query set
       // broadcast — the ann_sq8 shape off the persisted code table.
-      "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store", "bm25_retract")
+      "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store", "bm25_retract",
+      // ann_recall_filtered: the filtered exact side is ann_topk's
+      // broadcast-NLJ brute face over the predicate's survivors.
+      "ann_recall_filtered")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -123,6 +126,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       }
       assert(bad.isEmpty, s"$q has a nested-loop join:\n${planString(q)}")
     }
+  }
+
+  test("ann_filtered: the metadata predicate reaches the corpus parquet scan") {
+    // Filtered search's scale contract: the label predicate composes
+    // with cell pruning AT THE SCAN (selectivities multiply), never as a
+    // post-join filter over unfiltered candidates.
+    assert(planString("ann_filtered").contains("EqualTo(label,1)"))
+  }
+
+  test("ann_filtered_store: file pruning (cells) and row-group pushdown (label) compose on one scan") {
+    val p = planString("ann_filtered_store")
+    assert(p.contains("EqualTo(label,1)"), "label predicate must push to the store scan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions, not filter rows")
   }
 
   test("vocab_topk: bounded TakeOrderedAndProject, never a global sort of the vocab") {
