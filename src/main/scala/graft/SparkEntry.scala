@@ -2128,6 +2128,31 @@ object SparkEntry {
           TF.xhash32(concat_ws("\u001f", col("mtk"))).as("tok_sig"))
     }),
 
+    // Tokenizer FERTILITY by language — the standard tokenizer-QA
+    // readout (tokens per character; a language with high fertility is
+    // under-served by the merge table and over-billed per byte of
+    // training data). One map-side kernel pass (trained merges ride the
+    // projection as an 8-row literal) + one lang-grouped aggregation —
+    // the only shuffle is |langs| partial-agg rows. Fixed-point ratio,
+    // integer sums: cross-engine exact.
+    "bpe_fertility" -> ((s, dir) => {
+      val merges = s.read.parquet(bpeTrainStore(s, dir))
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"), col("n_chars"), TF.bpeTokens(col("text")).as("tk"))
+        .select(col("lang"), col("n_chars"),
+          size(col("tk")).cast(LongType).as("nb"),
+          size(TF.bpeApply(col("tk"), merges)).cast(LongType).as("nt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nb")).as("n_base_tokens"),
+          floor((sum(col("nt")).cast(DoubleType) /
+              sum(col("n_chars")).cast(DoubleType)) * lit(graft.functions.Median.Scale))
+            .cast(LongType).as("fert_fp"))
+    }),
+
     // Decode vocab ids back to tokens — the inverse-map face closing the
     // tokenizer round-trip: ids from the encode pass map through the
     // inverted vocab (OOV id 16 -> "<unk>"), and the query counts
@@ -4131,6 +4156,20 @@ $rounds
       bpeApplyTail.replace("FROM t8 GROUP BY doc_id",
         s"FROM t$BpeTrainRounds GROUP BY doc_id")
 
+  /** Generated oracle for `bpe_fertility`: the trained-merge replay CTEs
+    * (all rounds applied), aggregated per language with the fixed-point
+    * tokens-per-char ratio. */
+  private lazy val bpeFertilitySql: String =
+    bpeTrainCtes(applyAll = true) + s""",
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n FROM t$BpeTrainRounds GROUP BY doc_id)
+       |SELECT d.lang AS lang, count(*)::BIGINT AS n_docs,
+       |  sum(coalesce(agg.n, 0))::BIGINT AS n_tokens,
+       |  sum(len(tk.tk))::BIGINT AS n_base_tokens,
+       |  floor((sum(coalesce(agg.n, 0))::DOUBLE / sum(d.n_chars)::DOUBLE) * 1048576.0)::BIGINT AS fert_fp
+       |FROM tk JOIN documents d ON tk.doc_id = d.doc_id
+       |LEFT JOIN agg ON tk.doc_id = agg.doc_id
+       |GROUP BY d.lang""".stripMargin
+
   private def bpeTrainCtes(applyAll: Boolean): String = {
     val rounds = BpeTrainRounds
     val steps = (0 until rounds).map { i =>
@@ -4895,6 +4934,7 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     "bpe_apply" -> bpeApplySql,
     "bpe_train_k8" -> bpeTrainSql,
     "bpe_apply_trained" -> bpeApplyTrainedSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "bpe_encode" -> bpeEncodeSql,
     // The broadcast-vocab face must be indistinguishable from the
     // literal-map one — same oracle.
