@@ -1003,6 +1003,24 @@ object SparkEntry {
         Dedup.duplicateClusters(yesterday), today)
     }),
 
+    // Takedown maintenance for the DERIVED cluster assignment (the
+    // dedup_retract story one artifact downstream): removing a doc can
+    // split its component or relabel it, so touched components — and
+    // ONLY touched components — re-cluster from their surviving pairs;
+    // untouched assignment rows pass through. Every 13th doc taken
+    // down; must equal clustering over the surviving pair set (the
+    // full-closure oracle with the doomed docs excluded).
+    "dedup_clusters_retract" -> ((s, dir) => {
+      val pairs = Dedup
+        .minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8)
+        .select(col("i"), col("j"))
+      val assignment = Dedup.duplicateClusters(pairs)
+      val doomed = t(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("id"))
+      Dedup.duplicateClustersRetract(assignment, pairs, doomed)
+    }),
+
     // End-to-end near-dup removal: the corpus with every non-canonical
     // cluster member dropped (keep = the min doc_id of each MinHash
     // cluster, plus every unduplicated doc). The anti-join is deliberately
@@ -4547,6 +4565,17 @@ $rounds
     "dedup_clusters_inc" ->
       s"""$clustersCte
          |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // Scoped re-clustering under takedown must equal the full closure
+    // over the SURVIVING pair set — guarded surgery on the shared
+    // closure CTE (the annIvfRetractSql discipline).
+    "dedup_clusters_retract" -> {
+      val pairAnchor = "ON a.doc_id < b.doc_id"
+      require(clustersCte.contains(pairAnchor),
+        "clustersCte shape changed; update dedup_clusters_retract's anchor")
+      s"""${clustersCte.replace(pairAnchor,
+            pairAnchor + " AND a.doc_id % 13 <> 0 AND b.doc_id % 13 <> 0")}
+         |SELECT id, min(lbl) AS cluster_id FROM cc GROUP BY id""".stripMargin
+    },
     // Same closure, then the corpus minus every non-canonical member.
     "dedup_keep" ->
       s"""$clustersCte

@@ -608,6 +608,39 @@ object Dedup {
       assignment.select(col("id").as("i"), col("cluster_id").as("j"))
         .unionByName(newPairs.select(col("i"), col("j"))))
 
+  /** TAKEDOWN maintenance for a persisted cluster assignment — the
+    * derived-artifact face of a document takedown: removing a node can
+    * SPLIT its component (cut vertex) or relabel it (the component
+    * minimum left), so unlike the incremental fold this cannot be a
+    * union — but it also must not re-cluster the corpus. Only the
+    * components CONTAINING a doomed doc re-cluster: their surviving
+    * pairs re-run [[duplicateClusters]]; every other component's rows
+    * pass through untouched. The touched-cluster set is
+    * takedown-scale metadata; the joins stay un-hinted (the dedup_keep
+    * rule: AQE broadcasts a small takedown and shuffles a pathological
+    * one). Result equals `duplicateClusters(pairs among survivors)`
+    * exactly (DedupSpec property over random splits; the
+    * `dedup_clusters_retract` gate runs the full-closure oracle with
+    * the doomed docs excluded). Singleton survivors — docs whose every
+    * partner was taken down — leave the assignment, matching the
+    * paired-docs-only contract. */
+  def duplicateClustersRetract(
+      assignment: DataFrame, pairs: DataFrame, doomedIds: DataFrame): DataFrame = {
+    val doomed = doomedIds.select(col("id"))
+    val touched = assignment.join(doomed, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val keep = assignment.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    val affected = assignment.join(touched, Seq("cluster_id"), "left_semi")
+      .join(doomed, Seq("id"), "left_anti")
+      .select(col("id"))
+    val survivingPairs = pairs
+      .join(affected.select(col("id").as("i")), Seq("i"), "left_semi")
+      .join(affected.select(col("id").as("j")), Seq("j"), "left_semi")
+      .select(col("i"), col("j"))
+    keep.unionByName(duplicateClusters(survivingPairs))
+  }
+
   /** One union-find contraction level (phases 1-2 of [[duplicateClusters]]):
     * partition-local components, then a per-node merge. Returns
     * `(resolved, boundary)`: `resolved(node, minl)` gives each node its

@@ -70,6 +70,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClustersRetract: scoped re-clustering equals clustering over survivors") {
+    // The cut-vertex case first: 1-2-3 chained through 2; removing 2
+    // SPLITS the component into singletons, which must LEAVE the
+    // assignment (paired-docs-only contract) — a union-style fold would
+    // keep 1 and 3 clustered.
+    val chain = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val out = Dedup.duplicateClustersRetract(
+        Dedup.duplicateClusters(chain), chain, Seq(2L).toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(10L -> 10L, 11L -> 10L))
+    // Property over random graphs and random takedowns: the scoped
+    // path must equal one clustering over the surviving pair set,
+    // covering splits, relabels (component minimum removed), and
+    // untouched components in one sweep.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val pairs = (0 until 60).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b) + 1)
+      }
+      val doomed = (0L to 40L).filter(_ => rnd.nextInt(5) == 0)
+      val pDf = pairs.toDF("i", "j").repartition(5)
+      val survivors = pairs
+        .filter(p => !doomed.contains(p._1) && !doomed.contains(p._2))
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val scoped = m(Dedup.duplicateClustersRetract(
+        Dedup.duplicateClusters(pDf), pDf, doomed.toDF("id")))
+      assert(scoped === m(Dedup.duplicateClusters(survivors.toDF("i", "j"))),
+        s"trial $trial doomed=$doomed")
+    }
+  }
+
   test("duplicateClusters is invariant to input partitioning") {
     // Two components whose edges straddle partition boundaries differently
     // in each layout — labels must come out identical.
