@@ -641,6 +641,33 @@ object Dedup {
     keep.unionByName(duplicateClusters(survivingPairs))
   }
 
+  /** [[duplicateClustersRetract]] driven off the INDEX rather than a
+    * materialized pair frame — the streaming-takedown shape: restricting
+    * the index to the touched components' survivors FIRST means the
+    * banded candidate join (the expensive step) runs over
+    * takedown-scale docs, never the corpus; a pair-frame restriction
+    * would re-derive the full corpus pair set just to throw most of it
+    * away. Semantics identical (DedupSpec pins the equality). */
+  def duplicateClustersRetractFromIndex(
+      assignment: DataFrame,
+      index: MinhashIndex,
+      doomedIds: DataFrame,
+      threshold: Double): DataFrame = {
+    val doomed = doomedIds.select(col("id"))
+    val touched = assignment.join(doomed, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val keep = assignment.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    val affected = assignment.join(touched, Seq("cluster_id"), "left_semi")
+      .join(doomed, Seq("id"), "left_anti")
+      .select(col("id"))
+    val sub = MinhashIndex(
+      index.shingled.join(affected, Seq("id"), "left_semi"),
+      index.banded.join(affected, Seq("id"), "left_semi"))
+    keep.unionByName(duplicateClusters(
+      minhashPairsFromIndex(sub, threshold).select(col("i"), col("j"))))
+  }
+
   /** One union-find contraction level (phases 1-2 of [[duplicateClusters]]):
     * partition-local components, then a per-node merge. Returns
     * `(resolved, boundary)`: `resolved(node, minl)` gives each node its

@@ -127,7 +127,104 @@ object StreamDedup {
             spark.range(0).select(col("id"), col("id").as("cluster_id"))
         val next = Dedup.duplicateClustersIncremental(prior, pairs)
         val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
-        graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
+        // Guarded: an all-singletons first batch must not seed the log
+        // with a schema-less empty write.
+        if (!changed.isEmpty)
+          graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
+      }
+    }
+
+  /** [[incrementalClusters]] with TAKEDOWNS riding the same stream — the
+    * full lifecycle face. Input columns: `(op, idCol, textCol)` with
+    * op = 0 (insert) / 1 (takedown; text ignored), all ops under ONE
+    * foreachBatch id clock (the graphEdgeOps rule: a second stream with
+    * an unrelated generation sequence breaks the LWW ordering). The
+    * INDEX here is the LOG-structured layout ([[graft.functions.StoreLog]]
+    * over `shingles`/`bands`, the dedup_retract posture) — takedown-able,
+    * at the cost of a key-grouped read; the insert-only face keeps the
+    * cheaper plain-append layout. Per batch (generation g):
+    *
+    *  1. surviving inserts (not taken down in the same batch — a same-gen
+    *     insert+tombstone resolves to TOMBSTONE by the log algebra, so the
+    *     fold must not see their pairs either) are indexed and appended;
+    *  2. takedowns tombstone the shingle row and all `bands` rows;
+    *  3. arrivals fold into the prior assignment (the incremental star
+    *     fold), then [[graft.functions.Dedup.duplicateClustersRetractFromIndex]]
+    *     re-clusters ONLY the components a takedown touched, off the live
+    *     index restricted to their survivors;
+    *  4. the assignment log gets the CHANGED rows as inserts and the
+    *     DEPARTED ids (doomed docs + singleton survivors whose last
+    *     partner left) as tombstones, all at generation g — a later
+    *     re-arrival re-inserts at a higher generation and resurrects by
+    *     the algebra.
+    *
+    * Replay-safe like the insert face: re-delivered slices re-tag
+    * identical rows at the same generation; the fold/retract reproduce
+    * the absorbed assignment, so the changed/departed slices are empty. */
+  def incrementalClustersOps(
+      stream: DataFrame,
+      opCol: String,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      assignPath: String,
+      shingleK: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.8): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, gen: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val conf = spark.sessionState.newHadoopConf()
+        def exists(p: String) = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        val doomed = batch.filter(col(opCol) === 1)
+          .select(col(idCol).as("id")).distinct()
+        val inserts = batch.filter(col(opCol) === 0)
+          .join(doomed, batch(idCol) === doomed("id"), "left_anti")
+        val insertIdx = Dedup.buildMinhashIndex(
+          inserts, idCol, textCol, shingleK, numHashes, bands)
+        if (!inserts.isEmpty) {
+          graft.functions.StoreLog.appendInserts(
+            insertIdx.shingled, s"$indexPath/shingles", gen)
+          graft.functions.StoreLog.appendInserts(
+            insertIdx.banded, s"$indexPath/bands", gen)
+        }
+        // A takedown before any insert slice has nothing to retract (the
+        // appendTombstones contract) — and nothing to re-cluster.
+        if (exists(s"$indexPath/shingles")) {
+        if (!doomed.isEmpty) {
+          graft.functions.StoreLog.appendTombstones(
+            doomed, s"$indexPath/shingles", gen)
+          graft.functions.StoreLog.appendTombstones(
+            doomed.select(col("id"),
+              explode(sequence(lit(0), lit(bands - 1))).as("band")),
+            s"$indexPath/bands", gen)
+        }
+        val live = Dedup.MinhashIndex(
+          graft.functions.StoreLog.readLive(spark, s"$indexPath/shingles", Seq("id")),
+          graft.functions.StoreLog.readLive(spark, s"$indexPath/bands", Seq("id", "band")))
+        val newPairs = Dedup.minhashPairsAcross(insertIdx, live, threshold)
+          .filter(col("i") =!= col("j"))
+          .select(col("i"), col("j"))
+        val prior =
+          if (exists(assignPath))
+            graft.functions.StoreLog.readLive(spark, assignPath, Seq("id"))
+          else
+            spark.range(0).select(col("id"), col("id").as("cluster_id"))
+        val next = Dedup.duplicateClustersRetractFromIndex(
+          Dedup.duplicateClustersIncremental(prior, newPairs),
+          live, doomed, threshold)
+        val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
+        val departed = prior.select(col("id"))
+          .join(next.select(col("id")), Seq("id"), "left_anti")
+        if (!changed.isEmpty)
+          graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
+        if (exists(assignPath) && !departed.isEmpty)
+          graft.functions.StoreLog.appendTombstones(departed, assignPath, gen)
+        }
       }
     }
 

@@ -754,6 +754,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$base/assign").count() === logRowsBefore)
   }
 
+  test("StreamDedup.incrementalClustersOps: arrivals + takedowns equal clustering over survivors") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect()
+    val third = rows.length / 3
+    val (b1, rest) = rows.splitAt(third)
+    val (b2, b3) = rest.splitAt(third)
+    // Takedowns chosen from CLUSTERED docs so the retract path does real
+    // work (splits/relabels), not just tombstone bookkeeping.
+    val clustered = Dedup.duplicateClusters(
+        Dedup.minhashPairsFromIndex(
+          Dedup.buildMinhashIndex(docs, "doc_id", "text"), threshold = 0.8))
+      .collect().map(_.getLong(0)).toSet
+    val doomed1 = b1.map(_._1).filter(clustered).take(3)
+    val doomed2 = b2.map(_._1).filter(clustered).take(2)
+    assert(doomed1.nonEmpty && doomed2.nonEmpty, "fixture must cluster across slices")
+    val base = java.nio.file.Files.createTempDirectory("inc_cc_ops").toString
+    def ins(xs: Seq[(Long, String)]) = xs.map { case (id, tx) => (0, id, tx) }
+    def del(ids: Seq[Long]) = ids.map(id => (1, id, ""))
+    val in = MemoryStream[(Int, Long, String)]
+    def writer() = graft.streaming.StreamDedup.incrementalClustersOps(
+      in.toDF().toDF("op", "doc_id", "text"), "op", "doc_id", "text",
+      s"$base/index", s"$base/assign")
+    val q = writer().queryName("inc_cc_ops").start()
+    runToCompletion(q,
+      () => in.addData(ins(b1.toSeq)),
+      () => in.addData(ins(b2.toSeq) ++ del(doomed1.toSeq)),
+      () => in.addData(ins(b3.toSeq) ++ del(doomed2.toSeq)))
+    val doomedAll = (doomed1 ++ doomed2).toSet
+    val survivors = docs.filter(!col("doc_id").isInCollection(doomedAll.toSeq))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cluster_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = assign(Dedup.duplicateClusters(
+      Dedup.minhashPairsFromIndex(
+        Dedup.buildMinhashIndex(survivors, "doc_id", "text"), threshold = 0.8)))
+    val streamed = assign(
+      graft.streaming.StreamDedup.readClusterAssignment(spark, s"$base/assign"))
+    assert(streamed === expected)
+    assert(streamed.nonEmpty, "fixture must keep near-dup clusters after takedown")
+    assert(doomedAll.forall(id => !streamed.contains(id)))
+    // Replay: a fresh query re-reads everything (plus a re-added slice) as
+    // one batch at a higher generation — the absorbed stores must come out
+    // byte-identical (empty changed/departed slices).
+    in.addData(ins(b2.toSeq) ++ del(doomed1.toSeq))
+    val q2 = writer().queryName("inc_cc_ops_replay").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(assign(graft.streaming.StreamDedup.readClusterAssignment(
+      spark, s"$base/assign")) === expected)
+  }
+
   test("SweepStream.annSweep: the latest reading equals the batch sweep over the union") {
     import graft.functions.Similarity
     import spark.implicits._
