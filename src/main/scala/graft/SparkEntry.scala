@@ -1011,14 +1011,23 @@ object SparkEntry {
     // down; must equal clustering over the surviving pair set (the
     // full-closure oracle with the doomed docs excluded).
     "dedup_clusters_retract" -> ((s, dir) => {
-      val pairs = Dedup
-        .minhashPairsFromIndex(minhashIndexOf(s, dir), threshold = 0.8)
-        .select(col("i"), col("j"))
-      val assignment = Dedup.duplicateClusters(pairs)
+      // The FromIndex variant: the retract side's banded join runs over
+      // the sub-index of takedown-affected docs, never the corpus — a
+      // pair-frame restriction would evaluate the full candidate
+      // pipeline a second time (measured 5.99 s vs ~3 s at sf0.1).
+      val idx = minhashIndexOf(s, dir)
+      // Persisted: the retract consumes the assignment three times, and
+      // its subtree is the full banded join + contraction (the function's
+      // caller contract / the ≥3-consumer rule); the frame itself is one
+      // metadata-scale row per clustered doc.
+      val assignment = Dedup.duplicateClusters(
+        Dedup.minhashPairsFromIndex(idx, threshold = 0.8)
+          .select(col("i"), col("j"))).persist()
       val doomed = t(s, dir, "documents")
         .filter(col("doc_id") % 13 === 0)
         .select(col("doc_id").as("id"))
-      Dedup.duplicateClustersRetract(assignment, pairs, doomed)
+      Dedup.duplicateClustersRetractFromIndex(assignment, idx, doomed,
+        threshold = 0.8)
     }),
 
     // End-to-end near-dup removal: the corpus with every non-canonical

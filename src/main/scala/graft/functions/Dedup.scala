@@ -623,7 +623,15 @@ object Dedup {
     * `dedup_clusters_retract` gate runs the full-closure oracle with
     * the doomed docs excluded). Singleton survivors — docs whose every
     * partner was taken down — leave the assignment, matching the
-    * paired-docs-only contract. */
+    * paired-docs-only contract.
+    *
+    * CALLER CONTRACT: `assignment` is consumed THREE times (touched /
+    * keep / affected) — pass a cheap scan or a persisted frame, never a
+    * bare expensive plan (the ≥3-consumer rule; an unpersisted
+    * duplicateClusters argument re-runs its banded join + contraction
+    * per consumer — measured 7.8 s vs ~3 s at sf0.1). The frame is
+    * metadata-scale (one (id, cluster_id) row per clustered doc), so
+    * persisting it is cheap. */
   def duplicateClustersRetract(
       assignment: DataFrame, pairs: DataFrame, doomedIds: DataFrame): DataFrame = {
     val doomed = doomedIds.select(col("id"))
@@ -647,7 +655,9 @@ object Dedup {
     * banded candidate join (the expensive step) runs over
     * takedown-scale docs, never the corpus; a pair-frame restriction
     * would re-derive the full corpus pair set just to throw most of it
-    * away. Semantics identical (DedupSpec pins the equality). */
+    * away. Semantics identical (DedupSpec pins the equality). Same
+    * caller contract as [[duplicateClustersRetract]]: `assignment` is
+    * consumed three times — persist it. */
   def duplicateClustersRetractFromIndex(
       assignment: DataFrame,
       index: MinhashIndex,

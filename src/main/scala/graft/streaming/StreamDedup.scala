@@ -214,16 +214,23 @@ object StreamDedup {
             graft.functions.StoreLog.readLive(spark, assignPath, Seq("id"))
           else
             spark.range(0).select(col("id"), col("id").as("cluster_id"))
-        val next = Dedup.duplicateClustersRetractFromIndex(
-          Dedup.duplicateClustersIncremental(prior, newPairs),
-          live, doomed, threshold)
-        val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
-        val departed = prior.select(col("id"))
-          .join(next.select(col("id")), Seq("id"), "left_anti")
-        if (!changed.isEmpty)
-          graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
-        if (exists(assignPath) && !departed.isEmpty)
-          graft.functions.StoreLog.appendTombstones(departed, assignPath, gen)
+        // Persisted per the retract's caller contract (3 consumers of an
+        // expensive fold); unpersisted before the batch closure exits —
+        // the appends below are actions, so the cache never outlives the
+        // micro-batch.
+        val folded = Dedup.duplicateClustersIncremental(prior, newPairs)
+          .persist()
+        try {
+          val next = Dedup.duplicateClustersRetractFromIndex(
+            folded, live, doomed, threshold)
+          val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
+          val departed = prior.select(col("id"))
+            .join(next.select(col("id")), Seq("id"), "left_anti")
+          if (!changed.isEmpty)
+            graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
+          if (exists(assignPath) && !departed.isEmpty)
+            graft.functions.StoreLog.appendTombstones(departed, assignPath, gen)
+        } finally folded.unpersist(blocking = false)
         }
       }
     }
