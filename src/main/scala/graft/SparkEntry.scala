@@ -2780,6 +2780,44 @@ object SparkEntry {
     // require positive quality and classifier/label language agreement,
     // emit the doc with its token count — the "what survives into
     // training" query.
+    // Filter ATTRIBUTION report — the "why did my corpus shrink" readout
+    // every multi-rule cleaning pipeline needs: per rule (exact-dup /
+    // lang-mismatch / low-quality / gopher), how many docs it flags and
+    // how many it flags ALONE (the rule's marginal contribution — a rule
+    // whose every flag is shared is free to drop; a high-alone rule is
+    // the one costing corpus). One kernel pass computes every flag, a
+    // 5-way per-doc explode (+ the 'any' summary face) feeds ONE
+    // aggregation — |rules| output rows, no per-rule corpus re-scan.
+    "filter_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canonical = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(1).as("__canon"))
+      val wc = size(TF.wsTokens(col("text")))
+      val mwl = (length(col("text")) - (wc - lit(1))).cast(DoubleType) / wc
+      val flags = docs
+        .join(canonical, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("__canon").isNull.as("f_dup"),
+          (TF.langId(col("text")) =!= col("lang")).as("f_lang"),
+          (TF.qualityScore(col("text")) < 1.0).as("f_quality"),
+          (!(wc >= 30 && mwl >= 3.5 && mwl <= 5.0 &&
+            TF.wordRepetitionRatio(col("text")) <= 0.65)).as("f_gopher"))
+        .withColumn("nf",
+          col("f_dup").cast(IntegerType) + col("f_lang").cast(IntegerType) +
+          col("f_quality").cast(IntegerType) + col("f_gopher").cast(IntegerType))
+      flags
+        .select(col("nf"), explode(array(
+          struct(lit("dup").as("rule"), col("f_dup").as("f")),
+          struct(lit("lang").as("rule"), col("f_lang").as("f")),
+          struct(lit("quality").as("rule"), col("f_quality").as("f")),
+          struct(lit("gopher").as("rule"), col("f_gopher").as("f")),
+          struct(lit("any").as("rule"), (col("nf") >= 1).as("f")))).as("x"))
+        .groupBy(col("x.rule").as("rule"))
+        .agg(sum(col("x.f").cast(LongType)).as("n_flagged"),
+          sum(when(col("x.f") && col("nf") === 1, 1L).otherwise(0L))
+            .as("n_flagged_alone"))
+    }),
+
     "pipeline_clean" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val canonical = Dedup.exactGroups(docs, "doc_id", "text")
@@ -5063,6 +5101,53 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
         |  (('0x' || substr(md5(md5(text) || '_0'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f0,
         |  (('0x' || substr(md5(md5(text) || '_1'), 1, 8))::BIGINT / 4294967296.0)::FLOAT AS f1
         |FROM m WHERE sample_rate >= 8300 AND channels = 1""".stripMargin,
+    // Filter attribution: same rule expressions as pipeline_clean's and
+    // gopher_gate's oracles (both hash-green), recombined as per-doc
+    // flags and one per-rule rollup.
+    "filter_report" -> {
+      val hitCols = TF.Stopwords
+        .map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(string_split(lower(text), ' '), t -> list_contains($lst, t))) AS $lang"
+        }
+        .mkString(",\n  ")
+      s"""WITH canonical AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |feat AS (
+         |  SELECT doc_id, lang, length(text) AS n,
+         |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+         |    $hitCols,
+         |    (len(regexp_extract_all(text, '[A-Za-z]')) * 2 + len(regexp_extract_all(text, ' '))
+         |     - len(regexp_extract_all(text, '[0-9]')) * 3
+         |     - len(regexp_extract_all(text, '[.,;:!?]')) * 5)::DOUBLE / length(text) AS quality_score,
+         |    len(string_split(text, ' ')) AS n_words,
+         |    (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+         |      / len(string_split(text, ' ')) AS mean_word_len,
+         |    1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' ')) AS repeat_ratio
+         |  FROM documents),
+         |fl AS (SELECT doc_id,
+         |  doc_id NOT IN (SELECT doc_id FROM canonical) AS f_dup,
+         |  (CASE WHEN cjk * 10 >= n * 3 THEN 'zh'
+         |        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |        WHEN de >= fr AND de >= es THEN 'de'
+         |        WHEN fr >= es THEN 'fr'
+         |        ELSE 'es' END) <> lang AS f_lang,
+         |  quality_score < 1.0 AS f_quality,
+         |  NOT (n_words >= 30 AND mean_word_len >= 3.5 AND mean_word_len <= 5.0
+         |       AND repeat_ratio <= 0.65) AS f_gopher
+         |FROM feat),
+         |x AS (SELECT doc_id, f_dup, f_lang, f_quality, f_gopher,
+         |  (f_dup::INT + f_lang::INT + f_quality::INT + f_gopher::INT) AS nf FROM fl),
+         |r AS (
+         |  SELECT 'dup' AS rule, f_dup AS f, nf FROM x UNION ALL
+         |  SELECT 'lang', f_lang, nf FROM x UNION ALL
+         |  SELECT 'quality', f_quality, nf FROM x UNION ALL
+         |  SELECT 'gopher', f_gopher, nf FROM x UNION ALL
+         |  SELECT 'any', nf >= 1, nf FROM x)
+         |SELECT rule, sum(f::INT)::BIGINT AS n_flagged,
+         |  sum(CASE WHEN f AND nf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged_alone
+         |FROM r GROUP BY rule""".stripMargin
+    },
     "pipeline_clean" -> {
       val hitCols = TF.Stopwords
         .map { case (lang, words) =>
