@@ -1216,6 +1216,21 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, cents, nProbe = AnnDefaultNProbe)
     }),
 
+    // Filtered search with STRATEGY SELECTION — the planning rule every
+    // vector store ships: a highly selective predicate (< 2% here)
+    // switches from the probe index (whose recall collapses when a
+    // probe's cells hold almost no survivors) to exact brute-force over
+    // the survivor set, whose cost scales with selectivity, not corpus.
+    // The ~10% label predicate picks the IVF arm, so the gate pins the
+    // auto face's IVF path against the same trained-pipeline oracle;
+    // SimilaritySpec pins the brute arm with a tighter predicate.
+    "ann_filtered_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredTopKAuto(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, ivfTrainedCentroidStore(s, dir),
+        nProbe = AnnDefaultNProbe, where = col("label") === 1)
+    }),
+
     // Filtered search at its 100 TB posture: the cell-bucketed layout
     // CARRIES the filterable metadata column (writeIvfBucketed metaCols
     // — a predicate must live next to the vectors, or every filtered
@@ -4840,6 +4855,9 @@ $rounds
     // The metadata-carrying bucketed layout must be indistinguishable
     // from the in-plan filtered pipeline — same oracle.
     "ann_filtered_store" -> annIvfFilteredSql,
+    // The auto face's IVF arm (the 10% predicate is above the 2% brute
+    // switch) must be indistinguishable from ann_filtered — same oracle.
+    "ann_filtered_auto" -> annIvfFilteredSql,
     // Recall vs the FILTERED exact top-k (both sides carry the same
     // label predicate; see the map entry's conflation note).
     "ann_recall_filtered" ->

@@ -1055,6 +1055,37 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** Filtered top-k with STRATEGY SELECTION — the vector-store planning
+    * rule: under a highly selective predicate the probe index stops
+    * paying (an nProbe/|C| slice of a tiny survivor set returns almost
+    * nothing; recall collapses), while brute-force over the survivors is
+    * both exact and CHEAP — its cost scales with the filter's
+    * selectivity, not the corpus. Below `bruteBelow` selectivity the
+    * filtered survivors are scanned exactly; above it the trained IVF
+    * probe runs with the predicate under the probe join
+    * ([[ivfTopKWithCentroids]]). The two survivor counts here are
+    * driver-side actions — the planner step, metadata-scale output; at
+    * warehouse scale the decision reads column statistics (or the
+    * layout's partition row counts) instead of counting. */
+  def filteredTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbe: Int,
+      where: Column,
+      bruteBelow: Double = 0.02): DataFrame = {
+    val total = corpus.count()
+    val survivors = corpus.filter(where)
+    val kept = survivors.count()
+    if (total == 0L || kept <= bruteBelow * total)
+      bruteForceTopK(survivors, queries, idCol, vecCol, k)
+    else
+      ivfTopKWithCentroids(survivors, queries, idCol, vecCol, k, centRows, nProbe)
+  }
+
   /**
    * LSH-bucketed approximate top-k: corpus and queries are bucketed by
    * random-hyperplane sign signatures in `tables` independent tables; only

@@ -119,6 +119,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filteredTopKAuto: selective predicates take the exact brute arm, loose ones the probe arm") {
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // Tight predicate (one label of ten ≈ 10%, bruteBelow raised to 0.2
+    // to force the switch): the auto face must equal exact brute-force
+    // over the survivors — the filtered probe's recall would collapse.
+    val tight = col("label") === 3
+    assert(rows(Similarity.filteredTopKAuto(emb, queries, "vec_id", "embedding",
+        k = 5, cents, nProbe = 2, where = tight, bruteBelow = 0.2)) ===
+      rows(Similarity.bruteForceTopK(emb.filter(tight), queries, "vec_id", "embedding", k = 5)))
+    // Loose predicate (~90%): the probe arm, byte-equal to the filtered
+    // IVF composition at the same config.
+    val loose = col("label") =!= 3
+    assert(rows(Similarity.filteredTopKAuto(emb, queries, "vec_id", "embedding",
+        k = 5, cents, nProbe = 2, where = loose)) ===
+      rows(Similarity.ivfTopKWithCentroids(emb.filter(loose), queries,
+        "vec_id", "embedding", k = 5, cents, nProbe = 2)))
+  }
+
   test("IVF delete log: excluded reads, replayed deletes, pruning-preserving compaction") {
     import org.apache.spark.sql.DataFrame
     val corpus = emb
