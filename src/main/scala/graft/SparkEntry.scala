@@ -1217,13 +1217,16 @@ object SparkEntry {
     }),
 
     // Filtered search with STRATEGY SELECTION — the planning rule every
-    // vector store ships: a highly selective predicate (< 2% here)
-    // switches from the probe index (whose recall collapses when a
-    // probe's cells hold almost no survivors) to exact brute-force over
-    // the survivor set, whose cost scales with selectivity, not corpus.
-    // The ~10% label predicate picks the IVF arm, so the gate pins the
-    // auto face's IVF path against the same trained-pipeline oracle;
-    // SimilaritySpec pins the brute arm with a tighter predicate.
+    // vector store ships: a highly selective predicate (< 2%) OR a
+    // small absolute survivor set (≤ 10k rows) switches from the probe
+    // index (whose recall starves when probed cells hold almost no
+    // survivors) to exact brute-force over the survivors, whose cost
+    // scales with the filter, not the corpus. At the gate SF the ~10%
+    // label predicate leaves well under 10k survivors, so the auto face
+    // takes the BRUTE arm — exact, oracle = filtered exact top-k; at
+    // warehouse scale the same predicate clears both thresholds and
+    // takes the probe arm (ann_filtered's plan, its own gate).
+    // SimilaritySpec pins both arms and the switch.
     "ann_filtered_auto" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.filteredTopKAuto(e, e.filter(col("vec_id") % 50 === 0),
@@ -4855,9 +4858,10 @@ $rounds
     // The metadata-carrying bucketed layout must be indistinguishable
     // from the in-plan filtered pipeline — same oracle.
     "ann_filtered_store" -> annIvfFilteredSql,
-    // The auto face's IVF arm (the 10% predicate is above the 2% brute
-    // switch) must be indistinguishable from ann_filtered — same oracle.
-    "ann_filtered_auto" -> annIvfFilteredSql,
+    // The auto face takes the BRUTE arm at gate scale (survivors well
+    // under the absolute-rows switch): exact top-k among the
+    // predicate's survivors.
+    "ann_filtered_auto" -> annFilteredTopkSql,
     // Recall vs the FILTERED exact top-k (both sides carry the same
     // label predicate; see the map entry's conflation note).
     "ann_recall_filtered" ->

@@ -1060,13 +1060,19 @@ object Similarity {
     * paying (an nProbe/|C| slice of a tiny survivor set returns almost
     * nothing; recall collapses), while brute-force over the survivors is
     * both exact and CHEAP — its cost scales with the filter's
-    * selectivity, not the corpus. Below `bruteBelow` selectivity the
-    * filtered survivors are scanned exactly; above it the trained IVF
-    * probe runs with the predicate under the probe join
-    * ([[ivfTopKWithCentroids]]). The two survivor counts here are
-    * driver-side actions — the planner step, metadata-scale output; at
-    * warehouse scale the decision reads column statistics (or the
-    * layout's partition row counts) instead of counting. */
+    * selectivity, not the corpus. Two switch conditions, either
+    * sufficient: RELATIVE — below `bruteBelow` selectivity; ABSOLUTE —
+    * `bruteBelowRows` or fewer survivors (a broadcast-scan over ≤10k
+    * vectors is trivially cheap at ANY corpus size, and sparse absolute
+    * survivor counts starve the probes regardless of relative
+    * selectivity — measured: the 10% filter that holds recall 0.82 on
+    * a 500-vector corpus drops to 0.72 on a 50-vector one). Above both
+    * thresholds the trained IVF probe runs with the predicate under
+    * the probe join ([[ivfTopKWithCentroids]]). The two survivor
+    * counts here are driver-side actions — the planner step,
+    * metadata-scale output; at warehouse scale the decision reads
+    * column statistics (or the layout's partition row counts) instead
+    * of counting. */
   def filteredTopKAuto(
       corpus: DataFrame,
       queries: DataFrame,
@@ -1076,11 +1082,12 @@ object Similarity {
       centRows: Array[(Long, Vector[Double])],
       nProbe: Int,
       where: Column,
-      bruteBelow: Double = 0.02): DataFrame = {
+      bruteBelow: Double = 0.02,
+      bruteBelowRows: Long = 10000L): DataFrame = {
     val total = corpus.count()
     val survivors = corpus.filter(where)
     val kept = survivors.count()
-    if (total == 0L || kept <= bruteBelow * total)
+    if (total == 0L || kept <= bruteBelow * total || kept <= bruteBelowRows)
       bruteForceTopK(survivors, queries, idCol, vecCol, k)
     else
       ivfTopKWithCentroids(survivors, queries, idCol, vecCol, k, centRows, nProbe)

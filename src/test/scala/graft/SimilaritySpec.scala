@@ -119,6 +119,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered probe arm: recall@5 >= 0.8 vs the filtered truth where survivors are dense") {
+    // The IVF arm of filtered search at the shipped default config,
+    // measured against the FILTERED exact truth (measured 0.82 at
+    // sf0.01). Only asserted where the filter leaves a dense survivor
+    // set — on the sparse-survivor fixture below, recall starves (0.72
+    // measured at sf0.001), which is precisely what filteredTopKAuto's
+    // ABSOLUTE-rows switch exists to catch.
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val survivors = corpus.filter(col("label") === 1)
+    val exact = Similarity.bruteForceTopK(survivors, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      SparkEntry.AnnDefaultCentroids, SparkEntry.AnnDefaultIters)
+    val got = Similarity.ivfTopKWithCentroids(survivors, queries,
+        "vec_id", "embedding", k = 5, cents, nProbe = SparkEntry.AnnDefaultNProbe)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = (got & exact).size.toDouble / exact.size
+    assert(r >= 0.8, s"filtered-probe recall@5 $r below the 0.8 floor")
+  }
+
   test("filteredTopKAuto: selective predicates take the exact brute arm, loose ones the probe arm") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -131,13 +153,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.filteredTopKAuto(emb, queries, "vec_id", "embedding",
         k = 5, cents, nProbe = 2, where = tight, bruteBelow = 0.2)) ===
       rows(Similarity.bruteForceTopK(emb.filter(tight), queries, "vec_id", "embedding", k = 5)))
-    // Loose predicate (~90%): the probe arm, byte-equal to the filtered
-    // IVF composition at the same config.
+    // Loose predicate (~90%) with the absolute-rows switch disabled
+    // (this fixture is tiny — EVERY honest absolute threshold would pick
+    // brute here, which is exactly the point of that rule): the probe
+    // arm, byte-equal to the filtered IVF composition at the same config.
     val loose = col("label") =!= 3
     assert(rows(Similarity.filteredTopKAuto(emb, queries, "vec_id", "embedding",
-        k = 5, cents, nProbe = 2, where = loose)) ===
+        k = 5, cents, nProbe = 2, where = loose, bruteBelowRows = 0L)) ===
       rows(Similarity.ivfTopKWithCentroids(emb.filter(loose), queries,
         "vec_id", "embedding", k = 5, cents, nProbe = 2)))
+    // Default thresholds on the tiny fixture: the ~10% predicate leaves
+    // a handful of survivors — the ABSOLUTE rule must pick brute even
+    // though relative selectivity is far above 2% (the sparse-survivor
+    // case where probe recall starves: 0.72 vs 0.82 measured one SF up).
+    assert(rows(Similarity.filteredTopKAuto(emb, queries, "vec_id", "embedding",
+        k = 5, cents, nProbe = 2, where = tight)) ===
+      rows(Similarity.bruteForceTopK(emb.filter(tight), queries, "vec_id", "embedding", k = 5)))
   }
 
   test("IVF delete log: excluded reads, replayed deletes, pruning-preserving compaction") {
