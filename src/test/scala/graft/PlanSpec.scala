@@ -116,7 +116,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "ann_recall_sq8", "ann_recall_lsh", "ann_sq8_store", "bm25_retract",
       // ann_recall_filtered: the filtered exact side is ann_topk's
       // broadcast-NLJ brute face over the predicate's survivors.
-      "ann_recall_filtered")
+      // ann_filtered_auto: at gate SF the strategy switch picks the
+      // brute arm (survivors under the absolute-rows threshold) — the
+      // same bounded broadcast-NLJ shape, by design.
+      "ann_recall_filtered", "ann_filtered_auto")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
