@@ -4,7 +4,7 @@ import graft.functions.{Dedup, FastText => TFast, Similarity, TextFunctions => T
 import graft.multimodal.Multimodal
 import graft.streaming.Sessionize
 import graft.transform.ExpandJson
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -248,6 +248,74 @@ object SparkEntry {
       .sortBy(_._1)
   }
 
+  /** The trained PQ codebook as a persisted per-corpus artifact (the
+    * ivfTrainedCentroidStore posture): PqTrainIters fixed-point Lloyd
+    * rounds per subspace over the coarse residuals run once per
+    * testdata generation; readers get the 4×16×16 codebook (pure
+    * metadata) from parquet. The oracle replays the training from raw
+    * embeddings, so a stale store can't pass. */
+  private def pqTrainedCodebookStore(
+      s: SparkSession, dir: String,
+      cents: Array[(Long, Vector[Double])]): Array[Array[Vector[Double]]] = {
+    val path = oncePerDir(
+      dir, s"pqcb-v1-i$PqTrainIters-sub4x16", "embeddings") { p =>
+      import s.implicits._
+      Similarity.trainPqCodebook(t(s, dir, "embeddings"), "embedding",
+          dim = 64, cents, iters = PqTrainIters)
+        .zipWithIndex.flatMap { case (cws, m) =>
+          cws.zipWithIndex.map { case (cw, j) => (m, j, cw) } }.toSeq
+        .toDF("m", "j", "cw")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    val rows = s.read.parquet(path).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toVector)).toMap
+    Array.tabulate(4)(m => Array.tabulate(16)(j => rows((m, j))))
+  }
+
+  /** The corpus-gate rule policy — ONE definition of the Gopher-style
+    * thresholds and the quality cutoff, consumed by gopher_gate,
+    * filter_report, and pipeline_clean so a threshold change cannot
+    * silently desynchronize the attribution report from the gates it
+    * explains (the r12 advisor item). The oracles replicate these as
+    * SQL literals; changing a value here must change all three gates
+    * AND their oracles together. */
+  private[graft] val GopherMinWords = 30
+  private[graft] val GopherMinMeanWordLen = 3.5
+  private[graft] val GopherMaxMeanWordLen = 5.0
+  private[graft] val GopherMaxRepetition = 0.65
+  private[graft] val QualityKeepMin = 1.0
+
+  private def gopherWordCount: Column = size(TF.wsTokens(col("text")))
+  private def gopherMeanWordLen(wc: Column): Column =
+    (length(col("text")) - (wc - lit(1))).cast(DoubleType) / wc
+  /** TRUE = the document passes the Gopher gate. */
+  private def gopherPass: Column = {
+    val wc = gopherWordCount
+    val mwl = gopherMeanWordLen(wc)
+    wc >= GopherMinWords && mwl >= GopherMinMeanWordLen &&
+      mwl <= GopherMaxMeanWordLen &&
+      TF.wordRepetitionRatio(col("text")) <= GopherMaxRepetition
+  }
+  /** TRUE = the document FAILS the quality gate (flag semantics). */
+  private def qualityFlag: Column = TF.qualityScore(col("text")) < QualityKeepMin
+
+  /** The metadata-carrying filtered-search layout, shared by
+    * ann_filtered_store (probe reads) and ann_filtered_auto (footer-
+    * stats strategy selection): cell-bucketed with the `label` column
+    * carried next to the vectors, landed as two slices plus a replay
+    * (the ann_ivf_store ingestion proof). One build per testdata dir. */
+  private def ivfFilteredBucketedStore(
+      s: SparkSession, dir: String, e: DataFrame,
+      cents: Array[(Long, Vector[Double])]): String =
+    oncePerDir(
+      dir, s"ivffilstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
+      val s1 = e.filter(col("vec_id") % 2 === 0)
+      val s2 = e.filter(col("vec_id") % 2 === 1)
+      Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
+      Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
+      Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label")) // replay
+    }
+
   /** recall@5 of one approximate ANN face against the brute-force list on
     * the same query set — the shape shared by every `ann_recall*` entry:
     * the exact side is a metadata-scale read of the persisted ground
@@ -333,6 +401,82 @@ object SparkEntry {
         when(graft.functions.Classifier.stumpLeft(
             element_at(col("embedding"), r), bin), lit(ll))
           .otherwise(lit(rl)) =!= col("label"))
+    }
+    persisted.foreach(_.unpersist(blocking = false))
+    out.toSeq
+  }
+
+  /** Boosted-stump depth and the integer reweight factor (DESIGN
+    * candidate (d), closed round 13): misclassified rows DOUBLE their
+    * weight each round instead of being filtered out, so every round
+    * trains on the full corpus with the hard rows emphasized — rule
+    * quality decouples from training order (the chained list's round-5
+    * stump sees only round-1-4 mistakes; the boosted round-5 stump sees
+    * everything). Integer weights keep every count exact (the
+    * perceptron discipline): the oracle replays all rounds bit-for-bit
+    * where exp-weight AdaBoost would drift in the last ulp. Depth 10
+    * (vs the chained list's 5): reweighting keeps every round
+    * full-corpus, so extra rounds keep paying — measured vote accuracy
+    * 0.124/0.122 (sf0.001/sf0.01) vs the chained list's 0.114/0.110;
+    * at 5 rounds the vote had too few voters to beat the list. */
+  private[graft] val BoostRounds = 10
+  private[graft] val BoostFactor = 2L
+
+  /** The boosted chain as a persisted per-corpus artifact (the
+    * stumpChainStore posture): k weighted-training rounds — one
+    * persisted reweight pass + one metadata-scale collect each — run
+    * once per testdata generation. */
+  private def boostChainStore(s: SparkSession, dir: String): Seq[StumpRound] = {
+    val path = oncePerDir(
+      dir, s"booststump-v1-r$BoostRounds-f$BoostFactor", "embeddings") { p =>
+      import s.implicits._
+      boostChainModels(
+        t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull),
+        rounds = BoostRounds)
+        .map(m => (m.round, m.nTrain, m.bin, m.threshold, m.leftLabel,
+          m.rightLabel, m.gini, m.nLeft, m.nRight, m.nLeftMaj, m.nRightMaj))
+        .toDF("round", "n_train", "split_bin", "threshold", "left_label",
+          "right_label", "gini", "n_left", "n_right", "n_left_maj", "n_right_maj")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path).collect()
+      .map(r => StumpRound(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getDouble(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+      .sortBy(_.round).toSeq
+  }
+
+  /** k rounds of integer-weight boosting: train a weighted stump on
+    * dimension r, then double the weight of every row the round-r stump
+    * misclassifies. nTrain carries the round's WEIGHTED mass (nl + nr),
+    * as do the side counts/majorities — the reweighted distribution is
+    * the training set. Same persist-per-round discipline as the chained
+    * trainer (lazy chaining would re-plan the reweight chain
+    * multiplicatively). */
+  private def boostChainModels(e: DataFrame, rounds: Int): Seq[StumpRound] = {
+    var cur = e.withColumn("__w", lit(1L))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = scala.collection.mutable.ArrayBuffer.empty[StumpRound]
+    for (r <- 1 to rounds) {
+      cur = cur.persist()
+      persisted += cur
+      val m = graft.functions.Classifier.stumpModelWeighted(
+        cur, element_at(col("embedding"), r), "label", col("__w"), binScale = 16L)
+        .collect()
+      require(m.nonEmpty, s"boosted chain round $r: no valid split")
+      val row = m(0)
+      val bin = row.getLong(0)
+      val ll = row.getInt(2)
+      val rl = row.getInt(3)
+      out += StumpRound(r, row.getLong(4) + row.getLong(5), bin,
+        row.getDouble(1), ll, rl, row.getDouble(6), row.getLong(4),
+        row.getLong(5), row.getLong(7), row.getLong(8))
+      val pred = when(graft.functions.Classifier.stumpLeft(
+          element_at(col("embedding"), r), bin), lit(ll)).otherwise(lit(rl))
+      cur = cur.withColumn("__w",
+        when(pred =!= col("label"), col("__w") * lit(BoostFactor))
+          .otherwise(col("__w")))
     }
     persisted.foreach(_.unpersist(blocking = false))
     out.toSeq
@@ -1221,17 +1365,31 @@ object SparkEntry {
     // small absolute survivor set (≤ 10k rows) switches from the probe
     // index (whose recall starves when probed cells hold almost no
     // survivors) to exact brute-force over the survivors, whose cost
-    // scales with the filter, not the corpus. At the gate SF the ~10%
+    // scales with the filter, not the corpus. The decision runs at the
+    // 100 TB posture: over the metadata-carrying bucketed layout (shared
+    // with ann_filtered_store), from parquet FOOTER row counts plus one
+    // bounded file sample (Similarity.bucketedArmStats) — the planner
+    // step executes NO corpus-scale action. At the gate SF the ~10%
     // label predicate leaves well under 10k survivors, so the auto face
-    // takes the BRUTE arm — exact, oracle = filtered exact top-k; at
-    // warehouse scale the same predicate clears both thresholds and
-    // takes the probe arm (ann_filtered's plan, its own gate).
-    // SimilaritySpec pins both arms and the switch.
+    // takes the BRUTE arm — exact, oracle = filtered exact top-k; the
+    // oracle is pinned to that arm, so the map entry ASSERTS the switch
+    // (a larger gate SF flipping to the probe arm fails loudly here,
+    // never as a spurious hash mismatch). At warehouse scale the same
+    // predicate clears both thresholds and takes the probe arm
+    // (ann_filtered_store's plan, its own gate). SimilaritySpec pins
+    // both arms, the switch, and the bounded decision read.
     "ann_filtered_auto" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.filteredTopKAuto(e, e.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", k = 5, ivfTrainedCentroidStore(s, dir),
-        nProbe = AnnDefaultNProbe, where = col("label") === 1)
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val path = ivfFilteredBucketedStore(s, dir, e, cents)
+      val (arm, out) = Similarity.filteredTopKAutoFromBucketed(s, path,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5,
+        cents, nProbe = AnnDefaultNProbe, where = col("label") === 1)
+      require(arm == Similarity.BruteArm,
+        "ann_filtered_auto's oracle is the exact filtered top-k (the brute arm); " +
+          "the gate SF now exceeds the strategy switch — rebind the oracle to " +
+          "the probe arm (annIvfFilteredSql) or lower the gate corpus")
+      out
     }),
 
     // Filtered search at its 100 TB posture: the cell-bucketed layout
@@ -1247,14 +1405,7 @@ object SparkEntry {
     "ann_filtered_store" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = ivfTrainedCentroidStore(s, dir) // hoisted dependency
-      val path = oncePerDir(
-        dir, s"ivffilstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
-        val s1 = e.filter(col("vec_id") % 2 === 0)
-        val s2 = e.filter(col("vec_id") % 2 === 1)
-        Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
-        Similarity.appendIvfBucketed(s2, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
-        Similarity.appendIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label")) // replay
-      }
+      val path = ivfFilteredBucketedStore(s, dir, e, cents)
       Similarity.ivfTopKFromBucketed(s, path, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, cents, nProbe = AnnDefaultNProbe,
         where = col("label") === 1)
@@ -1268,14 +1419,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
-    // IVF-PQ: candidate generation scores 4-byte PQ codes (asymmetric
-    // distance vs hash-derived codebook reconstructions) inside the probed
-    // IVF cells, then exact re-rank of the top-40 candidates — the
-    // compressed-index ANN memory story; final scores are exact cosines.
+    // IVF-PQ at the SHIPPED trained config (closed round 13): candidate
+    // generation scores 4-byte PQ codes — asymmetric distance vs
+    // centroid-plus-residual reconstructions — inside the probed IVF
+    // cells, then exact re-rank of the top-40; final scores are exact
+    // cosines. Three quality levers over the r12 face (recall@5 0.26 →
+    // 0.54 at sf0.01, exact ceiling 0.82): TRAINED coarse centroids
+    // (the ann_default store) instead of the hash-rank sample, RESIDUAL
+    // encoding (codes quantize v − centroid(cell)), and a TRAINED
+    // codebook (PqTrainIters fixed-point Lloyd rounds per subspace) at
+    // nProbe = 8. The oracle replays both trainings and the search
+    // value-exactly (fixed-point sums end to end).
     "ann_ivfpq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0),
-        "vec_id", "embedding", k = 5, dim = 64)
+      val cents = ivfTrainedCentroidStore(s, dir)
+      Similarity.ivfPqTopKWithCodebook(e, e.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, cents,
+        pqTrainedCodebookStore(s, dir, cents), subDim = 16,
+        nProbe = AnnDefaultNProbe)
     }),
 
     // SQ8 scalar-quantized ANN: the candidate scan reads one BYTE per
@@ -1298,9 +1459,10 @@ object SparkEntry {
     // provably invisible.
     "ann_ivfpq_store" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.sampledIvfCentroids(e, "vec_id", "embedding")
-      val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
-      val path = oncePerDir(dir, "ivfpqstore-v1-sub4x16", "embeddings") { p =>
+      val cents = ivfTrainedCentroidStore(s, dir) // hoisted dependencies
+      val cb = pqTrainedCodebookStore(s, dir, cents)
+      val path = oncePerDir(
+        dir, s"ivfpqstore-v2-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
         val s1 = e.filter(col("vec_id") % 2 === 0)
         val s2 = e.filter(col("vec_id") % 2 === 1)
         Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p)
@@ -1308,7 +1470,8 @@ object SparkEntry {
         Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p) // replay
       }
       Similarity.ivfPqTopKFromIndex(s, path, e,
-        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents)
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
+        nProbe = AnnDefaultNProbe)
     }),
 
     // Incremental SQ8 ingestion (same two-slices-plus-replay proof): the
@@ -1502,6 +1665,36 @@ object SparkEntry {
       e.select(col("label"),
           Classifier.decisionListRoute(rules, lit(ranked.last._3))
             .as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // BOOSTED rule inference (integer-weight boosting, BoostRounds
+    // stumps trained on the reweighted-not-filtered corpus): each row
+    // takes the MAJORITY VOTE of the k stump predictions, ties to the
+    // smaller label. The trained model is k driver-side literal rows, so
+    // scoring is one codegen'd projection — the vote argmax is a single
+    // `greatest` over (votes, -label) structs, no join, no window. The
+    // oracle replays the full k-round weighted training (HUGEINT weight
+    // sums — bit-exact) and the vote. ClassifierSpec asserts the boosted
+    // vote's accuracy >= the chained decision list's on the gate corpus.
+    "rule_boosted" -> ((s, dir) => {
+      import graft.functions.Classifier
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val models = boostChainStore(s, dir)
+      val preds = models.map { m =>
+        when(Classifier.stumpLeft(element_at(col("embedding"), m.round), m.bin),
+          lit(m.leftLabel)).otherwise(lit(m.rightLabel))
+      }
+      val cands = models.flatMap(m => Seq(m.leftLabel, m.rightLabel)).distinct.sorted
+      val scored = cands.map { l =>
+        val votes = preds.map(p => when(p === l, 1).otherwise(0)).reduce(_ + _)
+        struct(votes.as("v"), lit(-l).as("nl"))
+      }
+      val win =
+        if (scored.size == 1) scored.head else greatest(scored: _*)
+      e.select(col("label"), (-win.getField("nl")).as("pred_label"))
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -2716,14 +2909,15 @@ object SparkEntry {
     }),
 
     "gopher_gate" -> ((s, dir) => {
-      val wc = size(TF.wsTokens(col("text")))
+      val wc = gopherWordCount
       t(s, dir, "documents")
         .select(col("doc_id"), wc.as("n_words"),
-          ((length(col("text")) - (wc - lit(1))).cast(DoubleType) / wc).as("mean_word_len"),
+          gopherMeanWordLen(wc).as("mean_word_len"),
           TF.wordRepetitionRatio(col("text")).as("repeat_ratio"))
-        .filter(col("n_words") >= 30 &&
-          col("mean_word_len") >= 3.5 && col("mean_word_len") <= 5.0 &&
-          col("repeat_ratio") <= 0.65)
+        .filter(col("n_words") >= GopherMinWords &&
+          col("mean_word_len") >= GopherMinMeanWordLen &&
+          col("mean_word_len") <= GopherMaxMeanWordLen &&
+          col("repeat_ratio") <= GopherMaxRepetition)
     }),
 
     // Cross-document span dedup (C4's line-dedup, over fixed 16-word
@@ -2810,16 +3004,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val canonical = Dedup.exactGroups(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"), lit(1).as("__canon"))
-      val wc = size(TF.wsTokens(col("text")))
-      val mwl = (length(col("text")) - (wc - lit(1))).cast(DoubleType) / wc
       val flags = docs
         .join(canonical, Seq("doc_id"), "left")
         .select(col("doc_id"),
           col("__canon").isNull.as("f_dup"),
           (TF.langId(col("text")) =!= col("lang")).as("f_lang"),
-          (TF.qualityScore(col("text")) < 1.0).as("f_quality"),
-          (!(wc >= 30 && mwl >= 3.5 && mwl <= 5.0 &&
-            TF.wordRepetitionRatio(col("text")) <= 0.65)).as("f_gopher"))
+          qualityFlag.as("f_quality"),
+          (!gopherPass).as("f_gopher"))
         .withColumn("nf",
           col("f_dup").cast(IntegerType) + col("f_lang").cast(IntegerType) +
           col("f_quality").cast(IntegerType) + col("f_gopher").cast(IntegerType))
@@ -2844,7 +3035,7 @@ object SparkEntry {
         .join(canonical, "doc_id", "left_semi")
         .withColumn("quality_score", TF.qualityScore(col("text")))
         .withColumn("pred_lang", TF.langId(col("text")))
-        .filter(col("quality_score") >= 1.0 && col("pred_lang") === col("lang"))
+        .filter(col("quality_score") >= QualityKeepMin && col("pred_lang") === col("lang"))
         .select(col("doc_id"), col("lang"),
           size(TF.bpeTokens(col("text"))).as("n_tokens"))
     }),
@@ -3370,6 +3561,34 @@ object SparkEntry {
       Affinity.copresenceGraphFromStore(s, path, minSupport = 2L)
     }),
 
+    // SOURCE-level basket takedown — the face the plain set store above
+    // lacks (the r12 verdict's last un-retractable store): membership
+    // routed through the generic StoreLog LWW algebra keyed (basket,
+    // item). Two insert slices (gens 0/1), every 10th basket tombstoned
+    // at gen 2 (the basket key expands to its live rows — takedown-scale
+    // work), the tombstone slice REPLAYED at the same gen (idempotent by
+    // max-struct), then the copresence graph derives from the live rows.
+    // Contrast graph_retract, which tombstones DERIVED edges and cannot
+    // un-count a doomed basket's contribution to a surviving edge's
+    // support — here the support counts themselves recompute as if the
+    // doomed baskets never shipped, which is what the oracle checks (the
+    // copresence CTE over `l_orderkey % 10 <> 0` only).
+    "basket_retract" -> ((s, dir) => {
+      import graft.functions.Affinity
+      val path = oncePerDir(dir, "basketlog-v1-d10", "lineitem") { p =>
+        val li = t(s, dir, "lineitem")
+        Affinity.appendBasketItemOps(
+          li.filter(col("l_orderkey") % 2 === 0), "l_orderkey", "l_partkey", p, gen = 0L)
+        Affinity.appendBasketItemOps(
+          li.filter(col("l_orderkey") % 2 === 1), "l_orderkey", "l_partkey", p, gen = 1L)
+        val doomed = li.filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey")).distinct()
+        Affinity.tombstoneBaskets(s, doomed, p, gen = 2L)
+        Affinity.tombstoneBaskets(s, doomed, p, gen = 2L) // replay
+      }
+      Affinity.copresenceGraphFromLog(s, path, minSupport = 2L)
+    }),
+
     // Connected components of the same co-purchase graph (product-family
     // discovery): component id = min node id, with node and edge counts.
     // Labeling reuses the dedup family's two-phase union-find contraction
@@ -3704,6 +3923,64 @@ object SparkEntry {
        |  round, side, label, n_side, n_maj, purity
        |FROM rules""".stripMargin
 
+  /** One boosted-training round in SQL: the [[stumpRoundSql]] machinery
+    * with every `count(*)` replaced by a HUGEINT `sum(w)` (bit-exact —
+    * integer weights), and the round's successor frame b{r+1} carrying
+    * `w·BoostFactor` for misclassified rows instead of filtering them. */
+  private def boostRoundSql(r: Int): String =
+    s"""bc$r AS (SELECT embedding, label, w,
+       |  CAST(floor(CAST(embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) AS bin FROM b$r),
+       |bcnt$r AS MATERIALIZED (SELECT bin, label, sum(w)::HUGEINT AS c FROM bc$r GROUP BY 1, 2),
+       |bgrid$r AS (SELECT bins.bin, l.label, coalesce(bcnt$r.c, 0)::HUGEINT AS c
+       |  FROM (SELECT DISTINCT bin FROM bcnt$r) bins
+       |  CROSS JOIN (SELECT DISTINCT label FROM bcnt$r) l
+       |  LEFT JOIN bcnt$r ON bcnt$r.bin = bins.bin AND bcnt$r.label = l.label),
+       |bcum$r AS (SELECT bin, label,
+       |    sum(c) OVER (PARTITION BY label ORDER BY bin)::HUGEINT AS cl,
+       |    sum(c) OVER (PARTITION BY label)::HUGEINT AS tot FROM bgrid$r),
+       |bpb$r AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
+       |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
+       |  FROM bcum$r GROUP BY 1),
+       |blm$r AS (SELECT bin, label, cl AS lc,
+       |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM bcum$r),
+       |brm$r AS (SELECT bin, label, tot - cl AS rc,
+       |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM bcum$r),
+       |bbest$r AS MATERIALIZED (SELECT bpb$r.bin,
+       |    blm$r.label AS left_label, brm$r.label AS right_label,
+       |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
+       |  FROM bpb$r JOIN blm$r ON blm$r.bin = bpb$r.bin AND blm$r.rn = 1
+       |            JOIN brm$r ON brm$r.bin = bpb$r.bin AND brm$r.rn = 1
+       |  WHERE nl > 0 AND n - nl > 0
+       |  ORDER BY score, bpb$r.bin LIMIT 1),
+       |b${r + 1} AS MATERIALIZED (SELECT b$r.vec_id, b$r.embedding, b$r.label,
+       |  CASE WHEN (CASE WHEN CAST(floor(CAST(b$r.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT)
+       |              <= bbest$r.bin
+       |         THEN bbest$r.left_label ELSE bbest$r.right_label END) <> b$r.label
+       |       THEN b$r.w * $BoostFactor ELSE b$r.w END AS w
+       |  FROM b$r, bbest$r)""".stripMargin
+
+  /** Generated oracle for `rule_boosted`: the full k-round weighted
+    * training replay, then the per-row majority vote of the k stump
+    * predictions ((votes DESC, label) argmax — the Spark side's
+    * greatest-over-(v, −label)-structs), then the confusion counts. */
+  private lazy val ruleBoostedSql: String = {
+    val ctes =
+      s"""WITH b1 AS MATERIALIZED (SELECT vec_id, embedding, label, 1::HUGEINT AS w FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |${(1 to BoostRounds).map(boostRoundSql).mkString(",\n")}""".stripMargin
+    val predCols = (1 to BoostRounds).map(r =>
+      s"""CASE WHEN CAST(floor(CAST(b1.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) <= bbest$r.bin
+         |       THEN bbest$r.left_label ELSE bbest$r.right_label END""".stripMargin)
+      .mkString(", ")
+    s"""$ctes,
+       |routed AS (SELECT b1.vec_id, b1.label, unnest([$predCols]) AS p
+       |  FROM b1, ${(1 to BoostRounds).map("bbest" + _).mkString(", ")}),
+       |votes AS (SELECT vec_id, label, p, count(*) AS v FROM routed GROUP BY 1, 2, 3),
+       |win AS (SELECT vec_id, label, p AS pred_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, p) AS rn FROM votes)
+       |SELECT label, pred_label, count(*)::BIGINT AS n FROM win WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  }
+
   /** Generated oracle for `rule_confusion`: per-row best-matching-rule
     * routing (the window form of the Spark side's rank-ordered CASE). */
   private lazy val ruleConfusionSql: String =
@@ -3737,7 +4014,12 @@ object SparkEntry {
     * all value-exact. aff/stat/cent CTEs are MATERIALIZED — each is
     * referenced by 2-3 downstream CTEs per iteration, and plain inlining
     * re-evaluates the chain exponentially (the decision-list lesson). */
-  private lazy val annDefaultSql: String = {
+  /** Shared trained-IVF prefix: e + cent0 + AnnDefaultIters Lloyd steps
+    * + the final-centroid afq/assign/probe CTEs — the common head of
+    * annDefaultSql AND annIvfpqSql (which appends the PQ training/search
+    * on top of the same trained assignment). annIvfFilteredSql's anchor
+    * surgery depends on this exact text. */
+  private lazy val annTrainedHeadCtes: String = {
     val iters = AnnDefaultIters
     val steps = (0 until iters).map { r =>
       s"""aff$r AS MATERIALIZED (
@@ -3773,7 +4055,11 @@ object SparkEntry {
        |  FROM afq) WHERE rn = 1),
        |probe AS (SELECT vec_id AS query_id, cid FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-       |  FROM afq WHERE vec_id % 50 = 0) WHERE rn <= $AnnDefaultNProbe),
+       |  FROM afq WHERE vec_id % 50 = 0) WHERE rn <= $AnnDefaultNProbe)""".stripMargin
+  }
+
+  private lazy val annDefaultSql: String =
+    s"""$annTrainedHeadCtes,
        |scored AS (
        |  SELECT probe.query_id, assign.vec_id,
        |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
@@ -3785,7 +4071,6 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
-  }
 
   /** Generated oracle for `ann_retract`: the annIvfSql pipeline with the
     * deleted vectors (vec_id % 7 = 3) removed from the ASSIGNMENT and
@@ -3869,65 +4154,92 @@ object SparkEntry {
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
 
-  /** Generated oracle for `ann_ivfpq` (full pipeline replica; see the
-    * comment at its map entry). Shared with the `ann_recall_ivfpq`
-    * composition. */
-  private lazy val annIvfpqSql: String =
-    s"""WITH e AS ($embCast),
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS nc FROM e
-         |  QUALIFY row_number() OVER (ORDER BY
-         |    ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 8))::BIGINT, vec_id) <= 16),
-         |aff AS (
-         |  SELECT e.vec_id, cent.cid,
-         |    list_sum(list_transform(list_zip(e.v, cent.cv), pr -> pr[1] * pr[2])) / (e.nrm * cent.nc) AS a
-         |  FROM e CROSS JOIN cent),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff) WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-         |    FROM aff WHERE vec_id % 50 = 0) WHERE rn <= 2),
-         |cb AS (
-         |  SELECT m, j, list_transform(range(0, 16), d ->
-         |    ('0x' || substr(md5('pq_' || m::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) AS cw
-         |  FROM range(0, 4) mm(m) CROSS JOIN range(0, 16) jj(j)),
-         |cbn AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM cb),
-         |sub AS (
-         |  SELECT vec_id, m, v[(m * 16 + 1):(m * 16 + 16)] AS s FROM e CROSS JOIN range(0, 4) mm(m)),
-         |sd AS (SELECT vec_id, m, s, list_sum(list_transform(s, x -> x * x)) AS ss FROM sub),
-         |dist AS (
-         |  SELECT sd.vec_id, sd.m, cbn.j,
-         |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cbn.cw), pr -> pr[1] * pr[2])) + cbn.cc AS dist
-         |  FROM sd JOIN cbn ON sd.m = cbn.m),
-         |code AS (
-         |  SELECT vec_id, m, j FROM (
+  /** PQ-training iterations for the shipped compressed index: 2
+    * fixed-point Lloyd rounds of per-subspace k-means over the coarse
+    * RESIDUALS (seeded from the scaled hash codebook). 2 is where the
+    * gate corpus converged (iteration 3 moved recall by 0). */
+  private[graft] val PqTrainIters = 2
+
+  /** Generated oracle for `ann_ivfpq` — the full trained-residual
+    * IVF-PQ replica: trained coarse centroids (the annDefaultSql Lloyd
+    * prefix, shared text), residuals v − centroid(assigned cell), a PQ
+    * codebook trained by PqTrainIters fixed-point Lloyd rounds per
+    * subspace (seeded from the 0.125-scaled hash codebook), ADC over
+    * centroid-plus-reconstruction, exact top-40 re-rank. Every step is
+    * exact-integer or a shared sequential double fold, so codes,
+    * candidates, and scores are value-exact across engines. Shared with
+    * the `ann_recall_ivfpq` composition and the ann_ivfpq_store gate. */
+  private lazy val annIvfpqSql: String = {
+    val C = AnnDefaultIters
+    val pqSteps = (0 until PqTrainIters).map { t =>
+      s"""dist$t AS MATERIALIZED (
+         |  SELECT sd.vec_id, sd.m, cb.j,
+         |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cb.cw), pr -> pr[1] * pr[2])) + cb.cc AS dist
+         |  FROM sd JOIN pqcbn$t cb ON sd.m = cb.m),
+         |code$t AS (SELECT vec_id, m, j FROM (
          |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
-         |    FROM dist) WHERE rn = 1),
-         |recon AS (
-         |  SELECT code.vec_id, flatten(list(cbn.cw ORDER BY code.m)) AS rv
-         |  FROM code JOIN cbn ON code.m = cbn.m AND code.j = cbn.j GROUP BY code.vec_id),
-         |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM recon),
-         |cand AS (
-         |  SELECT probe.query_id, assign.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, r.rv), pr -> pr[1] * pr[2])) / (qe.nrm * r.nr) AS adc
-         |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
-         |  JOIN e qe ON qe.vec_id = probe.query_id
-         |  JOIN rcn r ON r.vec_id = assign.vec_id),
-         |top AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-         |    FROM cand) WHERE rn <= 40),
-         |scored AS (
-         |  SELECT top.query_id, top.vec_id,
-         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
-         |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
-         |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
-         |  SELECT query_id, vec_id, score,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 5""".stripMargin
+         |    FROM dist$t) WHERE rn = 1),
+         |pstat$t AS MATERIALIZED (
+         |  SELECT c.m, c.j, dd.d,
+         |    sum(floor(sb.s[dd.d + 1] * 1048576.0))::BIGINT AS sx, count(*)::BIGINT AS n
+         |  FROM code$t c JOIN sub sb ON sb.vec_id = c.vec_id AND sb.m = c.m
+         |  CROSS JOIN range(0, 16) dd(d)
+         |  GROUP BY c.m, c.j, dd.d),
+         |pqcw$t AS (SELECT m, j, list((sx::DOUBLE / 1048576.0) / n::DOUBLE ORDER BY d) AS cw2
+         |  FROM pstat$t GROUP BY m, j),
+         |pqcb${t + 1} AS MATERIALIZED (
+         |  SELECT b.m, b.j, coalesce(w.cw2, b.cw) AS cw FROM pqcb$t b
+         |  LEFT JOIN pqcw$t w ON w.m = b.m AND w.j = b.j),
+         |pqcbn${t + 1} AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM pqcb${t + 1})""".stripMargin
+    }.mkString(",\n")
+    val T = PqTrainIters
+    s"""$annTrainedHeadCtes,
+       |res AS MATERIALIZED (
+       |  SELECT e.vec_id, list_transform(list_zip(e.v, c.cv), pr -> pr[1] - pr[2]) AS r
+       |  FROM e JOIN assign a ON a.vec_id = e.vec_id JOIN cent$C c ON c.cid = a.cid),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, m, r[(m * 16 + 1):(m * 16 + 16)] AS s FROM res CROSS JOIN range(0, 4) mm(m)),
+       |sd AS MATERIALIZED (SELECT vec_id, m, s, list_sum(list_transform(s, x -> x * x)) AS ss FROM sub),
+       |pqcb0 AS (
+       |  SELECT m, j, list_transform(range(0, 16), d ->
+       |    (('0x' || substr(md5('pq_' || m::VARCHAR || '_' || j::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT / 2147483648.0 - 1.0) * 0.125) AS cw
+       |  FROM range(0, 4) mm(m) CROSS JOIN range(0, 16) jj(j)),
+       |pqcbn0 AS (SELECT m, j, cw, list_sum(list_transform(cw, x -> x * x)) AS cc FROM pqcb0),
+       |$pqSteps,
+       |fdist AS MATERIALIZED (
+       |  SELECT sd.vec_id, sd.m, cb.j,
+       |    sd.ss - 2.0 * list_sum(list_transform(list_zip(sd.s, cb.cw), pr -> pr[1] * pr[2])) + cb.cc AS dist
+       |  FROM sd JOIN pqcbn$T cb ON sd.m = cb.m),
+       |fcode AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |    FROM fdist) WHERE rn = 1),
+       |recon AS (
+       |  SELECT fcode.vec_id, flatten(list(cb.cw ORDER BY fcode.m)) AS prv
+       |  FROM fcode JOIN pqcb$T cb ON cb.m = fcode.m AND cb.j = fcode.j GROUP BY fcode.vec_id),
+       |reconc AS (
+       |  SELECT recon.vec_id, list_transform(list_zip(c.cv, recon.prv), pr -> pr[1] + pr[2]) AS rv
+       |  FROM recon JOIN assign a ON a.vec_id = recon.vec_id JOIN cent$C c ON c.cid = a.cid),
+       |rcn AS (SELECT vec_id, rv, sqrt(list_sum(list_transform(rv, x -> x * x))) AS nr FROM reconc),
+       |cand AS (
+       |  SELECT probe.query_id, assign.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, r.rv), pr -> pr[1] * pr[2])) / (qe.nrm * r.nr) AS adc
+       |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
+       |  JOIN e qe ON qe.vec_id = probe.query_id
+       |  JOIN rcn r ON r.vec_id = assign.vec_id),
+       |top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 40),
+       |scored AS (
+       |  SELECT top.query_id, top.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+       |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+  }
 
   /** Generated oracle for `ann_sq8` (full pipeline replica; see the
     * comment at its map entry). Shared with the `ann_recall_sq8`
@@ -4763,6 +5075,9 @@ $rounds
     // round ranked by side purity; routing = per-row best matching rule.
     "rule_list" -> ruleListSql,
     "rule_confusion" -> ruleConfusionSql,
+    // Boosted vote: the k-round integer-weight training replay + the
+    // majority-vote routing (see ruleBoostedSql scaladoc).
+    "rule_boosted" -> ruleBoostedSql,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->
@@ -6502,6 +6817,15 @@ FROM f CROSS JOIN w3 GROUP BY 1, 2"""),
     // invisible through the distinct-on-read union.
     "copresence_store" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
+        |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2)
+        |SELECT u, v FROM pc WHERE c >= 2""".stripMargin,
+    // Source-level basket takedown: the tombstoned baskets' membership
+    // must be gone BEFORE support counts derive — the copresence CTE
+    // over the surviving baskets only.
+    "basket_retract" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem
+        |            WHERE l_orderkey % 10 <> 0),
         |pc AS (SELECT a.it AS u, bb.it AS v, count(*) AS c
         |       FROM bi a JOIN bi bb ON a.b = bb.b AND a.it < bb.it GROUP BY 1, 2)
         |SELECT u, v FROM pc WHERE c >= 2""".stripMargin,

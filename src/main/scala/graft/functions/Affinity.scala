@@ -125,4 +125,51 @@ object Affinity {
   def compactBasketItems(
       spark: org.apache.spark.sql.SparkSession, src: String, dest: String): Unit =
     spark.read.parquet(src).distinct().write.mode("overwrite").parquet(dest)
+
+  // --------------------------------------------------------------------
+  // Log-structured basket-items store — the TAKEDOWN face the plain set
+  // store above lacks (the r12 verdict's last un-retractable store):
+  // membership rows ride the generic StoreLog LWW algebra keyed by
+  // (basket, item), so a GDPR-scale delete of a basket (an order, a
+  // user session) removes its membership BEFORE the copresence graph
+  // derives — downstream edges involving only doomed baskets vanish as
+  // if never ingested, exactly the source-level complement of
+  // Graph.appendGraphEdgeOps (which retracts DERIVED edges and cannot
+  // un-count a basket's contribution to a surviving edge's support).
+  // --------------------------------------------------------------------
+
+  /** Append one ingestion slice to the log-structured store. Replays
+    * re-tag the same `gen` (the batch-id-ledger discipline), making
+    * at-least-once delivery idempotent under the log's max-struct win. */
+  def appendBasketItemOps(
+      df: DataFrame, basketCol: String, itemCol: String,
+      path: String, gen: Long): Unit =
+    StoreLog.appendInserts(basketItems(df, basketCol, itemCol), path, gen)
+
+  /** Tombstone every membership row of the given baskets. A takedown
+    * knows the BASKET id, not its items, so the basket keys expand to
+    * live (b, it) rows via one read of the log — takedown-scale work
+    * (the doomed baskets' rows), not corpus-scale. Replaying the slice
+    * at the same `gen` is idempotent. */
+  def tombstoneBaskets(
+      spark: org.apache.spark.sql.SparkSession,
+      baskets: DataFrame, path: String, gen: Long): Unit = {
+    val doomed = StoreLog.readLive(spark, path, Seq("b", "it"))
+      .join(baskets.select(keyAsLong(baskets.columns.map(col).head, "basket").as("b")),
+        Seq("b"), "left_semi")
+    StoreLog.appendTombstones(doomed, path, gen)
+  }
+
+  /** The support-thresholded copresence graph over the log's LIVE
+    * membership — bit-identical to [[copresenceGraph]] over a corpus
+    * that never contained the tombstoned baskets' rows. The live read is
+    * one key-grouped aggregation — the same shuffle shape as the plain
+    * store's distinct-on-read, so takedown support costs nothing at
+    * scale. */
+  def copresenceGraphFromLog(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minSupport: Long): DataFrame =
+    pairCounts(StoreLog.readLive(spark, path, Seq("b", "it")))
+      .filter(col("c") >= minSupport)
+      .select(col("p1").as("u"), col("p2").as("v"))
 }

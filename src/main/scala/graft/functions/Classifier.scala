@@ -180,7 +180,25 @@ object Classifier {
   def stumpModel(
       df: DataFrame, feature: Column, labelCol: String,
       binScale: Long = 16L): DataFrame =
-    stumpScored(df, feature, labelCol, binScale)
+    stumpModelFrom(stumpScored(df, feature, labelCol, binScale), binScale)
+
+  /** [[stumpModel]] over WEIGHTED rows — the boosting face: every count
+    * in the trainer becomes a weight sum, so the same exact-integer
+    * Gini machinery trains against a reweighted distribution without
+    * materializing duplicated rows. Keep weights INTEGER (the boosted
+    * chain multiplies misclassified rows by 2) and the whole pipeline
+    * stays bit-exact across engines — the perceptron discipline applied
+    * to boosting (an exp(alpha) real-weight scheme would drift in the
+    * last ulp and break oracle replay). Weighted totals can reach
+    * rows·2^rounds; they accumulate in the same Decimal(38,0) the
+    * unweighted trainer uses, good to ~10^12·2^8. */
+  def stumpModelWeighted(
+      df: DataFrame, feature: Column, labelCol: String, weight: Column,
+      binScale: Long = 16L): DataFrame =
+    stumpModelFrom(stumpScoredW(df, feature, labelCol, weight, binScale), binScale)
+
+  private def stumpModelFrom(scored: DataFrame, binScale: Long): DataFrame =
+    scored
       .agg(min(struct(col("score"), col("bin"), col("nl"), col("nr"),
         col("n"), col("lw"), col("rw"))).as("w"))
       .select(
@@ -208,6 +226,11 @@ object Classifier {
     * is metadata-scale (≤ bins × classes rows). */
   private def stumpScored(
       df: DataFrame, feature: Column, labelCol: String,
+      binScale: Long): DataFrame =
+    stumpScoredW(df, feature, labelCol, lit(1L), binScale)
+
+  private def stumpScoredW(
+      df: DataFrame, feature: Column, labelCol: String, weight: Column,
       binScale: Long): DataFrame = {
     require(binScale >= 1, s"binScale must be positive, got $binScale")
     val dec = DecimalType(38, 0)
@@ -215,8 +238,9 @@ object Classifier {
       .filter(feature.isNotNull && col(labelCol).isNotNull)
       .select(floor(feature.cast(DoubleType) * lit(binScale.toDouble))
           .cast(LongType).as("bin"),
-        col(labelCol).as("label"))
-      .groupBy(col("bin"), col("label")).agg(count(lit(1)).as("c"))
+        col(labelCol).as("label"),
+        weight.cast(LongType).as("__sw"))
+      .groupBy(col("bin"), col("label")).agg(sum(col("__sw")).as("c"))
     val grid = counts.select(col("bin")).distinct()
       .crossJoin(counts.select(col("label")).distinct())
       .join(counts, Seq("bin", "label"), "left")

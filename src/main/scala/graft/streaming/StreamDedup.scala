@@ -195,42 +195,42 @@ object StreamDedup {
         // A takedown before any insert slice has nothing to retract (the
         // appendTombstones contract) — and nothing to re-cluster.
         if (exists(s"$indexPath/shingles")) {
-        if (!doomed.isEmpty) {
-          graft.functions.StoreLog.appendTombstones(
-            doomed, s"$indexPath/shingles", gen)
-          graft.functions.StoreLog.appendTombstones(
-            doomed.select(col("id"),
-              explode(sequence(lit(0), lit(bands - 1))).as("band")),
-            s"$indexPath/bands", gen)
-        }
-        val live = Dedup.MinhashIndex(
-          graft.functions.StoreLog.readLive(spark, s"$indexPath/shingles", Seq("id")),
-          graft.functions.StoreLog.readLive(spark, s"$indexPath/bands", Seq("id", "band")))
-        val newPairs = Dedup.minhashPairsAcross(insertIdx, live, threshold)
-          .filter(col("i") =!= col("j"))
-          .select(col("i"), col("j"))
-        val prior =
-          if (exists(assignPath))
-            graft.functions.StoreLog.readLive(spark, assignPath, Seq("id"))
-          else
-            spark.range(0).select(col("id"), col("id").as("cluster_id"))
-        // Persisted per the retract's caller contract (3 consumers of an
-        // expensive fold); unpersisted before the batch closure exits —
-        // the appends below are actions, so the cache never outlives the
-        // micro-batch.
-        val folded = Dedup.duplicateClustersIncremental(prior, newPairs)
-          .persist()
-        try {
-          val next = Dedup.duplicateClustersRetractFromIndex(
-            folded, live, doomed, threshold)
-          val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
-          val departed = prior.select(col("id"))
-            .join(next.select(col("id")), Seq("id"), "left_anti")
-          if (!changed.isEmpty)
-            graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
-          if (exists(assignPath) && !departed.isEmpty)
-            graft.functions.StoreLog.appendTombstones(departed, assignPath, gen)
-        } finally folded.unpersist(blocking = false)
+          if (!doomed.isEmpty) {
+            graft.functions.StoreLog.appendTombstones(
+              doomed, s"$indexPath/shingles", gen)
+            graft.functions.StoreLog.appendTombstones(
+              doomed.select(col("id"),
+                explode(sequence(lit(0), lit(bands - 1))).as("band")),
+              s"$indexPath/bands", gen)
+          }
+          val live = Dedup.MinhashIndex(
+            graft.functions.StoreLog.readLive(spark, s"$indexPath/shingles", Seq("id")),
+            graft.functions.StoreLog.readLive(spark, s"$indexPath/bands", Seq("id", "band")))
+          val newPairs = Dedup.minhashPairsAcross(insertIdx, live, threshold)
+            .filter(col("i") =!= col("j"))
+            .select(col("i"), col("j"))
+          val prior =
+            if (exists(assignPath))
+              graft.functions.StoreLog.readLive(spark, assignPath, Seq("id"))
+            else
+              spark.range(0).select(col("id"), col("id").as("cluster_id"))
+          // Persisted per the retract's caller contract (3 consumers of an
+          // expensive fold); unpersisted before the batch closure exits —
+          // the appends below are actions, so the cache never outlives the
+          // micro-batch.
+          val folded = Dedup.duplicateClustersIncremental(prior, newPairs)
+            .persist()
+          try {
+            val next = Dedup.duplicateClustersRetractFromIndex(
+              folded, live, doomed, threshold)
+            val changed = next.join(prior, Seq("id", "cluster_id"), "left_anti")
+            val departed = prior.select(col("id"))
+              .join(next.select(col("id")), Seq("id"), "left_anti")
+            if (!changed.isEmpty)
+              graft.functions.StoreLog.appendInserts(changed, assignPath, gen)
+            if (exists(assignPath) && !departed.isEmpty)
+              graft.functions.StoreLog.appendTombstones(departed, assignPath, gen)
+          } finally folded.unpersist(blocking = false)
         }
       }
     }

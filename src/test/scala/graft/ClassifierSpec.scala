@@ -299,4 +299,22 @@ class ClassifierSpec extends SparkSpec {
       assert(row.getInt(1) === walked, s"row ${emb.mkString(",")}")
     }
   }
+
+  test("boosted vote accuracy >= the chained decision list on the gate corpus") {
+    // The round-13 rule_boosted contract (DESIGN candidate (d)):
+    // reweight-instead-of-filter training + majority vote must not lose
+    // accuracy vs the filtered chain's training-order routing, at either
+    // gate scale. Accuracies read from the faces' own confusion outputs.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def acc(name: String): Double = {
+        val rows = SparkEntry.queries(name)(spark, dir)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        rows.collect { case (l, p, n) if l == p => n }.sum.toDouble /
+          rows.map(_._3).sum
+      }
+      val (boosted, chained) = (acc("rule_boosted"), acc("stump_confusion"))
+      assert(boosted >= chained,
+        s"$dir: boosted vote accuracy $boosted < chained list $chained")
+    }
+  }
 }

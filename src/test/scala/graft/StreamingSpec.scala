@@ -539,6 +539,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty, "fixture must produce a non-trivial graph")
   }
 
+  test("StoreIngest.basketItemOps: split baskets + replay equal the batch graph; basket takedown lands above") {
+    import graft.functions.Affinity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The GraphStream fixture, LOG-store face: real lineitem slice,
+    // baskets split across micro-batch boundaries, batch 1 replayed.
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") % 25 === 0)
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("it"))
+      .as[(Long, Long)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("basket_log").toString + "/log"
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StoreIngest.basketItemOps(
+        in.toDF().toDF("b", "it"), "b", "it", dir)
+      .queryName("basket_ops_ingest").start()
+    val (b1, b2) = rows.splitAt(rows.length / 2) // splits mid-basket
+    runToCompletion(q,
+      () => in.addData(b1.toSeq),
+      () => in.addData(b2.toSeq),
+      () => in.addData(b1.toSeq)) // re-delivery at a later gen: absorbing
+    def graph() = Affinity.copresenceGraphFromLog(spark, dir, minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Affinity.copresenceGraph(
+        rows.toSeq.toDF("b", "it"), "b", "it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph() === batch)
+    assert(batch.nonEmpty, "fixture must produce a non-trivial graph")
+    // Batch-side basket takedown above the stream's generations: the
+    // surviving graph equals the batch operator over a corpus that never
+    // held the doomed baskets (support counts recompute, not just edges).
+    val doomedB = rows.map(_._1).distinct.sorted.take(2)
+    Affinity.tombstoneBaskets(spark, doomedB.toSeq.toDF("b"), dir, gen = 100L)
+    Affinity.tombstoneBaskets(spark, doomedB.toSeq.toDF("b"), dir, gen = 100L) // replay
+    val batchAfter = Affinity.copresenceGraph(
+        rows.filterNot(r => doomedB.contains(r._1)).toSeq.toDF("b", "it"),
+        "b", "it", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph() === batchAfter)
+  }
+
   test("StoreIngest: set store replay-idempotent; additive store sums disjoint batches") {
     import graft.functions.{Dedup, LangModel}
     import spark.implicits._
