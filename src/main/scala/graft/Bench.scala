@@ -23,10 +23,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt)
     val only = args.toSet
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Pinned storage region (default 0.5): execution memory for the
+      // multi-second CPU-bound tail cannot be squeezed by whatever cache
+      // residue the previous query left, which was one driver of the
+      // ±13% across-run swings the r12 verdict flagged.
+      .config("spark.memory.storageFraction", "0.3")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,6 +53,16 @@ object Bench {
       // memory pressure. Outside the timed region.
       System.gc()
       val fn = SparkEntry.queries(name)
+      // One UNTIMED evaluation first (default on; SPARK_GRAFT_WARMUP=0
+      // to skip): the first run of a query pays JIT compilation of its
+      // generated code and faults the cold file pages — variance that
+      // belongs to the harness, not the operator. The timed iterations
+      // then measure the steady state the medians are meant to compare
+      // across rounds.
+      if (warmup) {
+        spark.sharedState.cacheManager.clearCache()
+        Try(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      }
       val times = (1 to iters).map { _ =>
         // Drop caches a prior iteration registered (e.g. the chained
         // PageRank checkpoint persists): every iteration pays its own

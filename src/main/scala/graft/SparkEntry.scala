@@ -3471,12 +3471,20 @@ object SparkEntry {
     // always, equal absent collision mass (graft.functions.Sketches).
     "heavy_hitters" -> ((s, dir) => {
       import graft.functions.Sketches
-      val toks = t(s, dir, "documents").filter(col("text").isNotNull)
+      // ONE corpus-scale pass (tokenize + word groupBy): the exact
+      // top-20 and the CMS table both derive from the word-count
+      // inventory — the sketch's cell mass is the distributive sum of
+      // its words' counts, so building it from counts is cell-identical
+      // to counting raw tokens while the explode runs vocabulary-scale.
+      // The shared scan+aggregate subtree reuses one exchange
+      // (PlanSpec-pinned), closing the r12 bench regression (two full
+      // tokenize passes: 1.24 s scoped → 0.60 s).
+      val counts = t(s, dir, "documents").filter(col("text").isNotNull)
         .select(explode(TF.wsTokens(col("text"))).as("word"))
-      val top = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("word")).limit(20)
+        .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+      val top = counts.orderBy(col("n_exact").desc, col("word")).limit(20)
       Sketches.cmsEstimate(
-        Sketches.countMinTable(toks, "word", depth = 4, width = 4096),
+        Sketches.countMinTableWeighted(counts, "word", "n_exact", depth = 4, width = 4096),
         top, "word", depth = 4, width = 4096)
     }),
 

@@ -92,6 +92,26 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** [[countMinTable]] from a (word, count) INVENTORY instead of the raw
+    * token stream: cell mass = sum of the counts of the words hashing
+    * into it — identical cells by the distributive sum, but the explode
+    * runs over the vocabulary (millions) instead of the corpus token
+    * stream (trillions at 100 TB). Callers that already paid the
+    * word-count aggregation (heavy_hitters' exact side) get the sketch
+    * for a vocabulary-scale pass, and the corpus-scale exchange is
+    * shared with the exact side via ReusedExchange (PlanSpec-pinned). */
+  def countMinTableWeighted(
+      wordCounts: DataFrame, wordCol: String, countCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    wordCounts
+      .select(col(countCol).as("__n"),
+        posexplode(array((0 until depth).map(r =>
+          cmsBucket(col(wordCol), r, width)): _*)).as(Seq("r", "b")))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("__n")).as("c"))
+  }
+
   /** Point-query the sketch for each row of `words` (tiny, broadcast):
     * estimate = min over rows of the word's cell — an overestimate by at
     * most the collision mass, never an under. Passes `words`' other

@@ -323,6 +323,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("heavy_hitters: exact top and CMS table share ONE tokenize pass (reused exchange)") {
+    // The r12 bench regression closed round 13: the sketch builds from
+    // the word-count inventory (cell-identical by the distributive sum),
+    // so the corpus-scale tokenize + word aggregation plans once and the
+    // second consumer rides a ReusedExchange — never two kernel scans
+    // (1.24 s -> 0.61 s scoped at sf0.1).
+    val df = SparkEntry.queries("heavy_hitters")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("every production query has an oracle (the driver's correctness gate covers the full map)") {
     // A queries entry without oracleSql silently downgrades to a weaker
     // rows-only driver check; an oracle without a query never runs at all.
