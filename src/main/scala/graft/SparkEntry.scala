@@ -272,6 +272,23 @@ object SparkEntry {
     Array.tabulate(4)(m => Array.tabulate(16)(j => rows((m, j))))
   }
 
+  /** The trained-residual compressed index, shared by ann_ivfpq_store
+    * (reconstruction-ADC reads) and ann_ivfpq_adc (lookup-table-ADC
+    * reads): landed as two slices plus a replay (the ann_ivf_store
+    * ingestion proof). One build per testdata dir. */
+  private def ivfPqResStore(
+      s: SparkSession, dir: String, e: DataFrame,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]]): String =
+    oncePerDir(
+      dir, s"ivfpqstore-v2-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
+      val s1 = e.filter(col("vec_id") % 2 === 0)
+      val s2 = e.filter(col("vec_id") % 2 === 1)
+      Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p)
+      Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, p)
+      Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p) // replay
+    }
+
   /** The corpus-gate rule policy — ONE definition of the Gopher-style
     * thresholds and the quality cutoff, consumed by gopher_gate,
     * filter_report, and pipeline_clean so a threshold change cannot
@@ -1461,15 +1478,25 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val cents = ivfTrainedCentroidStore(s, dir) // hoisted dependencies
       val cb = pqTrainedCodebookStore(s, dir, cents)
-      val path = oncePerDir(
-        dir, s"ivfpqstore-v2-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
-        val s1 = e.filter(col("vec_id") % 2 === 0)
-        val s2 = e.filter(col("vec_id") % 2 === 1)
-        Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p)
-        Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, p)
-        Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p) // replay
-      }
-      Similarity.ivfPqTopKFromIndex(s, path, e,
+      Similarity.ivfPqTopKFromIndex(s, ivfPqResStore(s, dir, e, cents, cb), e,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
+        nProbe = AnnDefaultNProbe)
+    }),
+
+    // LOOKUP-TABLE ADC over the same persisted compressed index — the
+    // scan form that scales: every non-candidate factor of the ADC
+    // cosine precomputes into metadata-scale tables (query×64 columns,
+    // 16×4×16 plan literals), leaving O(numSub) lookups + adds per
+    // scanned code row instead of a 64-dim reconstruction dot
+    // (ivfPqAdcSearch scaladoc has the decomposition). Same
+    // partition-pruned read, same exact re-rank; the decomposed
+    // arithmetic is THE definition on both engines, so the oracle
+    // replays candidate scores value-exactly.
+    "ann_ivfpq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val cb = pqTrainedCodebookStore(s, dir, cents)
+      Similarity.ivfPqAdcTopKFromIndex(s, ivfPqResStore(s, dir, e, cents, cb), e,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
         nProbe = AnnDefaultNProbe)
     }),
@@ -4177,7 +4204,11 @@ object SparkEntry {
     * exact-integer or a shared sequential double fold, so codes,
     * candidates, and scores are value-exact across engines. Shared with
     * the `ann_recall_ivfpq` composition and the ann_ivfpq_store gate. */
-  private lazy val annIvfpqSql: String = {
+  /** Shared encode prefix of the compressed-index oracles: the trained
+    * head, residuals, PQ-training iterations, and the final per-vector
+    * codes (fcode) — common to annIvfpqSql (reconstruction ADC) and
+    * annIvfpqAdcSql (lookup-table ADC). */
+  private lazy val annIvfpqEncodeCtes: String = {
     val C = AnnDefaultIters
     val pqSteps = (0 until PqTrainIters).map { t =>
       s"""dist$t AS MATERIALIZED (
@@ -4220,7 +4251,13 @@ object SparkEntry {
        |  FROM sd JOIN pqcbn$T cb ON sd.m = cb.m),
        |fcode AS (SELECT vec_id, m, j FROM (
        |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
-       |    FROM fdist) WHERE rn = 1),
+       |    FROM fdist) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val annIvfpqSql: String = {
+    val C = AnnDefaultIters
+    val T = PqTrainIters
+    s"""$annIvfpqEncodeCtes,
        |recon AS (
        |  SELECT fcode.vec_id, flatten(list(cb.cw ORDER BY fcode.m)) AS prv
        |  FROM fcode JOIN pqcb$T cb ON cb.m = fcode.m AND cb.j = fcode.j GROUP BY fcode.vec_id),
@@ -4234,6 +4271,69 @@ object SparkEntry {
        |  FROM probe JOIN assign ON probe.cid = assign.cid AND assign.vec_id <> probe.query_id
        |  JOIN e qe ON qe.vec_id = probe.query_id
        |  JOIN rcn r ON r.vec_id = assign.vec_id),
+       |top AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 40),
+       |scored AS (
+       |  SELECT top.query_id, top.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+       |  FROM top JOIN e qe ON qe.vec_id = top.query_id JOIN e ce ON ce.vec_id = top.vec_id)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Generated oracle for `ann_ivfpq_adc` — the lookup-table ADC
+    * replica: the shared encode prefix, then the factored tables
+    *   qcw(query, m, j) = ⟨q_m, cw⟩ ; qcc(query, cell, m) = ⟨q_m, cent_m⟩
+    *   nc2(cell, m) = ‖cent_m‖² ; ccw(cell, m, j) = ⟨cent_m, cw⟩ ;
+    *   pqcbn.cc(m, j) = ‖cw‖²
+    * and the DECOMPOSED score — per-subspace terms combined in fixed
+    * left-associated m-order (list ORDER BY m, explicit parens), the
+    * identical grouping the Spark face uses, so candidate scores are
+    * value-exact. Exact re-rank tail shared with annIvfpqSql. */
+  private lazy val annIvfpqAdcSql: String = {
+    val C = AnnDefaultIters
+    val T = PqTrainIters
+    s"""$annIvfpqEncodeCtes,
+       |qcw AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, cb.m, cb.j,
+       |    list_sum(list_transform(list_zip(e.v[(cb.m * 16 + 1):(cb.m * 16 + 16)], cb.cw), pr -> pr[1] * pr[2])) AS qw
+       |  FROM e CROSS JOIN pqcb$T cb WHERE e.vec_id % 50 = 0),
+       |qcc AS MATERIALIZED (
+       |  SELECT e.vec_id AS query_id, c.cid, mm.m,
+       |    list_sum(list_transform(list_zip(e.v[(mm.m * 16 + 1):(mm.m * 16 + 16)], c.cv[(mm.m * 16 + 1):(mm.m * 16 + 16)]), pr -> pr[1] * pr[2])) AS qc
+       |  FROM e CROSS JOIN cent$C c CROSS JOIN range(0, 4) mm(m) WHERE e.vec_id % 50 = 0),
+       |nc2 AS MATERIALIZED (
+       |  SELECT c.cid, mm.m,
+       |    list_sum(list_transform(c.cv[(mm.m * 16 + 1):(mm.m * 16 + 16)], x -> x * x)) AS v
+       |  FROM cent$C c CROSS JOIN range(0, 4) mm(m)),
+       |ccw AS MATERIALIZED (
+       |  SELECT c.cid, cb.m, cb.j,
+       |    list_sum(list_transform(list_zip(c.cv[(cb.m * 16 + 1):(cb.m * 16 + 16)], cb.cw), pr -> pr[1] * pr[2])) AS v
+       |  FROM cent$C c CROSS JOIN pqcb$T cb),
+       |terms AS (
+       |  SELECT probe.query_id, assign.vec_id, f.m,
+       |    (qcc.qc + qcw.qw) AS numt,
+       |    (nc2.v + 2.0 * ccw.v + cbn.cc) AS dent
+       |  FROM probe
+       |  JOIN assign ON assign.cid = probe.cid AND assign.vec_id <> probe.query_id
+       |  JOIN fcode f ON f.vec_id = assign.vec_id
+       |  JOIN qcw ON qcw.query_id = probe.query_id AND qcw.m = f.m AND qcw.j = f.j
+       |  JOIN qcc ON qcc.query_id = probe.query_id AND qcc.cid = assign.cid AND qcc.m = f.m
+       |  JOIN nc2 ON nc2.cid = assign.cid AND nc2.m = f.m
+       |  JOIN ccw ON ccw.cid = assign.cid AND ccw.m = f.m AND ccw.j = f.j
+       |  JOIN pqcbn$T cbn ON cbn.m = f.m AND cbn.j = f.j),
+       |csum AS (
+       |  SELECT query_id, vec_id, list(numt ORDER BY m) AS ns, list(dent ORDER BY m) AS ds
+       |  FROM terms GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT csum.query_id, csum.vec_id,
+       |    (((ns[1] + ns[2]) + ns[3]) + ns[4]) / (qe.nrm * sqrt((((ds[1] + ds[2]) + ds[3]) + ds[4]))) AS adc
+       |  FROM csum JOIN e qe ON qe.vec_id = csum.query_id),
        |top AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
@@ -5224,6 +5324,8 @@ $rounds
     // slice boundaries and the replayed slice are invisible through the
     // dedup-on-read layouts.
     "ann_ivfpq_store" -> annIvfpqSql,
+    // Lookup-table ADC: the decomposed-score replica (see annIvfpqAdcSql).
+    "ann_ivfpq_adc" -> annIvfpqAdcSql,
     "ann_sq8_store" -> annSq8Sql,
     "ann_sweep" -> annSweepSql,
     // Replicates SQ8 end to end: per-dim min/max lists, the clamped

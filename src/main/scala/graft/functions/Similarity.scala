@@ -1569,6 +1569,116 @@ object Similarity {
       .transform(rankTopK(k))
   }
 
+  /** Lookup-table ADC candidate scoring over a `(vec_id, cell, codes)`
+    * index — the textbook IVF-PQ scan form, and the one that actually
+    * scales: every quantity in the ADC cosine that does not depend on
+    * the CANDIDATE factors out of the per-candidate work —
+    *   ⟨q, cent+recon⟩ = Σ_m (⟨q_m, cent_m⟩ + ⟨q_m, cw_{m,codes[m]}⟩)
+    *   ‖cent+recon‖²  = Σ_m (‖cent_m‖² + 2⟨cent_m, cw⟩ + ‖cw‖²)
+    * (subspaces occupy disjoint dims, so no cross terms) — leaving
+    * O(numSub) array lookups + adds per candidate instead of a
+    * dim-length reconstruction dot. The tables are metadata-scale:
+    * (query × 64) query-side columns, (16 cells × 4 × 16) plan
+    * literals. At 100 TB this is the difference between 4 adds and a
+    * 64-element zip per scanned code row.
+    *
+    * EXACTNESS CONTRACT: the decomposed per-subspace grouping above IS
+    * the definition on both engines (left-associated over m, the inner
+    * `nc2 + 2·ccw + w2` order fixed), so the oracle replays scores
+    * value-exactly. The scores differ in ulps from [[ivfPqSearch]]'s
+    * fold-over-64 form — each face is the exact replica of its own
+    * definition; the exact re-rank makes the FINAL scores identical
+    * cosines either way. */
+  private def ivfPqAdcSearch(
+      enc: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qv: DataFrame,
+      q: DataFrame,
+      k: Int,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      candN: Int): DataFrame = {
+    val numSub = cb.length
+    val codesPerSub = cb.head.length
+    def fold(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val sorted = cents.sortBy(_._1)
+    val idxMap = map_from_arrays(
+      array(sorted.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(sorted.indices.map(i => lit(i)).toIndexedSeq: _*))
+    def sub(v: Vector[Double], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+    // (cellIdx, m) → ‖cent_m‖² ; (cellIdx, m, j) → ⟨cent_m, cw⟩ ; (m, j) → ‖cw‖².
+    val nc2Lit = typedLit(sorted.flatMap { case (_, cv) =>
+      (0 until numSub).map(m => fold(sub(cv, m), sub(cv, m))) }.toSeq)
+    val ccwLit = typedLit(sorted.flatMap { case (_, cv) =>
+      (0 until numSub).flatMap(m => cb(m).map(cw => fold(sub(cv, m), cw))) }.toSeq)
+    val w2Lit = typedLit(cb.flatMap(_.map(cw => fold(cw, cw))).toSeq)
+    // Query-side tables, computed once per (query[, cell]) row in the
+    // broadcast projection: qcwArr[m·codes+j] = ⟨q_m, cw_j⟩; qc_m = ⟨q_m, cent_m⟩.
+    val qcwArr = array((0 until numSub).flatMap(m => cb(m).map(cw =>
+      dotSeq(slice(col("qv"), m * subDim + 1, subDim), typedLit(cw.toSeq)))).toIndexedSeq: _*)
+    val qcCols = (0 until numSub).map { m =>
+      dotSeq(slice(col("qv"), m * subDim + 1, subDim),
+        slice(element_at(centroidMap(cents), col("cell")), m * subDim + 1, subDim))
+        .as(s"qc$m")
+    }
+    val qT = q.select(col("query_id") +: col("qv") +: col("n_qv") +: col("cell") +:
+      qcwArr.as("qcwArr") +: qcCols: _*)
+    val ci = element_at(idxMap, col("cell"))
+    def code(m: Int) = element_at(col("codes"), m + 1)
+    val num = (0 until numSub).map { m =>
+      col(s"qc$m") + element_at(col("qcwArr"), lit(m * codesPerSub) + code(m) + 1)
+    }.reduce(_ + _)
+    val den2 = (0 until numSub).map { m =>
+      element_at(nc2Lit, ci * numSub + lit(m + 1)) +
+        lit(2.0) * element_at(ccwLit, (ci * numSub + lit(m)) * codesPerSub + code(m) + 1) +
+        element_at(w2Lit, lit(m * codesPerSub) + code(m) + 1)
+    }.reduce(_ + _)
+    val cand = enc
+      .join(broadcast(qT), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (num / (col("n_qv") * sqrt(den2))).as("score"))
+      .transform(rankTopK(candN))
+      .select(col("query_id"), col("vec_id"))
+    corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .join(broadcast(cand.join(qv, Seq("query_id"))), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .transform(rankTopK(k))
+  }
+
+  /** Top-k over a [[writeIvfPqIndex]] layout with LOOKUP-TABLE ADC
+    * candidate generation ([[ivfPqAdcSearch]]) — the scan form of
+    * [[ivfPqTopKFromIndex]]: same partition-pruned code read, same
+    * exact re-rank, O(numSub) per-candidate work. */
+  def ivfPqAdcTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      subDim: Int = 16,
+      nProbe: Int = 2,
+      candN: Int = 40): DataFrame = {
+    val qv = queryProjection(queries, idCol, vecCol)
+    val q = probedQueries(qv, cents, nProbe)
+    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val enc = spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    ivfPqAdcSearch(enc, corpus, idCol, vecCol, qv, q, k, cents, cb, subDim, candN)
+  }
+
   // ---------------------------------------------------------------------
   // Scalar quantization (SQ8)
   // ---------------------------------------------------------------------

