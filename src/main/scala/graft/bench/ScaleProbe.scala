@@ -76,14 +76,25 @@ object ScaleProbe {
       val path = s"$base/cells$mult"
       Similarity.writeIvfBucketed(corpus, "vec_id", "embedding", cents, path,
         metaCols = Seq("label"))
-      val totalFiles = {
-        val fs = new org.apache.hadoop.fs.Path(path)
+      def lsStore(p: String): (Long, Long) = {
+        val fs = new org.apache.hadoop.fs.Path(p)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
         var c = 0L
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
-        c
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) { c += 1; b += f.getLen }
+        }
+        (c, b)
       }
+      val (totalFiles, storeBytes) = lsStore(path)
+      // The memory story measured: the same corpus as a codes-only PQ
+      // index (4 B of codes + id per vector vs 64 floats + id + norm).
+      val pqPath = s"$base/pq$mult"
+      Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", cents,
+        Similarity.pqCodebook(4, 16, 16), 16, pqPath)
+      val (_, pqBytes) = lsStore(pqPath)
       spark.sharedState.cacheManager.clearCache()
       // Pruning curve: ONE point-lookup query (the per-query cost a
       // serving path pays). A 40-query batch's probed-cell UNION covers
@@ -101,7 +112,7 @@ object ScaleProbe {
       val batch = Similarity.ivfTopKFromBucketed(spark, path, queries,
         "vec_id", "embedding", k = 5, cents, nProbe = graft.SparkEntry.AnnDefaultNProbe)
       val (bf1, bb1, bt1) = scanStats(batch)
-      println(s"""SCALEPROBE {"mult":$mult,"rows":${n * mult},"store_files":$totalFiles,""" +
+      println(s"""SCALEPROBE {"mult":$mult,"rows":${n * mult},"store_files":$totalFiles,"store_bytes":$storeBytes,"pq_bytes":$pqBytes,""" +
         s""""one_np2":{"files":$df1,"bytes":$db1,"sec":$dt1},""" +
         s""""one_np2_filtered":{"files":$ff1,"bytes":$fb1,"sec":$ft1},""" +
         s""""batch_np8":{"files":$bf1,"bytes":$bb1,"sec":$bt1}}""")

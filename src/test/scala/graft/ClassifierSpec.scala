@@ -300,6 +300,23 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("stumpModelWeighted at weight 1 degenerates to stumpModel exactly") {
+    // The boosting face's foundation: unit weights must reproduce the
+    // unweighted trainer bit-for-bit (same split, same majorities, same
+    // integer score path) — a drift here would silently diverge the
+    // boosted oracle from round 1.
+    val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    for (dim <- Seq(1, 2, 7)) {
+      val plain = Classifier.stumpModel(df, element_at(col("embedding"), dim), "label")
+        .collect().map(_.toSeq).toSeq
+      val unit = Classifier.stumpModelWeighted(
+          df, element_at(col("embedding"), dim), "label", lit(1L))
+        .collect().map(_.toSeq).toSeq
+      assert(unit === plain, s"dim $dim: unit-weight stump differs from unweighted")
+    }
+  }
+
   test("boosted vote accuracy >= the chained decision list on the gate corpus") {
     // The round-13 rule_boosted contract (DESIGN candidate (d)):
     // reweight-instead-of-filter training + majority vote must not lose
