@@ -1409,6 +1409,27 @@ object SparkEntry {
       out
     }),
 
+    // The auto face's PROBE arm, hash-gated through the same stats-driven
+    // path (ann_filtered_auto's gate corpus always takes brute, so the
+    // probe arm would otherwise only be spec-covered): both switch
+    // thresholds zeroed forces the probe decision from the SAME footer
+    // stats, and the result must equal the filtered bucketed probe
+    // (ann_filtered_store's oracle) exactly — arm asserted like its
+    // sibling so a rule change fails loudly.
+    "ann_filtered_auto_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val path = ivfFilteredBucketedStore(s, dir, e, cents)
+      val (arm, out) = Similarity.filteredTopKAutoFromBucketed(s, path,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5,
+        cents, nProbe = AnnDefaultNProbe, where = col("label") === 1,
+        bruteBelow = 0.0, bruteBelowRows = 0L)
+      require(arm == Similarity.ProbeArm,
+        "ann_filtered_auto_probe pins the probe arm (thresholds zeroed); " +
+          "the decision rule or the stats path changed")
+      out
+    }),
+
     // Filtered search at its 100 TB posture: the cell-bucketed layout
     // CARRIES the filterable metadata column (writeIvfBucketed metaCols
     // — a predicate must live next to the vectors, or every filtered
@@ -1572,6 +1593,10 @@ object SparkEntry {
     "ann_recall" -> (annRecallOf(_, _, "ann_ivf")),
     "ann_recall_default" -> (annRecallOf(_, _, "ann_default")),
     "ann_recall_ivfpq" -> (annRecallOf(_, _, "ann_ivfpq")),
+    // The lookup-table scan form's own recall readout: candidate order
+    // can differ from the reconstruction face in ulps at the candN
+    // boundary, so its recall is measured, not inherited.
+    "ann_recall_ivfpq_adc" -> (annRecallOf(_, _, "ann_ivfpq_adc")),
     "ann_recall_sq8" -> (annRecallOf(_, _, "ann_sq8")),
     "ann_recall_lsh" -> (annRecallOf(_, _, "ann_lsh")),
 
@@ -5281,6 +5306,9 @@ $rounds
     // The metadata-carrying bucketed layout must be indistinguishable
     // from the in-plan filtered pipeline — same oracle.
     "ann_filtered_store" -> annIvfFilteredSql,
+    // The auto face's probe arm (thresholds zeroed) must equal the
+    // filtered bucketed probe exactly — same oracle again.
+    "ann_filtered_auto_probe" -> annIvfFilteredSql,
     // The auto face takes the BRUTE arm at gate scale (survivors well
     // under the absolute-rows switch): exact top-k among the
     // predicate's survivors.
@@ -5335,6 +5363,7 @@ $rounds
     // value-exact.
     "ann_sq8" -> annSq8Sql,
     "ann_recall_ivfpq" -> annRecallSql(annIvfpqSql),
+    "ann_recall_ivfpq_adc" -> annRecallSql(annIvfpqAdcSql),
     "ann_recall_sq8" -> annRecallSql(annSq8Sql),
     // Replicates the 3-round perceptron trajectory: same features (the
     // lang_id stopword-hit construction), same y*margin <= 0 mistake
