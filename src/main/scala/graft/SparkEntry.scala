@@ -1615,6 +1615,24 @@ object SparkEntry {
         nProbes = Seq(1, 2, 4, 8))
     }),
 
+    // Compressed-index operating-point sweep: recall@5 AND measured
+    // candidate volume per nProbe ∈ {1,2,4,8} for the TRAINED residual
+    // IVF-PQ config — the ann_sweep calibration discipline applied to
+    // the memory-bound index ("which probe setting do I ship when the
+    // index must fit in RAM"). ONE corpus encode serves all four points
+    // (probe-rank prefix); candidates score via the lookup-table ADC
+    // (the serving form); one shared exact re-rank; the reading is
+    // metadata-scale. The oracle replays both trainings, the fanned
+    // table-ADC candidates, and the per-point recall roll-up.
+    "ann_ivfpq_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      Similarity.ivfPqSweepReading(e, e.filter(col("vec_id") % 50 === 0),
+        annGroundTruth(s, dir), "vec_id", "embedding", k = 5, cents,
+        pqTrainedCodebookStore(s, dir, cents), subDim = 16,
+        nProbes = Seq(1, 2, 4, 8))
+    }),
+
     // CART decision stump in exact integer arithmetic: best power-of-two
     // binned threshold on one embedding dimension by weighted Gini
     // (Classifier.stumpSplit scaladoc has the cleared-denominator
@@ -4320,11 +4338,11 @@ object SparkEntry {
     * left-associated m-order (list ORDER BY m, explicit parens), the
     * identical grouping the Spark face uses, so candidate scores are
     * value-exact. Exact re-rank tail shared with annIvfpqSql. */
-  private lazy val annIvfpqAdcSql: String = {
-    val C = AnnDefaultIters
-    val T = PqTrainIters
-    s"""$annIvfpqEncodeCtes,
-       |qcw AS MATERIALIZED (
+  /** The ADC lookup tables in SQL — shared text of annIvfpqAdcSql and
+    * annIvfpqSweepSql (qcw/qcc per query, nc2/ccw per cell; ‖cw‖² rides
+    * pqcbn.cc). */
+  private def annAdcTableCtes(C: Int, T: Int): String =
+    s"""qcw AS MATERIALIZED (
        |  SELECT e.vec_id AS query_id, cb.m, cb.j,
        |    list_sum(list_transform(list_zip(e.v[(cb.m * 16 + 1):(cb.m * 16 + 16)], cb.cw), pr -> pr[1] * pr[2])) AS qw
        |  FROM e CROSS JOIN pqcb$T cb WHERE e.vec_id % 50 = 0),
@@ -4339,7 +4357,14 @@ object SparkEntry {
        |ccw AS MATERIALIZED (
        |  SELECT c.cid, cb.m, cb.j,
        |    list_sum(list_transform(list_zip(c.cv[(cb.m * 16 + 1):(cb.m * 16 + 16)], cb.cw), pr -> pr[1] * pr[2])) AS v
-       |  FROM cent$C c CROSS JOIN pqcb$T cb),
+       |  FROM cent$C c CROSS JOIN pqcb$T cb)""".stripMargin
+
+  private lazy val annIvfpqAdcSql: String = {
+    val C = AnnDefaultIters
+    val T = PqTrainIters
+    val adcTables = annAdcTableCtes(C, T)
+    s"""$annIvfpqEncodeCtes,
+       |$adcTables,
        |terms AS (
        |  SELECT probe.query_id, assign.vec_id, f.m,
        |    (qcc.qc + qcw.qw) AS numt,
@@ -4372,6 +4397,79 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Generated oracle for `ann_ivfpq_sweep`: the encode prefix, the ADC
+    * tables, probed cells WITH their rank (the prefix property: one
+    * candidate frame serves every operating point), the fanned
+    * lookup-table candidates, per-point top-candN, ONE shared exact
+    * re-rank, and the recall/candidate-volume roll-up vs the exact
+    * ground truth — annSweepSql's reading over the compressed index. */
+  private lazy val annIvfpqSweepSql: String = {
+    val C = AnnDefaultIters
+    val T = PqTrainIters
+    val adcTables = annAdcTableCtes(C, T)
+    s"""$annIvfpqEncodeCtes,
+       |$adcTables,
+       |probeR AS (
+       |  SELECT vec_id AS query_id, cid, rn AS probe_rank FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+       |    FROM afq WHERE vec_id % 50 = 0) WHERE rn <= 8),
+       |terms AS (
+       |  SELECT probeR.query_id, probeR.probe_rank, assign.vec_id, f.m,
+       |    (qcc.qc + qcw.qw) AS numt,
+       |    (nc2.v + 2.0 * ccw.v + cbn.cc) AS dent
+       |  FROM probeR
+       |  JOIN assign ON assign.cid = probeR.cid AND assign.vec_id <> probeR.query_id
+       |  JOIN fcode f ON f.vec_id = assign.vec_id
+       |  JOIN qcw ON qcw.query_id = probeR.query_id AND qcw.m = f.m AND qcw.j = f.j
+       |  JOIN qcc ON qcc.query_id = probeR.query_id AND qcc.cid = assign.cid AND qcc.m = f.m
+       |  JOIN nc2 ON nc2.cid = assign.cid AND nc2.m = f.m
+       |  JOIN ccw ON ccw.cid = assign.cid AND ccw.m = f.m AND ccw.j = f.j
+       |  JOIN pqcbn$T cbn ON cbn.m = f.m AND cbn.j = f.j),
+       |csum AS (
+       |  SELECT query_id, vec_id, max(probe_rank) AS probe_rank,
+       |    list(numt ORDER BY m) AS ns, list(dent ORDER BY m) AS ds
+       |  FROM terms GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT csum.query_id, csum.probe_rank, csum.vec_id,
+       |    (((ns[1] + ns[2]) + ns[3]) + ns[4]) / (qe.nrm * sqrt((((ds[1] + ds[2]) + ds[3]) + ds[4]))) AS adc
+       |  FROM csum JOIN e qe ON qe.vec_id = csum.query_id),
+       |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |fan AS (SELECT np.nprobe, c.query_id, c.vec_id, c.adc
+       |  FROM cand c JOIN np ON c.probe_rank <= np.nprobe),
+       |ncq AS (SELECT nprobe, query_id, count(*)::BIGINT AS n_cand_q
+       |  FROM fan GROUP BY 1, 2),
+       |shortlist AS (SELECT nprobe, query_id, vec_id FROM (
+       |  SELECT nprobe, query_id, vec_id,
+       |    row_number() OVER (PARTITION BY nprobe, query_id ORDER BY adc DESC, vec_id) AS rnk
+       |  FROM fan) WHERE rnk <= 40),
+       |rescored AS (
+       |  SELECT sl.nprobe, sl.query_id, sl.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+       |  FROM shortlist sl
+       |  JOIN e qe ON qe.vec_id = sl.query_id JOIN e ce ON ce.vec_id = sl.vec_id),
+       |topk AS (SELECT nprobe, query_id, vec_id FROM (
+       |  SELECT nprobe, query_id, vec_id,
+       |    row_number() OVER (PARTITION BY nprobe, query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM rescored) WHERE rnk <= 5),
+       |ncand AS (SELECT nprobe, sum(n_cand_q)::BIGINT AS n_cand FROM ncq GROUP BY 1),
+       |gts AS (
+       |  SELECT qe.vec_id AS query_id, ce.vec_id,
+       |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+       |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id WHERE qe.vec_id % 50 = 0),
+       |gt AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+       |  FROM gts) WHERE rnk <= 5),
+       |exf AS (SELECT np.nprobe, gt.query_id, gt.vec_id FROM gt CROSS JOIN np),
+       |rec AS (SELECT exf.nprobe, count(*)::BIGINT AS n_exact, count(t.vec_id)::BIGINT AS n_hit
+       |  FROM exf LEFT JOIN topk t ON t.nprobe = exf.nprobe
+       |    AND t.query_id = exf.query_id AND t.vec_id = exf.vec_id
+       |  GROUP BY 1)
+       |SELECT rec.nprobe, rec.n_exact, rec.n_hit,
+       |  rec.n_hit::DOUBLE / rec.n_exact AS recall, ncand.n_cand
+       |FROM rec JOIN ncand USING (nprobe)""".stripMargin
   }
 
   /** Generated oracle for `ann_sq8` (full pipeline replica; see the
@@ -5354,6 +5452,9 @@ $rounds
     "ann_ivfpq_store" -> annIvfpqSql,
     // Lookup-table ADC: the decomposed-score replica (see annIvfpqAdcSql).
     "ann_ivfpq_adc" -> annIvfpqAdcSql,
+    // Compressed-index sweep: fanned table-ADC candidates, one shared
+    // exact re-rank, per-point recall + candidate volume.
+    "ann_ivfpq_sweep" -> annIvfpqSweepSql,
     "ann_sq8_store" -> annSq8Sql,
     "ann_sweep" -> annSweepSql,
     // Replicates SQ8 end to end: per-dim min/max lists, the clamped

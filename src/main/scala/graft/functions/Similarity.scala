@@ -1589,6 +1589,55 @@ object Similarity {
     * fold-over-64 form — each face is the exact replica of its own
     * definition; the exact re-rank makes the FINAL scores identical
     * cosines either way. */
+  /** The factored ADC pieces shared by [[ivfPqAdcSearch]] and
+    * [[ivfPqSweepReading]]: candidate-independent literals
+    * ((cellIdx, m) → ‖cent_m‖², (cellIdx, m, j) → ⟨cent_m, cw⟩,
+    * (m, j) → ‖cw‖²), the query-side table columns (qcwArr[m·codes+j]
+    * = ⟨q_m, cw_j⟩; qc_m = ⟨q_m, cent_m⟩ per probed cell), and the
+    * decomposed num/den² expressions over (codes, cell, the table
+    * columns) — left-associated per-subspace grouping, THE definition
+    * both the Spark faces and the oracle share. */
+  private final case class AdcKit(
+      queryCols: Seq[Column], score: Column)
+
+  private def adcKit(
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int): AdcKit = {
+    val numSub = cb.length
+    val codesPerSub = cb.head.length
+    def fold(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val sorted = cents.sortBy(_._1)
+    val idxMap = map_from_arrays(
+      array(sorted.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(sorted.indices.map(i => lit(i)).toIndexedSeq: _*))
+    def sub(v: Vector[Double], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
+    val nc2Lit = typedLit(sorted.flatMap { case (_, cv) =>
+      (0 until numSub).map(m => fold(sub(cv, m), sub(cv, m))) }.toSeq)
+    val ccwLit = typedLit(sorted.flatMap { case (_, cv) =>
+      (0 until numSub).flatMap(m => cb(m).map(cw => fold(sub(cv, m), cw))) }.toSeq)
+    val w2Lit = typedLit(cb.flatMap(_.map(cw => fold(cw, cw))).toSeq)
+    val qcwArr = array((0 until numSub).flatMap(m => cb(m).map(cw =>
+      dotSeq(slice(col("qv"), m * subDim + 1, subDim), typedLit(cw.toSeq)))).toIndexedSeq: _*)
+    val qcCols = (0 until numSub).map { m =>
+      dotSeq(slice(col("qv"), m * subDim + 1, subDim),
+        slice(element_at(centroidMap(cents), col("cell")), m * subDim + 1, subDim))
+        .as(s"qc$m")
+    }
+    val ci = element_at(idxMap, col("cell"))
+    def code(m: Int) = element_at(col("codes"), m + 1)
+    val num = (0 until numSub).map { m =>
+      col(s"qc$m") + element_at(col("qcwArr"), lit(m * codesPerSub) + code(m) + 1)
+    }.reduce(_ + _)
+    val den2 = (0 until numSub).map { m =>
+      element_at(nc2Lit, ci * numSub + lit(m + 1)) +
+        lit(2.0) * element_at(ccwLit, (ci * numSub + lit(m)) * codesPerSub + code(m) + 1) +
+        element_at(w2Lit, lit(m * codesPerSub) + code(m) + 1)
+    }.reduce(_ + _)
+    AdcKit(qcwArr.as("qcwArr") +: qcCols, num / (col("n_qv") * sqrt(den2)))
+  }
+
   private def ivfPqAdcSearch(
       enc: DataFrame,
       corpus: DataFrame,
@@ -1601,47 +1650,13 @@ object Similarity {
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
       candN: Int): DataFrame = {
-    val numSub = cb.length
-    val codesPerSub = cb.head.length
-    def fold(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
-    val sorted = cents.sortBy(_._1)
-    val idxMap = map_from_arrays(
-      array(sorted.map(c => lit(c._1)).toIndexedSeq: _*),
-      array(sorted.indices.map(i => lit(i)).toIndexedSeq: _*))
-    def sub(v: Vector[Double], m: Int) = v.slice(m * subDim, (m + 1) * subDim)
-    // (cellIdx, m) → ‖cent_m‖² ; (cellIdx, m, j) → ⟨cent_m, cw⟩ ; (m, j) → ‖cw‖².
-    val nc2Lit = typedLit(sorted.flatMap { case (_, cv) =>
-      (0 until numSub).map(m => fold(sub(cv, m), sub(cv, m))) }.toSeq)
-    val ccwLit = typedLit(sorted.flatMap { case (_, cv) =>
-      (0 until numSub).flatMap(m => cb(m).map(cw => fold(sub(cv, m), cw))) }.toSeq)
-    val w2Lit = typedLit(cb.flatMap(_.map(cw => fold(cw, cw))).toSeq)
-    // Query-side tables, computed once per (query[, cell]) row in the
-    // broadcast projection: qcwArr[m·codes+j] = ⟨q_m, cw_j⟩; qc_m = ⟨q_m, cent_m⟩.
-    val qcwArr = array((0 until numSub).flatMap(m => cb(m).map(cw =>
-      dotSeq(slice(col("qv"), m * subDim + 1, subDim), typedLit(cw.toSeq)))).toIndexedSeq: _*)
-    val qcCols = (0 until numSub).map { m =>
-      dotSeq(slice(col("qv"), m * subDim + 1, subDim),
-        slice(element_at(centroidMap(cents), col("cell")), m * subDim + 1, subDim))
-        .as(s"qc$m")
-    }
+    val kit = adcKit(cents, cb, subDim)
     val qT = q.select(col("query_id") +: col("qv") +: col("n_qv") +: col("cell") +:
-      qcwArr.as("qcwArr") +: qcCols: _*)
-    val ci = element_at(idxMap, col("cell"))
-    def code(m: Int) = element_at(col("codes"), m + 1)
-    val num = (0 until numSub).map { m =>
-      col(s"qc$m") + element_at(col("qcwArr"), lit(m * codesPerSub) + code(m) + 1)
-    }.reduce(_ + _)
-    val den2 = (0 until numSub).map { m =>
-      element_at(nc2Lit, ci * numSub + lit(m + 1)) +
-        lit(2.0) * element_at(ccwLit, (ci * numSub + lit(m)) * codesPerSub + code(m) + 1) +
-        element_at(w2Lit, lit(m * codesPerSub) + code(m) + 1)
-    }.reduce(_ + _)
+      kit.queryCols: _*)
     val cand = enc
       .join(broadcast(qT), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (num / (col("n_qv") * sqrt(den2))).as("score"))
+      .select(col("query_id"), col("vec_id"), kit.score.as("score"))
       .transform(rankTopK(candN))
       .select(col("query_id"), col("vec_id"))
     corpus
@@ -1650,6 +1665,96 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
       .transform(rankTopK(k))
+  }
+
+  /** Operating-point sweep for the compressed index — the
+    * [[ivfTopKSweep]]/[[ivfSweepReading]] discipline, IVF-PQ face: ONE
+    * corpus encode serves every `nProbes` setting (the probe-rank
+    * prefix rule), candidates score via the LOOKUP-TABLE ADC (the
+    * serving form), each point's top-candN re-ranks exactly against
+    * one shared corpus fetch, and the reading rolls recall@k and the
+    * measured candidate volume up per point against the exact ground
+    * truth. n_cand is the pre-cap candidate count — the probe-cost
+    * axis of the recall-vs-work curve that decides the shipped nProbe
+    * for a memory-bound deployment.
+    * Output: (nprobe, n_exact, n_hit, recall, n_cand). */
+  def ivfPqSweepReading(
+      corpus: DataFrame,
+      queries: DataFrame,
+      groundTruth: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      nProbes: Seq[Int],
+      candN: Int = 40): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1), "need nProbes >= 1")
+    val maxProbe = nProbes.max
+    val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+    val qv = queryProjection(queries, idCol, vecCol)
+    // Probed queries WITH the probe rank (0-based): the prefix property
+    // makes one candidate frame serve every operating point.
+    val qr = qv.select(col("query_id"), col("qv"), col("n_qv"),
+      posexplode(probeCells(cents, col("qv"), col("n_qv"), maxProbe).getField("cid"))
+        .as(Seq("probe_rank", "cell")))
+    // The same ADC tables as ivfPqAdcSearch (decomposed arithmetic =
+    // the shared cross-engine definition), probe rank carried through.
+    val kit = adcKit(cents, cb, subDim)
+    val qT = qr.select(col("query_id") +: col("qv") +: col("n_qv") +: col("cell") +:
+      col("probe_rank") +: kit.queryCols: _*)
+    val cand = enc
+      .join(broadcast(qT), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("probe_rank"), col("vec_id"), kit.score.as("adc"))
+    // Fan over the operating points (probe-rank prefix), then ONE pass
+    // computes the pre-cap candidate volume AND the top-candN set per
+    // (nprobe, query) — the ivfSweepReading single-consumption trick.
+    val fanned = cand
+      .select(explode(typedLit(nProbes)).as("nprobe"),
+        col("query_id"), col("probe_rank"), col("vec_id"), col("adc"))
+      .filter(col("probe_rank") < col("nprobe"))
+    val topc = udaf(new TopKByScore(candN),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val shortlist = fanned
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(topc(col("vec_id"), col("adc")).as("cand"), count(lit(1)).as("n_cand_q"))
+      .select(col("nprobe"), col("query_id"), col("n_cand_q"),
+        explode(col("cand")).as("hit"))
+      .select(col("nprobe"), col("query_id"), col("n_cand_q"),
+        col("hit._1").as("vec_id"))
+    // Shared exact re-rank: ONE corpus fetch serves every point (the
+    // shortlist side is nProbes × queries × candN ids, broadcast).
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val reranked = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .join(broadcast(shortlist.join(qv, Seq("query_id"))), Seq("vec_id"))
+      .select(col("nprobe"), col("query_id"), col("n_cand_q"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"), max(col("n_cand_q")).as("nc"))
+      .select(col("nprobe"), col("query_id"), col("nc"),
+        explode(col("top")).as("hit"))
+      .select(col("nprobe"), col("query_id"), col("nc"), col("hit._1").as("vec_id"))
+    // The reading: recall + candidate volume per point vs ground truth.
+    val ex = groundTruth
+      .select(col("query_id"), col("vec_id"),
+        explode(typedLit(nProbes)).as("nprobe"), lit(1).as("ex"))
+    val per = reranked
+      .select(col("nprobe"), col("query_id"), col("vec_id"), col("nc"), lit(1).as("got"))
+      .join(ex, Seq("nprobe", "query_id", "vec_id"), "full_outer")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(max(col("nc")).as("nc"),
+        count(col("ex")).as("n_ex_q"),
+        count(when(col("ex").isNotNull && col("got").isNotNull, 1)).as("n_hit_q"))
+    per.groupBy(col("nprobe"))
+      .agg(sum(col("n_ex_q")).as("n_exact"), sum(col("n_hit_q")).as("n_hit"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_cand"))
+      .select(col("nprobe"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"),
+        col("n_cand"))
   }
 
   /** Top-k over a [[writeIvfPqIndex]] layout with LOOKUP-TABLE ADC
