@@ -1133,15 +1133,25 @@ object Similarity {
         survivors <= bruteBelowRows) BruteArm
     else ProbeArm
 
+  /** Per-file-version footer row counts, memoized for the process — the
+    * planner's stats cache: a parquet file is immutable once written
+    * (appends create NEW files), so (path, length) identifies its row
+    * count forever; repeated strategy decisions over the same layout
+    * pay the footer reads once. */
+  private val footerRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Footer + bounded-sample statistics of a bucketed layout under a
     * predicate. File totals and exact row counts read from parquet
-    * footers only; the survivor fraction is estimated from a
-    * deterministic hash-spread sample of whole files (spread ACROSS
-    * cells — the lowest-path-hash prefix, so the sample is not one
-    * cell's residents, whose labels could correlate with the cell),
-    * capped at `maxSampleFiles` files or the first files reaching
-    * `sampleTargetRows` footer rows. The one Spark action reads ONLY
-    * the explicitly-listed sample files. */
+    * footers only (in PARALLEL on the driver — a layout can hold
+    * thousands of slice files, and a sequential footer loop was
+    * measured at multiple seconds; cached per file version); the
+    * survivor fraction is estimated from a deterministic hash-spread
+    * sample of whole files (spread ACROSS cells — the lowest-path-hash
+    * prefix, so the sample is not one cell's residents, whose labels
+    * could correlate with the cell), capped at `maxSampleFiles` files
+    * or the first files reaching `sampleTargetRows` footer rows. The
+    * one Spark action reads ONLY the explicitly-listed sample files. */
   def bucketedArmStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -1154,26 +1164,39 @@ object Similarity {
     val fs = root.getFileSystem(conf)
     val files = {
       val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(HPath, Long)]
       while (it.hasNext) {
         val f = it.next()
         val n = f.getPath.getName
         if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-          buf += f.getPath
+          buf += ((f.getPath, f.getLen))
       }
       buf.toArray
     }
     // Footer-only row counts: block (row-group) metadata, no data pages.
-    val footerRows: Array[(HPath, Long)] = files.map { p =>
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try {
-        var n = 0L
-        val blocks = rd.getFooter.getBlocks
-        var i = 0
-        while (i < blocks.size()) { n += blocks.get(i).getRowCount; i += 1 }
-        (p, n)
-      } finally rd.close()
+    val footerRows: Array[(HPath, Long)] = {
+      val out = new Array[(HPath, Long)](files.length)
+      java.util.stream.IntStream.range(0, files.length).parallel().forEach { i =>
+        val (p, len) = files(i)
+        val key = s"$p|$len"
+        val cached = footerRowCache.get(key)
+        val n: Long =
+          if (cached != null) cached.longValue()
+          else {
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+            try {
+              var acc = 0L
+              val blocks = rd.getFooter.getBlocks
+              var b = 0
+              while (b < blocks.size()) { acc += blocks.get(b).getRowCount; b += 1 }
+              footerRowCache.put(key, acc)
+              acc
+            } finally rd.close()
+          }
+        out(i) = (p, n)
+      }
+      out
     }
     val totalRows = footerRows.map(_._2).sum
     // Deterministic cross-cell spread: order by md5(path), take the
