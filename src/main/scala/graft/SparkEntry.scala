@@ -5445,7 +5445,10 @@ $rounds
     // Store-ingested IVF must equal the from-scratch IVF replica — the
     // slices and the replayed slice are invisible through the layout.
     "ann_ivf_store" -> annIvfSql,
-    "ann_ivfpq" -> annIvfpqSql,
+    // The in-memory trained face scores candidates via the lookup-table
+    // ADC (the serving form) — same decomposed-arithmetic replica as
+    // the store's table face.
+    "ann_ivfpq" -> annIvfpqAdcSql,
     // Store-ingested PQ / SQ8 must equal their from-scratch replicas —
     // slice boundaries and the replayed slice are invisible through the
     // dedup-on-read layouts.
@@ -5463,7 +5466,7 @@ $rounds
     // sequential double fold, codes integer-exact, so the compare is
     // value-exact.
     "ann_sq8" -> annSq8Sql,
-    "ann_recall_ivfpq" -> annRecallSql(annIvfpqSql),
+    "ann_recall_ivfpq" -> annRecallSql(annIvfpqAdcSql),
     "ann_recall_ivfpq_adc" -> annRecallSql(annIvfpqAdcSql),
     "ann_recall_sq8" -> annRecallSql(annSq8Sql),
     // Replicates the 3-round perceptron trajectory: same features (the

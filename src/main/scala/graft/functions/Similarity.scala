@@ -1137,9 +1137,16 @@ object Similarity {
     * planner's stats cache: a parquet file is immutable once written
     * (appends create NEW files), so (path, length) identifies its row
     * count forever; repeated strategy decisions over the same layout
-    * pay the footer reads once. */
-  private val footerRowCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    * pay the footer reads once. BOUNDED at 64k entries (~8 MB) with
+    * access-order LRU eviction — the reference's fixed-size schema-cache
+    * discipline (ExpandJson.java:81) applied to file stats: a
+    * long-lived session planning over many layouts cannot grow the
+    * driver heap without bound. */
+  private val footerRowCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 65536
+    })
 
   /** Footer + bounded-sample statistics of a bucketed layout under a
     * predicate. File totals and exact row counts read from parquet
@@ -1428,9 +1435,14 @@ object Similarity {
     qv.select(col("query_id"), col("qv"), col("n_qv"),
       explode(probeCells(cents, col("qv"), col("n_qv"), nProbe).getField("cid")).as("cell"))
 
-  /** [[ivfPqTopK]] with an explicit codebook — identical plan, only the
-    * codeword literals differ (the hash codebook's determinism buys the
-    * oracle; a trained codebook buys recall). */
+  /** [[ivfPqTopK]] with an explicit codebook — the codeword literals
+    * differ (the hash codebook's determinism buys the oracle; a trained
+    * codebook buys recall). Candidates score via the LOOKUP-TABLE ADC
+    * ([[ivfPqAdcSearch]] — O(numSub) per candidate, the serving form;
+    * routed here round 13 after pricing the reconstruction form at
+    * 2-3× the table form's cost); the reconstruction ADC remains the
+    * persisted-index read path ([[ivfPqTopKFromIndex]]), gate-covered
+    * by ann_ivfpq_store. */
   def ivfPqTopKWithCodebook(
       corpus: DataFrame,
       queries: DataFrame,
@@ -1445,6 +1457,28 @@ object Similarity {
     require(cents.nonEmpty, "no centroids — empty corpus?")
     require(cb.nonEmpty && cb.forall(_.forall(_.length == subDim)),
       s"codebook subvector length must be subDim=$subDim")
+    val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+    val qv = queryProjection(queries, idCol, vecCol)
+    ivfPqAdcSearch(enc, corpus, idCol, vecCol, qv,
+      probedQueries(qv, cents, nProbe), k, cents, cb, subDim, candN)
+  }
+
+  /** The RECONSTRUCTION-ADC form of [[ivfPqTopKWithCodebook]] — the
+    * in-memory twin of the persisted read path ([[ivfPqTopKFromIndex]]
+    * scores reconstructions), kept for the slice/replay parity checks
+    * that pin store reads against a one-shot of the SAME float
+    * grouping. */
+  def ivfPqTopKWithCodebookRecon(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      nProbe: Int = 2,
+      candN: Int = 40): DataFrame = {
     val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
     val qv = queryProjection(queries, idCol, vecCol)
     ivfPqSearch(enc, corpus, idCol, vecCol, qv,

@@ -526,7 +526,7 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
       val incremental = rows(Similarity.ivfPqTopKFromIndex(
         spark, dir, emb, queries, "vec_id", "embedding", k = 5, cb, cents))
-      val oneShot = rows(Similarity.ivfPqTopKWithCodebook(
+      val oneShot = rows(Similarity.ivfPqTopKWithCodebookRecon(
         emb, queries, "vec_id", "embedding", k = 5, cents, cb, 16))
       assert(incremental === oneShot)
       assert(incremental.nonEmpty)

@@ -1003,7 +1003,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       () => pqIn.addData(b1.toSeq)) // replayed delivery
     assert(res(Similarity.ivfPqTopKFromIndex(
         spark, pqDir, emb, queries, "vec_id", "embedding", k = 5, cb, cents)) ===
-      res(Similarity.ivfPqTopKWithCodebook(
+      res(Similarity.ivfPqTopKWithCodebookRecon(
         emb, queries, "vec_id", "embedding", k = 5, cents, cb, 16)))
 
     val sqDir = java.nio.file.Files.createTempDirectory("ingest_sq8").toString + "/sq8"
