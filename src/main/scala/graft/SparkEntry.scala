@@ -4263,7 +4263,7 @@ object SparkEntry {
          |    FROM dist$t) WHERE rn = 1),
          |pstat$t AS MATERIALIZED (
          |  SELECT c.m, c.j, dd.d,
-         |    sum(floor(sb.s[dd.d + 1] * 1048576.0))::BIGINT AS sx, count(*)::BIGINT AS n
+         |    sum(floor(sb.s[dd.d + 1] * 1048576.0)::BIGINT)::BIGINT AS sx, count(*)::BIGINT AS n
          |  FROM code$t c JOIN sub sb ON sb.vec_id = c.vec_id AND sb.m = c.m
          |  CROSS JOIN range(0, 16) dd(d)
          |  GROUP BY c.m, c.j, dd.d),

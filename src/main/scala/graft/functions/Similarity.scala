@@ -1108,14 +1108,32 @@ object Similarity {
     * touched), and the survivor fraction from ONE bounded sample read
     * over at most `filesSampled` explicitly-listed files. At 100 TB this
     * is the catalog-statistics step of a vector store's query planner:
-    * cost is O(file count) + O(sample), independent of corpus bytes. */
+    * cost is O(file count) + O(sample), independent of corpus bytes.
+    *
+    * `totalRows` is PHYSICAL (footer row counts include replayed
+    * append-slice duplicates — the layout's at-least-once ingestion
+    * contract); the read path dedups per vec_id, so the quantities the
+    * switch rule actually compares are the LIVE estimates below. The
+    * sample reads whole CELLS (every file of each sampled cell
+    * directory), so `sampledLive = countDistinct(vec_id)` inside it is
+    * the exact live count for those cells — the sample's physical→live
+    * ratio is an honest estimator of the layout's replay share, which
+    * per-file sampling could never see (a replayed slice's copies live
+    * in different files of the same cell). */
   final case class FilteredArmStats(
       totalRows: Long,
       sampledRows: Long,
+      sampledLive: Long,
       sampledSurvivors: Long,
       filesSampled: Int,
       totalFiles: Int) {
-    /** Footer-exact total × sampled selectivity. */
+    /** Physical footer total × the sample's live (deduped) fraction. */
+    def estimatedLiveRows: Long =
+      if (sampledRows == 0L) 0L
+      else math.round(totalRows * (sampledLive.toDouble / sampledRows))
+    /** Physical footer total × sampled DISTINCT-survivor selectivity —
+      * replayed duplicates of a surviving id count once, mirroring the
+      * read path's per-id dedup. */
     def estimatedSurvivors: Long =
       if (sampledRows == 0L) 0L
       else math.round(totalRows * (sampledSurvivors.toDouble / sampledRows))
@@ -1206,29 +1224,45 @@ object Similarity {
       out
     }
     val totalRows = footerRows.map(_._2).sum
-    // Deterministic cross-cell spread: order by md5(path), take the
-    // prefix until the sample target is met (or the file cap).
-    val ordered = footerRows.sortBy { case (p, _) =>
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(p.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
+    // Deterministic cross-cell spread, WHOLE cells at a time: group the
+    // files by their cell directory, order the groups by md5(cell dir),
+    // take whole groups until the sample target (or file cap) is met.
+    // Whole-cell grouping is what makes the live-row estimate honest:
+    // replayed append slices put a vec_id's duplicate rows in SEPARATE
+    // files of the SAME cell, so a per-file sample would systematically
+    // read each id once and report zero duplication.
+    val ordered: Array[Array[(HPath, Long)]] = footerRows
+      .groupBy { case (p, _) => p.getParent.toString }
+      .toArray
+      .sortBy { case (cellDir, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(cellDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      .map(_._2)
     val sample = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(HPath, Long)]
       var acc = 0L
       var i = 0
       while (i < ordered.length && buf.length < maxSampleFiles && acc < sampleTargetRows) {
-        buf += ordered(i); acc += ordered(i)._2; i += 1
+        buf ++= ordered(i); acc += ordered(i).map(_._2).sum; i += 1
       }
       buf.toArray
     }
-    val (sampledRows, sampledSurvivors) =
-      if (sample.isEmpty) (0L, 0L)
+    val (sampledRows, sampledLive, sampledSurvivors) =
+      if (sample.isEmpty) (0L, 0L, 0L)
       else {
-        val r = spark.read.parquet(sample.map(_._1.toString).toIndexedSeq: _*)
-          .agg(count(lit(1)).as("n"), count(when(where, lit(1))).as("s")).head()
-        (r.getLong(0), r.getLong(1))
+        // basePath keeps the partition column (`cell`) in the sampled
+        // frame's schema, so a predicate over it — valid for both arm
+        // reads, which scan the layout root — resolves here too.
+        val r = spark.read.option("basePath", path)
+          .parquet(sample.map(_._1.toString).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("vec_id")).as("live"),
+            count_distinct(when(where, col("vec_id"))).as("s")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-    FilteredArmStats(totalRows, sampledRows, sampledSurvivors, sample.length, files.length)
+    FilteredArmStats(totalRows, sampledRows, sampledLive, sampledSurvivors,
+      sample.length, files.length)
   }
 
   /** Exact brute-force top-k over a bucketed layout's predicate
@@ -1282,7 +1316,11 @@ object Similarity {
       bruteBelow: Double = 0.02,
       bruteBelowRows: Long = 10000L): (FilteredArm, DataFrame) = {
     val stats = bucketedArmStats(spark, path, where)
-    decideFilteredArm(stats.totalRows, stats.estimatedSurvivors,
+    // Live estimates on both sides of the rule: footer totals are
+    // physical (replayed duplicates included), the read path dedups —
+    // the exact-count twin (filteredTopKAuto) counts live rows, and the
+    // shared rule must see the same quantities to agree with it.
+    decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors,
         bruteBelow, bruteBelowRows) match {
       case BruteArm =>
         (BruteArm, bruteTopKFromBucketed(spark, path, queries, idCol, vecCol, k, where))

@@ -300,20 +300,31 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
-  test("stumpModelWeighted at weight 1 degenerates to stumpModel exactly") {
-    // The boosting face's foundation: unit weights must reproduce the
-    // unweighted trainer bit-for-bit (same split, same majorities, same
-    // integer score path) — a drift here would silently diverge the
-    // boosted oracle from round 1.
+  test("stumpModelWeighted equals the unweighted trainer over weight-duplicated rows") {
+    // The boosting face's foundation. NOTE: the unit-weight degeneration
+    // is true BY CONSTRUCTION since the r13 refactor (stumpModel
+    // delegates to stumpScoredW(lit(1L)) — both paths are one plan), so
+    // asserting it would be vacuous. The semantic contract worth pinning
+    // is the weight SUM machinery itself: training with integer weight w
+    // must equal training over the corpus with each row physically
+    // duplicated w times — same split, same majorities, same integer
+    // score — because that is exactly what the boosted chain's
+    // double-the-misclassified reweighting means.
     val df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .filter(col("embedding").isNotNull && col("label").isNotNull)
+      // Deterministic integer weights 1..4 varying with the row.
+      .withColumn("w", (pmod(col("vec_id"), lit(4L)) + lit(1L)))
+    val expanded = df.select(col("embedding"), col("label"),
+      explode(sequence(lit(1L), col("w"))).as("rep"))
     for (dim <- Seq(1, 2, 7)) {
-      val plain = Classifier.stumpModel(df, element_at(col("embedding"), dim), "label")
+      val weighted = Classifier.stumpModelWeighted(
+          df, element_at(col("embedding"), dim), "label", col("w"))
         .collect().map(_.toSeq).toSeq
-      val unit = Classifier.stumpModelWeighted(
-          df, element_at(col("embedding"), dim), "label", lit(1L))
+      val duplicated = Classifier.stumpModel(
+          expanded, element_at(col("embedding"), dim), "label")
         .collect().map(_.toSeq).toSeq
-      assert(unit === plain, s"dim $dim: unit-weight stump differs from unweighted")
+      assert(weighted === duplicated,
+        s"dim $dim: weighted stump differs from duplicate-row training")
     }
   }
 

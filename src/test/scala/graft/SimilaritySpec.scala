@@ -198,12 +198,20 @@ class SimilaritySpec extends SparkSpec {
         // thresholds AND with the absolute switch disabled (the relative
         // rule alone — the regime where the estimate has to carry it).
         val kept = corpus.filter(pred).count()
-        assert(Similarity.decideFilteredArm(stats.totalRows, stats.estimatedSurvivors) ===
+        // Replay-free layout: the live estimate must be the footer total
+        // exactly (the sample sees zero duplication, ratio 1.0).
+        assert(stats.estimatedLiveRows === stats.totalRows,
+          s"$dir: live estimate ${stats.estimatedLiveRows} != footer ${stats.totalRows} on a replay-free layout")
+        assert(Similarity.decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors) ===
           Similarity.decideFilteredArm(total, kept), s"$dir/$pred: default-threshold arm differs")
         assert(
-          Similarity.decideFilteredArm(stats.totalRows, stats.estimatedSurvivors, bruteBelowRows = 0L) ===
+          Similarity.decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors, bruteBelowRows = 0L) ===
             Similarity.decideFilteredArm(total, kept, bruteBelowRows = 0L),
           s"$dir/$pred: relative-rule arm differs (est ${stats.estimatedSurvivors}, exact $kept)")
+        // The partition column is part of the sampled schema (basePath):
+        // a predicate over `cell` — valid for both arm reads — must not
+        // throw in the stats step.
+        Similarity.bucketedArmStats(spark, store, pred && col("cell") >= 0L)
       }
       // The auto face over the layout: brute arm (absolute switch at gate
       // scale) equals exact filtered top-k bit-for-bit, stored norms and
@@ -224,6 +232,49 @@ class SimilaritySpec extends SparkSpec {
       assert(arm2 === Similarity.ProbeArm)
       assert(rows(out2) === rows(Similarity.ivfTopKFromBucketed(spark, store, queries,
         "vec_id", "embedding", k = 5, cents, nProbe = 2, where = col("label") =!= 3)))
+    }
+  }
+
+  test("bucketed arm stats: replayed append slice — live estimate discounts duplicates, arm agrees with exact") {
+    // The at-least-once ingestion shape the gate layouts carry: a slice
+    // appended twice. Footer totals are PHYSICAL (they count the replay),
+    // the read path dedups per vec_id — so the stats must estimate LIVE
+    // rows/survivors or the arm rule sees inflated quantities near its
+    // thresholds. Whole-cell sampling makes the duplication visible to
+    // the sample (a replayed id's copies live in different files of the
+    // SAME cell).
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft-armstats-replay").toString + "/cells"
+    val slice = corpus.filter(col("vec_id") % 10 === 0)
+    Similarity.writeIvfBucketed(corpus.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    val live = corpus.count()
+    val physical = live + slice.count()
+    for (pred <- Seq(col("label") === 1, col("label") =!= 3)) {
+      val stats = Similarity.bucketedArmStats(spark, store, pred)
+      assert(stats.totalRows === physical,
+        s"footer total ${stats.totalRows} != physical $physical")
+      // The sample detected the replay: live strictly below physical in
+      // the sampled cells, and the layout-wide live estimate sits below
+      // the physical footer total.
+      assert(stats.sampledLive < stats.sampledRows,
+        s"sample saw no duplication (${stats.sampledLive} == ${stats.sampledRows})")
+      assert(stats.estimatedLiveRows < stats.totalRows)
+      // Arm agreement with exact LIVE counts, default thresholds and
+      // relative-only — the quantity the r13 estimator inflated by the
+      // replay share.
+      val kept = corpus.filter(pred).count()
+      assert(Similarity.decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors) ===
+        Similarity.decideFilteredArm(live, kept), s"$pred: default-threshold arm differs")
+      assert(
+        Similarity.decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors, bruteBelowRows = 0L) ===
+          Similarity.decideFilteredArm(live, kept, bruteBelowRows = 0L),
+        s"$pred: relative-rule arm differs (est live ${stats.estimatedLiveRows}/$live, " +
+          s"est surv ${stats.estimatedSurvivors}/$kept)")
     }
   }
 
