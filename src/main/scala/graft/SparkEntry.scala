@@ -325,7 +325,7 @@ object SparkEntry {
       s: SparkSession, dir: String, e: DataFrame,
       cents: Array[(Long, Vector[Double])]): String =
     oncePerDir(
-      dir, s"ivffilstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
+      dir, s"ivffilstore-v2-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
       val s1 = e.filter(col("vec_id") % 2 === 0)
       val s2 = e.filter(col("vec_id") % 2 === 1)
       Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p, metaCols = Seq("label"))
@@ -1258,7 +1258,7 @@ object SparkEntry {
       // The centroid set (the index definition) is a deterministic
       // hash-rank sample, so ingest-time and read-time derivations agree.
       val cents = Similarity.sampledIvfCentroids(e, "vec_id", "embedding")
-      val path = oncePerDir(dir, "ivfstore-v1-k5", "embeddings") { p =>
+      val path = oncePerDir(dir, "ivfstore-v2-k5", "embeddings") { p =>
         val s1 = e.filter(col("vec_id") % 2 === 0)
         val s2 = e.filter(col("vec_id") % 2 === 1)
         Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p)
@@ -1298,7 +1298,7 @@ object SparkEntry {
     "ann_retract" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = Similarity.sampledIvfCentroids(e, "vec_id", "embedding")
-      val path = oncePerDir(dir, "ivfretract-v1-d7r3", "embeddings") { p =>
+      val path = oncePerDir(dir, "ivfretract-v2-d7r3", "embeddings") { p =>
         Similarity.writeIvfBucketed(e, "vec_id", "embedding", cents, s"$p/cells")
         val down = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
         down.write.mode("append").parquet(s"$p/deletes")
@@ -1366,7 +1366,7 @@ object SparkEntry {
       // crashes on nested resolution).
       val cents = ivfTrainedCentroidStore(s, dir)
       val path = oncePerDir(
-        dir, s"ivfdefstore-v1-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
+        dir, s"ivfdefstore-v2-c${AnnDefaultCentroids}i$AnnDefaultIters", "embeddings") { p =>
         val s1 = e.filter(col("vec_id") % 2 === 0)
         val s2 = e.filter(col("vec_id") % 2 === 1)
         Similarity.writeIvfBucketed(s1, "vec_id", "embedding", cents, p)

@@ -32,6 +32,15 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Small parquet row groups for the probe layouts (production default
+    // 128 MB): the gate-SF corpus must land MULTIPLE row groups per cell
+    // file or row-group pruning has nothing to skip and the pushdown
+    // claim stays plan-shaped (the r13 BASELINE note). The write path
+    // clusters rows by the carried meta column inside each cell, so each
+    // row group's label min/max is tight — the shape a 100 TB cell has
+    // at the real block size.
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 16 * 1024)
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.size", 4 * 1024)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()
@@ -68,6 +77,69 @@ object ScaleProbe {
         scans.map(_.metrics("filesSize").value).sum, sec)
     }
 
+    // ROW-GROUP-level scan bytes, from footer metadata: the sum of
+    // compressed data bytes of the row groups a reader must scan — all
+    // groups of the given files (unfiltered), or only the groups whose
+    // `label` min/max statistics admit the predicate (filtered), which
+    // is precisely the test parquet-mr's filterRowGroups applies before
+    // any data page is read. Static and deterministic, unlike task
+    // inputMetrics, which on the local filesystem count the parquet-mr
+    // filtered-path streams but NOT the plain vectorized read path
+    // (measured: an unfiltered full scan reports footer bytes only),
+    // so the dynamic counter cannot compare the two paths honestly.
+    def rgBytes(files: Seq[org.apache.hadoop.fs.Path],
+        labelEq: Option[Int]): (Long, Long) = {
+      val conf = spark.sessionState.newHadoopConf()
+      var total = 0L
+      var qual = 0L
+      files.foreach { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks
+          var i = 0
+          while (i < blocks.size()) {
+            val b = blocks.get(i)
+            val bytes = b.getCompressedSize
+            total += bytes
+            val admit = labelEq match {
+              case None => true
+              case Some(v) =>
+                var ok = true
+                var c = 0
+                while (c < b.getColumns.size()) {
+                  val cc = b.getColumns.get(c)
+                  if (cc.getPath.toDotString == "label") {
+                    val st = cc.getStatistics
+                    if (st != null && st.hasNonNullValue) {
+                      val mn = st.genericGetMin.asInstanceOf[Number].intValue()
+                      val mx = st.genericGetMax.asInstanceOf[Number].intValue()
+                      ok = v >= mn && v <= mx
+                    }
+                  }
+                  c += 1
+                }
+                ok
+            }
+            if (admit) qual += bytes
+            i += 1
+          }
+        } finally rd.close()
+      }
+      (total, qual)
+    }
+
+    def cellFiles(layout: String, cells: Seq[Long]): Seq[org.apache.hadoop.fs.Path] = {
+      val conf = spark.sessionState.newHadoopConf()
+      cells.flatMap { cid =>
+        val d = new org.apache.hadoop.fs.Path(s"$layout/cell=$cid")
+        val fs = d.getFileSystem(conf)
+        if (!fs.exists(d)) Nil
+        else fs.listStatus(d).toSeq.filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      }
+    }
+
     for (mult <- Seq(1, 2, 4, 8)) {
       val corpus = (0 until mult).map { k =>
         e.select((col("vec_id") + lit(k * n)).as("vec_id"),
@@ -84,7 +156,10 @@ object ScaleProbe {
         var b = 0L
         while (it.hasNext) {
           val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) { c += 1; b += f.getLen }
+          // Data files only: the write-time stats ledger (_graft_stats)
+          // is planner metadata, not part of the scannable store.
+          if (f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.toString.contains("/_")) { c += 1; b += f.getLen }
         }
         (c, b)
       }
@@ -108,13 +183,28 @@ object ScaleProbe {
         "vec_id", "embedding", k = 5, cents, nProbe = 2,
         where = col("label") === 1)
       val (ff1, fb1, ft1) = scanStats(filt)
+      // The row-group pruning measurement (the pruning x pushdown
+      // composition, r13 verdict item 3): over the SAME probed cells'
+      // files, the data bytes a reader must scan with no predicate vs
+      // with the label predicate applied to each row group's min/max.
+      // The write path clusters labels inside cells, so the filtered
+      // bytes must sit strictly below the unfiltered at equal file
+      // counts once files carry multiple row groups.
+      val probedCells = one
+        .select(col("embedding").as("qv"))
+        .select(explode(Similarity.probeCells(cents, col("qv"),
+          Similarity.norm2(col("qv")), 2).getField("cid")).as("cell"))
+        .collect().map(_.getLong(0)).toSeq
+      val pf = cellFiles(path, probedCells)
+      val (rgTotal, _) = rgBytes(pf, None)
+      val (_, rgQual) = rgBytes(pf, Some(1))
       // Batch throughput at the shipped default (40 queries, nProbe=8).
       val batch = Similarity.ivfTopKFromBucketed(spark, path, queries,
         "vec_id", "embedding", k = 5, cents, nProbe = graft.SparkEntry.AnnDefaultNProbe)
       val (bf1, bb1, bt1) = scanStats(batch)
       println(s"""SCALEPROBE {"mult":$mult,"rows":${n * mult},"store_files":$totalFiles,"store_bytes":$storeBytes,"pq_bytes":$pqBytes,""" +
-        s""""one_np2":{"files":$df1,"bytes":$db1,"sec":$dt1},""" +
-        s""""one_np2_filtered":{"files":$ff1,"bytes":$fb1,"sec":$ft1},""" +
+        s""""one_np2":{"files":$df1,"bytes":$db1,"rg_bytes":$rgTotal,"sec":$dt1},""" +
+        s""""one_np2_filtered":{"files":$ff1,"bytes":$fb1,"rg_bytes":$rgQual,"sec":$ft1},""" +
         s""""batch_np8":{"files":$bf1,"bytes":$bb1,"sec":$bt1}}""")
     }
     spark.stop()

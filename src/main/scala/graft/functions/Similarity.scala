@@ -747,7 +747,7 @@ object Similarity {
   /** Sorted struct array (-affinity, cid) over literal centroids:
     * ascending sort = affinity descending, ties toward the lower centroid
     * id. Map-side only — the corpus is never shuffled for assignment. */
-  private def probeCells(
+  private[graft] def probeCells(
       centRows: Array[(Long, Vector[Double])],
       vec: Column, nv: Column, keep: Int): Column = {
     def cnorm(v: Vector[Double]): Double = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
@@ -803,26 +803,57 @@ object Similarity {
     * the filtered-search design point: a predicate a query filters on
     * must live next to the vectors (parquet row-group pushdown inside
     * the probed cells) or every filtered query pays a corpus-scale join
-    * back to the metadata table before it can score a candidate. */
+    * back to the metadata table before it can score a candidate. Rows
+    * are CLUSTERED by the meta columns within each cell
+    * (sortWithinPartitions) so every row group's min/max statistics are
+    * tight on them — at 100 TB a cell spans many 128 MB row groups, and
+    * the pushed predicate then skips the non-matching ones instead of
+    * scanning every page of every probed file (measured by
+    * graft.bench.ScaleProbe's filtered-bytes column; without the
+    * clustering each row group sees the full value range and prunes
+    * nothing). A write-time stats ledger (`_graft_stats/`) records
+    * per-file row counts so the serving planner's cold start reads ONE
+    * metadata-scale file, not O(files) footers.
+    *
+    * `shardsPerCell` bounds a write task's share of one cell: each
+    * slice write lands `min(shardsPerCell, incoming parallelism)` files
+    * per cell (hash-sharded on vec_id), co-locating a cell's rows
+    * instead of scattering one file per (task × cell) — at gate SF the
+    * scatter left ~125-row files whose single row group made meta
+    * pruning unmeasurable; at 100 TB the default 1 means "one file per
+    * cell per ingested slice", and a corpus whose slices outgrow
+    * object-store file comfort raises it so each cell splits into k
+    * write tasks. */
   def writeIvfBucketed(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
       path: String,
-      metaCols: Seq[String] = Nil): Unit =
-    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols)
+      metaCols: Seq[String] = Nil,
+      shardsPerCell: Int = 1): Unit = {
+    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols, shardsPerCell)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
 
   private def ivfBucketedRows(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
-      metaCols: Seq[String]): DataFrame =
+      metaCols: Seq[String],
+      shardsPerCell: Int): DataFrame = {
+    require(shardsPerCell >= 1, s"shardsPerCell must be >= 1, got $shardsPerCell")
     corpus.select(col(idCol).as("vec_id") +: col(vecCol).as("v") +:
         norm2(col(vecCol)).as("n_v") +: metaCols.map(col): _*)
       .withColumn("cell", element_at(probeCells(centRows, col("v"), col("n_v"), 1), 1).getField("cid"))
+      // Co-locate each cell (shard)'s rows into one write task, then
+      // cluster by the meta columns inside it: files are per-cell, row
+      // groups are label-tight — the two pruning units of the layout.
+      .repartition(col("cell"), pmod(xxhash64(col("vec_id")), lit(shardsPerCell.toLong)))
+      .sortWithinPartitions(col("cell") +: metaCols.map(col): _*)
+  }
 
   /** Add one vector slice to a [[writeIvfBucketed]] layout — the
     * incremental-ingestion face of the ANN index (the MinHash split-index
@@ -840,9 +871,13 @@ object Similarity {
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
       path: String,
-      metaCols: Seq[String] = Nil): Unit =
-    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols)
+      metaCols: Seq[String] = Nil,
+      shardsPerCell: Int = 1): Unit = {
+    ivfBucketedRows(corpus, idCol, vecCol, centRows, metaCols, shardsPerCell)
       .write.partitionBy("cell").mode("append").parquet(path)
+    // O(new files) footer opens: the pre-append files are ledgered.
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
 
   /** Top-k over a [[writeIvfBucketed]] layout. The probed cell ids are
     * known from the (tiny) query set before the scan, so they push down as
@@ -932,10 +967,17 @@ object Similarity {
       deletedIds: DataFrame,
       dest: String): Unit = {
     require(src != dest, "compaction writes a FRESH layout; cannot overwrite the source in place")
-    spark.read.parquet(src)
+    val live = spark.read.parquet(src)
       .dropDuplicates("vec_id")
       .join(broadcast(deletedIds.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    // Restore the write layout invariants the slices had: per-cell
+    // files, meta-clustered row groups (every carried column beyond the
+    // core four is layout metadata).
+    val metaCols = live.columns.filterNot(Set("vec_id", "v", "n_v", "cell")).toSeq
+    live.repartition(col("cell"))
+      .sortWithinPartitions(col("cell") +: metaCols.map(col): _*)
       .write.partitionBy("cell").mode("overwrite").parquet(dest)
+    writeBucketedStatsLedger(spark, dest)
   }
 
   /** Operating-point sweep over the IVF probe knob: per-query top-k at
@@ -1166,16 +1208,133 @@ object Similarity {
           e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 65536
     })
 
-  /** Footer + bounded-sample statistics of a bucketed layout under a
-    * predicate. File totals and exact row counts read from parquet
-    * footers only (in PARALLEL on the driver — a layout can hold
-    * thousands of slice files, and a sequential footer loop was
-    * measured at multiple seconds; cached per file version); the
-    * survivor fraction is estimated from a deterministic hash-spread
-    * sample of whole files (spread ACROSS cells — the lowest-path-hash
-    * prefix, so the sample is not one cell's residents, whose labels
-    * could correlate with the cell), capped at `maxSampleFiles` files
-    * or the first files reaching `sampleTargetRows` footer rows. The
+  /** Diagnostic counter: ACTUAL parquet footer opens performed by the
+    * stats path (a cache hit or a ledger hit does not count). Exists so
+    * a spec can pin the write-time-statistics contract — "a cold
+    * planner over a ledgered layout opens zero per-file footers" —
+    * as a measured fact, not a code-shape claim. */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test hook: drop every cached footer row count, simulating a fresh
+    * process pricing a layout it has never seen (the "cold planner" in
+    * the ledger spec). */
+  private[graft] def clearFooterCacheForTest(): Unit = footerRowCache.clear()
+
+  /** Ledger subdirectory of a bucketed layout. Underscore-prefixed, so
+    * Spark's file index treats it as hidden: data reads of the layout
+    * root never see it. */
+  val StatsLedgerDir = "_graft_stats"
+
+  /** Data files of a bucketed layout: every `.parquet` under `root`
+    * with NO hidden path component below the root (the ledger lives in
+    * `_graft_stats/`, Spark writes `_SUCCESS` markers — both excluded,
+    * mirroring Spark's own file-index visibility rule, so the stats
+    * path prices exactly the files a data read would scan). */
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Array[(org.apache.hadoop.fs.Path, Long)] = {
+    val rootStr = root.toUri.getPath
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
+        buf += ((f.getPath, f.getLen))
+    }
+    buf.toArray
+  }
+
+  /** Row count of one immutable parquet file version, footer-read on a
+    * cache miss (counted in [[footerOpens]]). */
+  private def footerRowCount(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path,
+      len: Long): Long = {
+    val key = s"$p|$len"
+    val cached = footerRowCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      footerOpens.incrementAndGet()
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        var acc = 0L
+        val blocks = rd.getFooter.getBlocks
+        var b = 0
+        while (b < blocks.size()) { acc += blocks.get(b).getRowCount; b += 1 }
+        footerRowCache.put(key, acc)
+        acc
+      } finally rd.close()
+    }
+  }
+
+  /** Ledger entries of a layout, keyed `path|length` → rows. Empty map
+    * when no ledger exists (pre-ledger layouts stay readable — the
+    * stats path falls back to footers for unledgered files). */
+  private def readStatsLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, Long] = {
+    val dir = new org.apache.hadoop.fs.Path(root, StatsLedgerDir)
+    if (!fs.exists(dir)) Map.empty
+    else spark.read.parquet(dir.toString)
+      .select(col("path"), col("length"), col("rows")).collect()
+      .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getLong(2)).toMap
+  }
+
+  /** WRITE-TIME statistics for a bucketed layout — the catalog move
+    * that removes the last O(files) cold cost from the serving planner:
+    * called after every [[writeIvfBucketed]] / [[appendIvfBucketed]] /
+    * [[compactIvfBucketed]], it appends one metadata-scale parquet
+    * slice under `_graft_stats/` recording `(path, length, rows)` for
+    * every data file NOT yet in the ledger (for an append, exactly the
+    * files that write created — their footers are the only ones
+    * opened, O(new files)). Files are immutable once written, so a
+    * ledger entry is true forever; a replayed ledger append re-derives
+    * the same missing set and the read side's per-key dedup collapses
+    * any overlap (the StoreLedger at-least-once posture). A cold
+    * [[bucketedArmStats]] then prices the whole layout from ONE
+    * metadata-scale ledger read — zero per-file footer RPCs
+    * ([[footerOpens]]-pinned in SimilaritySpec). */
+  def writeBucketedStatsLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val ledger = readStatsLedger(spark, fs, root)
+    val missing = listDataFiles(fs, root)
+      .filter { case (p, len) => !ledger.contains(s"$p|$len") }
+    if (missing.nonEmpty) {
+      val entries = new Array[(String, Long, Long)](missing.length)
+      java.util.stream.IntStream.range(0, missing.length).parallel().forEach { i =>
+        val (p, len) = missing(i)
+        entries(i) = (p.toString, len, footerRowCount(conf, p, len))
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      entries.toIndexedSeq.toDF("path", "length", "rows")
+        .coalesce(1)
+        .write.mode("append").parquet(new HPath(root, StatsLedgerDir).toString)
+    }
+  }
+
+  /** Ledger/footer + bounded-sample statistics of a bucketed layout
+    * under a predicate. Per-file exact row counts come from the
+    * write-time ledger when present ([[writeBucketedStatsLedger]] —
+    * ONE metadata-scale read for the whole layout, zero per-file
+    * RPCs), falling back to parquet FOOTER metadata for unledgered
+    * files (in PARALLEL on the driver — a layout can hold thousands of
+    * slice files, and a sequential footer loop was measured at
+    * multiple seconds; cached per file version); the survivor fraction
+    * is estimated from a deterministic hash-spread sample of whole
+    * CELLS (spread across cells — the lowest-hash prefix of cell
+    * directories, so the sample is not one cell's residents, whose
+    * labels could correlate with the cell), capped at `maxSampleFiles`
+    * files or the first cells reaching `sampleTargetRows` rows. The
     * one Spark action reads ONLY the explicitly-listed sample files. */
   def bucketedArmStats(
       spark: org.apache.spark.sql.SparkSession,
@@ -1187,38 +1346,16 @@ object Similarity {
     val conf = spark.sessionState.newHadoopConf()
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
-    val files = {
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(HPath, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getPath.getName
-        if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-          buf += ((f.getPath, f.getLen))
-      }
-      buf.toArray
-    }
-    // Footer-only row counts: block (row-group) metadata, no data pages.
+    val files = listDataFiles(fs, root)
+    // Exact row counts: ledger first (the listing remains the source of
+    // truth for file EXISTENCE — a ledger row for a vanished file can
+    // never be priced), footers only for the unledgered remainder.
+    val ledger = readStatsLedger(spark, fs, root)
     val footerRows: Array[(HPath, Long)] = {
       val out = new Array[(HPath, Long)](files.length)
       java.util.stream.IntStream.range(0, files.length).parallel().forEach { i =>
         val (p, len) = files(i)
-        val key = s"$p|$len"
-        val cached = footerRowCache.get(key)
-        val n: Long =
-          if (cached != null) cached.longValue()
-          else {
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-            try {
-              var acc = 0L
-              val blocks = rd.getFooter.getBlocks
-              var b = 0
-              while (b < blocks.size()) { acc += blocks.get(b).getRowCount; b += 1 }
-              footerRowCache.put(key, acc)
-              acc
-            } finally rd.close()
-          }
+        val n = ledger.getOrElse(s"$p|$len", footerRowCount(conf, p, len))
         out(i) = (p, n)
       }
       out

@@ -278,6 +278,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("write-time stats ledger: cold planner prices the layout with ZERO footer opens; totals exact through append, replay, compaction") {
+    // The r13 verdict's metadata-plane item: a cold planner over a new
+    // layout paid O(files) driver footer RPCs before its first arm
+    // decision. Write-time ledgering closes it — every write face
+    // appends (path, length, rows) for the files it created, so the
+    // cold stats path reads ONE metadata-scale ledger and opens no
+    // per-file footers. Footers remain the fallback for pre-ledger
+    // layouts (pinned by deleting the ledger and re-pricing).
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val store = s"$base/cells"
+    val slice = corpus.filter(col("vec_id") % 10 === 0)
+    Similarity.writeIvfBucketed(corpus.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label")) // replay
+    val live = corpus.count()
+    val physical = live + slice.count()
+    val pred = col("label") === 1
+
+    // Cold decision path: cache cleared, so this process knows nothing
+    // about the layout's files — zero opens proves the ledger carried
+    // every file.
+    Similarity.clearFooterCacheForTest()
+    val before = Similarity.footerOpens.get()
+    val stats = Similarity.bucketedArmStats(spark, store, pred)
+    assert(Similarity.footerOpens.get() === before,
+      s"ledgered cold planner opened ${Similarity.footerOpens.get() - before} footers")
+    assert(stats.totalRows === physical,
+      s"ledger total ${stats.totalRows} != physical $physical")
+
+    // Ledger removed → same totals from the footer fallback (and the
+    // opens counter moves): ledger and footers agree file-for-file.
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(store, Similarity.StatsLedgerDir), true)
+    Similarity.clearFooterCacheForTest()
+    val statsF = Similarity.bucketedArmStats(spark, store, pred)
+    assert(Similarity.footerOpens.get() > before, "footer fallback did not engage")
+    assert(statsF.totalRows === stats.totalRows &&
+      statsF.sampledRows === stats.sampledRows &&
+      statsF.sampledLive === stats.sampledLive &&
+      statsF.sampledSurvivors === stats.sampledSurvivors,
+      "footer-fallback stats differ from ledgered stats")
+    // Arm decision unchanged by the stats source.
+    assert(Similarity.decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors) ===
+      Similarity.decideFilteredArm(statsF.estimatedLiveRows, statsF.estimatedSurvivors))
+
+    // Compaction writes a fresh ledgered layout: totals drop to the
+    // deduped survivor set, still zero cold footer opens.
+    val deleted = corpus.filter(col("vec_id") % 25 === 0).select(col("vec_id"))
+    val dest = s"$base/compacted"
+    Similarity.compactIvfBucketed(spark, store, deleted, dest)
+    Similarity.clearFooterCacheForTest()
+    val b2 = Similarity.footerOpens.get()
+    val statsC = Similarity.bucketedArmStats(spark, dest, pred)
+    assert(Similarity.footerOpens.get() === b2,
+      "compacted layout's cold planner opened footers despite its ledger")
+    assert(statsC.totalRows === live - deleted.count(),
+      s"compacted total ${statsC.totalRows} != live minus deletes")
+  }
+
   test("IVF delete log: excluded reads, replayed deletes, pruning-preserving compaction") {
     import org.apache.spark.sql.DataFrame
     val corpus = emb
