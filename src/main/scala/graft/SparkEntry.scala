@@ -1460,7 +1460,7 @@ object SparkEntry {
     // IVF-PQ at the SHIPPED trained config (closed round 13): candidate
     // generation scores 4-byte PQ codes — asymmetric distance vs
     // centroid-plus-residual reconstructions — inside the probed IVF
-    // cells, then exact re-rank of the top-40; final scores are exact
+    // cells, then exact re-rank of the top-PqCandN; final scores are exact
     // cosines. Three quality levers over the r12 face (recall@5 0.26 →
     // 0.54 at sf0.01, exact ceiling 0.82): TRAINED coarse centroids
     // (the ann_default store) instead of the hash-rank sample, RESIDUAL
@@ -1474,7 +1474,7 @@ object SparkEntry {
       Similarity.ivfPqTopKWithCodebook(e, e.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, cents,
         pqTrainedCodebookStore(s, dir, cents), subDim = 16,
-        nProbe = AnnDefaultNProbe)
+        nProbe = AnnDefaultNProbe, candN = PqCandN)
     }),
 
     // SQ8 scalar-quantized ANN: the candidate scan reads one BYTE per
@@ -1501,7 +1501,7 @@ object SparkEntry {
       val cb = pqTrainedCodebookStore(s, dir, cents)
       Similarity.ivfPqTopKFromIndex(s, ivfPqResStore(s, dir, e, cents, cb), e,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
-        nProbe = AnnDefaultNProbe)
+        nProbe = AnnDefaultNProbe, candN = PqCandN)
     }),
 
     // LOOKUP-TABLE ADC over the same persisted compressed index — the
@@ -1519,7 +1519,7 @@ object SparkEntry {
       val cb = pqTrainedCodebookStore(s, dir, cents)
       Similarity.ivfPqAdcTopKFromIndex(s, ivfPqResStore(s, dir, e, cents, cb), e,
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
-        nProbe = AnnDefaultNProbe)
+        nProbe = AnnDefaultNProbe, candN = PqCandN)
     }),
 
     // Incremental SQ8 ingestion (same two-slices-plus-replay proof): the
@@ -1630,7 +1630,7 @@ object SparkEntry {
       Similarity.ivfPqSweepReading(e, e.filter(col("vec_id") % 50 === 0),
         annGroundTruth(s, dir), "vec_id", "embedding", k = 5, cents,
         pqTrainedCodebookStore(s, dir, cents), subDim = 16,
-        nProbes = Seq(1, 2, 4, 8))
+        nProbes = Seq(1, 2, 4, 8), candN = PqCandN)
     }),
 
     // CART decision stump in exact integer arithmetic: best power-of-two
@@ -4236,14 +4236,24 @@ object SparkEntry {
     * fixed-point Lloyd rounds of per-subspace k-means over the coarse
     * RESIDUALS (seeded from the scaled hash codebook). 2 is where the
     * gate corpus converged (iteration 3 moved recall by 0). */
-  private[graft] val PqTrainIters = 2
+  private[graft] val PqTrainIters = 3
+
+  /** Exact re-rank depth of the PQ faces (the ADC candidate cut). The
+    * round-14 recall sweep showed THIS, not the codebook, binds recall:
+    * at candN 40, codewords 16->32/64 bought 0.54->0.62-0.66; at candN
+    * 80 the extra codewords bought nothing (0.72 either way), so codes
+    * stay 4-bit (the 20x memory story) and recall lifts through one
+    * more Lloyd round (PqTrainIters 2->3) + a deeper exact re-rank,
+    * whose cost is queries x candN ids - scale-independent. Measured
+    * recall@5 at sf0.01: 0.76 (ceiling 0.82). */
+  private[graft] val PqCandN = 80
 
   /** Generated oracle for `ann_ivfpq` — the full trained-residual
     * IVF-PQ replica: trained coarse centroids (the annDefaultSql Lloyd
     * prefix, shared text), residuals v − centroid(assigned cell), a PQ
     * codebook trained by PqTrainIters fixed-point Lloyd rounds per
     * subspace (seeded from the 0.125-scaled hash codebook), ADC over
-    * centroid-plus-reconstruction, exact top-40 re-rank. Every step is
+    * centroid-plus-reconstruction, exact top-PqCandN re-rank. Every step is
     * exact-integer or a shared sequential double fold, so codes,
     * candidates, and scores are value-exact across engines. Shared with
     * the `ann_recall_ivfpq` composition and the ann_ivfpq_store gate. */
@@ -4317,7 +4327,7 @@ object SparkEntry {
        |top AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-       |    FROM cand) WHERE rn <= 40),
+       |    FROM cand) WHERE rn <= $PqCandN),
        |scored AS (
        |  SELECT top.query_id, top.vec_id,
        |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
@@ -4387,7 +4397,7 @@ object SparkEntry {
        |top AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-       |    FROM cand) WHERE rn <= 40),
+       |    FROM cand) WHERE rn <= $PqCandN),
        |scored AS (
        |  SELECT top.query_id, top.vec_id,
        |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
@@ -4443,7 +4453,7 @@ object SparkEntry {
        |shortlist AS (SELECT nprobe, query_id, vec_id FROM (
        |  SELECT nprobe, query_id, vec_id,
        |    row_number() OVER (PARTITION BY nprobe, query_id ORDER BY adc DESC, vec_id) AS rnk
-       |  FROM fan) WHERE rnk <= 40),
+       |  FROM fan) WHERE rnk <= $PqCandN),
        |rescored AS (
        |  SELECT sl.nprobe, sl.query_id, sl.vec_id,
        |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
