@@ -439,6 +439,108 @@ object SparkEntry {
   private[graft] val BoostRounds = 10
   private[graft] val BoostFactor = 2L
 
+  /** Boosted TWO-LEVEL trees (DESIGN candidate (d), round 14): round r
+    * roots a weighted stump on dimension 2r−1 and trains one weighted
+    * child stump per side on dimension 2r over that side's rows — four
+    * majority leaves per tree, so a single tree can express the
+    * axis-aligned quadrant structure a stump cannot. Weights stay
+    * INTEGER (misclassified-by-the-TREE rows double), so the whole
+    * k-round chain replays bit-exactly in the oracle. A side with no
+    * valid second-level split (single occupied bin) falls back to the
+    * root side's majority — the deterministic degenerate-tree rule,
+    * replayed in SQL via LEFT JOIN + coalesce. */
+  private[graft] val TreeBoostRounds = 8
+
+  /** One trained two-level boosted tree. Child fields are None when
+    * that side had no valid split (fallback = root side's majority). */
+  private final case class TreeRound(
+      round: Int, rootDim: Int, childDim: Int,
+      rootBin: Long, rootLeft: Int, rootRight: Int,
+      lBin: Option[Long], lLeft: Option[Int], lRight: Option[Int],
+      rBin: Option[Long], rLeft: Option[Int], rRight: Option[Int])
+
+  /** The routing column of one trained tree over `embedding`. */
+  private def treePred(m: TreeRound): Column = {
+    import graft.functions.Classifier
+    def childPred(bin: Option[Long], l: Option[Int], r: Option[Int], fb: Int): Column =
+      bin match {
+        case Some(b) =>
+          when(Classifier.stumpLeft(element_at(col("embedding"), m.childDim), b),
+            lit(l.get)).otherwise(lit(r.get))
+        case None => lit(fb)
+      }
+    when(Classifier.stumpLeft(element_at(col("embedding"), m.rootDim), m.rootBin),
+        childPred(m.lBin, m.lLeft, m.lRight, m.rootLeft))
+      .otherwise(childPred(m.rBin, m.rLeft, m.rRight, m.rootRight))
+  }
+
+  /** k rounds of integer-weight tree boosting (the boostChainModels
+    * discipline, two-level face): three weighted stump trainings per
+    * round — root, then each side conditioned on the root test — and
+    * one reweight pass against the TREE's four-leaf routing. Each
+    * round's weighted frame is persisted before its four consumers run
+    * (root collect, two child collects, the reweight). */
+  private def treeBoostChainModels(e: DataFrame, rounds: Int): Seq[TreeRound] = {
+    import graft.functions.Classifier
+    var cur = e.withColumn("__w", lit(1L))
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = scala.collection.mutable.ArrayBuffer.empty[TreeRound]
+    for (r <- 1 to rounds) {
+      cur = cur.persist()
+      persisted += cur
+      val d1 = 2 * r - 1
+      val d2 = 2 * r
+      def train(df: DataFrame, dim: Int): Array[org.apache.spark.sql.Row] =
+        Classifier.stumpModelWeighted(
+          df, element_at(col("embedding"), dim), "label", col("__w"),
+          binScale = 16L).collect()
+      val root = train(cur, d1)
+      require(root.nonEmpty, s"tree chain round $r: no valid root split")
+      val rootBin = root(0).getLong(0)
+      val (ll, rl) = (root(0).getInt(2), root(0).getInt(3))
+      val leftTest = Classifier.stumpLeft(element_at(col("embedding"), d1), rootBin)
+      val lm = train(cur.filter(leftTest), d2)
+      val rm = train(cur.filter(!leftTest), d2)
+      def opt[A](rows: Array[org.apache.spark.sql.Row], f: org.apache.spark.sql.Row => A): Option[A] =
+        rows.headOption.map(f)
+      val tr = TreeRound(r, d1, d2, rootBin, ll, rl,
+        opt(lm, _.getLong(0)), opt(lm, _.getInt(2)), opt(lm, _.getInt(3)),
+        opt(rm, _.getLong(0)), opt(rm, _.getInt(2)), opt(rm, _.getInt(3)))
+      out += tr
+      cur = cur.withColumn("__w",
+        when(treePred(tr) =!= col("label"), col("__w") * lit(BoostFactor))
+          .otherwise(col("__w")))
+    }
+    persisted.foreach(_.unpersist(blocking = false))
+    out.toSeq
+  }
+
+  /** The boosted tree chain as a persisted per-corpus artifact. */
+  private def treeBoostChainStore(s: SparkSession, dir: String): Seq[TreeRound] = {
+    val path = oncePerDir(
+      dir, s"treeboost-v1-r$TreeBoostRounds-f$BoostFactor", "embeddings") { p =>
+      import s.implicits._
+      treeBoostChainModels(
+        t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull && col("label").isNotNull),
+        rounds = TreeBoostRounds)
+        .map(m => (m.round, m.rootDim, m.childDim, m.rootBin, m.rootLeft,
+          m.rootRight, m.lBin, m.lLeft, m.lRight, m.rBin, m.rLeft, m.rRight))
+        .toDF("round", "root_dim", "child_dim", "root_bin", "root_left",
+          "root_right", "l_bin", "l_left", "l_right", "r_bin", "r_left", "r_right")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def optI(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    s.read.parquet(path).collect()
+      .map(r => TreeRound(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), optL(r, 6), optI(r, 7), optI(r, 8),
+        optL(r, 9), optI(r, 10), optI(r, 11)))
+      .sortBy(_.round).toSeq
+  }
+
   /** The boosted chain as a persisted per-corpus artifact (the
     * stumpChainStore posture): k weighted-training rounds — one
     * persisted reweight pass + one metadata-scale collect each — run
@@ -1758,6 +1860,34 @@ object SparkEntry {
           lit(m.leftLabel)).otherwise(lit(m.rightLabel))
       }
       val cands = models.flatMap(m => Seq(m.leftLabel, m.rightLabel)).distinct.sorted
+      val scored = cands.map { l =>
+        val votes = preds.map(p => when(p === l, 1).otherwise(0)).reduce(_ + _)
+        struct(votes.as("v"), lit(-l).as("nl"))
+      }
+      val win =
+        if (scored.size == 1) scored.head else greatest(scored: _*)
+      e.select(col("label"), (-win.getField("nl")).as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // BOOSTED TWO-LEVEL TREE inference (TreeBoostRounds trees, each a
+    // root stump + per-side child stumps = four majority leaves): the
+    // stronger tabular classifier candidate (d) — a tree expresses the
+    // axis-aligned quadrant structure a stump cannot, and the
+    // integer-weight chain keeps the whole training oracle-replayable.
+    // The trained model is k driver-side literal rows; scoring is one
+    // codegen'd projection with the same greatest-over-(votes, −label)
+    // vote as rule_boosted. ClassifierSpec pins accuracy strictly above
+    // rule_boosted's at both gate scales.
+    "tree_boosted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && col("label").isNotNull)
+      val models = treeBoostChainStore(s, dir)
+      val preds = models.map(treePred)
+      val cands = models.flatMap(m =>
+        Seq(m.rootLeft, m.rootRight) ++ m.lLeft ++ m.lRight ++ m.rLeft ++ m.rRight)
+        .distinct.sorted
       val scored = cands.map { l =>
         val votes = preds.map(p => when(p === l, 1).otherwise(0)).reduce(_ + _)
         struct(votes.as("v"), lit(-l).as("nl"))
@@ -4059,6 +4189,92 @@ object SparkEntry {
        |SELECT label, pred_label, count(*)::BIGINT AS n FROM win WHERE rn = 1 GROUP BY 1, 2""".stripMargin
   }
 
+  /** One weighted-stump training block over `src` (a weighted frame,
+    * optionally restricted by `where`), emitting `{p}best` — the
+    * [[boostRoundSql]] machinery factored for reuse by the two-level
+    * tree oracle, which trains THREE weighted stumps per round (root,
+    * then each side conditioned on the root test). HUGEINT weight sums
+    * mirror the Spark trainer's Decimal(38,0) exactly. */
+  private def wStumpCtes(p: String, src: String, dim: Int, where: String): String =
+    s"""${p}c AS (SELECT embedding, label, w,
+       |  CAST(floor(CAST(embedding[$dim] AS DOUBLE) * 16.0) AS BIGINT) AS bin FROM $src$where),
+       |${p}cnt AS MATERIALIZED (SELECT bin, label, sum(w)::HUGEINT AS c FROM ${p}c GROUP BY 1, 2),
+       |${p}grid AS (SELECT bins.bin, l.label, coalesce(${p}cnt.c, 0)::HUGEINT AS c
+       |  FROM (SELECT DISTINCT bin FROM ${p}cnt) bins
+       |  CROSS JOIN (SELECT DISTINCT label FROM ${p}cnt) l
+       |  LEFT JOIN ${p}cnt ON ${p}cnt.bin = bins.bin AND ${p}cnt.label = l.label),
+       |${p}cum AS (SELECT bin, label,
+       |    sum(c) OVER (PARTITION BY label ORDER BY bin)::HUGEINT AS cl,
+       |    sum(c) OVER (PARTITION BY label)::HUGEINT AS tot FROM ${p}grid),
+       |${p}pb AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
+       |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
+       |  FROM ${p}cum GROUP BY 1),
+       |${p}lm AS (SELECT bin, label,
+       |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM ${p}cum),
+       |${p}rm AS (SELECT bin, label,
+       |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM ${p}cum),
+       |${p}best AS MATERIALIZED (SELECT ${p}pb.bin,
+       |    ${p}lm.label AS left_label, ${p}rm.label AS right_label,
+       |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
+       |  FROM ${p}pb JOIN ${p}lm ON ${p}lm.bin = ${p}pb.bin AND ${p}lm.rn = 1
+       |            JOIN ${p}rm ON ${p}rm.bin = ${p}pb.bin AND ${p}rm.rn = 1
+       |  WHERE nl > 0 AND n - nl > 0
+       |  ORDER BY score, ${p}pb.bin LIMIT 1)""".stripMargin
+
+  /** The four-leaf routing of tree round `r` as a SQL expression over
+    * weighted-frame alias `t` — shared by the reweight CTE and the
+    * final vote. A missing child best (LEFT JOIN null row) degrades to
+    * the root side's majority via coalesce, the Spark treePred rule. */
+  private def treePredSql(r: Int, t: String): String = {
+    val d1 = 2 * r - 1
+    val d2 = 2 * r
+    def bin(d: Int) = s"CAST(floor(CAST($t.embedding[$d] AS DOUBLE) * 16.0) AS BIGINT)"
+    s"""CASE WHEN ${bin(d1)} <= ta${r}best.bin
+       |  THEN coalesce(CASE WHEN ${bin(d2)} <= tl${r}best.bin THEN tl${r}best.left_label ELSE tl${r}best.right_label END, ta${r}best.left_label)
+       |  ELSE coalesce(CASE WHEN ${bin(d2)} <= tr${r}best.bin THEN tr${r}best.left_label ELSE tr${r}best.right_label END, ta${r}best.right_label) END""".stripMargin
+  }
+
+  /** One boosted-tree round in SQL: root stump on dim 2r−1, per-side
+    * child stumps on dim 2r over the root-test subsets, then the
+    * successor frame t{r+1} reweighted against the TREE's routing. */
+  private def treeRoundSql(r: Int): String = {
+    val d1 = 2 * r - 1
+    val d2 = 2 * r
+    val rootTest = s"CAST(floor(CAST(t$r.embedding[$d1] AS DOUBLE) * 16.0) AS BIGINT)"
+    s"""${wStumpCtes(s"ta$r", s"t$r", d1, "")},
+       |${wStumpCtes(s"tl$r", s"t$r, ta${r}best", d2, s" WHERE $rootTest <= ta${r}best.bin")},
+       |${wStumpCtes(s"tr$r", s"t$r, ta${r}best", d2, s" WHERE $rootTest > ta${r}best.bin")},
+       |t${r + 1} AS MATERIALIZED (SELECT t.vec_id, t.embedding, t.label,
+       |  CASE WHEN (${treePredSql(r, "t")}) <> t.label THEN t.w * $BoostFactor ELSE t.w END AS w
+       |  FROM t$r t CROSS JOIN ta${r}best
+       |  LEFT JOIN tl${r}best ON TRUE
+       |  LEFT JOIN tr${r}best ON TRUE)""".stripMargin
+  }
+
+  /** Generated oracle for `tree_boosted`: the full k-round two-level
+    * weighted training replay (three stump trainings per round), then
+    * the per-row majority vote of the k tree routings ((votes DESC,
+    * label) argmax — the Spark side's greatest-over-(v, −label)
+    * structs), then the confusion counts. */
+  private lazy val treeBoostedSql: String = {
+    val ctes =
+      s"""WITH t1 AS MATERIALIZED (SELECT vec_id, embedding, label, 1::HUGEINT AS w FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |${(1 to TreeBoostRounds).map(treeRoundSql).mkString(",\n")}""".stripMargin
+    val preds = (1 to TreeBoostRounds).map(r => treePredSql(r, "t1")).mkString(", ")
+    val joins = (1 to TreeBoostRounds).map(r =>
+      s"CROSS JOIN ta${r}best LEFT JOIN tl${r}best ON TRUE LEFT JOIN tr${r}best ON TRUE")
+      .mkString("\n  ")
+    s"""$ctes,
+       |routed AS (SELECT t1.vec_id, t1.label, unnest([$preds]) AS p
+       |  FROM t1
+       |  $joins),
+       |votes AS (SELECT vec_id, label, p, count(*) AS v FROM routed GROUP BY 1, 2, 3),
+       |win AS (SELECT vec_id, label, p AS pred_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, p) AS rn FROM votes)
+       |SELECT label, pred_label, count(*)::BIGINT AS n FROM win WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+  }
+
   /** Generated oracle for `rule_confusion`: per-row best-matching-rule
     * routing (the window form of the Spark side's rank-ordered CASE). */
   private lazy val ruleConfusionSql: String =
@@ -5319,6 +5535,7 @@ $rounds
     // Boosted vote: the k-round integer-weight training replay + the
     // majority-vote routing (see ruleBoostedSql scaladoc).
     "rule_boosted" -> ruleBoostedSql,
+    "tree_boosted" -> treeBoostedSql,
     // k-NN vote replica: same scored CTE as ann_topk, neighbor labels
     // joined in, majority by (votes DESC, label) row_number.
     "knn_classify" ->

@@ -345,4 +345,25 @@ class ClassifierSpec extends SparkSpec {
         s"$dir: boosted vote accuracy $boosted < chained list $chained")
     }
   }
+
+  test("boosted two-level trees beat boosted stumps at both gate scales") {
+    // The round-14 tree_boosted contract (DESIGN candidate (d), second
+    // stage): a four-leaf tree can express axis-aligned quadrant
+    // structure a stump cannot, so under the same integer-weight
+    // boosting the tree vote must be STRICTLY more accurate than the
+    // stump vote on the gate corpus (measured 0.132/0.134 vs
+    // 0.124/0.122 at sf0.001/sf0.01). Accuracies read from the faces'
+    // own confusion outputs.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def acc(name: String): Double = {
+        val rows = SparkEntry.queries(name)(spark, dir)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        rows.collect { case (l, p, n) if l == p => n }.sum.toDouble /
+          rows.map(_._3).sum
+      }
+      val (tree, stump) = (acc("tree_boosted"), acc("rule_boosted"))
+      assert(tree > stump,
+        s"$dir: tree vote accuracy $tree not above stump vote $stump")
+    }
+  }
 }
