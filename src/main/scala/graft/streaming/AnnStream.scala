@@ -24,15 +24,24 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object AnnStream {
 
   /** Per-micro-batch vector ingestion into the bucketed layout at `path`.
-    * Start with `.queryName(...).start()`. Empty batches append nothing. */
+    * Start with `.queryName(...).start()`. Empty batches append nothing.
+    * `metaCols` carries filterable metadata into the layout (the
+    * filtered-search design point, streaming face) — each append also
+    * extends the write-time stats ledger, so the serving planner's arm
+    * decision ([[graft.functions.Similarity.filteredTopKAutoFromBucketed]])
+    * re-derives from CURRENT stats at every evaluation: ingestion growth
+    * that crosses the brute/probe thresholds flips the arm on the next
+    * query with no cache to go stale (StreamingSpec pins the flip). */
   def ingestVectorsStream(
       stream: DataFrame,
       idCol: String,
       vecCol: String,
       centRows: Array[(Long, Vector[Double])],
-      path: String): DataStreamWriter[Row] =
+      path: String,
+      metaCols: Seq[String] = Nil): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
-        Similarity.appendIvfBucketed(batch, idCol, vecCol, centRows, path)
+        Similarity.appendIvfBucketed(batch, idCol, vecCol, centRows, path,
+          metaCols = metaCols)
     }
 }

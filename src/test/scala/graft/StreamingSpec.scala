@@ -698,6 +698,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("AnnStream ingestion flips the filtered arm brute -> probe at the documented threshold") {
+    // The stats-driven planner's STREAMING face (r13 verdict item 7):
+    // the arm decision re-derives from the (ledger) stats at every
+    // evaluation, so ingestion growth that crosses bruteBelowRows flips
+    // brute -> probe on the next query — there is no cached decision to
+    // go stale past the flip. Result parity is asserted on BOTH sides
+    // of the boundary, and the replayed final slice exercises the
+    // live-row discount in the estimate.
+    import graft.functions.Similarity
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val pred = col("label") =!= 3 // ~90% survivors: the RELATIVE rule never
+    // picks brute here, so the ABSOLUTE row threshold alone governs the flip.
+    val rows = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream_arm").toString + "/ivf"
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = graft.streaming.AnnStream.ingestVectorsStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+        cents, dir, metaCols = Seq("label"))
+      .queryName("ann_ingest_arm").start()
+    val (b1, b2) = rows.splitAt(100) // ~90 survivors, below the 100-row switch
+    def arms() = Similarity.filteredTopKAutoFromBucketed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, cents, nProbe = 2, where = pred,
+      bruteBelowRows = 100L)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // Below the boundary: brute arm, exact over the streamed survivors.
+    runToCompletion(q, () => in.addData(b1.toSeq))
+    val (arm1, out1) = arms()
+    assert(arm1 === Similarity.BruteArm,
+      s"below the boundary: expected brute, got $arm1")
+    val live1 = emb.filter(col("vec_id").isin(b1.map(_._1).toIndexedSeq: _*))
+    assert(res(out1) === res(Similarity.bruteForceTopK(
+      live1.filter(pred), queries, "vec_id", "embedding", k = 5)))
+    // Growth past the boundary (plus a replayed slice): next evaluation
+    // re-derives from the appended ledger and takes the probe arm.
+    val q2 = graft.streaming.AnnStream.ingestVectorsStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+        cents, dir, metaCols = Seq("label"))
+      .queryName("ann_ingest_arm2").start()
+    runToCompletion(q2, () => in.addData(b2.toSeq), () => in.addData(b2.toSeq))
+    val (arm2, out2) = arms()
+    assert(arm2 === Similarity.ProbeArm,
+      s"past the boundary: expected probe, got $arm2 — stale stats served the flip")
+    assert(res(out2) === res(Similarity.ivfTopKFromBucketed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, cents, nProbe = 2, where = pred)))
+  }
+
   test("SweepStream.dedupSweep: per-batch readings; the latest equals the batch sweep over the union") {
     import graft.functions.Dedup
     import spark.implicits._
