@@ -1270,6 +1270,20 @@ object Similarity {
     }
   }
 
+  /** Parsed ledgers, keyed by the ledger directory's own file signature
+    * (slice files are append-only and immutable, so the sorted
+    * (name, length) list IS the ledger version): repeated arm decisions
+    * over an unchanged layout skip the ledger-read Spark job entirely,
+    * and any append changes the signature — a stale map can never serve
+    * past an ingestion. Bounded LRU over layouts (maps are O(files) of
+    * one layout — small — but a long-lived session shouldn't hoard
+    * every layout it ever planned over). */
+  private val ledgerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Long]]): Boolean = size() > 256
+    })
+
   /** Ledger entries of a layout, keyed `path|length` → rows. Empty map
     * when no ledger exists (pre-ledger layouts stay readable — the
     * stats path falls back to footers for unledgered files). */
@@ -1279,9 +1293,20 @@ object Similarity {
       root: org.apache.hadoop.fs.Path): Map[String, Long] = {
     val dir = new org.apache.hadoop.fs.Path(root, StatsLedgerDir)
     if (!fs.exists(dir)) Map.empty
-    else spark.read.parquet(dir.toString)
-      .select(col("path"), col("length"), col("rows")).collect()
-      .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getLong(2)).toMap
+    else {
+      val sig = fs.listStatus(dir).filter(_.isFile)
+        .map(f => s"${f.getPath.getName}:${f.getLen}").sorted.mkString(";")
+      val key = s"$dir|$sig"
+      val hit = ledgerCache.get(key)
+      if (hit != null) hit
+      else {
+        val m = spark.read.parquet(dir.toString)
+          .select(col("path"), col("length"), col("rows")).collect()
+          .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getLong(2)).toMap
+        ledgerCache.put(key, m)
+        m
+      }
+    }
   }
 
   /** WRITE-TIME statistics for a bucketed layout — the catalog move
