@@ -281,7 +281,7 @@ object SparkEntry {
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]]): String =
     oncePerDir(
-      dir, s"ivfpqstore-v2-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
+      dir, s"ivfpqstore-v3-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
       val s1 = e.filter(col("vec_id") % 2 === 0)
       val s2 = e.filter(col("vec_id") % 2 === 1)
       Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p)

@@ -851,7 +851,14 @@ object Similarity {
       // Co-locate each cell (shard)'s rows into one write task, then
       // cluster by the meta columns inside it: files are per-cell, row
       // groups are label-tight — the two pruning units of the layout.
-      .repartition(col("cell"), pmod(xxhash64(col("vec_id")), lit(shardsPerCell.toLong)))
+      // EXPLICIT partition count: with the implicit form AQE may
+      // re-coalesce the exchange, folding a cell's shards back into one
+      // write task — exactly the skew the shardsPerCell valve exists to
+      // split (measured: shards=4 produced one file per cell at gate SF
+      // until the count was pinned).
+      .repartition(
+        math.max(corpus.sparkSession.sessionState.conf.numShufflePartitions, shardsPerCell),
+        col("cell"), pmod(xxhash64(col("vec_id")), lit(shardsPerCell.toLong)))
       .sortWithinPartitions(col("cell") +: metaCols.map(col): _*)
   }
 
@@ -2204,9 +2211,32 @@ object Similarity {
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
-      path: String): Unit =
-    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+      path: String,
+      shardsPerCell: Int = 1): Unit = {
+    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
+
+  /** [[pqIndex]] co-located for writing: per-cell(-shard) files instead
+    * of one scatter file per task x cell, and a write-time stats ledger
+    * — the writeIvfBucketed layout discipline applied to the compressed
+    * index (the codes carry no meta columns, so there is no secondary
+    * clustering to restore). */
+  private def pqIndexShards(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      shardsPerCell: Int): DataFrame = {
+    require(shardsPerCell >= 1, s"shardsPerCell must be >= 1, got $shardsPerCell")
+    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+      .repartition(
+        math.max(corpus.sparkSession.sessionState.conf.numShufflePartitions, shardsPerCell),
+        col("cell"), pmod(xxhash64(col("vec_id")), lit(shardsPerCell.toLong)))
+  }
 
   /** Add one vector slice to a [[writeIvfPqIndex]] layout — incremental
     * ingestion for the compressed index (the [[appendIvfBucketed]]
@@ -2223,9 +2253,13 @@ object Similarity {
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
-      path: String): Unit =
-    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+      path: String,
+      shardsPerCell: Int = 1): Unit = {
+    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell)
       .write.partitionBy("cell").mode("append").parquet(path)
+    // O(new files) footer opens: the pre-append files are ledgered.
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
 
   /** Top-k over a [[writeIvfPqIndex]] layout: probed cell ids push down as
     * a partition filter on the index scan; the corpus is touched only by

@@ -342,6 +342,41 @@ class SimilaritySpec extends SparkSpec {
       s"compacted total ${statsC.totalRows} != live minus deletes")
   }
 
+  test("sharded cell layout: shardsPerCell > 1 splits write tasks, reads and stats unchanged") {
+    // The 100 TB write-skew valve: a slice whose cells outgrow one
+    // write task's comfort raises shardsPerCell, hash-splitting each
+    // cell into k files — reads (partition-pruned, shard-oblivious)
+    // and the ledger-backed stats must not notice.
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val one = s"$base/one"
+    val four = s"$base/four"
+    Similarity.writeIvfBucketed(corpus, "vec_id", "embedding", cents, one,
+      metaCols = Seq("label"))
+    Similarity.writeIvfBucketed(corpus, "vec_id", "embedding", cents, four,
+      metaCols = Seq("label"), shardsPerCell = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.ivfTopKFromBucketed(spark, four, queries,
+        "vec_id", "embedding", k = 5, cents, nProbe = 2, where = col("label") =!= 3)) ===
+      rows(Similarity.ivfTopKFromBucketed(spark, one, queries,
+        "vec_id", "embedding", k = 5, cents, nProbe = 2, where = col("label") =!= 3)))
+    // Stats agree source-for-source (both ledgered, zero footer opens).
+    Similarity.clearFooterCacheForTest()
+    val before = Similarity.footerOpens.get()
+    val s1 = Similarity.bucketedArmStats(spark, one, col("label") === 1)
+    val s4 = Similarity.bucketedArmStats(spark, four, col("label") === 1)
+    assert(Similarity.footerOpens.get() === before, "sharded stats opened footers")
+    assert(s1.totalRows === s4.totalRows)
+    // The sharded layout carries MORE files (up to 4 per non-empty
+    // cell, hash collisions permitting) — the write-task split is real.
+    assert(s4.totalFiles > s1.totalFiles,
+      s"sharding produced no extra files (${s4.totalFiles} vs ${s1.totalFiles})")
+  }
+
   test("IVF delete log: excluded reads, replayed deletes, pruning-preserving compaction") {
     import org.apache.spark.sql.DataFrame
     val corpus = emb
