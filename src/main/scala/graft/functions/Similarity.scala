@@ -1811,16 +1811,24 @@ object Similarity {
       candN: Int): DataFrame = {
     // ADC: cos(q, ṽ) from codes alone, ṽ = centroid(cell) + residual
     // reconstruction (the encode-side residual form mirrored).
-    // Reconstruction is projected once so the dot and its norm share it.
-    val cand = enc
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+    // Reconstruction and its norm are CANDIDATE-only quantities —
+    // projected once per index row BEFORE the per-cell query fan-out
+    // (the SQ8-decode lesson: computing them inside the join re-ran
+    // the 64-element reconstruction once per (vector, probing query)
+    // pair), so each candidate pair costs one fused dot + a division.
+    // Same values bitwise: the zip order and fold order are unchanged,
+    // only the evaluation site moves.
+    val dec = enc
       .withColumn("rv", zip_with(
         element_at(centroidMap(cents), col("cell")),
         pqReconstruct(col("codes"), cb),
         (a, b) => a + b))
+      .withColumn("n_rv", norm2(col("rv")))
+    val cand = dec
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotSeq(col("qv"), col("rv")) / (col("n_qv") * norm2(col("rv")))).as("score"))
+        (dotSeq(col("qv"), col("rv")) / (col("n_qv") * col("n_rv"))).as("score"))
       .transform(rankTopK(candN))
       .select(col("query_id"), col("vec_id"))
     // Exact re-rank: the candidate set (queries × candN ids + query vectors)
