@@ -1516,16 +1516,21 @@ object Similarity {
       tables: Int = 8,
       planes: Int = 8): DataFrame = {
     val hp = hyperplanes(tables, planes, dim)
-    def bucketed(df: DataFrame, id: String, vec: String) =
+    // Norms ride the bucketed projections (computed once per side row,
+    // not once per colliding pair — the SQ8-decode hoist discipline;
+    // same arithmetic, so scores are bitwise unchanged).
+    def bucketed(df: DataFrame, id: String, vec: String, nrm: String) =
       df.select(
           col(idCol).as(id),
           col(vecCol).as(vec),
+          norm2(col(vecCol)).as(nrm),
           posexplode(lshBuckets(col(vecCol), hp)).as(Seq("table", "bucket")))
-    val c = bucketed(corpus, "vec_id", "v")
-    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "vec_id", "v", "n_v")
+    val q = bucketed(queries, "query_id", "qv", "n_qv")
     c.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineSeq(col("qv"), col("v")).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
       .distinct() // a pair can collide in several tables
       .transform(rankTopK(k))
   }
