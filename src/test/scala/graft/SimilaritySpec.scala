@@ -295,7 +295,28 @@ class SimilaritySpec extends SparkSpec {
     Similarity.writeIvfBucketed(corpus.filter(col("vec_id") % 10 =!= 0),
       "vec_id", "embedding", cents, store, metaCols = Seq("label"))
     Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label"))
+    // O(new files) at write time, MEASURED: the replayed append's ledger
+    // extension opens footers only for the files THAT append created —
+    // the pre-append files are already ledgered, even on a cold cache.
+    Similarity.clearFooterCacheForTest()
+    val beforeAppend = Similarity.footerOpens.get()
     Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store, metaCols = Seq("label")) // replay
+    val appendOpens = Similarity.footerOpens.get() - beforeAppend
+    val fsChk = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val totalDataFiles = {
+      val it = fsChk.listFiles(new org.apache.hadoop.fs.Path(store), true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.toString.contains("/_")) n += 1
+      }
+      n
+    }
+    assert(appendOpens > 0 && appendOpens < totalDataFiles,
+      s"append opened $appendOpens footers over a $totalDataFiles-file layout — " +
+        "expected only the appended slice's files")
     val live = corpus.count()
     val physical = live + slice.count()
     val pred = col("label") === 1
