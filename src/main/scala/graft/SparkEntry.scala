@@ -1735,6 +1735,22 @@ object SparkEntry {
         nProbes = Seq(1, 2, 4, 8), candN = PqCandN)
     }),
 
+    // Re-rank-depth sweep for the compressed index — the candN axis of
+    // the recall-vs-work curve (this round's operating-point lesson:
+    // the exact re-rank depth, not codebook capacity, binds recall
+    // once the ADC ordering is good). One encode + one candidate
+    // scoring at the shipped nProbe serve all four points via the
+    // ranked-prefix rule; n_reranked is each point's exact-fetch
+    // volume (queries x candn — scale-independent cost).
+    "ann_ivfpq_cand_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      Similarity.ivfPqCandSweepReading(e, e.filter(col("vec_id") % 50 === 0),
+        annGroundTruth(s, dir), "vec_id", "embedding", k = 5, cents,
+        pqTrainedCodebookStore(s, dir, cents), subDim = 16,
+        nProbe = AnnDefaultNProbe, candNs = PqCandSweepNs)
+    }),
+
     // CART decision stump in exact integer arithmetic: best power-of-two
     // binned threshold on one embedding dimension by weighted Gini
     // (Classifier.stumpSplit scaladoc has the cleared-denominator
@@ -4625,6 +4641,55 @@ object SparkEntry {
        |WHERE rnk <= 5""".stripMargin
   }
 
+  /** The candN sweep's operating points (re-rank depth axis). */
+  private[graft] val PqCandSweepNs = Seq(20, 40, 80, 160)
+
+  /** Generated oracle for `ann_ivfpq_cand_sweep`: annIvfpqAdcSql's
+    * trained-encode + ADC-table + candidate CTEs reused verbatim via
+    * anchor surgery (guarded — a shape change there must fail HERE,
+    * not hash-mismatch), then the re-rank-depth fan: candidates rank
+    * once in (adc DESC, vec_id) order, each candn point keeps its
+    * prefix, re-scores it exactly, and rolls recall + the re-ranked
+    * volume up against the exact ground truth. */
+  private lazy val annIvfpqCandSweepSql: String = {
+    val anchor = "top AS ("
+    val idx = annIvfpqAdcSql.indexOf(anchor)
+    require(idx > 0, "annIvfpqAdcSql shape changed; update annIvfpqCandSweepSql's anchor")
+    val prefix = annIvfpqAdcSql.substring(0, idx) // ends after "cand AS (...),\n"
+    val cnVals = PqCandSweepNs.map(c => s"($c)").mkString(", ")
+    prefix +
+      s"""ranked AS (
+         |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rnk
+         |  FROM cand),
+         |cn(candn) AS (VALUES $cnVals),
+         |fanned AS (SELECT cn.candn, r.query_id, r.vec_id FROM ranked r JOIN cn ON r.rnk <= cn.candn),
+         |nrr AS (SELECT candn, count(*)::BIGINT AS n_reranked FROM fanned GROUP BY 1),
+         |rescored AS (
+         |  SELECT f.candn, f.query_id, f.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM fanned f JOIN e qe ON qe.vec_id = f.query_id JOIN e ce ON ce.vec_id = f.vec_id),
+         |topk AS (SELECT candn, query_id, vec_id FROM (
+         |  SELECT candn, query_id, vec_id,
+         |    row_number() OVER (PARTITION BY candn, query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM rescored) WHERE rnk <= 5),
+         |gts AS (
+         |  SELECT qe.vec_id AS query_id, ce.vec_id,
+         |    list_sum(list_transform(list_zip(qe.v, ce.v), pr -> pr[1] * pr[2])) / (qe.nrm * ce.nrm) AS score
+         |  FROM e qe JOIN e ce ON ce.vec_id <> qe.vec_id WHERE qe.vec_id % 50 = 0),
+         |gt AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM gts) WHERE rnk <= 5),
+         |exf AS (SELECT cn.candn, gt.query_id, gt.vec_id FROM gt CROSS JOIN cn),
+         |rec AS (SELECT exf.candn, count(*)::BIGINT AS n_exact, count(t.vec_id)::BIGINT AS n_hit
+         |  FROM exf LEFT JOIN topk t ON t.candn = exf.candn
+         |    AND t.query_id = exf.query_id AND t.vec_id = exf.vec_id
+         |  GROUP BY 1)
+         |SELECT rec.candn, rec.n_exact, rec.n_hit,
+         |  rec.n_hit::DOUBLE / rec.n_exact AS recall, nrr.n_reranked
+         |FROM rec JOIN nrr USING (candn)""".stripMargin
+  }
+
   /** Generated oracle for `ann_ivfpq_sweep`: the encode prefix, the ADC
     * tables, probed cells WITH their rank (the prefix property: one
     * candidate frame serves every operating point), the fanned
@@ -5685,6 +5750,7 @@ $rounds
     // Compressed-index sweep: fanned table-ADC candidates, one shared
     // exact re-rank, per-point recall + candidate volume.
     "ann_ivfpq_sweep" -> annIvfpqSweepSql,
+    "ann_ivfpq_cand_sweep" -> annIvfpqCandSweepSql,
     "ann_sq8_store" -> annSq8Sql,
     "ann_sweep" -> annSweepSql,
     // Replicates SQ8 end to end: per-dim min/max lists, the clamped

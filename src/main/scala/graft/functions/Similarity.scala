@@ -2034,6 +2034,85 @@ object Similarity {
         col("n_cand"))
   }
 
+  /** Re-rank-depth sweep for the compressed index — the candN axis of
+    * the recall-vs-work curve (the round-14 operating-point lesson:
+    * once the ADC ordering is good, the exact re-rank depth, not
+    * codebook capacity, binds recall). ONE corpus encode and ONE
+    * lookup-table candidate scoring at the shipped nProbe serve every
+    * point: candidates rank once into the top-max(candNs) prefix (a
+    * smaller cut is provably a prefix of a larger one — the
+    * [[ivfTopKSweep]] prefix rule, re-rank axis), ONE corpus fetch
+    * re-scores that max prefix exactly, and each point's top-k ranks
+    * inside its own cut. `n_reranked` carries the point's exact-fetch
+    * volume — the cost axis (queries × candn ids, scale-independent).
+    * Output: (candn, n_exact, n_hit, recall, n_reranked). */
+  def ivfPqCandSweepReading(
+      corpus: DataFrame,
+      queries: DataFrame,
+      groundTruth: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cents: Array[(Long, Vector[Double])],
+      cb: Array[Array[Vector[Double]]],
+      subDim: Int,
+      nProbe: Int,
+      candNs: Seq[Int]): DataFrame = {
+    require(candNs.nonEmpty && candNs.forall(_ >= k), "need candNs >= k")
+    val maxC = candNs.max
+    val enc = pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+    val qv = queryProjection(queries, idCol, vecCol)
+    val q = probedQueries(qv, cents, nProbe)
+    val kit = adcKit(cents, cb, subDim)
+    val qT = q.select(col("query_id") +: col("qv") +: col("n_qv") +: col("cell") +:
+      kit.queryCols: _*)
+    val topc = udaf(new TopKByScore(maxC),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    // The ranked ADC prefix: (query_id, rnk, vec_id), rnk 1..maxC in
+    // (adc DESC, vec_id) order — the bounded aggregate, never a full
+    // per-query sort.
+    val ranked = enc
+      .join(broadcast(qT), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), kit.score.as("adc"))
+      .groupBy(col("query_id"))
+      .agg(topc(col("vec_id"), col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rnk0", "hit")))
+      .select(col("query_id"), (col("rnk0") + 1).as("rnk"), col("hit._1").as("vec_id"))
+    // ONE exact fetch of the max prefix; every point re-ranks inside it.
+    val fetched = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .join(broadcast(ranked.join(qv, Seq("query_id"))), Seq("vec_id"))
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        (dotSeq(col("qv"), col("v")) / (col("n_qv") * col("n_v"))).as("score"))
+    val fanned = fetched
+      .select(explode(typedLit(candNs)).as("candn"), col("query_id"), col("rnk"),
+        col("vec_id"), col("score"))
+      .filter(col("rnk") <= col("candn"))
+    val topk = udaf(new TopKByScore(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val reranked = fanned
+      .groupBy(col("candn"), col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"), count(lit(1)).as("n_rr_q"))
+      .select(col("candn"), col("query_id"), col("n_rr_q"), explode(col("top")).as("hit"))
+      .select(col("candn"), col("query_id"), col("n_rr_q"), col("hit._1").as("vec_id"))
+    val ex = groundTruth.select(col("query_id"), col("vec_id"),
+      explode(typedLit(candNs)).as("candn"), lit(1).as("ex"))
+    val per = reranked
+      .select(col("candn"), col("query_id"), col("vec_id"), col("n_rr_q"), lit(1).as("got"))
+      .join(ex, Seq("candn", "query_id", "vec_id"), "full_outer")
+      .groupBy(col("candn"), col("query_id"))
+      .agg(max(col("n_rr_q")).as("nrr"),
+        count(col("ex")).as("n_ex_q"),
+        count(when(col("ex").isNotNull && col("got").isNotNull, 1)).as("n_hit_q"))
+    per.groupBy(col("candn"))
+      .agg(sum(col("n_ex_q")).as("n_exact"), sum(col("n_hit_q")).as("n_hit"),
+        coalesce(sum(col("nrr")), lit(0L)).as("n_reranked"))
+      .select(col("candn"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"),
+        col("n_reranked"))
+  }
+
   /** Top-k over a [[writeIvfPqIndex]] layout with LOOKUP-TABLE ADC
     * candidate generation ([[ivfPqAdcSearch]]) — the scan form of
     * [[ivfPqTopKFromIndex]]: same partition-pruned code read, same
