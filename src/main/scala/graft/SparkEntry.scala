@@ -273,20 +273,26 @@ object SparkEntry {
   }
 
   /** The trained-residual compressed index, shared by ann_ivfpq_store
-    * (reconstruction-ADC reads) and ann_ivfpq_adc (lookup-table-ADC
-    * reads): landed as two slices plus a replay (the ann_ivf_store
-    * ingestion proof). One build per testdata dir. */
+    * (reconstruction-ADC reads), ann_ivfpq_adc (lookup-table-ADC reads)
+    * and the filtered-PQ faces: landed as two slices plus a replay (the
+    * ann_ivf_store ingestion proof). v4: carries `label` as a metaCol
+    * (cell-clustered) so filtered search composes on the compressed
+    * scan — unfiltered readers project (vec_id, cell, codes) and are
+    * unchanged. One build per testdata dir. */
   private def ivfPqResStore(
       s: SparkSession, dir: String, e: DataFrame,
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]]): String =
     oncePerDir(
-      dir, s"ivfpqstore-v3-res-i$PqTrainIters-sub4x16", "embeddings") { p =>
+      dir, s"ivfpqstore-v4-res-i$PqTrainIters-sub4x16-meta", "embeddings") { p =>
       val s1 = e.filter(col("vec_id") % 2 === 0)
       val s2 = e.filter(col("vec_id") % 2 === 1)
-      Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p)
-      Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, p)
-      Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p) // replay
+      Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p,
+        metaCols = Seq("label"))
+      Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, p,
+        metaCols = Seq("label"))
+      Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, p, // replay
+        metaCols = Seq("label"))
     }
 
   /** The corpus-gate rule policy — ONE definition of the Gopher-style
@@ -1624,6 +1630,95 @@ object SparkEntry {
         nProbe = AnnDefaultNProbe, candN = PqCandN)
     }),
 
+    // FILTERED search over the COMPRESSED index — the round-15 gap
+    // closure: at 100 TB the PQ store is the only memory-feasible
+    // serving face (~50× smaller than the vectors), and every real
+    // vector-store query carries a WHERE clause; until now a filtered
+    // query was demoted to the full-vector layout. The v4 store carries
+    // `label` cell-clustered (writeIvfPqIndex metaCols), the predicate
+    // lands AT the partition-pruned code scan — cell pruning ×
+    // row-group pushdown compose on the compressed read — candidates
+    // are the survivors in the probed cells (lookup-table ADC), and the
+    // exact re-rank touches survivor ids only. Oracle: annIvfpqAdcSql
+    // with the candidate side restricted to the predicate's survivors
+    // (the annIvfFilteredSql surgery, compressed face).
+    "ann_filtered_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val cb = pqTrainedCodebookStore(s, dir, cents)
+      Similarity.filteredAdcTopKFromIndex(s, ivfPqResStore(s, dir, e, cents, cb), e,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
+        where = col("label") === 1, nProbe = AnnDefaultNProbe, candN = PqCandN)
+    }),
+
+    // Strategy selection over the compressed store — the
+    // ann_filtered_auto discipline, PQ face: the same write-time-ledger
+    // stats (bucketedArmStats prices the PQ layout cold with zero
+    // footer opens) and the same switch rule. At the gate SF the ~10%
+    // predicate leaves well under 10k survivors → the BRUTE arm: every
+    // cell scanned (predicate row-group pushdown does the shrinking),
+    // every survivor ADC-scored — zero probe misses — then the exact
+    // re-rank. On this face brute-vs-probe trades RECALL vs scan work
+    // inside one ADC pipeline (exactness is bounded by the re-rank
+    // depth on both arms, unlike the full-vector auto); the oracle is
+    // the all-cells filtered ADC replica, and the arm is ASSERTED so a
+    // larger SF flipping the switch fails loudly, never as a hash
+    // mismatch.
+    "ann_filtered_pq_auto" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val cb = pqTrainedCodebookStore(s, dir, cents)
+      val (arm, out) = Similarity.filteredPqTopKAutoFromIndex(s,
+        ivfPqResStore(s, dir, e, cents, cb), e,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
+        where = col("label") === 1, nProbe = AnnDefaultNProbe, candN = PqCandN)
+      require(arm == Similarity.BruteArm,
+        "ann_filtered_pq_auto's oracle is the all-cells filtered ADC (the brute " +
+          "arm); the gate SF now exceeds the strategy switch — rebind the oracle " +
+          "to the probe arm (annIvfpqFilteredSql) or lower the gate corpus")
+      out
+    }),
+
+    // The PQ auto face's PROBE arm, hash-gated through the same
+    // stats-driven path (the gate corpus always takes brute above):
+    // thresholds zeroed force the probe decision from the SAME ledger
+    // stats, and the result must equal ann_filtered_pq exactly — arm
+    // asserted like its siblings.
+    "ann_filtered_pq_auto_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfTrainedCentroidStore(s, dir)
+      val cb = pqTrainedCodebookStore(s, dir, cents)
+      val (arm, out) = Similarity.filteredPqTopKAutoFromIndex(s,
+        ivfPqResStore(s, dir, e, cents, cb), e,
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5, cb, cents,
+        where = col("label") === 1, nProbe = AnnDefaultNProbe, candN = PqCandN,
+        bruteBelow = 0.0, bruteBelowRows = 0L)
+      require(arm == Similarity.ProbeArm,
+        "ann_filtered_pq_auto_probe pins the probe arm (thresholds zeroed); " +
+          "the decision rule or the stats path changed")
+      out
+    }),
+
+    // Recall of the filtered compressed face vs the FILTERED exact
+    // truth (the ann_recall_filtered construction, PQ face) — records
+    // what the label predicate costs the compressed pipeline's recall:
+    // a 10% filter thins every probed cell ~10×, and the candN-capped
+    // shortlist cannot recover misses the way the full-vector brute arm
+    // can, so this number is the one a deployment reads before serving
+    // filtered queries from the PQ store.
+    "ann_recall_filtered_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(e.filter(col("label") === 1),
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = queries("ann_filtered_pq")(s, dir)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    }),
+
     // Incremental SQ8 ingestion (same two-slices-plus-replay proof): the
     // (min, max) grid is trained once on the corpus — the index
     // definition — and both slices encode against it, so the deduped
@@ -1631,7 +1726,9 @@ object SparkEntry {
     "ann_sq8_store" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val (mins, maxs) = Similarity.sqTrain(e, "embedding", dim = 64)
-      val path = oncePerDir(dir, "sq8store-v1-d64", "embeddings") { p =>
+      // v2: catalog-parity layout (deterministic shard files + stats
+      // ledger) — bumped when writeSqIndex gained the treatment.
+      val path = oncePerDir(dir, "sq8store-v2-d64", "embeddings") { p =>
         val s1 = e.filter(col("vec_id") % 2 === 0)
         val s2 = e.filter(col("vec_id") % 2 === 1)
         Similarity.writeSqIndex(s1, "vec_id", "embedding", mins, maxs, p)
@@ -4150,38 +4247,19 @@ object SparkEntry {
   /** One boosted-training round in SQL: the [[stumpRoundSql]] machinery
     * with every `count(*)` replaced by a HUGEINT `sum(w)` (bit-exact —
     * integer weights), and the round's successor frame b{r+1} carrying
-    * `w·BoostFactor` for misclassified rows instead of filtering them. */
+    * `w·BoostFactor` for misclassified rows instead of filtering them.
+    * The weighted-stump block IS [[wStumpCtes]] (the p=`b{r}`,
+    * unrestricted-src instance) — ONE source of truth for the trainer
+    * SQL shared with the two-level tree oracle, so the two cannot
+    * drift on the shared semantics. */
   private def boostRoundSql(r: Int): String =
-    s"""bc$r AS (SELECT embedding, label, w,
-       |  CAST(floor(CAST(embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) AS bin FROM b$r),
-       |bcnt$r AS MATERIALIZED (SELECT bin, label, sum(w)::HUGEINT AS c FROM bc$r GROUP BY 1, 2),
-       |bgrid$r AS (SELECT bins.bin, l.label, coalesce(bcnt$r.c, 0)::HUGEINT AS c
-       |  FROM (SELECT DISTINCT bin FROM bcnt$r) bins
-       |  CROSS JOIN (SELECT DISTINCT label FROM bcnt$r) l
-       |  LEFT JOIN bcnt$r ON bcnt$r.bin = bins.bin AND bcnt$r.label = l.label),
-       |bcum$r AS (SELECT bin, label,
-       |    sum(c) OVER (PARTITION BY label ORDER BY bin)::HUGEINT AS cl,
-       |    sum(c) OVER (PARTITION BY label)::HUGEINT AS tot FROM bgrid$r),
-       |bpb$r AS (SELECT bin, sum(cl)::HUGEINT AS nl, sum(cl * cl)::HUGEINT AS sl2,
-       |    sum((tot - cl) * (tot - cl))::HUGEINT AS sr2, sum(tot)::HUGEINT AS n
-       |  FROM bcum$r GROUP BY 1),
-       |blm$r AS (SELECT bin, label, cl AS lc,
-       |    row_number() OVER (PARTITION BY bin ORDER BY cl DESC, label) AS rn FROM bcum$r),
-       |brm$r AS (SELECT bin, label, tot - cl AS rc,
-       |    row_number() OVER (PARTITION BY bin ORDER BY tot - cl DESC, label) AS rn FROM bcum$r),
-       |bbest$r AS MATERIALIZED (SELECT bpb$r.bin,
-       |    blm$r.label AS left_label, brm$r.label AS right_label,
-       |    ((n - nl) * (nl * nl - sl2) + nl * ((n - nl) * (n - nl) - sr2)) AS score
-       |  FROM bpb$r JOIN blm$r ON blm$r.bin = bpb$r.bin AND blm$r.rn = 1
-       |            JOIN brm$r ON brm$r.bin = bpb$r.bin AND brm$r.rn = 1
-       |  WHERE nl > 0 AND n - nl > 0
-       |  ORDER BY score, bpb$r.bin LIMIT 1),
+    s"""${wStumpCtes(s"b$r", s"b$r", r, "")},
        |b${r + 1} AS MATERIALIZED (SELECT b$r.vec_id, b$r.embedding, b$r.label,
        |  CASE WHEN (CASE WHEN CAST(floor(CAST(b$r.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT)
-       |              <= bbest$r.bin
-       |         THEN bbest$r.left_label ELSE bbest$r.right_label END) <> b$r.label
+       |              <= b${r}best.bin
+       |         THEN b${r}best.left_label ELSE b${r}best.right_label END) <> b$r.label
        |       THEN b$r.w * $BoostFactor ELSE b$r.w END AS w
-       |  FROM b$r, bbest$r)""".stripMargin
+       |  FROM b$r, b${r}best)""".stripMargin
 
   /** Generated oracle for `rule_boosted`: the full k-round weighted
     * training replay, then the per-row majority vote of the k stump
@@ -4193,12 +4271,12 @@ object SparkEntry {
          |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
          |${(1 to BoostRounds).map(boostRoundSql).mkString(",\n")}""".stripMargin
     val predCols = (1 to BoostRounds).map(r =>
-      s"""CASE WHEN CAST(floor(CAST(b1.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) <= bbest$r.bin
-         |       THEN bbest$r.left_label ELSE bbest$r.right_label END""".stripMargin)
+      s"""CASE WHEN CAST(floor(CAST(b1.embedding[$r] AS DOUBLE) * 16.0) AS BIGINT) <= b${r}best.bin
+         |       THEN b${r}best.left_label ELSE b${r}best.right_label END""".stripMargin)
       .mkString(", ")
     s"""$ctes,
        |routed AS (SELECT b1.vec_id, b1.label, unnest([$predCols]) AS p
-       |  FROM b1, ${(1 to BoostRounds).map("bbest" + _).mkString(", ")}),
+       |  FROM b1, ${(1 to BoostRounds).map(r => s"b${r}best").mkString(", ")}),
        |votes AS (SELECT vec_id, label, p, count(*) AS v FROM routed GROUP BY 1, 2, 3),
        |win AS (SELECT vec_id, label, p AS pred_label,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, p) AS rn FROM votes)
@@ -4271,7 +4349,12 @@ object SparkEntry {
     * weighted training replay (three stump trainings per round), then
     * the per-row majority vote of the k tree routings ((votes DESC,
     * label) argmax — the Spark side's greatest-over-(v, −label)
-    * structs), then the confusion counts. */
+    * structs), then the confusion counts. A round with no valid root
+    * split makes the Spark trainer THROW (treeBoostChainModels'
+    * require); the guard branches below make this oracle fail just as
+    * loudly (DuckDB `error()`, lazily evaluated — zero rows and zero
+    * cost on a healthy corpus) instead of the CROSS JOIN's silent
+    * empty result masquerading as a hash mismatch. */
   private lazy val treeBoostedSql: String = {
     val ctes =
       s"""WITH t1 AS MATERIALIZED (SELECT vec_id, embedding, label, 1::HUGEINT AS w FROM embeddings
@@ -4281,6 +4364,11 @@ object SparkEntry {
     val joins = (1 to TreeBoostRounds).map(r =>
       s"CROSS JOIN ta${r}best LEFT JOIN tl${r}best ON TRUE LEFT JOIN tr${r}best ON TRUE")
       .mkString("\n  ")
+    val guards = (1 to TreeBoostRounds).map(r =>
+      s"""SELECT error('tree chain round $r: no valid root split')::INT AS label,
+         |  0 AS pred_label, 0::BIGINT AS n
+         |  WHERE NOT EXISTS (SELECT 1 FROM ta${r}best)""".stripMargin)
+      .mkString("\nUNION ALL\n")
     s"""$ctes,
        |routed AS (SELECT t1.vec_id, t1.label, unnest([$preds]) AS p
        |  FROM t1
@@ -4288,7 +4376,9 @@ object SparkEntry {
        |votes AS (SELECT vec_id, label, p, count(*) AS v FROM routed GROUP BY 1, 2, 3),
        |win AS (SELECT vec_id, label, p AS pred_label,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY v DESC, p) AS rn FROM votes)
-       |SELECT label, pred_label, count(*)::BIGINT AS n FROM win WHERE rn = 1 GROUP BY 1, 2""".stripMargin
+       |SELECT label, pred_label, count(*)::BIGINT AS n FROM win WHERE rn = 1 GROUP BY 1, 2
+       |UNION ALL
+       |$guards""".stripMargin
   }
 
   /** Generated oracle for `rule_confusion`: per-row best-matching-rule
@@ -4341,7 +4431,7 @@ object SparkEntry {
          |  FROM aff$r) WHERE rn = 1),
          |stat$r AS MATERIALIZED (
          |  SELECT a.cid, dd.d,
-         |    sum(floor(e.v[dd.d + 1] * 1048576.0))::BIGINT AS sx, count(*)::BIGINT AS n
+         |    sum(floor(e.v[dd.d + 1] * 1048576.0)::BIGINT)::BIGINT AS sx, count(*)::BIGINT AS n
          |  FROM asg$r a JOIN e ON e.vec_id = a.vec_id CROSS JOIN range(0, 64) dd(d)
          |  GROUP BY a.cid, dd.d),
          |cm$r AS (SELECT cid, list((sx::DOUBLE / 1048576.0) / n::DOUBLE ORDER BY d) AS cv2
@@ -4639,6 +4729,34 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
        |  FROM scored)
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Generated oracle for `ann_filtered_pq` (and the auto face's probe
+    * arm): the full lookup-table-ADC replica with the CANDIDATE side
+    * restricted to the predicate's survivors — the annIvfFilteredSql
+    * surgery applied to the compressed face (guarded, so a shape change
+    * in annIvfpqAdcSql fails HERE, never as a hash mismatch). Centroid
+    * and codebook training, the query set, and the probe list stay
+    * full-corpus: a filter is a per-query view, not a re-index. */
+  private lazy val annIvfpqFilteredSql: String = {
+    val anchor = "JOIN assign ON assign.cid = probe.cid AND assign.vec_id <> probe.query_id"
+    require(annIvfpqAdcSql.contains(anchor),
+      "annIvfpqAdcSql shape changed; update annIvfpqFilteredSql's anchor")
+    annIvfpqAdcSql.replace(anchor,
+      anchor + "\n    AND assign.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)")
+  }
+
+  /** Generated oracle for `ann_filtered_pq_auto` (the BRUTE arm over
+    * the compressed store): the filtered ADC replica with EVERY cell
+    * probed (rn ≤ numCells — zero probe misses; the candN cap and the
+    * exact re-rank are unchanged). Guarded surgery on the shared
+    * trained-head probe CTE. */
+  private lazy val annIvfpqFilteredBruteSql: String = {
+    val probeAnchor = s"FROM afq WHERE vec_id % 50 = 0) WHERE rn <= $AnnDefaultNProbe)"
+    require(annIvfpqFilteredSql.contains(probeAnchor),
+      "trained-head probe shape changed; update annIvfpqFilteredBruteSql's anchor")
+    annIvfpqFilteredSql.replace(probeAnchor,
+      s"FROM afq WHERE vec_id % 50 = 0) WHERE rn <= $AnnDefaultCentroids)")
   }
 
   /** The candN sweep's operating points (re-rank depth axis). */
@@ -5747,6 +5865,24 @@ $rounds
     "ann_ivfpq_store" -> annIvfpqSql,
     // Lookup-table ADC: the decomposed-score replica (see annIvfpqAdcSql).
     "ann_ivfpq_adc" -> annIvfpqAdcSql,
+    // Filtered compressed search: candidate side restricted to the
+    // predicate's survivors (guarded surgery on the ADC replica).
+    "ann_filtered_pq" -> annIvfpqFilteredSql,
+    // The auto face's probe arm (thresholds zeroed) must equal the
+    // filtered compressed probe exactly — same oracle.
+    "ann_filtered_pq_auto_probe" -> annIvfpqFilteredSql,
+    // The auto face takes the BRUTE arm at gate scale: all cells
+    // probed, zero probe misses, same candN cap and exact re-rank.
+    "ann_filtered_pq_auto" -> annIvfpqFilteredBruteSql,
+    // Recall of the filtered compressed face vs the FILTERED exact
+    // top-k (both sides carry the label predicate — the
+    // ann_recall_filtered conflation note applies here too).
+    "ann_recall_filtered_pq" ->
+      s"""SELECT count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit,
+         |  count(a.vec_id)::DOUBLE / count(*) AS recall
+         |FROM ($annFilteredTopkSql) e
+         |LEFT JOIN ($annIvfpqFilteredSql) a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id""".stripMargin,
     // Compressed-index sweep: fanned table-ADC candidates, one shared
     // exact re-rank, per-point recall + candidate volume.
     "ann_ivfpq_sweep" -> annIvfpqSweepSql,

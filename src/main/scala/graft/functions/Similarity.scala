@@ -1240,12 +1240,21 @@ object Similarity {
   private def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Array[(org.apache.hadoop.fs.Path, Long)] = {
-    val rootStr = root.toUri.getPath
-    val it = fs.listFiles(root, true)
+    // Qualify the root BEFORE computing the prefix: a relative or
+    // differently-qualified caller path would make a string stripPrefix
+    // silently fail, and ancestor dot-dirs (e.g. a /tmp/.hidden parent)
+    // would then mark EVERY data file hidden — empty stats with no
+    // error. The require turns any residual mismatch into a loud one.
+    val qroot = fs.makeQualified(root)
+    val rootStr = qroot.toUri.getPath
+    val it = fs.listFiles(qroot, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val rel = f.getPath.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+      val fp = f.getPath.toUri.getPath
+      require(fp.startsWith(rootStr),
+        s"listed file $fp is not under the qualified layout root $rootStr")
+      val rel = fp.stripPrefix(rootStr).stripPrefix("/")
       val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
       if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
         buf += ((f.getPath, f.getLen))
@@ -1316,6 +1325,12 @@ object Similarity {
     }
   }
 
+  /** Ledger slice-file count above which [[writeBucketedStatsLedger]]
+    * self-compacts: each write/append adds one slice file, so a
+    * long-lived stream would otherwise degrade the "ONE metadata-scale
+    * read" to O(appends) small-file opens. */
+  private val LedgerCompactAbove = 16
+
   /** WRITE-TIME statistics for a bucketed layout — the catalog move
     * that removes the last O(files) cold cost from the serving planner:
     * called after every [[writeIvfBucketed]] / [[appendIvfBucketed]] /
@@ -1329,7 +1344,11 @@ object Similarity {
     * any overlap (the StoreLedger at-least-once posture). A cold
     * [[bucketedArmStats]] then prices the whole layout from ONE
     * metadata-scale ledger read — zero per-file footer RPCs
-    * ([[footerOpens]]-pinned in SimilaritySpec). */
+    * ([[footerOpens]]-pinned in SimilaritySpec). Self-compacts once the
+    * slice-file count crosses [[LedgerCompactAbove]] (union rewritten
+    * to one file, old slices deleted — write-then-delete, safe under
+    * the reader's per-key dedup), so ledger opens stay O(1) under a
+    * long-lived append stream instead of O(appends). */
   def writeBucketedStatsLedger(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
@@ -1340,17 +1359,37 @@ object Similarity {
     val ledger = readStatsLedger(spark, fs, root)
     val missing = listDataFiles(fs, root)
       .filter { case (p, len) => !ledger.contains(s"$p|$len") }
+    val ledgerDir = new HPath(root, StatsLedgerDir)
+    val spark2 = spark
+    import spark2.implicits._
     if (missing.nonEmpty) {
       val entries = new Array[(String, Long, Long)](missing.length)
       java.util.stream.IntStream.range(0, missing.length).parallel().forEach { i =>
         val (p, len) = missing(i)
         entries(i) = (p.toString, len, footerRowCount(conf, p, len))
       }
-      val spark2 = spark
-      import spark2.implicits._
       entries.toIndexedSeq.toDF("path", "length", "rows")
         .coalesce(1)
-        .write.mode("append").parquet(new HPath(root, StatsLedgerDir).toString)
+        .write.mode("append").parquet(ledgerDir.toString)
+    }
+    // Self-compaction: entries are immutable and the read side dedups
+    // by (path, length), so rewriting the union into one slice and then
+    // deleting the old slices is safe at every intermediate state — a
+    // concurrent reader listing mid-compaction sees the union twice and
+    // its toMap collapses the overlap (write-then-delete ordering).
+    if (fs.exists(ledgerDir)) {
+      val oldSlices = fs.listStatus(ledgerDir).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (oldSlices.length > LedgerCompactAbove) {
+        val union = readStatsLedger(spark, fs, root).toSeq.map { case (k, rows) =>
+          val cut = k.lastIndexOf('|')
+          (k.substring(0, cut), k.substring(cut + 1).toLong, rows)
+        }
+        union.toDF("path", "length", "rows")
+          .coalesce(1)
+          .write.mode("append").parquet(ledgerDir.toString)
+        oldSlices.foreach(f => fs.delete(f.getPath, false))
+      }
     }
   }
 
@@ -1365,9 +1404,12 @@ object Similarity {
     * is estimated from a deterministic hash-spread sample of whole
     * CELLS (spread across cells — the lowest-hash prefix of cell
     * directories, so the sample is not one cell's residents, whose
-    * labels could correlate with the cell), capped at `maxSampleFiles`
-    * files or the first cells reaching `sampleTargetRows` rows. The
-    * one Spark action reads ONLY the explicitly-listed sample files. */
+    * labels could correlate with the cell), HARD-capped at
+    * `maxSampleFiles` files: cells are admitted whole only while they
+    * fit the remaining budget (or until `sampleTargetRows` rows), and
+    * an oversized first cell is file-subsampled rather than blowing
+    * the cap. The one Spark action reads ONLY the explicitly-listed
+    * sample files. */
   def bucketedArmStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -1408,12 +1450,27 @@ object Similarity {
           .digest(cellDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
       }
       .map(_._2)
+    // HARD file cap at whole-cell granularity: a cell is admitted only
+    // if it FITS in the remaining file budget (checked BEFORE the
+    // append — otherwise one many-file cell, exactly the streamed
+    // layouts accumulating a file per micro-batch, would make the
+    // "bounded sample read" scale with append count instead of the
+    // cap). The first cell is always admitted so the estimator never
+    // goes blind; when it ALONE exceeds the cap, its row-count-largest
+    // files are taken — the one corner where the live estimate degrades
+    // toward per-file behavior (an id's other copies may sit in untaken
+    // files), traded deliberately for the hard O(maxSampleFiles) bound.
     val sample = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(HPath, Long)]
       var acc = 0L
       var i = 0
-      while (i < ordered.length && buf.length < maxSampleFiles && acc < sampleTargetRows) {
-        buf ++= ordered(i); acc += ordered(i).map(_._2).sum; i += 1
+      while (i < ordered.length && acc < sampleTargetRows &&
+          (buf.isEmpty || buf.length + ordered(i).length <= maxSampleFiles)) {
+        val group =
+          if (buf.isEmpty && ordered(i).length > maxSampleFiles)
+            ordered(i).sortBy { case (p, n) => (-n, p.toString) }.take(maxSampleFiles)
+          else ordered(i)
+        buf ++= group; acc += group.map(_._2).sum; i += 1
       }
       buf.toArray
     }
@@ -1789,16 +1846,24 @@ object Similarity {
       vecCol: String,
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]],
-      subDim: Int): DataFrame =
+      subDim: Int,
+      // Filterable metadata carried INTO the compressed index (the
+      // writeIvfBucketed metaCols contract): at 100 TB the PQ store is
+      // the only memory-feasible serving face, and a filtered query
+      // must find its predicate columns next to the codes or it pays a
+      // corpus-scale join back to the metadata table.
+      metaCols: Seq[String] = Nil): DataFrame =
     corpus
-      .select(col(idCol).as("vec_id"), col(vecCol).as("v"), norm2(col(vecCol)).as("n_v"))
+      .select(col(idCol).as("vec_id") +: col(vecCol).as("v") +:
+        norm2(col(vecCol)).as("n_v") +: metaCols.map(col): _*)
       .withColumn("cell",
         element_at(probeCells(cents, col("v"), col("n_v"), 1), 1).getField("cid"))
       .withColumn("res", zip_with(
         col("v").cast(org.apache.spark.sql.types.ArrayType(DoubleType)),
         element_at(centroidMap(cents), col("cell")),
         (a, b) => a - b))
-      .select(col("vec_id"), col("cell"), pqEncode(col("res"), cb, subDim).as("codes"))
+      .select(col("vec_id") +: col("cell") +:
+        pqEncode(col("res"), cb, subDim).as("codes") +: metaCols.map(col): _*)
 
   /** Candidate generation over a `(vec_id, cell, codes)` index + exact
     * re-rank against the corpus. Shared by [[ivfPqTopK]] and the persisted
@@ -2140,6 +2205,109 @@ object Similarity {
     ivfPqAdcSearch(enc, corpus, idCol, vecCol, qv, q, k, cents, cb, subDim, candN)
   }
 
+  /** FILTERED search over the compressed index — the PQ face of
+    * [[ivfTopKFromBucketed]]'s `where` contract: the metadata predicate
+    * is applied AT THE SCAN, beneath the probed-cell partition filter,
+    * so cell pruning × row-group pushdown compose on the compressed
+    * read exactly as on the full-vector layout (the store must carry
+    * the predicate's columns — [[writeIvfPqIndex]] `metaCols`). At
+    * 100 TB the PQ store is the only memory-feasible serving face and
+    * every real vector-store query carries a WHERE clause; without
+    * this entry a filtered query was demoted to the ~50×-larger
+    * full-vector layout. Candidates are the predicate's SURVIVORS in
+    * the probed cells (ADC-scored, O(numSub) per candidate), and the
+    * exact re-rank touches survivor ids only — so every returned score
+    * is an exact cosine over a row that passes the predicate. */
+  def filteredAdcTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      where: Column,
+      subDim: Int = 16,
+      nProbe: Int = 2,
+      candN: Int = 40): DataFrame = {
+    val qv = queryProjection(queries, idCol, vecCol)
+    val q = probedQueries(qv, cents, nProbe)
+    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val enc = spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells.toIndexedSeq: _*) && where)
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+    ivfPqAdcSearch(enc, corpus, idCol, vecCol, qv, q, k, cents, cb, subDim, candN)
+  }
+
+  /** The BRUTE arm over the compressed index: every cell scanned (the
+    * predicate's row-group pushdown does the shrinking, not cell
+    * pruning — the [[bruteTopKFromBucketed]] rationale), every survivor
+    * ADC-scored (zero probe misses), exact re-rank of the top candN.
+    * Expressed as probing ALL cells, so the plan and the arithmetic are
+    * the probe face's own with the partition filter spanning the
+    * layout. NOT exact in general (the shortlist is still candN-capped)
+    * — but when the survivor set fits candN (the regime the arm rule
+    * selects it for), every survivor reaches the exact re-rank and the
+    * result IS the exact filtered top-k. */
+  def bruteAdcTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      where: Column,
+      subDim: Int = 16,
+      candN: Int = 40): DataFrame =
+    filteredAdcTopKFromIndex(spark, indexPath, corpus, queries, idCol, vecCol,
+      k, cb, cents, where, subDim, nProbe = cents.length, candN = candN)
+
+  /** [[filteredTopKAutoFromBucketed]] for the compressed store: the
+    * same write-time-ledger stats ([[bucketedArmStats]] prices the PQ
+    * layout — it is ledgered and carries `vec_id` + the meta columns)
+    * and the same [[decideFilteredArm]] rule pick between
+    * [[bruteAdcTopKFromIndex]] (sparse survivors: scan-all beats probe
+    * recall starvation, and with survivors ≤ candN the result is
+    * exact) and [[filteredAdcTopKFromIndex]] (dense survivors: cell
+    * pruning pays). On this face the arms trade RECALL vs scan work
+    * inside one ADC pipeline — exactness on both arms is bounded by
+    * the re-rank depth, unlike the full-vector auto whose brute arm is
+    * exact outright; a deployment that needs exact filtered results
+    * under a sparse predicate serves it from the full-vector layout. */
+  def filteredPqTopKAutoFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cb: Array[Array[Vector[Double]]],
+      cents: Array[(Long, Vector[Double])],
+      where: Column,
+      subDim: Int = 16,
+      nProbe: Int = 2,
+      candN: Int = 40,
+      bruteBelow: Double = 0.02,
+      bruteBelowRows: Long = 10000L): (FilteredArm, DataFrame) = {
+    val stats = bucketedArmStats(spark, indexPath, where)
+    decideFilteredArm(stats.estimatedLiveRows, stats.estimatedSurvivors,
+        bruteBelow, bruteBelowRows) match {
+      case BruteArm =>
+        (BruteArm, bruteAdcTopKFromIndex(spark, indexPath, corpus, queries,
+          idCol, vecCol, k, cb, cents, where, subDim, candN))
+      case ProbeArm =>
+        (ProbeArm, filteredAdcTopKFromIndex(spark, indexPath, corpus, queries,
+          idCol, vecCol, k, cb, cents, where, subDim, nProbe, candN))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Scalar quantization (SQ8)
   // ---------------------------------------------------------------------
@@ -2261,24 +2429,57 @@ object Similarity {
       vecCol: String,
       mins: Vector[Double],
       maxs: Vector[Double],
-      path: String): Unit =
+      path: String,
+      shards: Int = 0): Unit = {
+    sqIndexShards(corpus, idCol, vecCol, mins, maxs, shards)
+      .write.mode("overwrite").parquet(path)
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
+
+  /** The SQ8 code rows co-located for writing — the catalog treatment
+    * the PQ store got (a DETERMINISTIC file count per slice write
+    * instead of one scatter file per incoming task, plus the write-time
+    * stats ledger). The SQ8 layout is cell-less (whole-corpus scan
+    * compression), so `shards` hash-splits on vec_id alone; the
+    * EXPLICIT partition count pins the split against AQE re-coalescing
+    * (the shardsPerCell lesson). `shards = 0` (the default) resolves to
+    * the session's shuffle parallelism — a slice write keeps its write
+    * parallelism and lands a bounded, partitioning-independent file
+    * count; an object-store deployment sets it to its file-size
+    * comfort. */
+  private def sqIndexShards(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      mins: Vector[Double],
+      maxs: Vector[Double],
+      shards: Int): DataFrame = {
+    require(shards >= 0, s"shards must be >= 0 (0 = session parallelism), got $shards")
+    val n =
+      if (shards > 0) shards
+      else corpus.sparkSession.sessionState.conf.numShufflePartitions
     corpus.select(
         col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
-      .write.mode("overwrite").parquet(path)
+      .repartition(n, pmod(xxhash64(col("vec_id")), lit(n.toLong)))
+  }
 
   /** Add one vector slice to a [[writeSqIndex]] layout (same fixed-grid
     * contract; stable-payload rule: a vec_id's vector is stable across
-    * appends, so replayed slices collapse in the read-side dedup). */
+    * appends, so replayed slices collapse in the read-side dedup).
+    * Ledger extension opens footers only for the files THIS append
+    * created — O(new files), the appendIvfBucketed discipline. */
   def appendSqIndex(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       mins: Vector[Double],
       maxs: Vector[Double],
-      path: String): Unit =
-    corpus.select(
-        col(idCol).as("vec_id"), sqEncode(col(vecCol), mins, maxs).as("codes"))
+      path: String,
+      shards: Int = 0): Unit = {
+    sqIndexShards(corpus, idCol, vecCol, mins, maxs, shards)
       .write.mode("append").parquet(path)
+    writeBucketedStatsLedger(corpus.sparkSession, path)
+  }
 
   /** [[sqTopK]] over a [[writeSqIndex]] layout: the byte-code scan comes
     * from the store (never re-encoded); replayed append slices collapse
@@ -2312,8 +2513,9 @@ object Similarity {
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
       path: String,
-      shardsPerCell: Int = 1): Unit = {
-    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell)
+      shardsPerCell: Int = 1,
+      metaCols: Seq[String] = Nil): Unit = {
+    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell, metaCols)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     writeBucketedStatsLedger(corpus.sparkSession, path)
   }
@@ -2321,8 +2523,10 @@ object Similarity {
   /** [[pqIndex]] co-located for writing: per-cell(-shard) files instead
     * of one scatter file per task x cell, and a write-time stats ledger
     * — the writeIvfBucketed layout discipline applied to the compressed
-    * index (the codes carry no meta columns, so there is no secondary
-    * clustering to restore). */
+    * index. `metaCols` rows are CLUSTERED within each cell shard
+    * (sortWithinPartitions — the writeIvfBucketed row-group-statistics
+    * move), so a filtered read's pushed predicate prunes row groups of
+    * the compressed scan exactly as it does on the full-vector layout. */
   private def pqIndexShards(
       corpus: DataFrame,
       idCol: String,
@@ -2330,12 +2534,15 @@ object Similarity {
       cents: Array[(Long, Vector[Double])],
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
-      shardsPerCell: Int): DataFrame = {
+      shardsPerCell: Int,
+      metaCols: Seq[String] = Nil): DataFrame = {
     require(shardsPerCell >= 1, s"shardsPerCell must be >= 1, got $shardsPerCell")
-    pqIndex(corpus, idCol, vecCol, cents, cb, subDim)
+    val sharded = pqIndex(corpus, idCol, vecCol, cents, cb, subDim, metaCols)
       .repartition(
         math.max(corpus.sparkSession.sessionState.conf.numShufflePartitions, shardsPerCell),
         col("cell"), pmod(xxhash64(col("vec_id")), lit(shardsPerCell.toLong)))
+    if (metaCols.isEmpty) sharded
+    else sharded.sortWithinPartitions(col("cell") +: metaCols.map(col): _*)
   }
 
   /** Add one vector slice to a [[writeIvfPqIndex]] layout — incremental
@@ -2354,8 +2561,9 @@ object Similarity {
       cb: Array[Array[Vector[Double]]],
       subDim: Int,
       path: String,
-      shardsPerCell: Int = 1): Unit = {
-    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell)
+      shardsPerCell: Int = 1,
+      metaCols: Seq[String] = Nil): Unit = {
+    pqIndexShards(corpus, idCol, vecCol, cents, cb, subDim, shardsPerCell, metaCols)
       .write.partitionBy("cell").mode("append").parquet(path)
     // O(new files) footer opens: the pre-append files are ledgered.
     writeBucketedStatsLedger(corpus.sparkSession, path)

@@ -119,7 +119,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       // ann_filtered_auto: at gate SF the strategy switch picks the
       // brute arm (survivors under the absolute-rows threshold) — the
       // same bounded broadcast-NLJ shape, by design.
-      "ann_recall_filtered", "ann_filtered_auto")
+      "ann_recall_filtered", "ann_filtered_auto",
+      // ann_recall_filtered_pq: same filtered exact brute side as
+      // ann_recall_filtered (the PQ approx side is all equi-joins).
+      "ann_recall_filtered_pq")
 
   test("no nested-loop/cartesian joins anywhere in the production query map") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted if !nljWhitelist(q)) {
@@ -143,6 +146,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("EqualTo(label,1)"), "label predicate must push to the store scan")
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       "probed cells must prune partitions, not filter rows")
+  }
+
+  test("ann_filtered_pq: cell pruning and label pushdown compose on the COMPRESSED scan") {
+    // The round-15 closure: the predicate must land on the PQ store's
+    // partition-pruned code scan itself (the v4 layout carries label
+    // cell-clustered) — never as a post-join filter, and never by
+    // demoting the query to the ~50×-larger full-vector layout.
+    val p = planString("ann_filtered_pq")
+    assert(p.contains("EqualTo(label,1)"), "label predicate must push to the code scan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "probed cells must prune partitions of the compressed index")
   }
 
   test("vocab_topk: bounded TakeOrderedAndProject, never a global sort of the vocab") {

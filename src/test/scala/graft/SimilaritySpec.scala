@@ -398,6 +398,160 @@ class SimilaritySpec extends SparkSpec {
       s"sharding produced no extra files (${s4.totalFiles} vs ${s1.totalFiles})")
   }
 
+  test("arm-stats sample: maxSampleFiles is a HARD cap at whole-cell granularity, oversized first cell subsampled") {
+    // The r14 advice item: the bound was checked BEFORE appending a
+    // whole cell's file group, so a many-file cell (a streamed layout
+    // accumulating one file per micro-batch) made the "bounded sample
+    // read" scale with append count. Sharded layout = multi-file cells.
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft-samplecap").toString + "/cells"
+    Similarity.writeIvfBucketed(corpus, "vec_id", "embedding", cents, store,
+      metaCols = Seq("label"), shardsPerCell = 4)
+    val total = corpus.count()
+    // Cap below one cell's file count: the first cell alone exceeds it
+    // and must be file-subsampled, never admitted whole.
+    val s1 = Similarity.bucketedArmStats(spark, store, col("label") === 1,
+      sampleTargetRows = Long.MaxValue, maxSampleFiles = 2)
+    assert(s1.filesSampled <= 2 && s1.filesSampled > 0,
+      s"oversized first cell blew the cap: sampled ${s1.filesSampled} files")
+    assert(s1.totalRows === total)
+    // Cap admitting some but not all cells: still hard.
+    val s2 = Similarity.bucketedArmStats(spark, store, col("label") === 1,
+      sampleTargetRows = Long.MaxValue, maxSampleFiles = 7)
+    assert(s2.filesSampled <= 7 && s2.filesSampled > 0,
+      s"whole-cell admission blew the cap: sampled ${s2.filesSampled} files")
+    // The default config on this layout stays bounded too.
+    val s3 = Similarity.bucketedArmStats(spark, store, col("label") === 1)
+    assert(s3.filesSampled <= 8,
+      s"default cap not honored: ${s3.filesSampled} files sampled")
+  }
+
+  test("stats ledger self-compacts under an append stream: opens stay O(1), totals exact, zero cold footer opens") {
+    // The r14 advice item: one coalesce(1) slice per write/append and
+    // no compaction degraded the 'ONE metadata-scale read' to
+    // O(appends) small-file opens under a long-lived stream. The
+    // ledger self-compacts past a slice threshold (write-then-delete;
+    // entries immutable + reader dedups by key, so every intermediate
+    // state reads consistently).
+    val corpus = emb // sf0.001 — appends stay cheap
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft-ledgercompact").toString + "/cells"
+    Similarity.writeIvfBucketed(corpus, "vec_id", "embedding", cents, store,
+      metaCols = Seq("label"))
+    val slice = corpus.filter(col("vec_id") % 17 === 0)
+    val appends = 20
+    for (_ <- 1 to appends)
+      Similarity.appendIvfBucketed(slice, "vec_id", "embedding", cents, store,
+        metaCols = Seq("label"))
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val ledgerSlices = fs.listStatus(
+      new org.apache.hadoop.fs.Path(store, Similarity.StatsLedgerDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // Without compaction this would be 1 + appends = 21 slices.
+    assert(ledgerSlices < appends,
+      s"ledger never compacted: $ledgerSlices slices after $appends appends")
+    // The compacted ledger still prices the layout exactly, cold, with
+    // zero footer opens — no entry was lost in the rewrite.
+    Similarity.clearFooterCacheForTest()
+    val before = Similarity.footerOpens.get()
+    val stats = Similarity.bucketedArmStats(spark, store, col("label") === 1)
+    assert(Similarity.footerOpens.get() === before,
+      "compacted ledger missed files — cold planner fell back to footers")
+    assert(stats.totalRows === corpus.count() + appends * slice.count(),
+      s"physical total ${stats.totalRows} wrong after $appends appends")
+  }
+
+  test("filtered PQ store: arms from ledger stats, brute arm exact when survivors fit candN, probe = scan-filtered ADC") {
+    // The round-15 closure: filtered search composes with the COMPRESSED
+    // serving face. The v-tagged store carries metaCols; the auto face
+    // prices the layout from the write-time ledger (zero corpus-scale
+    // actions) and picks brute (all cells, no probe misses) for sparse
+    // survivors, probe (cell-pruned) for dense ones.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(4, 16, 16)
+    val store = java.nio.file.Files.createTempDirectory("graft-filtpq").toString + "/codes"
+    val s1 = corpus.filter(col("vec_id") % 2 === 0)
+    val s2 = corpus.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, store,
+      metaCols = Seq("label"))
+    Similarity.appendIvfPqIndex(s2, "vec_id", "embedding", cents, cb, 16, store,
+      metaCols = Seq("label"))
+    Similarity.appendIvfPqIndex(s1, "vec_id", "embedding", cents, cb, 16, store, // replay
+      metaCols = Seq("label"))
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // Tight predicate: survivors (~10%) fit candN, so the BRUTE arm —
+    // every survivor ADC-scored, every one exactly re-ranked — IS the
+    // exact filtered top-k, replay dedup included.
+    val tight = col("label") === 1
+    val survivors = corpus.filter(tight).count()
+    assert(survivors <= 80, s"fixture drifted: $survivors survivors > candN")
+    val (arm1, out1) = Similarity.filteredPqTopKAutoFromIndex(spark, store,
+      corpus, queries, "vec_id", "embedding", k = 5, cb, cents, where = tight,
+      nProbe = 2, candN = 80)
+    assert(arm1 === Similarity.BruteArm)
+    assert(rows(out1) === rows(Similarity.bruteForceTopK(
+      corpus.filter(tight), queries, "vec_id", "embedding", k = 5)),
+      "brute arm with survivors <= candN must equal the exact filtered top-k")
+    // Thresholds zeroed: the probe arm from the SAME ledger stats equals
+    // the direct scan-filtered ADC face.
+    val (arm2, out2) = Similarity.filteredPqTopKAutoFromIndex(spark, store,
+      corpus, queries, "vec_id", "embedding", k = 5, cb, cents, where = tight,
+      nProbe = 2, candN = 80, bruteBelow = 0.0, bruteBelowRows = 0L)
+    assert(arm2 === Similarity.ProbeArm)
+    assert(rows(out2) === rows(Similarity.filteredAdcTopKFromIndex(spark, store,
+      corpus, queries, "vec_id", "embedding", k = 5, cb, cents, where = tight,
+      nProbe = 2, candN = 80)))
+    // Every returned neighbor satisfies the predicate on both arms.
+    val ok = corpus.filter(tight).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows(out1).forall(r => ok(r._3)) && rows(out2).forall(r => ok(r._3)))
+  }
+
+  test("SQ8 store catalog parity: deterministic shard files, ledgered zero-footer stats, reads shard-oblivious") {
+    // DESIGN candidate (a)'s surviving half: the SQ8 code table gets the
+    // writeIvfBucketed catalog treatment — an explicit shard split
+    // (pinned against AQE re-coalescing) and the write-time stats
+    // ledger, with reads and results unchanged.
+    val corpus = emb
+    val (mins, maxs) = Similarity.sqTrain(corpus, "embedding", dim = 64)
+    val base = java.nio.file.Files.createTempDirectory("graft-sq8cat").toString
+    val one = s"$base/one"
+    val four = s"$base/four"
+    for ((path, shards) <- Seq((one, 1), (four, 4))) {
+      val s1 = corpus.filter(col("vec_id") % 2 === 0)
+      val s2 = corpus.filter(col("vec_id") % 2 === 1)
+      Similarity.writeSqIndex(s1, "vec_id", "embedding", mins, maxs, path, shards)
+      Similarity.appendSqIndex(s2, "vec_id", "embedding", mins, maxs, path, shards)
+      Similarity.appendSqIndex(s1, "vec_id", "embedding", mins, maxs, path, shards) // replay
+    }
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Similarity.sqTopKFromIndex(spark, four, corpus, queries,
+        "vec_id", "embedding", k = 5, mins, maxs)) ===
+      rows(Similarity.sqTopKFromIndex(spark, one, corpus, queries,
+        "vec_id", "embedding", k = 5, mins, maxs)),
+      "sharded SQ8 store must read identically")
+    // Cold planner prices both layouts from their ledgers: ZERO footer
+    // opens (the :281 pattern, SQ8 face) and exact physical totals.
+    Similarity.clearFooterCacheForTest()
+    val before = Similarity.footerOpens.get()
+    val st1 = Similarity.bucketedArmStats(spark, one, lit(true))
+    val st4 = Similarity.bucketedArmStats(spark, four, lit(true))
+    assert(Similarity.footerOpens.get() === before,
+      "SQ8 ledgered stats opened per-file footers cold")
+    val physical = corpus.count() + corpus.filter(col("vec_id") % 2 === 0).count()
+    assert(st1.totalRows === physical && st4.totalRows === physical)
+    // The shard split is real: more files at shards=4.
+    assert(st4.totalFiles > st1.totalFiles,
+      s"sharding produced no extra files (${st4.totalFiles} vs ${st1.totalFiles})")
+  }
+
   test("IVF delete log: excluded reads, replayed deletes, pruning-preserving compaction") {
     import org.apache.spark.sql.DataFrame
     val corpus = emb
