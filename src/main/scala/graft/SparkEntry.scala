@@ -1815,21 +1815,24 @@ object SparkEntry {
     }),
 
     // Compressed-index operating-point sweep: recall@5 AND measured
-    // candidate volume per nProbe ∈ {1,2,4,8} for the TRAINED residual
-    // IVF-PQ config — the ann_sweep calibration discipline applied to
-    // the memory-bound index ("which probe setting do I ship when the
-    // index must fit in RAM"). ONE corpus encode serves all four points
-    // (probe-rank prefix); candidates score via the lookup-table ADC
-    // (the serving form); one shared exact re-rank; the reading is
-    // metadata-scale. The oracle replays both trainings, the fanned
-    // table-ADC candidates, and the per-point recall roll-up.
+    // candidate volume per nProbe ∈ PqSweepProbes for the TRAINED
+    // residual IVF-PQ config — the ann_sweep calibration discipline
+    // applied to the memory-bound index ("which probe setting do I ship
+    // when the index must fit in RAM"). Round 15 extends the axis past
+    // the knee to 12 and 16 (= every cell — the zero-probe-miss ceiling
+    // at the shipped candN), making the "nProbe binds recall" claim a
+    // measured curve. ONE corpus encode serves every point (probe-rank
+    // prefix); candidates score via the lookup-table ADC (the serving
+    // form); one shared exact re-rank; the reading is metadata-scale.
+    // The oracle replays both trainings, the fanned table-ADC
+    // candidates, and the per-point recall roll-up.
     "ann_ivfpq_sweep" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = ivfTrainedCentroidStore(s, dir)
       Similarity.ivfPqSweepReading(e, e.filter(col("vec_id") % 50 === 0),
         annGroundTruth(s, dir), "vec_id", "embedding", k = 5, cents,
         pqTrainedCodebookStore(s, dir, cents), subDim = 16,
-        nProbes = Seq(1, 2, 4, 8), candN = PqCandN)
+        nProbes = PqSweepProbes, candN = PqCandN)
     }),
 
     // Re-rank-depth sweep for the compressed index — the candN axis of
@@ -4566,9 +4569,22 @@ object SparkEntry {
     * 80 the extra codewords bought nothing (0.72 either way), so codes
     * stay 4-bit (the 20x memory story) and recall lifts through one
     * more Lloyd round (PqTrainIters 2->3) + a deeper exact re-rank,
-    * whose cost is queries x candN ids - scale-independent. Measured
-    * recall@5 at sf0.01: 0.76 (ceiling 0.82). */
-  private[graft] val PqCandN = 80
+    * whose cost is queries x candN ids - scale-independent.
+    *
+    * Round-15 re-base 80 -> 160 from the measured (nProbe, candN) grid
+    * at sf0.01 (the past-the-knee sweep the r14 verdict asked for):
+    *   candN  80: 0.76 / 0.78 / 0.76 at nProbe 8 / 12 / 16
+    *   candN 160: 0.80 / 0.88 / 0.94 at nProbe 8 / 12 / 16
+    * At candN 80 extra probes buy NOTHING (the re-rank cut discards
+    * what they find); at candN 160 they beat the old "0.82 exact-probe
+    * ceiling" — which was itself nProbe-8-bound. The two axes bind
+    * JOINTLY. 160 at the shipped nProbe=8 is the free move: +0.04
+    * recall for zero extra candidate volume (n_cand unchanged at
+    * queries x ~half the corpus; only the exact-fetch id list doubles,
+    * queries x candN — metadata-scale). The 12/160 (0.88) and 16/160
+    * (0.94) dial positions are recorded in DESIGN for deployments that
+    * can spend 1.5-2x scan for the extra recall. */
+  private[graft] val PqCandN = 160
 
   /** Generated oracle for `ann_ivfpq` — the full trained-residual
     * IVF-PQ replica: trained coarse centroids (the annDefaultSql Lloyd
@@ -4762,6 +4778,14 @@ object SparkEntry {
   /** The candN sweep's operating points (re-rank depth axis). */
   private[graft] val PqCandSweepNs = Seq(20, 40, 80, 160)
 
+  /** The nProbe sweep's operating points (probe-width axis). Round 15
+    * extends the curve PAST the knee — 12 and 16 (= every cell, the
+    * zero-probe-miss ceiling for the shipped candN) — so "the probe set
+    * binds at 0.76-0.80 vs the 0.82 exact-probe ceiling" is a measured
+    * curve, not an inference from the ceiling alone. ONE definition
+    * consumed by the gate query and the oracle's probe/fan CTEs. */
+  private[graft] val PqSweepProbes = Seq(1, 2, 4, 8, 12, 16)
+
   /** Generated oracle for `ann_ivfpq_cand_sweep`: annIvfpqAdcSql's
     * trained-encode + ADC-table + candidate CTEs reused verbatim via
     * anchor surgery (guarded — a shape change there must fail HERE,
@@ -4823,7 +4847,7 @@ object SparkEntry {
        |probeR AS (
        |  SELECT vec_id AS query_id, cid, rn AS probe_rank FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
-       |    FROM afq WHERE vec_id % 50 = 0) WHERE rn <= 8),
+       |    FROM afq WHERE vec_id % 50 = 0) WHERE rn <= ${PqSweepProbes.max}),
        |terms AS (
        |  SELECT probeR.query_id, probeR.probe_rank, assign.vec_id, f.m,
        |    (qcc.qc + qcw.qw) AS numt,
@@ -4844,7 +4868,7 @@ object SparkEntry {
        |  SELECT csum.query_id, csum.probe_rank, csum.vec_id,
        |    (((ns[1] + ns[2]) + ns[3]) + ns[4]) / (qe.nrm * sqrt((((ds[1] + ds[2]) + ds[3]) + ds[4]))) AS adc
        |  FROM csum JOIN e qe ON qe.vec_id = csum.query_id),
-       |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+       |np(nprobe) AS (VALUES ${PqSweepProbes.map(p => s"($p)").mkString(", ")}),
        |fan AS (SELECT np.nprobe, c.query_id, c.vec_id, c.adc
        |  FROM cand c JOIN np ON c.probe_rank <= np.nprobe),
        |ncq AS (SELECT nprobe, query_id, count(*)::BIGINT AS n_cand_q
