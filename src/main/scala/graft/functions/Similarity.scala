@@ -1840,6 +1840,20 @@ object Similarity {
     * ceiling 0.82) vs the r12 face's 0.26, same storage bytes.
     * Residual arithmetic is plain double subtraction, so the oracle
     * replays it value-exactly. */
+  /** Widen a sub-session-parallelism input before a CPU-heavy per-row
+    * kernel chain. A small gate corpus arrives as ONE parquet file → one
+    * scan partition, so the encode (probe assignment + residual + PQ
+    * quantization per row) would run serially and the whole in-memory
+    * face becomes latency-bound on that single task (measured: the
+    * ann_ivfpq demonstration face spent 1.7 of its 3.4 s wall in a
+    * 1-task stage at sf0.1). A corpus that already meets session
+    * parallelism passes through UNSHUFFLED — at warehouse scale the
+    * scan is already wide and this must never reshuffle raw vectors. */
+  private def widenForKernels(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   private def pqIndex(
       corpus: DataFrame,
       idCol: String,
@@ -1853,7 +1867,7 @@ object Similarity {
       // must find its predicate columns next to the codes or it pays a
       // corpus-scale join back to the metadata table.
       metaCols: Seq[String] = Nil): DataFrame =
-    corpus
+    widenForKernels(corpus)
       .select(col(idCol).as("vec_id") +: col(vecCol).as("v") +:
         norm2(col(vecCol)).as("n_v") +: metaCols.map(col): _*)
       .withColumn("cell",

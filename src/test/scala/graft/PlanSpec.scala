@@ -589,16 +589,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("ann_ivfpq")
     // Two bounded partial-top-k groupBys (ADC candidates, exact re-rank)
     // are the only hash exchanges; probe and candidate sets ride
-    // broadcasts. No exchange may carry a vector/reconstruction/codes
-    // column — the index-scan side must collapse to (query_id, vec_id,
-    // score) partials before anything shuffles.
+    // broadcasts. No HASH exchange may carry a vector/reconstruction/
+    // codes column — the index-scan side must collapse to (query_id,
+    // vec_id, score) partials before anything co-locates by key. The one
+    // permitted round-robin exchange is widenForKernels' sub-parallelism
+    // widen over the gate corpus's single-file scan — it fires ONLY when
+    // the scan is narrower than session parallelism (the pass-through
+    // case is spec-pinned in SimilaritySpec), so at warehouse scale no
+    // exchange carries vectors at all.
     val ps = p.toString
     assert(ps.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, ps)
     assert(ps.contains("BroadcastExchange"), ps)
     val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
-    for (e <- shuffles)
+    for (e <- shuffles
+         if e.outputPartitioning.isInstanceOf[
+           org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
       assert(!e.output.exists(a => Set("v", "qv", "rv", "codes", "embedding")(a.name)),
-        s"exchange carries vector data:\n$e")
+        s"hash exchange carries vector data:\n$e")
+    val rr = shuffles.filter(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    assert(rr.size <= 1, s"more than one round-robin widen:\n$ps")
   }
 
   test("bpe_apply/bpe_encode/bpe_decode: merge table and vocab as literals; the passes are shuffle-free") {

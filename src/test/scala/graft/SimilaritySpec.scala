@@ -70,6 +70,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall == 1.0, s"recall $recall < 1.0: missed ${exact -- lsh}")
   }
 
+  test("widenForKernels: fires only below session parallelism — a wide corpus passes through UNSHUFFLED (100 TB gate)") {
+    // The in-memory PQ faces widen a single-file gate scan to session
+    // parallelism before the encode kernels (otherwise the whole face
+    // serializes on one task). The widen's scale claim is that it can
+    // NEVER reshuffle a warehouse-scale corpus: an input already at >=
+    // session parallelism must produce a plan with no round-robin
+    // exchange at all.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def roundRobins(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan
+      val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      (p +: expanded).flatMap(_.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+      }).size
+    }
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", 16, 3)
+    val cb = Similarity.trainPqCodebook(emb, "embedding", 64, cents, iters = 1)
+    val sessionN = spark.sessionState.conf.numShufflePartitions
+    // Narrow input (single-file scan): the widen fires, exactly once.
+    val narrow = Similarity.ivfPqTopKWithCodebook(
+      emb, queries, "vec_id", "embedding", k = 5, cents, cb, subDim = 16)
+    assert(roundRobins(narrow) == 1, "narrow scan should widen exactly once")
+    // Wide input (>= session parallelism): pass-through, zero widens.
+    val wideCorpus = emb.repartition(sessionN + 4, col("vec_id"))
+    val wide = Similarity.ivfPqTopKWithCodebook(
+      wideCorpus, queries, "vec_id", "embedding", k = 5, cents, cb, subDim = 16)
+    assert(roundRobins(wide) == 0, "wide corpus must never be re-shuffled by the widen")
+    // And the widen is result-invariant: both plans return identical rows.
+    val n = narrow.orderBy("query_id", "rank").collect().toSeq
+    val w = wide.orderBy("query_id", "rank").collect().toSeq
+    assert(n == w, "widen changed results")
+  }
+
   test("trained IVF centroids: recall vs brute force >= sampled centroids") {
     def recall(ann: org.apache.spark.sql.DataFrame, exact: org.apache.spark.sql.DataFrame): Double = {
       val a = ann.select("query_id", "vec_id").collect()
