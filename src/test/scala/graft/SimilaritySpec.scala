@@ -435,6 +435,67 @@ class SimilaritySpec extends SparkSpec {
       s"sharding produced no extra files (${s4.totalFiles} vs ${s1.totalFiles})")
   }
 
+  test("cell-aggregate arm stats: identical FilteredArmStats to the per-file face, zero footer opens, exact when a stale ledger entry outlives its file") {
+    // The O(cells)-driver-memory face (r14 verdict Missing #4): totals
+    // AND the sample selection must match the per-file face wherever
+    // listing and ledger agree, and a vanished data file (a raw
+    // takedown delete, whose ledger entry is never retracted) must
+    // degrade to the per-file fallback for the touched cell only —
+    // never to a wrong total.
+    val dir = "/root/testdata/sf0.01"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.sampledIvfCentroids(corpus, "vec_id", "embedding")
+    val store = java.nio.file.Files.createTempDirectory("graft-cellagg").toString + "/cells"
+    Similarity.writeIvfBucketed(
+      corpus.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding", cents, store,
+      metaCols = Seq("label"), shardsPerCell = 4)
+    Similarity.appendIvfBucketed(
+      corpus.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", cents, store,
+      metaCols = Seq("label"))
+    def both(): (Similarity.FilteredArmStats, Similarity.FilteredArmStats) = {
+      Similarity.clearFooterCacheForTest()
+      val before = Similarity.footerOpens.get()
+      val perFile = Similarity.bucketedArmStats(spark, store, col("label") === 1)
+      val byCell = Similarity.bucketedArmStatsByCell(spark, store, col("label") === 1)
+      assert(Similarity.footerOpens.get() === before,
+        "cell-aggregate stats opened footers on a fully-ledgered layout")
+      (perFile, byCell)
+    }
+    val (p1, c1) = both()
+    assert(c1 === p1, s"aggregate face diverged from per-file face: $c1 vs $p1")
+    assert(c1.totalRows === corpus.count())
+    // Arm decisions ride the same stats — trivially equal, pinned so a
+    // future drift in either face's estimators fails loudly here.
+    assert(
+      Similarity.decideFilteredArm(c1.estimatedLiveRows, c1.estimatedSurvivors) ===
+        Similarity.decideFilteredArm(p1.estimatedLiveRows, p1.estimatedSurvivors))
+    // Stale-ledger leg: delete ONE data file out from under the ledger
+    // (the listing is existence truth; its per-cell (files, bytes) now
+    // disagrees with the ledger aggregate for that cell, so the
+    // aggregate face must fall back to per-file pricing there). Both
+    // faces must agree on the reduced totals; every surviving file is
+    // still ledgered, so the fallback opens no footers either.
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store), true)
+      var v: org.apache.hadoop.fs.Path = null
+      while (it.hasNext && v == null) {
+        val f = it.next()
+        val hidden = f.getPath.toUri.getPath.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
+          v = f.getPath
+      }
+      v
+    }
+    assert(fs.delete(victim, false))
+    val (p2, c2) = both()
+    assert(c2 === p2, s"aggregate face diverged after a stale-ledger delete: $c2 vs $p2")
+    assert(c2.totalRows < c1.totalRows, "delete did not reduce the priced total")
+    assert(c2.totalFiles === c1.totalFiles - 1)
+  }
+
   test("arm-stats sample: maxSampleFiles is a HARD cap at whole-cell granularity, oversized first cell subsampled") {
     // The r14 advice item: the bound was checked BEFORE appending a
     // whole cell's file group, so a many-file cell (a streamed layout
