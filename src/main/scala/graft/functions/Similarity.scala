@@ -1303,6 +1303,29 @@ object Similarity {
   /** Ledger entries of a layout, keyed `path|length` → rows. Empty map
     * when no ledger exists (pre-ledger layouts stay readable — the
     * stats path falls back to footers for unledgered files). */
+  /** Directory signature of the ledger's slice files — the ledger
+    * version used for cache keys and for the read-retry below. */
+  private def ledgerSig(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): String =
+    fs.listStatus(dir).filter(_.isFile)
+      .map(f => s"${f.getPath.getName}:${f.getLen}").sorted.mkString(";")
+
+  /** The ledger slice files as a frame, tolerant of a concurrent
+    * self-compaction's write-then-delete: a slice listed by this read's
+    * planning but deleted before its tasks open it is SKIPPED
+    * (`ignoreMissingFiles`) — safe because every deleted slice's
+    * entries are a subset of the compacted union slice. Callers that
+    * need full-union certainty pair this with a [[ledgerSig]]
+    * before/after check and retry (the one ordering the option cannot
+    * save: planning that lists ONLY the doomed slices, before the union
+    * slice exists — the re-listed signature differs, so one retry sees
+    * the union). */
+  private def ledgerFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: org.apache.hadoop.fs.Path): DataFrame =
+    spark.read.option("ignoreMissingFiles", "true").parquet(dir.toString)
+
   private def readStatsLedger(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -1310,18 +1333,25 @@ object Similarity {
     val dir = new org.apache.hadoop.fs.Path(root, StatsLedgerDir)
     if (!fs.exists(dir)) Map.empty
     else {
-      val sig = fs.listStatus(dir).filter(_.isFile)
-        .map(f => s"${f.getPath.getName}:${f.getLen}").sorted.mkString(";")
-      val key = s"$dir|$sig"
-      val hit = ledgerCache.get(key)
-      if (hit != null) hit
-      else {
-        val m = spark.read.parquet(dir.toString)
+      var attempt = 0
+      while (true) {
+        val sig = ledgerSig(fs, dir)
+        val key = s"$dir|$sig"
+        val hit = ledgerCache.get(key)
+        if (hit != null) return hit
+        val m = ledgerFrame(spark, dir)
           .select(col("path"), col("length"), col("rows")).collect()
           .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getLong(2)).toMap
-        ledgerCache.put(key, m)
-        m
+        // A concurrent compaction between the listing and the read can
+        // make the read miss slices entirely (see ledgerFrame); the
+        // signature re-check detects any mid-read change and retries.
+        if (ledgerSig(fs, dir) == sig || attempt >= 2) {
+          ledgerCache.put(key, m)
+          return m
+        }
+        attempt += 1
       }
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -1373,10 +1403,14 @@ object Similarity {
         .write.mode("append").parquet(ledgerDir.toString)
     }
     // Self-compaction: entries are immutable and the read side dedups
-    // by (path, length), so rewriting the union into one slice and then
-    // deleting the old slices is safe at every intermediate state — a
-    // concurrent reader listing mid-compaction sees the union twice and
-    // its toMap collapses the overlap (write-then-delete ordering).
+    // by (path, length), so write-then-delete keeps every reader that
+    // sees the union slice correct (overlap collapses in the dedup).
+    // The two races the ordering alone cannot close are handled on the
+    // READ side: a slice deleted between a reader's planning and its
+    // task opening it is skipped (ignoreMissingFiles — its entries are
+    // a subset of the union slice), and a reader whose listing predates
+    // the union write re-checks the directory signature after reading
+    // and retries (readStatsLedger / the by-cell aggregates).
     if (fs.exists(ledgerDir)) {
       val oldSlices = fs.listStatus(ledgerDir).filter(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1506,13 +1540,17 @@ object Similarity {
     *     metadata-scale job); the driver collects one
     *     (cell, files, bytes, rows) row per cell.
     *  3. A cell's ledger rows are trusted only when its listed
-    *     (fileCount, bytes) match the ledger aggregate exactly —
-    *     files are immutable and appends only add, so any
-    *     delete/compaction/unledgered-write mismatch is visible in the
-    *     pair. Mismatched cells fall back to per-file pricing for THAT
-    *     cell alone (per-file ledger slice + footers), so exactness
-    *     never degrades — only the fallback's driver cost does, and
-    *     only by O(changed cell).
+    *     (fileCount, bytes, crcSum-over-"path|length") triple matches
+    *     the ledger aggregate exactly — the CRC sum gives the check
+    *     SET identity in the per-file face's own key space, so any
+    *     delete/rename/unledgered-write combination that preserves
+    *     count and total size still mismatches. (The shared blind spot
+    *     with the per-file face: an in-place same-path same-length
+    *     content rewrite — excluded by the layout's file-immutability
+    *     contract on both faces equally.) Mismatched cells fall back
+    *     to per-file pricing for THAT cell alone (per-file ledger
+    *     slice + footers), so exactness never degrades — only the
+    *     fallback's driver cost does, and only by O(changed cell).
     *  4. Sample admission runs on the per-cell aggregates (same
     *     hash-spread whole-cell rule, same hard file cap); only the
     *     ADMITTED cells' directories are re-listed for concrete paths
@@ -1534,9 +1572,18 @@ object Similarity {
     val fs = root.getFileSystem(conf)
     val qroot = fs.makeQualified(root)
     val rootStr = qroot.toUri.getPath
-    // 1. Streaming listing -> per-cell (fileCount, bytes). Same
-    // visibility rule as listDataFiles; no per-file retention.
-    final case class CellListing(var files: Int, var bytes: Long)
+    // 1. Streaming listing -> per-cell (fileCount, bytes, crcSum). The
+    // CRC sum over "path|length" strings gives the trust check below
+    // SET identity in the per-file face's exact key space — a deleted
+    // file replaced by a different same-size unledgered one changes the
+    // sum even though (fileCount, bytes) match. Same visibility rule as
+    // listDataFiles; no per-file retention.
+    final case class CellListing(var files: Int, var bytes: Long, var crc: Long)
+    def entryCrc(path: String, len: Long): Long = {
+      val c = new java.util.zip.CRC32
+      c.update(s"$path|$len".getBytes("UTF-8"))
+      c.getValue
+    }
     val listed = scala.collection.mutable.LinkedHashMap.empty[String, CellListing]
     var totalFiles = 0
     val it = fs.listFiles(qroot, true)
@@ -1549,8 +1596,9 @@ object Similarity {
       val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
       if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden) {
         val cl = listed.getOrElseUpdate(
-          f.getPath.getParent.toString, CellListing(0, 0L))
+          f.getPath.getParent.toString, CellListing(0, 0L, 0L))
         cl.files += 1; cl.bytes += f.getLen
+        cl.crc += entryCrc(f.getPath.toString, f.getLen)
         totalFiles += 1
       }
     }
@@ -1559,22 +1607,42 @@ object Similarity {
     // entries store fully-qualified paths, so the parent matches the
     // listing's key space.)
     val ledgerDir = new HPath(qroot, StatsLedgerDir)
-    val ledgerCells: Map[String, (Long, Long, Long)] =
+    // Duplicate ledger entries (a replayed append, a compaction that
+    // crashed between union-write and slice-delete) are legal under the
+    // at-least-once posture and collapse in the per-file face's toMap —
+    // the aggregate MUST dedup the same way or every cell's (files,
+    // bytes, crc) would read double and mismatch, degrading the whole
+    // face to per-cell fallback jobs. Signature retry as in
+    // readStatsLedger: a mid-read self-compaction re-runs the aggregate.
+    def aggregateLedgerCells(): Map[String, (Long, Long, Long, Long)] =
       if (!fs.exists(ledgerDir)) Map.empty
-      else spark.read.parquet(ledgerDir.toString)
-        .groupBy(expr("substring(path, 1, length(path) - length(reverse(split(path, '/'))[0]) - 1)").as("cell"))
-        .agg(count(lit(1)).as("files"), sum(col("length")).as("bytes"),
-          sum(col("rows")).as("rows"))
-        .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-        .toMap
+      else {
+        var attempt = 0
+        while (true) {
+          val sig = ledgerSig(fs, ledgerDir)
+          val m = ledgerFrame(spark, ledgerDir)
+            .dropDuplicates("path", "length")
+            .groupBy(expr("substring(path, 1, length(path) - length(reverse(split(path, '/'))[0]) - 1)").as("cell"))
+            .agg(count(lit(1)).as("files"), sum(col("length")).as("bytes"),
+              sum(crc32(concat(col("path"), lit("|"), col("length").cast("string")))).as("crc"),
+              sum(col("rows")).as("rows"))
+            .collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+            .toMap
+          if (ledgerSig(fs, ledgerDir) == sig || attempt >= 2) return m
+          attempt += 1
+        }
+        throw new IllegalStateException("unreachable")
+      }
+    val ledgerCells = aggregateLedgerCells()
     // 3. Per-cell rows: trust the ledger aggregate on an exact
-    // (files, bytes) match; otherwise price the mismatched cell alone
-    // per file (its ledger slice by prefix + footers for the rest).
+    // (files, bytes, crcSum) match — set identity in the per-file key
+    // space; otherwise price the mismatched cell alone per file (its
+    // ledger slice by prefix + footers for the rest).
     def perFileCellRows(cellDir: String, wantPaths: Boolean): (Long, Array[(HPath, Long)]) = {
       val entries: Map[String, Long] =
         if (!fs.exists(ledgerDir)) Map.empty
-        else spark.read.parquet(ledgerDir.toString)
+        else ledgerFrame(spark, ledgerDir)
           .filter(col("path").startsWith(cellDir + "/"))
           .select(col("path"), col("length"), col("rows")).collect()
           .map(r => s"${r.getString(0)}|${r.getLong(1)}" -> r.getLong(2)).toMap
@@ -1589,7 +1657,8 @@ object Similarity {
     }
     val cellRows: Map[String, Long] = listed.iterator.map { case (cell, cl) =>
       ledgerCells.get(cell) match {
-        case Some((lf, lb, rows)) if lf == cl.files && lb == cl.bytes => cell -> rows
+        case Some((lf, lb, lc, rows))
+            if lf == cl.files && lb == cl.bytes && lc == cl.crc => cell -> rows
         case _ => cell -> perFileCellRows(cell, wantPaths = false)._1
       }
     }.toMap
@@ -2643,7 +2712,16 @@ object Similarity {
       mins: Vector[Double],
       maxs: Vector[Double],
       path: String,
-      shards: Int = 0): Unit = {
+      // Append slices default to ONE file: an append is an increment (a
+      // micro-batch, a daily slice), and its ledger-friendly shape is
+      // O(1) new files + O(1) footer opens per append — a session-
+      // parallelism default here would make every micro-batch through
+      // StoreIngest.sqCodes shuffle and scatter numShufflePartitions
+      // small files. A bulk append that wants scan-parallel files
+      // passes `shards` explicitly (writeSqIndex keeps the
+      // session-parallelism default — the BASE corpus wants the wide
+      // deterministic split).
+      shards: Int = 1): Unit = {
     sqIndexShards(corpus, idCol, vecCol, mins, maxs, shards)
       .write.mode("append").parquet(path)
     writeBucketedStatsLedger(corpus.sparkSession, path)

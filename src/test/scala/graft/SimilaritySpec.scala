@@ -494,6 +494,34 @@ class SimilaritySpec extends SparkSpec {
     assert(c2 === p2, s"aggregate face diverged after a stale-ledger delete: $c2 vs $p2")
     assert(c2.totalRows < c1.totalRows, "delete did not reduce the priced total")
     assert(c2.totalFiles === c1.totalFiles - 1)
+    // Rename leg — the (count, bytes)-preserving mutation: same file,
+    // new path. Per-cell fileCount and byte totals are UNCHANGED, so
+    // only the crc-sum set-identity check can see it; the aggregate
+    // face must fall back for that cell and agree with the per-file
+    // face (which footer-reads the now-unledgered path — one open is
+    // expected here, shared via the footer cache).
+    val toRename = {
+      val it2 = fs.listFiles(new org.apache.hadoop.fs.Path(store), true)
+      var v: org.apache.hadoop.fs.Path = null
+      while (it2.hasNext && v == null) {
+        val f = it2.next()
+        val hidden = f.getPath.toUri.getPath.split('/')
+          .exists(c => c.startsWith("_") || c.startsWith("."))
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") && !hidden)
+          v = f.getPath
+      }
+      v
+    }
+    assert(fs.rename(toRename,
+      new org.apache.hadoop.fs.Path(toRename.getParent, "renamed-swap.parquet")))
+    Similarity.clearFooterCacheForTest()
+    val before = Similarity.footerOpens.get()
+    val p3 = Similarity.bucketedArmStats(spark, store, col("label") === 1)
+    val c3 = Similarity.bucketedArmStatsByCell(spark, store, col("label") === 1)
+    assert(c3 === p3, s"aggregate face diverged after a same-size rename: $c3 vs $p3")
+    assert(c3.totalRows === c2.totalRows, "rename must not change the priced total")
+    assert(Similarity.footerOpens.get() === before + 1,
+      "expected exactly one footer open for the renamed unledgered file")
   }
 
   test("arm-stats sample: maxSampleFiles is a HARD cap at whole-cell granularity, oversized first cell subsampled") {
