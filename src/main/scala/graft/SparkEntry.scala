@@ -2419,8 +2419,11 @@ object SparkEntry {
       // length(text) > 0 guards the ratio denominators: under ANSI (the
       // Spark 4 default) an empty document would otherwise abort the whole
       // query with DIVIDE_BY_ZERO where the oracle happily emits rows.
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
+      // Widened (KernelInput contract): the one-file gate corpus scans as
+      // one task and the quality kernel fused onto it ran single-threaded.
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0))
       // coalesce → non-nullable: keeps the gate predicate's inferred
       // isnotnull from re-running the quality kernel inside the scan.
       val scored = docs.select(
@@ -2439,8 +2442,9 @@ object SparkEntry {
     // compares bit-identical pct_rank doubles ((r-1)/(n-1) integer
     // division in both engines).
     "quality_top_frac" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0))
       val scored = docs.select(
         col("doc_id"), col("lang"),
         coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
@@ -2463,8 +2467,9 @@ object SparkEntry {
     // sample is reproducible under repartitioning, retries, and engines.
     "curriculum_sample" -> ((s, dir) => {
       import graft.functions.Sampling
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0))
       val scored = docs.select(
         col("doc_id"), col("lang"),
         coalesce(TF.qualityScore(col("text")), lit(0.0)).as("q"))
@@ -2761,8 +2766,12 @@ object SparkEntry {
     // the per-round mistake counts (verifying the margin rule itself).
     "perceptron_k3" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+      // Widened (KernelInput contract): three sequential training scans
+      // each run the tokenize+stopword-count features over the one-file
+      // corpus — single-task without the widen.
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("lang").isNotNull))
       val feats = graft.functions.Classifier.stopwordFeatures(col("text"))
       val label = when(col("lang") === "en", 1L).otherwise(-1L)
       val (hist, mis) =
@@ -2776,8 +2785,9 @@ object SparkEntry {
     // over the training frame — the train -> apply loop closed, still
     // integer-exact end to end.
     "perceptron_confusion" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && col("lang").isNotNull)
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && col("lang").isNotNull))
       val feats = graft.functions.Classifier.stopwordFeatures(col("text"))
       val label = when(col("lang") === "en", 1L).otherwise(-1L)
       val (hist, _) =
@@ -3406,8 +3416,9 @@ object SparkEntry {
     // TF.charShingles' distinct set (same windows, same short-text
     // fallback).
     "lm_coverage" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val docs = graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0))
       // The top-64 reference vocabulary is metadata-scale BY CONSTRUCTION
       // (a bounded top-k over the held-out tenth), so it is collected at
       // plan time and rides the counting kernel as a literal — the
@@ -4068,8 +4079,8 @@ object SparkEntry {
     // md5 gram array per window, O(n²)/doc) is pinned equal in
     // FastKernelSpec.
     "winnow_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .filter(col("text").isNotNull)
+      graft.functions.KernelInput.ensureParallelism(
+        t(s, dir, "documents").filter(col("text").isNotNull))
         .select(col("doc_id"), TFast.winnowDigest(col("text"), k = 4, w = 4).as("wd"))
         .select(col("doc_id"), col("wd").getItem(0).as("n_fp"),
           col("wd").getItem(1).as("fp_xor"))),

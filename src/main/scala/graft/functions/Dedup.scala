@@ -171,6 +171,7 @@ object Dedup {
       .withColumn(
         "pos",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .select(col("id"), col("len"), col("s"), col("pos"))
     // Prefix length = len - ceil(t*len) + 1 (~(1-t)·|sh| rarest-first rows
     // per doc). NOTE on the rejected alternative: carrying each doc's full
     // shingle set on its prefix rows (the Vernica MapReduce layout, so
@@ -197,12 +198,19 @@ object Dedup {
     // the array-attaching verify joins.
     val lenBound =
       least(col("l.len"), col("r.len")) >= greatest(col("l.len"), col("r.len")) * lit(threshold)
-    // hint("merge"): one shared Exchange for both sides (ReusedExchange) —
-    // the freq-join + window prefix pipeline is planned once. See
-    // minhashPairs for the scale rationale.
-    val candidates = prefix
+    // Explicit-N repartition on the join key (N = the session's shuffle
+    // parallelism — a conf, never a literal): AQE sizes post-shuffle
+    // coalescing from the exchange's INPUT bytes and is blind to the
+    // candidate join's fan-out — the round-15 stage profile showed the
+    // join emitting a 64 MB pair stream from 6 coalesced tasks (1.8 s of
+    // the query's 4.1 s wall on one under-parallel stage). Explicit-N
+    // pins the width AQE would otherwise coalesce away; both join sides
+    // read the ONE exchange (same frame, same partitioning).
+    val nPart = shingledIn.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixWide = prefix.repartition(nPart, col("s"))
+    val candidates = prefixWide
       .as("l").hint("merge")
-      .join(prefix.as("r"),
+      .join(prefixWide.as("r"),
         col("l.s") === col("r.s") && col("l.id") < col("r.id") && posBound && lenBound)
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()

@@ -46,22 +46,32 @@ object EntityMatch {
     // hint("merge"): one shared Exchange for both sides of the self-join
     // (the fingerprint pipeline plans once, ReusedExchange) — and at corpus
     // scale the fingerprint frame is past broadcast size anyway.
+    // Explicit-N repartition after the distinct (N = the session's
+    // shuffle-parallelism conf): AQE coalesces the deduped pair exchange
+    // from its bytes (~2.7 MB -> 2 tasks at sf0.1) while the fused verify
+    // downstream carries the per-pair distance kernel — measured 1.5 s of
+    // the query's 3.1 s wall on that 2-task stage.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val candidates = keys.as("l").hint("merge")
       .join(keys.as("r"), col("l.k") === col("r.k") && col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
+      // On "i" alone, NOT (i, j): a repartition matching the distinct's
+      // own (i, j) hash partitioning is elided as redundant by the
+      // optimizer, which re-exposes the exchange to AQE coalescing.
+      .repartition(nPart, col("i"))
     val a = base.select(col("id").as("i"), col("s").as("s_i"))
     val b = base.select(col("id").as("j"), col("s").as("s_j"))
     // Exact verify on the candidate pairs only. The length guard exists
-    // solely to reject 64-bit hash collisions across lengths; zip_with
-    // null-padding would count those as mismatches anyway, but an explicit
-    // sentinel keeps the intent visible.
+    // to reject 64-bit hash collisions across lengths — and it is what
+    // makes the built-in levenshtein compute the HAMMING distance here:
+    // at equal lengths a single edit can only be a substitution, so
+    // lev(a,b) <= 1 iff hamming(a,b) <= 1 with identical values 0/1.
+    // (The previous split + zip_with + aggregate form allocated two
+    // per-char string arrays per pair; levenshtein is one codegen'd
+    // two-row DP over the bytes.)
     val dist = when(length(col("s_i")) =!= length(col("s_j")), lit(999))
-      .otherwise(aggregate(
-        zip_with(split(col("s_i"), ""), split(col("s_j"), ""),
-          (x, y) => when(x === y, lit(0)).otherwise(lit(1))),
-        lit(0),
-        (acc, v) => acc + v))
+      .otherwise(levenshtein(col("s_i"), col("s_j")))
     candidates
       .join(a, "i")
       .join(b, "j")
@@ -100,6 +110,9 @@ object EntityMatch {
       .join(keys.as("r"), col("l.k") === col("r.k") && col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
+      // Same verify-width pin as hamming1Pairs ("i" alone so the
+      // optimizer can't elide it as redundant with the distinct).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("i"))
     val a = base.select(col("id").as("i"), col("s").as("s_i"))
     val b = base.select(col("id").as("j"), col("s").as("s_j"))
     candidates

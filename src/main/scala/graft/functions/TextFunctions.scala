@@ -329,10 +329,18 @@ object TextFunctions {
     * score has an all-integer numerator — bit-reproducible anywhere. */
   def qualityColumns(c: Column): Seq[Column] = {
     val n = length(c)
-    val letters = size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0)))
-    val digits = size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
-    val puncts = size(regexp_extract_all(c, lit("[.,;:!?]"), lit(0)))
-    val spaces = size(regexp_extract_all(c, lit(" "), lit(0)))
+    // Single-char class counts via length-difference, NOT
+    // size(regexp_extract_all(...)): extract_all materializes an array of
+    // every matched character (one boxed String per letter of every doc)
+    // just to take its size — measured ~0.2 s of per-task allocation/GC
+    // churn on the quality kernel at sf0.1. regexp_replace produces one
+    // string per pass; the counts (and hence every downstream ratio and
+    // hash) are integer-identical.
+    def matches(pat: String): Column = n - length(regexp_replace(c, pat, ""))
+    val letters = matches("[A-Za-z]")
+    val digits = matches("[0-9]")
+    val puncts = matches("[.,;:!?]")
+    val spaces = matches(" ")
     Seq(
       n.as("n_chars"),
       (letters.cast(DoubleType) / n).as("alpha_ratio"),
